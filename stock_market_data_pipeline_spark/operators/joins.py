@@ -1,0 +1,102 @@
+"""Joins (SURVEY J1) + the as-of join extension.
+
+Reference parity: J1 — inner equi-join of the 15-minute sliding aggregates to
+the 1-hour sliding aggregates on the composite key (symbol, window_start)
+(``spark_stream_batch_processor.py:175-193``). Because 15-min windows slide
+every 5 min and 1-h windows every 10 min, window_start equality only matches
+at 10-minute-aligned starts — the join keeps every other 15-min window; that
+semantic is preserved exactly (SURVEY §2.3 note).
+
+The *streaming* variant in the reference joins two windowed streaming
+aggregations — an illegal Structured Streaming plan
+(``spark_stream_processor.py:216-234``). The engine's legal equivalent runs
+this batch join inside ``foreachBatch`` (streaming/pipeline.py).
+
+Scale notes: both sides arrive pre-aggregated (cardinality ≈ #symbols ×
+#windows — tiny next to the tick table), so Catalyst/AQE picks broadcast-hash
+automatically when one side fits; at 100 TB of ticks both agg outputs are
+still small and the join never touches raw-tick volume. ``broadcast_right``
+forces the hint for planners without fresh stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def join_windowed_metrics(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    window_start: str = "window_start",
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J1: equi-join two windowed-metric tables on (key, window_start).
+
+    Uses the USING-style join (list of names) so the key columns appear once
+    in the output — the reference instead selects ``df_15min["symbol"]`` to
+    drop the duplicate (``spark_stream_processor.py:224``).
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=[key, window_start], how=how)
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join (finance extension, not in the reference — SURVEY §2.3):
+    for each left row, attach the latest right row with right_ts <= left_ts.
+
+    Implemented as union + last-value window (single shuffle on key) rather
+    than a range join: tag both sides, union by name, and carry the most
+    recent right-side values forward with ``last(ignorenulls=True)`` over
+    (key ORDER BY ts). This scales as one sort-shuffle on the key — no
+    O(n×m) range-join explosion — and is the standard Spark formulation.
+
+    ``tolerance`` (e.g. "15 minutes") drops matches older than the interval.
+    """
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    rcols = [c for c in right.columns if c not in (key, right_ts)]
+    lt = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    rt = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c) for c in rcols],
+    )
+    from pyspark.sql.window import Window
+
+    # Right rows sort before left rows at equal ts (_is_left ascending) so a
+    # right row at exactly left_ts matches.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lt.unionByName(rt)
+    for c in rcols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    unioned = unioned.withColumn("_rts", F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True).over(w))
+    out = unioned.filter(F.col("_is_left") == 1)
+    if tolerance is not None:
+        keep = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        out = out.select(
+            "*", *[]
+        ).withColumns({c: F.when(keep, F.col(c)) for c in rcols})
+    return out.select(
+        F.col("_k").alias(key), F.col("_ts").alias(left_ts), *lcols, *rcols
+    )

@@ -1,0 +1,63 @@
+"""Batch sources: typed CSV/parquet scans over (optionally Hive-partitioned) paths.
+
+Reference parity: S1 CSV batch scan (``spark_batch_processor.py:54``), S3
+parquet scan — the reference's loader lists objects with boto3 and reads each
+file with pandas (``load_to_snowflake.py:104-144``), a driver-side loop that
+cannot scale; ``spark.read.parquet`` on the prefix subsumes it with
+distributed, partition-discovering reads. S7 manual partition pruning — the
+reference string-builds ``year=/month=/day=`` into the read path
+(``spark_batch_processor.py:47``); here you read the lake root and ``.where()``
+on partition columns, and Catalyst prunes directories before listing files
+(visible as ``PartitionFilters`` in ``.explain``).
+
+Scale notes: explicit schemas avoid inference scans over 100 TB; predicate
+pushdown + column pruning reach the parquet reader automatically when filters/
+selects are declared on the scan DataFrame (check ``PushedFilters``/
+``ReadSchema`` in the formatted plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructType
+
+# Test-lake columns physically stored as parquet TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they surface as LongType nanos and are
+# converted to microsecond timestamps here (integer `div` — a double-based
+# division would lose precision above 2^53 ns).
+_NANOS_TS_COLS = frozenset({"ts", "l_shipdate", "o_orderdate"})
+
+
+def read_csv_lake(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    where: Column | None = None,
+) -> DataFrame:
+    """Typed CSV scan. ``where`` on partition columns prunes directories."""
+    df = spark.read.schema(schema).option("header", str(header).lower()).csv(path)
+    return df.where(where) if where is not None else df
+
+
+def read_parquet_lake(
+    spark: SparkSession,
+    path: str,
+    where: Column | None = None,
+) -> DataFrame:
+    """Parquet scan with partition discovery; filter for partition pruning."""
+    df = spark.read.parquet(path)
+    return df.where(where) if where is not None else df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one of the test-lake tables (``<sf_dir>/<name>.parquet``),
+    normalizing nano-timestamp columns to proper timestamps."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f in df.schema.fields:
+        if f.name in _NANOS_TS_COLS and isinstance(f.dataType, LongType):
+            df = df.withColumn(
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
+            )
+    return df

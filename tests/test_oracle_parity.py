@@ -1,0 +1,30 @@
+"""The core correctness gate, run locally: every registered query must match
+its DuckDB oracle on the test lake (same check the driver performs at sf0.01).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_market_data_pipeline_spark.oracles import ORACLES
+from stock_market_data_pipeline_spark.queries import QUERIES
+
+from tests.conftest import assert_frames_match
+
+
+def test_registry_is_consistent():
+    # Every oracle refers to a registered query; queries without an oracle are
+    # allowed (rows-only check) but must be deliberate.
+    assert set(ORACLES) <= set(QUERIES), "oracle without a query"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert_frames_match(df, duck, ORACLES[name], query_name=name)
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
