@@ -117,6 +117,118 @@ UNION ALL
 UNION ALL
 {_TUMBLE_BLOCK.format(mins=60, wtype='1hour')}
 """,
+    "rolling_frames": f"""
+WITH {TICKS_CTE}
+SELECT symbol, event_id, "timestamp", price,
+       round(avg(price)  OVER w5,  6) AS ma_5,
+       round(avg(price)  OVER w15, 6) AS ma_15,
+       round(avg(price)  OVER w30, 6) AS ma_30,
+       round(stddev_samp(price) OVER w5,  6) AS price_volatility_5,
+       round(stddev_samp(price) OVER w15, 6) AS price_volatility_15,
+       round(avg(volume) OVER w5,  6) AS volume_ma_5,
+       round(avg(volume) OVER w15, 6) AS volume_ma_15
+FROM ticks
+WINDOW
+  w5  AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 4  PRECEDING AND CURRENT ROW),
+  w15 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+  w30 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+""",
+    "daily_ohlcv": f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST("timestamp" AS DATE)        AS date,
+       arg_min(price, "timestamp")      AS daily_open,
+       max(price)                       AS daily_high,
+       min(price)                       AS daily_low,
+       arg_max(price, "timestamp")      AS daily_close,
+       CAST(sum(volume) AS BIGINT)      AS daily_volume,
+       count(*)                         AS tick_count,
+       round(arg_max(price, "timestamp") - arg_min(price, "timestamp"), 6) AS daily_change
+FROM ticks
+GROUP BY 1, 2
+""",
+    "daily_change_close_over_close": f"""
+WITH {TICKS_CTE}, d AS (
+  SELECT symbol,
+         CAST("timestamp" AS DATE)   AS date,
+         arg_min(price, "timestamp") AS daily_open,
+         max(price)                  AS daily_high,
+         min(price)                  AS daily_low,
+         arg_max(price, "timestamp") AS daily_close,
+         CAST(sum(volume) AS BIGINT) AS daily_volume,
+         count(*)                    AS tick_count
+  FROM ticks GROUP BY 1, 2
+)
+SELECT *, round(daily_close - lag(daily_close) OVER (PARTITION BY symbol ORDER BY date), 6) AS daily_change
+FROM d
+""",
+    "dedup_keep_last": f"""
+WITH {TICKS_CTE}
+SELECT symbol, price, volume, "timestamp", event_id, user_id
+FROM ticks
+QUALIFY row_number() OVER (PARTITION BY symbol, user_id ORDER BY "timestamp" DESC, event_id DESC) = 1
+""",
+    "null_fill_defaults": f"""
+WITH {TICKS_CTE}
+SELECT event_id,
+       coalesce(CASE WHEN user_id % 7 = 0 THEN NULL ELSE symbol END, 'unknown') AS symbol,
+       coalesce(CASE WHEN price < 20 THEN NULL ELSE price END, 0.0)             AS price,
+       volume,
+       "timestamp"
+FROM ticks
+""",
+    "dedup_exact": """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*)    AS dup_count
+FROM documents
+GROUP BY 1
+""",
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE)      AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 6)      AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY 1, 2
+""",
+    "top_revenue_orders": """
+SELECT l_orderkey, o_orderdate, o_orderpriority, round(revenue, 6) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1, 2, 3
+  ORDER BY revenue DESC, l_orderkey
+  LIMIT 10
+) t
+""",
+    "region_revenue": """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""",
+    "order_priority_counts": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY 1
+""",
     "trading_signals": f"""
 WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}, joined AS (
   SELECT m15.symbol, m15.window_start,

@@ -1,0 +1,130 @@
+"""Relational analytics plans over the TPC-H-ish lake — the scan/join/agg/
+sort/limit surface (SURVEY S1/S7, J1 generalized, §2.6 sorts/limits).
+
+The reference's only join is tiny-side inner equi-join; these plans exercise
+the same primitives at warehouse scale and document the physical strategy a
+100 TB run needs:
+
+* Dimension tables (region, nation, supplier, customer at this ratio) are
+  broadcast — `F.broadcast` hints keep the big fact tables shuffle-free on
+  the dimension side even when stats are missing.
+* Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE handles
+  skew splitting. At 100 TB you'd bucket both tables by orderkey at write
+  time to make this a zero-shuffle sort-merge join.
+* Aggregations are declared after filters so Catalyst pushes predicates into
+  the parquet scan (verify `PushedFilters` in `.explain("formatted")`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.sources.batch import read_table
+
+
+def _exact_sum(col: F.Column) -> F.Column:
+    """Order-independent double sum: accumulate in decimal, cast back.
+
+    Summing doubles is order-dependent — a distributed partial aggregate and a
+    single-threaded engine disagree in the last ~1e-13 relative digits, which
+    on billion-scale totals is an absolute 1e-4 — enough to flap a rounded
+    comparison. Rounding each addend to a fixed decimal scale first and
+    summing exactly (decimal) is associative, so any partitioning yields the
+    bit-identical total; the final cast back to double is deterministic.
+    """
+    return F.sum(col.cast("decimal(25,10)")).cast("double")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2001-09-01") -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Single scan → filter (pushed to parquet) → hash aggregate on the
+    low-cardinality (returnflag, linestatus) key; map-side partial aggregation
+    makes shuffle volume O(#groups), independent of fact size.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            _exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def top_revenue_orders(
+    spark: SparkSession, sf_dir: str, segment: str = "BUILDING", limit: int = 10
+) -> DataFrame:
+    """TPC-H Q3-style: top orders by revenue for one market segment.
+
+    customer is a broadcast dimension; orders ⋈ lineitem shuffles on
+    orderkey. The ORDER BY carries the unique orderkey as tiebreak so the
+    LIMIT is deterministic (ties in revenue cannot flap the result set).
+    """
+    cust = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == segment)
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(limit)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored: lineitem revenue rolled up to customer nation/region.
+
+    Star-join: nation and region broadcast (25/5 rows), customer broadcast at
+    test scale; the single real shuffle is orders ⋈ lineitem on orderkey,
+    then one partial-aggregated rollup keyed (region, nation).
+    """
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavored: per-priority count of orders with at least one
+    lineitem — an EXISTS expressed as semi-join (no row multiplication)."""
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

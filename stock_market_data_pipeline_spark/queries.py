@@ -16,13 +16,21 @@ from pyspark.sql import functions as F
 from stock_market_data_pipeline_spark.operators.clean import (
     cast_ticks,
     drop_invalid,
+    fill_defaults,
 )
+from stock_market_data_pipeline_spark.operators.dedup import (
+    dedup_exact_text,
+    dedup_keep_last,
+)
+from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
+from stock_market_data_pipeline_spark.operators.rolling import with_rolling_metrics
+from stock_market_data_pipeline_spark.operators.windows import sliding_metrics
 from stock_market_data_pipeline_spark.plans.analytics import (
     multi_window_analytics,
     windowed_analytics,
     with_trading_signals,
 )
-from stock_market_data_pipeline_spark.operators.windows import sliding_metrics
+from stock_market_data_pipeline_spark.plans import relational
 from stock_market_data_pipeline_spark.sources.batch import read_table
 from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
 from stock_market_data_pipeline_spark.utils import round_doubles
@@ -82,6 +90,71 @@ def q_trading_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(with_trading_signals(windowed_analytics(t)))
 
 
+def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W5: trailing 5/15/30-row MAs + rolling stddev/volume MA per symbol."""
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price", "volume"
+    )
+    out = with_rolling_metrics(t, tiebreak="event_id")
+    return round_doubles(out.drop("volume"))
+
+
+def q_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (implied-but-missing in the reference): daily OHLCV, intraday change."""
+    t = ticks_from_events(spark, sf_dir)
+    return round_doubles(daily_ohlcv(t, change_mode="intraday"))
+
+
+def q_daily_change_close_over_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 variant: daily_change = close - lag(close) per symbol."""
+    t = ticks_from_events(spark, sf_dir)
+    return round_doubles(daily_ohlcv(t, change_mode="close_over_close"))
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: last tick per (symbol, user) — deterministic keep-last dedup."""
+    t = ticks_from_events(spark, sf_dir)
+    return dedup_keep_last(t, keys=["symbol", "user_id"], order=["timestamp", "event_id"])
+
+
+def q_null_fill_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: numeric nulls → 0, string nulls → 'unknown' (nulls injected)."""
+    t = ticks_from_events(spark, sf_dir).select(
+        "event_id",
+        F.when(F.col("user_id") % 7 == 0, None).otherwise(F.col("symbol")).alias("symbol"),
+        F.when(F.col("price") < 20, None).otherwise(F.col("price")).alias("price"),
+        "volume",
+        "timestamp",
+    )
+    return fill_defaults(t)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline exact dedup: md5-of-normalized-text groups on documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_exact_text(docs)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (scan→pushed filter→grouped agg)."""
+    return relational.pricing_summary(spark, sf_dir)
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: broadcast dim join + grouped agg + deterministic top-k."""
+    return round_doubles(relational.top_revenue_orders(spark, sf_dir))
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-flavored star join rollup to (region, nation)."""
+    return relational.region_revenue(spark, sf_dir)
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavored semi-join EXISTS + count per priority."""
+    return relational.order_priority_counts(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -89,4 +162,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "windowed_analytics": q_windowed_analytics,
     "multi_window_tumbling": q_multi_window_tumbling,
     "trading_signals": q_trading_signals,
+    "rolling_frames": q_rolling_frames,
+    "daily_ohlcv": q_daily_ohlcv,
+    "daily_change_close_over_close": q_daily_change_close_over_close,
+    "dedup_keep_last": q_dedup_keep_last,
+    "null_fill_defaults": q_null_fill_defaults,
+    "dedup_exact": q_dedup_exact,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "order_priority_counts": q_order_priority_counts,
 }
