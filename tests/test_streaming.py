@@ -1,0 +1,110 @@
+"""Streaming tests: incremental execution must reproduce batch results
+(the engine's core design claim — shared transform library), plus native
+watermarked streaming aggregation and the synthetic rate source plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.plans.analytics import windowed_analytics
+from stock_market_data_pipeline_spark.schemas import CLEAN_TICK_SCHEMA
+from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
+from stock_market_data_pipeline_spark.streaming.pipeline import (
+    stream_sliding_metrics,
+    stream_windowed_analytics,
+)
+from stock_market_data_pipeline_spark.streaming.sources import file_stream, rate_ticks
+
+
+def _tick_files(spark, sf_dir, tmp_path, n_files=3):
+    src = str(tmp_path / "stream_src")
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "price", "volume", "timestamp"
+    )
+    t.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src, t
+
+
+def test_foreachbatch_pipeline_matches_batch(spark, sf_dir, tmp_path):
+    src, ticks = _tick_files(spark, sf_dir, tmp_path, n_files=1)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(
+        "symbol string, price double, volume long, timestamp timestamp"
+    ).parquet(src)
+    q = stream_windowed_analytics(
+        stream, out, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).drop("batch_id", "symbol")
+    expected = windowed_analytics(ticks).drop("symbol")
+    # single micro-batch (one file) → incremental result == batch result
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_streaming_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Restarting from the checkpoint with no new data must not duplicate."""
+    src, _ = _tick_files(spark, sf_dir, tmp_path, n_files=1)
+    out = str(tmp_path / "out2")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = spark.readStream.schema(
+        "symbol string, price double, volume long, timestamp timestamp"
+    ).parquet(src)
+    q = stream_windowed_analytics(stream, out, ckpt, trigger={"availableNow": True})
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    q2 = stream_windowed_analytics(stream, out, ckpt, trigger={"availableNow": True})
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_native_streaming_agg_with_watermark(spark, sf_dir, tmp_path):
+    src, ticks = _tick_files(spark, sf_dir, tmp_path, n_files=1)
+    stream = spark.readStream.schema(
+        "symbol string, price double, volume long, timestamp timestamp"
+    ).parquet(src)
+    agg = stream_sliding_metrics(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("native_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("native_agg")
+    # append mode emits only watermark-finalized windows; with a single batch
+    # the final watermark is max(ts) - 5min, so late windows are withheld —
+    # everything emitted must be a subset of the batch aggregation.
+    batch = (
+        ticks.groupBy("symbol", F.window("timestamp", "15 minutes", "5 minutes"))
+        .agg(F.avg("price").alias("ma"))
+        .select("symbol", F.col("window.start").alias("window_start"))
+    )
+    assert got.count() <= batch.count()
+    extra = got.select("symbol", "window_start").exceptAll(batch)
+    assert extra.count() == 0
+
+
+def test_rate_ticks_plan_shape(spark):
+    df = rate_ticks(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "symbol",
+        "price",
+        "change",
+        "change_percent",
+        "volume",
+        "timestamp",
+    ]
+
+
+def test_file_stream_csv_schema(spark, tmp_path):
+    df = file_stream(spark, str(tmp_path), CLEAN_TICK_SCHEMA, fmt="csv")
+    # file sources force nullable=True; compare names and types
+    assert df.isStreaming
+    assert [(f.name, f.dataType) for f in df.schema.fields] == [
+        (f.name, f.dataType) for f in CLEAN_TICK_SCHEMA.fields
+    ]
