@@ -229,6 +229,63 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY 1
 """,
+    "token_counts": """
+SELECT doc_id,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe
+FROM documents
+""",
+    "text_quality": """
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+'))                       AS n_tokens,
+         length(text)                                                AS n_chars_actual,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))          AS alpha,
+         length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))     AS punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g'))             AS digits,
+         length(regexp_replace(text, '\\s', '', 'g'))                AS nonspace,
+         len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+             x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as'))) AS en_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars_actual,
+       round(alpha  / NULLIF(CAST(n_chars_actual AS DOUBLE), 0.0), 6) AS alpha_ratio,
+       round(punct  / NULLIF(CAST(n_chars_actual AS DOUBLE), 0.0), 6) AS punct_ratio,
+       round(digits / NULLIF(CAST(n_chars_actual AS DOUBLE), 0.0), 6) AS digit_ratio,
+       round(nonspace / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)     AS avg_token_len,
+       round(en_hits  / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 6)     AS stopword_ratio,
+       round(least(1.0,
+             0.25 * least(n_tokens / 100.0, 1.0)
+           + 0.35 * (alpha / NULLIF(CAST(n_chars_actual AS DOUBLE), 0.0))
+           + 0.25 * least((en_hits / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)) * 4.0, 1.0)
+           + 0.15 * (1.0 - least((punct / NULLIF(CAST(n_chars_actual AS DOUBLE), 0.0)) * 10.0, 1.0))
+       ), 6) AS quality_score
+FROM f
+""",
+    "lang_id": """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as'))) AS en_hits,
+         len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))   AS de_hits,
+         len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))         AS es_hits,
+         len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas')))      AS fr_hits
+  FROM w
+)
+SELECT doc_id, en_hits, de_hits, es_hits, fr_hits,
+       CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'unknown'
+            WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM h
+""",
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint_md5
+FROM documents
+""",
     "trading_signals": f"""
 WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}, joined AS (
   SELECT m15.symbol, m15.window_start,

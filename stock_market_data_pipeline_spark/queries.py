@@ -155,6 +155,38 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(spark, sf_dir)
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish token counts per document."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_token_counts
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_token_counts(docs).drop("text")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: quality features + composite score per document."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_quality
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return round_doubles(with_quality(docs).drop("text"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: stopword-heuristic language ID with per-language hits."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_lang_id
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_lang_id(docs).drop("text")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: normalized-content md5 fingerprint per document."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_fingerprint
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_fingerprint(docs).select("doc_id", "fingerprint_md5")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -172,4 +204,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "order_priority_counts": q_order_priority_counts,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
 }
