@@ -1,0 +1,266 @@
+"""Near-duplicate detection for LLM-training corpora: MinHash+LSH, exact
+n-gram Jaccard, SimHash (engine extension; no counterpart in the reference).
+
+Design for 100 TB:
+
+* All hashing is md5/bit arithmetic on JVM built-ins — no UDFs, no Python in
+  the data path, and deterministic across engines (the DuckDB oracle
+  reproduces signatures bit-for-bit).
+* MinHash signatures form in ONE shuffle: explode distinct shingles, then a
+  single groupBy(doc) with P ``min`` aggregates (map-side combine means the
+  shuffle carries one partial signature per doc per mapper, not shingles).
+* Candidate generation is the LSH band join — an equi-join on (band,
+  band_hash), never an all-pairs product. Est-Jaccard verification happens
+  only on candidates.
+* The exact-Jaccard path bounds its inverted-index join with a document
+  frequency cap (``max_doc_freq``): ultra-common shingles generate O(df²)
+  candidate pairs and no near-dup signal — dropping them is both the
+  standard trick and the scale guard (cf. stop-shingles in text dedup).
+
+Default MinHash geometry: 12 permutations = 4 bands × 3 rows — the LSH
+s-curve midpoint (1/4)^(1/3) ≈ 0.63 Jaccard, the usual near-dup zone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.dedup import normalize_text
+
+NUM_PERM = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # NUM_PERM = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 16
+
+
+def shingle_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows: distinct word k-grams of the normalized text.
+
+    Documents with fewer than k tokens produce no rows (no valid shingle).
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1))
+    shingles = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: columns mh_0..mh_{P-1}.
+
+    Permutation p's hash of shingle s is ``md5(p || ':' || s)``; the
+    signature component is the lexicographic min over the doc's shingles —
+    uniform hex strings make string-min a valid uniform min-hash, and every
+    engine computes md5 identically (the portability trick that lets the
+    DuckDB oracle verify signatures exactly).
+    """
+    sh = shingle_df(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh_{p}")
+        for p in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = NUM_PERM,
+    bands: int = LSH_BANDS,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + estimated Jaccard.
+
+    Output: (doc_a, doc_b, est_jaccard) for every distinct pair sharing at
+    least one band; est_jaccard = matching signature components / P.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"),
+        F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                    )
+                )
+                for b in range(bands)
+            ]
+        ).alias("band_hashes"),
+    )
+    band_rows = sig_arr.select(
+        F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash")
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col(f"a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig_arr.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig_arr.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard over inverted-index candidates.
+
+    Pairs sharing ≥1 shingle (after the document-frequency cap) are scored
+    |A∩B| / (|A|+|B|−|A∩B|); pairs below ``threshold`` are dropped.
+    ``max_doc_freq`` is the scale guard: a shingle present in df documents
+    contributes df·(df−1)/2 candidate pairs.
+    """
+    sh = shingle_df(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.filter((F.col("df") >= 2) & (F.col("df") <= max_doc_freq)).select("shingle")
+    sh_kept = sh.join(keep, "shingle")
+    a, b = sh_kept.alias("a"), sh_kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _word_hash16(x: F.Column) -> F.Column:
+    """Deterministic 16-bit token hash: first 4 hex chars of md5."""
+    return F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash over word tokens (with multiplicity).
+
+    Bit b of the fingerprint is the sign of Σ_tokens (±1 by bit b of the
+    token hash). Near-identical token multisets land within small Hamming
+    distance. One narrow projection — no shuffle.
+    """
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    hashes = F.transform(words, _word_hash16)
+    def _vote(b: int):
+        def merge(acc: F.Column, h: F.Column) -> F.Column:
+            return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
+
+        return merge
+
+    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
+    sim = None
+    for b, vote in enumerate(bit_votes):
+        term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash banding: docs sharing the high or low byte
+    are candidates; pairs within ``max_hamming`` bits survive.
+
+    The two-band equi-join replaces the OR-predicate self-join (which would
+    nested-loop); it guarantees recall for Hamming ≤ 1 within a byte split
+    and high recall for small distances, the standard SimHash bucketing.
+    """
+    s = simhash(df, id_col, text_col, bits)
+    half = bits // 2
+    bands = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                F.shiftright("simhash", half),
+                F.col("simhash").bitwiseAND(F.lit((1 << half) - 1)),
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

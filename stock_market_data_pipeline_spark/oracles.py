@@ -85,7 +85,116 @@ _TUMBLE_BLOCK = """
   GROUP BY 1, 2
 """
 
+# ---- near-dup oracle building blocks (mirror operators/neardup.py) ----
+_P, _B, _R = 12, 4, 3
+_SHINGLES_CTE = """
+norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
+  FROM norm
+  WHERE len(words) >= 3
+)
+"""
+_MH_AGGS = ",\n         ".join(
+    f"min(md5('{p}:' || shingle)) AS mh_{p}" for p in range(_P)
+)
+_SIG_CTE = f"""
+sig AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM shingles GROUP BY doc_id
+)
+"""
+_BAND_EXPRS = ", ".join(
+    "md5(" + " || '|' || ".join(f"mh_{b * _R + r}" for r in range(_R)) + ")"
+    for b in range(_B)
+)
+_SIG_LIST = ", ".join(f"mh_{p}" for p in range(_P))
+_SIGARR_CTE = f"""
+sig_arr AS (
+  SELECT doc_id, list_value({_SIG_LIST}) AS sig,
+         list_value({_BAND_EXPRS}) AS band_hashes
+  FROM sig
+)
+"""
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(hs, t -> ((t >> {b}) & 1) * 2 - 1)) > 0"
+    f" THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+_SIMHASH_CTE = f"""
+w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents),
+h AS (SELECT doc_id,
+             list_transform(words, x -> ('0x' || substr(md5(x), 1, 4))::INTEGER) AS hs
+      FROM w),
+sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
+"""
+
 ORACLES: dict[str, str] = {
+    "minhash_signatures": f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE}
+SELECT * FROM sig
+""",
+    "minhash_lsh_pairs": f"""
+WITH {_SHINGLES_CTE}, {_SIG_CTE}, {_SIGARR_CTE},
+bands AS (
+  SELECT doc_id, g.b AS band, band_hashes[g.b + 1] AS band_hash
+  FROM sig_arr CROSS JOIN generate_series(0, {_B - 1}) g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(len(list_filter(range(1, {_P + 1}), i -> sa.sig[i] = sb.sig[i])) / {_P}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig_arr sa ON sa.doc_id = c.doc_a
+JOIN sig_arr sb ON sb.doc_id = c.doc_b
+""",
+    "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_CTE},
+freq AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1),
+kept AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN freq f USING (shingle)
+         WHERE f.df BETWEEN 2 AND 50),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.5
+""",
+    "simhash16": f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash FROM sim
+""",
+    "simhash_neardup_pairs": f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS band_val FROM sim
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS band_val FROM sim
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(hamming AS INTEGER) AS hamming FROM cand WHERE hamming <= 3
+""",
     "clean_cast_filter": """
 SELECT event_type AS symbol,
        value      AS price,

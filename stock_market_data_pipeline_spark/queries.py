@@ -187,6 +187,45 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(docs).select("doc_id", "fingerprint_md5")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: 12-permutation MinHash signatures (md5 string-min hashing)."""
+    from stock_market_data_pipeline_spark.operators.neardup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: LSH-banded candidate pairs + estimated Jaccard."""
+    from stock_market_data_pipeline_spark.operators.neardup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: exact 3-gram Jaccard over inverted-index candidates."""
+    from stock_market_data_pipeline_spark.operators.neardup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: 16-bit SimHash fingerprints."""
+    from stock_market_data_pipeline_spark.operators.neardup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup: SimHash byte-band candidates within Hamming distance 3."""
+    from stock_market_data_pipeline_spark.operators.neardup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -208,4 +247,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
 }
