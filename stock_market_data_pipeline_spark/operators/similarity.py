@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (engine extension).
+
+Two tiers, per the standard ANN playbook:
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus and rank by cosine. At 100 TB corpus scale this is
+  one full scan per query batch — the *baseline* and the recall oracle. The
+  join is a broadcast nested-loop on purpose: corpus never shuffles, each
+  partition scores its rows against the broadcast queries and a per-query
+  top-k heap (window + filter under AQE) cuts the result.
+* :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH.
+  Signatures bucket both sides; candidates come from an equi-join on the
+  bucket (shuffle keyed by bucket, cardinality #buckets), exact cosine
+  reranks within buckets. Recall < 1 by construction; the hyperplanes are
+  deterministic Python constants (seeded md5 parity) so results are exactly
+  reproducible — and oracle-checkable — everywhere.
+
+An IVF variant (k-means centroids instead of hyperplanes) drops in by
+replacing ``bucket_of`` with an argmin-over-centroids expression; centroid
+fitting is out of scope here (no MLlib dependency wanted for the core).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stock_market_data_pipeline_spark.functions.vectors import (
+    as_double_vec,
+    cosine,
+    weighted_dot,
+)
+
+NUM_PLANES = 8
+
+
+def hyperplanes(dim: int, num_planes: int = NUM_PLANES, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes: sign = parity of md5(seed:plane:dim).
+
+    Plain Python constants — they appear as literals in both the Spark plan
+    and the oracle SQL, so bucketing is engine-independent.
+    """
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def bucket_of(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p set iff the projection on plane p is positive."""
+    out = None
+    for p, w in enumerate(planes):
+        bit = F.when(weighted_dot(vec, w) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        out = bit if out is None else (out + bit)
+    return out
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact brute-force cosine top-k of corpus rows per query row.
+
+    Output: query_id, neighbor_id, cosine (6 dp), rank (1..k); self-matches
+    excluded; ties broken by neighbor_id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    num_planes: int = NUM_PLANES,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share the LSH hyperplane bucket,
+    exact cosine reranks within the bucket. Same output contract as
+    :func:`cosine_topk`; queries whose bucket holds < k corpus rows return
+    fewer neighbors (documented ANN recall trade-off)."""
+    planes = hyperplanes(dim, num_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
+    ).withColumn("bucket", bucket_of(F.col("q_vec"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("c_vec")
+    ).withColumn("bucket", bucket_of(F.col("c_vec"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -85,6 +85,70 @@ _TUMBLE_BLOCK = """
   GROUP BY 1, 2
 """
 
+# ---- similarity-search oracle building blocks (mirror operators/similarity.py) ----
+from stock_market_data_pipeline_spark.operators.similarity import hyperplanes as _hyperplanes
+
+_DIM = 64
+
+
+def _sq_list_sum(vec: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * CAST({vec}[i] AS DOUBLE)))"
+    )
+
+
+_COSINE_EXPR = (
+    f"round(list_sum(list_transform(range(1, {_DIM + 1}), "
+    "i -> CAST(q_vec[i] AS DOUBLE) * CAST(c_vec[i] AS DOUBLE)))"
+    f" / NULLIF(sqrt({_sq_list_sum('q_vec')}) * sqrt({_sq_list_sum('c_vec')}), 0.0), 6)"
+)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for p, w in enumerate(_hyperplanes(_DIM)):
+        lits = ", ".join(str(x) for x in w)
+        proj = (
+            f"list_sum(list_transform(range(1, {_DIM + 1}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * (list_value({lits}))[i]))"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_COSINE_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c, q WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
+_LSH_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
 # ---- near-dup oracle building blocks (mirror operators/neardup.py) ----
 _P, _B, _R = 12, 4, 3
 _SHINGLES_CTE = """
@@ -137,6 +201,8 @@ sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
 """
 
 ORACLES: dict[str, str] = {
+    "cosine_topk": _COSINE_TOPK_ORACLE,
+    "lsh_cosine_topk": _LSH_TOPK_ORACLE,
     "minhash_signatures": f"""
 WITH {_SHINGLES_CTE}, {_SIG_CTE}
 SELECT * FROM sig

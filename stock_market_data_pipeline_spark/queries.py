@@ -226,6 +226,22 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(_docs(spark, sf_dir))
 
 
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: exact brute-force cosine top-5 (query set: vec_id % 50 == 0)."""
+    from stock_market_data_pipeline_spark.operators.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
+def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: hyperplane-LSH bucketed approximate cosine top-5."""
+    from stock_market_data_pipeline_spark.operators.similarity import lsh_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -252,4 +268,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash16": q_simhash16,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "cosine_topk": q_cosine_topk,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
 }
