@@ -203,6 +203,23 @@ sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
 ORACLES: dict[str, str] = {
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
+    "multimodal_image_features": """
+SELECT doc_id AS asset_id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT)       AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+       'RGB' AS mode,
+       octet_length(encode(text)) > 0 AS decode_ok
+FROM documents
+""",
+    "multimodal_content_dedup": """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_asset_id,
+       count(*)    AS dup_count
+FROM documents
+GROUP BY 1
+""",
     "minhash_signatures": f"""
 WITH {_SHINGLES_CTE}, {_SIG_CTE}
 SELECT * FROM sig

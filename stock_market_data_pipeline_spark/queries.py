@@ -242,6 +242,29 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: binary-content feature extraction via Arrow mapInPandas
+    (decode kernel stubbed deterministically — no image libs in container)."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_image_features,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_image_features(documents_as_assets(docs))
+
+
+def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: content-hash dedup before decode (never decode twice)."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        dedup_assets_by_content,
+        documents_as_assets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_assets_by_content(documents_as_assets(docs))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -270,4 +293,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "cosine_topk": q_cosine_topk,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_content_dedup": q_multimodal_content_dedup,
 }
