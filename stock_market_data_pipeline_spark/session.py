@@ -37,6 +37,8 @@ _DEFAULTS: dict[str, str] = {
     # rejects; read as long and convert centrally (sources.batch.read_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.ui.enabled": "false",
+    # T8: drain in-flight micro-batches on shutdown (reference SP:46).
+    "spark.streaming.stopGracefullyOnShutdown": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

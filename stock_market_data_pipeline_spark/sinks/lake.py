@@ -60,6 +60,8 @@ def write_partitioned(
             *[F.col(c) for c in partition_cols], bucket.alias("_bucket")
         )
     writer = out.write.mode(mode).option("compression", compression)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.format(fmt).save(path)

@@ -1,0 +1,124 @@
+"""Coverage for operators without oracle queries: quality counts, CSV lake
+roundtrip, orchestration utils, external source adapter, as-of join, synthetic
+ticks, kafka builders."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.clean import quality_counts
+from stock_market_data_pipeline_spark.operators.joins import as_of_join
+from stock_market_data_pipeline_spark.operators.orchestration import (
+    describe_lake,
+    wait_for_path,
+)
+from stock_market_data_pipeline_spark.schemas import CLEAN_TICK_SCHEMA
+from stock_market_data_pipeline_spark.sinks.lake import write_partitioned
+from stock_market_data_pipeline_spark.sources.batch import read_csv_lake
+from stock_market_data_pipeline_spark.sources.external import (
+    fetch_ohlcv_history,
+    kafka_sink_writer,
+)
+from stock_market_data_pipeline_spark.sources.ticks import (
+    synthetic_ticks,
+    ticks_from_events,
+)
+
+
+def test_quality_counts_single_pass(spark, sf_dir):
+    t = ticks_from_events(spark, sf_dir)
+    qc = quality_counts(t, price_col="price", ts_col="timestamp")
+    assert qc["total"] == t.count()
+    assert qc["nonpositive_price"] == t.filter(F.col("price") <= 0).count()
+    assert qc["future_ts"] == 0  # lake is historical
+
+
+def test_csv_lake_roundtrip(spark, sf_dir, tmp_path):
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "price", F.lit(None).cast("double").alias("change"),
+        F.lit(None).cast("double").alias("change_percent"), "volume", "timestamp",
+    )
+    out = str(tmp_path / "csv_lake")
+    write_partitioned(t, out, ["symbol"], fmt="csv")
+    # data files hold the non-partition columns; `symbol` returns as the
+    # Hive partition column discovered from the directory names
+    from pyspark.sql.types import StructType
+
+    file_schema = StructType([f for f in CLEAN_TICK_SCHEMA.fields if f.name != "symbol"])
+    back = read_csv_lake(spark, out, file_schema)
+    assert back.count() == t.count()
+    assert set(back.columns) == set(CLEAN_TICK_SCHEMA.fieldNames())
+    assert back.groupBy("symbol").count().count() == 5
+
+
+def test_wait_for_path_and_describe(spark, sf_dir, tmp_path):
+    target = tmp_path / "lake" / "symbol=A"
+    assert wait_for_path(str(tmp_path / "lake"), timeout_s=0.2, poll_s=0.05) is False
+
+    def create():
+        time.sleep(0.2)
+        target.mkdir(parents=True)
+        (target / "part-0.parquet").write_bytes(b"")
+        ticks_from_events(spark, sf_dir).limit(5).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(target))
+
+    th = threading.Thread(target=create)
+    th.start()
+    ok = wait_for_path(str(tmp_path / "lake"), min_files=1, timeout_s=10, poll_s=0.1)
+    th.join()
+    assert ok
+    summary = describe_lake(spark, str(tmp_path / "lake"))
+    assert summary["n_rows"] == 5 and summary["n_files"] >= 1
+    assert any("symbol=" in p for p in summary["partitions"])
+
+
+def test_fetch_ohlcv_history_contract(spark):
+    df = fetch_ohlcv_history(spark, ["AAPL", "MSFT"], batch_id="20240101000000")
+    assert df.count() == 60
+    assert df.schema["volume"].dataType.typeName() == "long"
+    invariant = df.filter(
+        (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+        | (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+    )
+    assert invariant.count() == 0
+    assert df.select("batch_id").distinct().first()[0] == "20240101000000"
+
+
+def test_kafka_sink_writer_builds(spark):
+    df = spark.createDataFrame([("AAPL", 1.0)], ["symbol", "price"])
+    writer = kafka_sink_writer(df, "broker:9092", "ticks")
+    # no broker in container: assert construction, not delivery
+    assert writer is not None
+
+
+def test_as_of_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, 100.0), ("A", 20, 101.0), ("B", 15, 50.0)],
+        ["sym", "t", "px"],
+    ).select("sym", F.timestamp_seconds("t").alias("t"), "px")
+    quotes = spark.createDataFrame(
+        [("A", 9, 99.5), ("A", 18, 100.5), ("B", 100, 49.0)],
+        ["sym", "qt", "bid"],
+    ).select("sym", F.timestamp_seconds("qt").alias("qt"), "bid")
+    out = as_of_join(trades, quotes, key="sym", left_ts="t", right_ts="qt")
+    got = {(r.sym, r.t.second if hasattr(r.t, "second") else r.t, r.bid) for r in out.collect()}
+    bids = {(r.sym, r.px): r.bid for r in out.collect()}
+    assert bids[("A", 100.0)] == 99.5   # latest quote at/before t=10
+    assert bids[("A", 101.0)] == 100.5  # t=20 sees quote at 18
+    assert bids[("B", 50.0)] is None    # no quote before t=15
+
+
+def test_synthetic_ticks_deterministic(spark):
+    a = synthetic_ticks(spark, n_ticks_per_symbol=50).collect()
+    b = synthetic_ticks(spark, n_ticks_per_symbol=50).collect()
+    def ordered(rows):
+        return [tuple(r) for r in sorted(rows, key=lambda r: (r.symbol, r.timestamp))]
+
+    assert ordered(a) == ordered(b)
+    assert len(a) == 8 * 50
+    prices = [r.price for r in a]
+    assert all(p > 0 for p in prices)
