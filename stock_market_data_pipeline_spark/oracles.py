@@ -200,7 +200,80 @@ h AS (SELECT doc_id,
 sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
 """
 
+_ROLL_CTE = """
+roll AS (
+  SELECT symbol, event_id, "timestamp", price, volume,
+         avg(price) OVER w5  AS ma_5,
+         avg(price) OVER w15 AS ma_15,
+         avg(price) OVER w30 AS ma_30,
+         stddev_samp(price) OVER w5  AS pv5,
+         stddev_samp(price) OVER w15 AS pv15
+  FROM ticks
+  WINDOW
+    w5  AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 4  PRECEDING AND CURRENT ROW),
+    w15 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+    w30 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+"""
+
+
+def _mws_block(mins: int, wtype: str, primary: str, secondary: str | None, rollvol: str | None) -> str:
+    # first(x ORDER BY ts), not arg_min: DuckDB's arg_min skips NULL values,
+    # Spark's min_by returns the (possibly NULL) value at the min ordering —
+    # and a NULL rolling stddev on a 1-row frame is a real, intended value.
+    sec = (
+        f'first({secondary} ORDER BY "timestamp")'
+        if secondary
+        else "CAST(NULL AS DOUBLE)"
+    )
+    rv = (
+        f'first({rollvol} ORDER BY "timestamp")' if rollvol else "CAST(NULL AS DOUBLE)"
+    )
+    return f"""
+  SELECT symbol,
+         time_bucket(INTERVAL {mins} MINUTE, "timestamp") AS window_start,
+         time_bucket(INTERVAL {mins} MINUTE, "timestamp") + INTERVAL {mins} MINUTE AS window_end,
+         '{wtype}' AS window_type,
+         avg(price)                  AS avg_price,
+         min(price)                  AS min_price,
+         max(price)                  AS max_price,
+         stddev_samp(price)          AS volatility,
+         CAST(sum(volume) AS BIGINT) AS total_volume,
+         count(*)                    AS tick_count,
+         first({primary} ORDER BY "timestamp") AS ma_primary,
+         {sec} AS ma_secondary,
+         {rv}  AS rolling_volatility
+  FROM roll GROUP BY 1, 2
+"""
+
+
+_MWS_ORACLE = f"""
+WITH {TICKS_CTE}, {_ROLL_CTE},
+b5 AS ({_mws_block(5, '5min', 'ma_5', 'ma_15', 'pv5')}),
+b15 AS ({_mws_block(15, '15min', 'ma_15', 'ma_30', 'pv15')}),
+b1h AS ({_mws_block(60, '1hour', 'ma_30', None, None)}),
+u AS (SELECT * FROM b5 UNION ALL SELECT * FROM b15 UNION ALL SELECT * FROM b1h)
+SELECT u.symbol, u.window_start, u.window_end, u.window_type,
+       round(u.avg_price, 6) AS avg_price, u.min_price, u.max_price,
+       round(u.volatility, 6) AS volatility, u.total_volume, u.tick_count,
+       round(u.ma_primary, 6) AS ma_primary,
+       round(u.ma_secondary, 6) AS ma_secondary,
+       round(u.rolling_volatility, 6) AS rolling_volatility,
+       CASE WHEN u.ma_primary > u.ma_secondary THEN 'bullish'
+            WHEN u.ma_primary < u.ma_secondary THEN 'bearish'
+            ELSE 'neutral' END AS price_trend,
+       CASE WHEN u.volatility > 2.0 THEN 'high'
+            WHEN u.volatility > 1.0 THEN 'medium'
+            ELSE 'low' END AS volatility_level,
+       CASE WHEN u.total_volume > h.volume_1h * 0.3 THEN 'high_activity'
+            ELSE 'normal_activity' END AS volume_trend
+FROM u
+JOIN (SELECT symbol AS h_symbol, window_start AS h_start, total_volume AS volume_1h FROM b1h) h
+  ON u.symbol = h.h_symbol AND date_trunc('hour', u.window_start) = h.h_start
+"""
+
 ORACLES: dict[str, str] = {
+    "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
     "multimodal_image_features": """

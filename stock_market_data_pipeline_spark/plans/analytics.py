@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.operators.joins import join_windowed_metrics
+from stock_market_data_pipeline_spark.operators.rolling import with_rolling_metrics
 from stock_market_data_pipeline_spark.operators.windows import (
     sliding_metrics,
     tumbling_metrics,
@@ -64,6 +65,103 @@ def multi_window_analytics(ticks: DataFrame) -> DataFrame:
     w15 = tumbling_metrics(ticks, "15 minutes", "15min")
     w1h = tumbling_metrics(ticks, "1 hour", "1hour")
     return w5.unionByName(w15).unionByName(w1h)
+
+
+def multi_window_signals(ticks: DataFrame, tiebreak: str = "event_id") -> DataFrame:
+    """Full DAP-parity pipeline (``dags/scripts/spark_stream_batch_processor
+    .py:121-245``), with the reference's three defects fixed:
+
+    1. rolling 5/15/30-row metrics per tick (W1-W5, deterministic tiebreak);
+    2. tumbling 5min/15min/1hour blocks that *carry* the rolling metrics via
+       ``min_by(·, timestamp)`` (the reference's unordered ``first()`` is
+       non-deterministic) under generic names — ma_primary/ma_secondary/
+       rolling_volatility per window type, matching DAP's
+       first(ma_5)/first(ma_15) per-window picks;
+    3. union **by name** (U1 fix), then signals computed where their inputs
+       exist (P8 fix): volume_trend compares each window's volume to the
+       *covering 1-hour window's* volume via an explicit join — the
+       reference referenced a ``total_volume_1h`` column that did not
+       survive its positional union (AnalysisException).
+
+    Scale: rolling = one sort-shuffle per symbol; each tumbling block is one
+    partial-aggregated shuffle over (symbol, window); the volume join's right
+    side is the tiny 1-hour aggregate → broadcast.
+    """
+    roll = with_rolling_metrics(ticks, tiebreak=tiebreak)
+    ts = "timestamp"
+
+    def block(size: str, wtype: str, primary: str, secondary: str | None, rollvol: str | None) -> DataFrame:
+        aggs = [
+            F.min_by(primary, ts).alias("ma_primary"),
+            (
+                F.min_by(secondary, ts) if secondary else F.lit(None).cast("double")
+            ).alias("ma_secondary"),
+            (
+                F.min_by(rollvol, ts) if rollvol else F.lit(None).cast("double")
+            ).alias("rolling_volatility"),
+            F.avg("price").alias("avg_price"),
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.stddev("price").alias("volatility"),
+            F.sum("volume").alias("total_volume"),
+            F.count(F.lit(1)).alias("tick_count"),
+        ]
+        return (
+            roll.groupBy("symbol", F.window(F.col(ts), size))
+            .agg(*aggs)
+            .select(
+                "symbol",
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                F.lit(wtype).alias("window_type"),
+                "avg_price",
+                "min_price",
+                "max_price",
+                "volatility",
+                "total_volume",
+                "tick_count",
+                "ma_primary",
+                "ma_secondary",
+                "rolling_volatility",
+            )
+        )
+
+    b5 = block("5 minutes", "5min", "ma_5", "ma_15", "price_volatility_5")
+    b15 = block("15 minutes", "15min", "ma_15", "ma_30", "price_volatility_15")
+    b1h = block("1 hour", "1hour", "ma_30", None, None)
+    unioned = b5.unionByName(b15).unionByName(b1h)
+
+    hourly = b1h.select(
+        F.col("symbol").alias("h_symbol"),
+        F.col("window_start").alias("h_start"),
+        F.col("total_volume").alias("volume_1h"),
+    )
+    joined = unioned.join(
+        F.broadcast(hourly),
+        (F.col("symbol") == F.col("h_symbol"))
+        & (F.date_trunc("hour", F.col("window_start")) == F.col("h_start")),
+    ).drop("h_symbol", "h_start")
+    return (
+        joined.withColumn(
+            "price_trend",
+            F.when(F.col("ma_primary") > F.col("ma_secondary"), "bullish")
+            .when(F.col("ma_primary") < F.col("ma_secondary"), "bearish")
+            .otherwise("neutral"),
+        )
+        .withColumn(
+            "volatility_level",
+            F.when(F.col("volatility") > 2.0, "high")
+            .when(F.col("volatility") > 1.0, "medium")
+            .otherwise("low"),
+        )
+        .withColumn(
+            "volume_trend",
+            F.when(
+                F.col("total_volume") > F.col("volume_1h") * 0.3, "high_activity"
+            ).otherwise("normal_activity"),
+        )
+        .drop("volume_1h")
+    )
 
 
 def with_trading_signals(metrics: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ from stock_market_data_pipeline_spark.operators.rolling import with_rolling_metr
 from stock_market_data_pipeline_spark.operators.windows import sliding_metrics
 from stock_market_data_pipeline_spark.plans.analytics import (
     multi_window_analytics,
+    multi_window_signals,
     windowed_analytics,
     with_trading_signals,
 )
@@ -88,6 +89,13 @@ def q_trading_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 (fixed): bullish/bearish, volatility level, volume trend per window."""
     t = ticks_from_events(spark, sf_dir)
     return round_doubles(with_trading_signals(windowed_analytics(t)))
+
+
+def q_multi_window_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DAP-parity: rolling metrics carried into 5m/15m/1h windows with
+    per-row trading signals (reference defects U1/P8 fixed)."""
+    t = ticks_from_events(spark, sf_dir)
+    return round_doubles(multi_window_signals(t))
 
 
 def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,6 +279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sliding_window_1h": q_sliding_window_1h,
     "windowed_analytics": q_windowed_analytics,
     "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
     "trading_signals": q_trading_signals,
     "rolling_frames": q_rolling_frames,
     "daily_ohlcv": q_daily_ohlcv,
