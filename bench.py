@@ -28,6 +28,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "windowed_analytics",
     "multi_window_tumbling",
+    "multi_window_signals",
     "trading_signals",
     "rolling_frames",
     "daily_ohlcv",

@@ -69,6 +69,12 @@ def minhash_signatures(
     DuckDB oracle verify signatures exactly).
     """
     sh = shingle_df(df, id_col, text_col, k)
+    # Pre-shuffle on the doc id: the P×md5 work happens in the partial
+    # aggregate, which otherwise runs on however few input splits the scan
+    # produced (a single parquet file → one core). Exchanging the raw
+    # shingles first costs one narrow shuffle of strings and buys full-core
+    # hashing; the groupBy then aggregates with no further exchange.
+    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh_{p}")
         for p in range(num_perm)
@@ -205,19 +211,28 @@ def simhash(
     distance. One narrow projection — no shuffle.
     """
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-    hashes = F.transform(words, _word_hash16)
+    # Hash each token ONCE, then exchange: the repartition is both the
+    # parallelism fix (a single parquet file arrives as one input split —
+    # per-row crypto hashing would otherwise run on one core) and an
+    # optimizer barrier (CollapseProject would otherwise inline the md5
+    # transform into all 16 bit-aggregates below, recomputing it 16×; lambda
+    # expressions don't participate in subexpression elimination).
+    hashed = df.select(
+        F.col(id_col), F.transform(words, _word_hash16).alias("hs")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+
     def _vote(b: int):
         def merge(acc: F.Column, h: F.Column) -> F.Column:
             return acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1)
 
         return merge
 
-    bit_votes = [F.aggregate(hashes, F.lit(0), _vote(b)) for b in range(bits)]
+    bit_votes = [F.aggregate(F.col("hs"), F.lit(0), _vote(b)) for b in range(bits)]
     sim = None
     for b, vote in enumerate(bit_votes):
         term = F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return hashed.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -196,7 +196,15 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The test lake ships one parquet file per table → one input split; fan
+    # out to all cores before the CPU-heavy per-document expressions. (On a
+    # real multi-file lake this is a no-op cost-wise: one narrow shuffle of
+    # the doc table vs. hash-bound single-core execution.)
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
