@@ -427,6 +427,19 @@ WITH {TICKS_CTE}, d AS (
 SELECT *, round(daily_close - lag(daily_close) OVER (PARTITION BY symbol ORDER BY date), 6) AS daily_change
 FROM d
 """,
+    "asof_join": """
+WITH purchases AS (
+  SELECT user_id, ts AS pts, event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS cts, value AS last_click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.pts, p.event_id, p.purchase_value, c.last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.pts >= c.cts
+""",
     "dedup_keep_last": f"""
 WITH {TICKS_CTE}
 SELECT symbol, price, volume, "timestamp", event_id, user_id

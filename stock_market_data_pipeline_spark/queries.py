@@ -163,6 +163,24 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(spark, sf_dir)
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (finance extension): each purchase event picks up the most
+    recent prior click value for the same user. Verified against DuckDB's
+    native ASOF JOIN — an independent implementation of the semantics."""
+    from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("last_click_value")
+    )
+    return as_of_join(
+        purchases, clicks, key="user_id", left_ts="pts", right_ts="cts"
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace + BPE-ish token counts per document."""
     from stock_market_data_pipeline_spark.operators.textstats import with_token_counts
@@ -293,6 +311,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "daily_ohlcv": q_daily_ohlcv,
     "daily_change_close_over_close": q_daily_change_close_over_close,
     "dedup_keep_last": q_dedup_keep_last,
+    "asof_join": q_asof_join,
     "null_fill_defaults": q_null_fill_defaults,
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
