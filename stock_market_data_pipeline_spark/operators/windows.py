@@ -112,6 +112,36 @@ def tumbling_metrics(
     )
 
 
+def session_windows(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Session windows: activity bursts per key separated by ≥ ``gap`` idle.
+
+    Uses Spark's native ``session_window`` (state-mergeable, streaming-ready):
+    session start = first event, end = last event + gap, matching the
+    standard session semantics. One shuffle on (key, merged window).
+    """
+    return (
+        df.groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts).alias("first_event"),
+            F.max(ts).alias("last_event"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
 def salt_column(key: Column, buckets: int) -> Column:
     """Skew mitigation helper: stable salt in [0, buckets) to append to a hot
     grouping key; aggregate twice (salted partial → unsalted final)."""

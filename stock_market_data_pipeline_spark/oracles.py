@@ -501,6 +501,64 @@ JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 """,
+    "revenue_forecast": """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.03999 AND l_discount <= 0.06001
+  AND l_quantity < 24.0
+""",
+    "rollup_revenue": """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+       count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    "customer_order_ranks": """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       rank()       OVER w AS value_rank,
+       dense_rank() OVER w AS value_dense_rank,
+       row_number() OVER w AS value_row_number,
+       lag(o_totalprice) OVER w AS next_lower_price,
+       ntile(4)     OVER w AS value_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    "session_windows": """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       min(ts) AS first_event,
+       max(ts) AS last_event
+FROM s GROUP BY user_id, sid
+""",
+    "quantity_percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+       round(quantile_cont(l_quantity, 0.5), 6)  AS median_qty,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+       count(*) AS line_count
+FROM lineitem
+GROUP BY 1
+""",
     "order_priority_counts": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

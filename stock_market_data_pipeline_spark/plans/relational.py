@@ -118,6 +118,76 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_forecast(
+    spark: SparkSession,
+    sf_dir: str,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_center: float = 0.05,
+    qty_below: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style: revenue effect of discount changes — a pure
+    filter-and-aggregate whose four range predicates all push to the scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_discount") >= disc_center - 0.01001)
+            & (F.col("l_discount") <= disc_center + 0.01001)
+            & (F.col("l_quantity") < qty_below)
+        )
+        .agg(
+            _exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP(region, nation) revenue — subtotals + grand total
+    in one pass (Catalyst expands to grouping sets with partial aggregation)."""
+    region = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            _exact_sum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function block per customer: rank/dense_rank/row_number over
+    order value, lag of the previous order's price, quartile ntile — one
+    shared window spec → a single sort."""
+    from pyspark.sql.window import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("value_rank"),
+        F.dense_rank().over(w).alias("value_dense_rank"),
+        F.row_number().over(w).alias("value_row_number"),
+        F.lag("o_totalprice").over(w).alias("next_lower_price"),
+        F.ntile(4).over(w).alias("value_quartile"),
+    )
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-flavored: per-priority count of orders with at least one
     lineitem — an EXISTS expressed as semi-join (no row multiplication)."""

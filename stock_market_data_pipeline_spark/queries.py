@@ -181,6 +181,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style filter-aggregate; all four range predicates push down."""
+    return relational.revenue_forecast(spark, sf_dir)
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation) revenue with subtotals and grand total."""
+    return relational.rollup_revenue(spark, sf_dir)
+
+
+def q_customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions: rank/dense_rank/row_number/lag/ntile."""
+    return relational.customer_order_ranks(spark, sf_dir)
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user over the event stream."""
+    from stock_market_data_pipeline_spark.operators.windows import session_windows
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return session_windows(ev, key="user_id", ts="ts")
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of quantity per return flag."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace + BPE-ish token counts per document."""
     from stock_market_data_pipeline_spark.operators.textstats import with_token_counts
@@ -318,6 +352,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_orders": q_top_revenue_orders,
     "region_revenue": q_region_revenue,
     "order_priority_counts": q_order_priority_counts,
+    "revenue_forecast": q_revenue_forecast,
+    "rollup_revenue": q_rollup_revenue,
+    "customer_order_ranks": q_customer_order_ranks,
+    "session_windows": q_session_windows,
+    "quantity_percentiles": q_quantity_percentiles,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
