@@ -98,6 +98,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k, Arrow/numpy execution (the scale path).
+
+    Same output contract as :func:`cosine_topk`, but the scoring runs as one
+    numpy matmul per Arrow batch inside ``mapInPandas``: the query matrix is
+    collected once (queries are small by construction), normalized on the
+    driver, and closed over; each executor batch computes
+    ``C_norm @ Q_norm.T`` and emits only its local top-k per query, so the
+    shuffle to the global top-k window carries O(k·|Q|) rows per batch
+    instead of |C|·|Q|. ~10-100× over per-row expression evaluation at
+    large |C| (vectorized BLAS vs interpreted fold), at the cost of leaving
+    whole-stage codegen — exactly the trade Pandas UDFs exist for.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c_norm @ q_norm.T  # |batch| x |Q|
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                # Round BEFORE local selection and tiebreak by id: the global
+                # rank window orders by (rounded cosine DESC, neighbor_id), so
+                # the per-batch top-k must use the identical order or a
+                # boundary tie could drop the globally-winning row.
+                col = np.round(sims[:, j], 6)
+                idx = np.nonzero(ids != qid)[0]
+                if len(idx) == 0:
+                    continue
+                take = min(k, len(idx))
+                order = np.lexsort((ids[idx], -col[idx]))[:take]
+                top = idx[order]
+                out_q.extend([qid] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

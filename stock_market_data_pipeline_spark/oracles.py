@@ -275,6 +275,7 @@ JOIN (SELECT symbol AS h_symbol, window_start AS h_start, total_volume AS volume
 ORACLES: dict[str, str] = {
     "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
+    "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
     "multimodal_image_features": """
 SELECT doc_id AS asset_id,

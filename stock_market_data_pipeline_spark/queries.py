@@ -310,6 +310,17 @@ def q_lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: Arrow/numpy-vectorized brute force (scale path) — same
+    contract and oracle as cosine_topk."""
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary-content feature extraction via Arrow mapInPandas
     (decode kernel stubbed deterministically — no image libs in container)."""
@@ -367,6 +378,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash16": q_simhash16,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "cosine_topk": q_cosine_topk,
+    "cosine_topk_vectorized": q_cosine_topk_vectorized,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_content_dedup": q_multimodal_content_dedup,

@@ -88,6 +88,39 @@ def test_native_streaming_agg_with_watermark(spark, sf_dir, tmp_path):
     assert extra.count() == 0
 
 
+def test_rate_ticks_produces_valid_ticks(spark):
+    """Run the synthetic tick stream for a few seconds; generated ticks must
+    respect the generator envelope (positive prices around seed, volume in
+    [1000, 100000], all 8 symbols eventually)."""
+    import time
+
+    df = rate_ticks(spark, rows_per_second=200)
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_ticks_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table("rate_ticks_live").count() >= 100:
+                break
+            time.sleep(0.5)
+        got = spark.table("rate_ticks_live")
+        n = got.count()
+        assert n >= 100
+        bad = got.filter(
+            (F.col("price") <= 0)
+            | (F.col("volume") < 1000)
+            | (F.col("volume") > 100000)
+        )
+        assert bad.count() == 0
+        assert got.select("symbol").distinct().count() == 8
+    finally:
+        q.stop()
+
+
 def test_rate_ticks_plan_shape(spark):
     df = rate_ticks(spark)
     assert df.isStreaming
