@@ -560,6 +560,13 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY 1
 """,
+    "linestatus_pivot": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS DOUBLE) AS "O",
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS DOUBLE) AS "F"
+FROM lineitem
+GROUP BY 1
+""",
     "order_priority_counts": """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders

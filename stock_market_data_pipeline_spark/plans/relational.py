@@ -188,6 +188,36 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity sums by return flag × line status as wide columns.
+
+    Catalyst rewrites pivot into one aggregation with conditional aggregates
+    — a single shuffle, no per-value scans.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_exact_sum(F.col("l_quantity")))
+    )
+
+
+def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HLL++ distinct counts and t-digest-style quantiles.
+
+    Approximate by design → no cross-engine oracle (rows-only check); the
+    point at 100 TB is one-pass mergeable sketches instead of exact
+    countDistinct's double shuffle.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-flavored: per-priority count of orders with at least one
     lineitem — an EXISTS expressed as semi-join (no row multiplication)."""

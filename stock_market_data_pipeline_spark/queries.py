@@ -215,6 +215,17 @@ def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: quantity by return flag × line status (wide form)."""
+    return relational.linestatus_pivot(spark, sf_dir)
+
+
+def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++, approximate percentile) — approximate by
+    design, so no oracle: rows-only check."""
+    return relational.approx_stats(spark, sf_dir)
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace + BPE-ish token counts per document."""
     from stock_market_data_pipeline_spark.operators.textstats import with_token_counts
@@ -368,6 +379,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_order_ranks": q_customer_order_ranks,
     "session_windows": q_session_windows,
     "quantity_percentiles": q_quantity_percentiles,
+    "linestatus_pivot": q_linestatus_pivot,
+    "approx_stats": q_approx_stats,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
