@@ -51,9 +51,25 @@ def read_parquet_lake(
     return df.where(where) if where is not None else df
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensively pin the runtime confs this engine's semantics depend on.
+
+    The driver contract hands us an externally-built SparkSession; without
+    nanosAsLong every test-lake read throws PARQUET_TYPE_ILLEGAL, and without
+    a UTC session timezone window boundaries drift vs. the oracle. Both are
+    runtime-settable SQL confs; setting them is idempotent.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # immutable-conf environments keep their own (already-working) values
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one of the test-lake tables (``<sf_dir>/<name>.parquet``),
     normalizing nano-timestamp columns to proper timestamps."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f in df.schema.fields:
         if f.name in _NANOS_TS_COLS and isinstance(f.dataType, LongType):
