@@ -37,12 +37,18 @@ HEADLINE = [
     "top_revenue_orders",
     "region_revenue",
     "order_priority_counts",
+    "revenue_forecast",
+    "rollup_revenue",
+    "customer_order_ranks",
+    "session_windows",
+    "linestatus_pivot",
     "dedup_exact",
     "text_quality",
     "lang_id",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "cosine_topk",
+    "cosine_topk_vectorized",
     "lsh_cosine_topk",
     "multimodal_image_features",
 ]
