@@ -49,7 +49,8 @@ def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
     # well-defined comparison (our operator picks the last in (rt, order)).
     rpd = (
         pd.DataFrame(right, columns=["k", "rt", "v"])
-        .drop_duplicates(["k", "rt"], keep="last")
+        .groupby(["k", "rt"], as_index=False)["v"]
+        .max()
         .sort_values(["rt", "k"])
         if right
         else pd.DataFrame(columns=["k", "rt", "v"])
@@ -65,16 +66,12 @@ def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
     else:
         exp = {(r.k, r.lid): None for r in lpd.itertuples()}
 
-    out = as_of_join(
-        ldf, rdf.dropDuplicates(["k", "rt"]), key="k", left_ts="t", right_ts="rt"
-    )
+    rdedup = rdf.groupBy("k", "rt").agg(F.max("v").alias("v"))
+    out = as_of_join(ldf, rdedup, key="k", left_ts="t", right_ts="rt")
     got = {
         (r.k, r.lid): (None if r.v is None else round(r.v, 9))
         for r in out.collect()
     }
-    # right side deduped arbitrarily on (k, rt) ties → compare only when the
-    # pandas dedup choice matches ours is not guaranteed; dedupe made values
-    # unique per (k, rt), so both picks agree.
     assert got == exp
 
 
