@@ -560,6 +560,44 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY 1
 """,
+    "zscore_normalize": f"""
+WITH {TICKS_CTE}
+SELECT symbol, event_id, price,
+       round((price - avg(price) OVER (PARTITION BY symbol))
+             / stddev_samp(price) OVER (PARTITION BY symbol), 6) AS price_z
+FROM ticks
+""",
+    "embedding_unit_norm": f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt({_sq_list_sum('embedding')}) AS l2
+  FROM embeddings
+)
+SELECT vec_id,
+       list_transform(range(1, {_DIM + 1}), i -> round(CAST(embedding[i] AS DOUBLE) / l2, 6)) AS unit_embedding,
+       round(l2, 6) AS l2_norm
+FROM n
+""",
+    "cube_order_stats": """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS order_count,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "unpivot_ohlcv": f"""
+WITH {TICKS_CTE}, d AS (
+  SELECT symbol, CAST("timestamp" AS DATE) AS date,
+         arg_min(price, "timestamp") AS daily_open,
+         max(price) AS daily_high,
+         min(price) AS daily_low,
+         arg_max(price, "timestamp") AS daily_close
+  FROM ticks GROUP BY 1, 2
+)
+SELECT symbol, date, metric, value
+FROM d
+UNPIVOT (value FOR metric IN (daily_open, daily_high, daily_low, daily_close))
+""",
     "linestatus_pivot": """
 SELECT l_returnflag,
        CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS DOUBLE) AS "O",

@@ -226,6 +226,66 @@ def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.approx_stats(spark, sf_dir)
 
 
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature normalization: per-symbol z-score of price via window stats —
+    the native-expression form of the grouped-map normalize pattern (no
+    Python in the data path, one shuffle on the key)."""
+    from pyspark.sql.window import Window
+
+    t = ticks_from_events(spark, sf_dir).select("symbol", "event_id", "price")
+    w = Window.partitionBy("symbol")
+    return t.select(
+        "symbol",
+        "event_id",
+        "price",
+        F.round(
+            (F.col("price") - F.avg("price").over(w))
+            / F.stddev("price").over(w),
+            6,
+        ).alias("price_z"),
+    )
+
+
+def q_embedding_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector op: L2-normalize embeddings (JVM-side transform/aggregate)."""
+    from stock_market_data_pipeline_spark.functions.vectors import as_double_vec, norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = as_double_vec("embedding")
+    n = norm(v)
+    return emb.select(
+        "vec_id",
+        F.transform(v, lambda x: F.round(x / n, 6)).alias("unit_embedding"),
+        F.round(n, 6).alias("l2_norm"),
+    )
+
+
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations in one
+    pass (Catalyst expands + partial-aggregates)."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+def q_unpivot_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): daily OHLCV wide → long (metric, value) rows."""
+    from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
+
+    t = ticks_from_events(spark, sf_dir)
+    d = daily_ohlcv(t).select(
+        "symbol", "date", "daily_open", "daily_high", "daily_low", "daily_close"
+    )
+    return d.unpivot(
+        ids=["symbol", "date"],
+        values=["daily_open", "daily_high", "daily_low", "daily_close"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: whitespace + BPE-ish token counts per document."""
     from stock_market_data_pipeline_spark.operators.textstats import with_token_counts
@@ -381,6 +441,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantity_percentiles": q_quantity_percentiles,
     "linestatus_pivot": q_linestatus_pivot,
     "approx_stats": q_approx_stats,
+    "zscore_normalize": q_zscore_normalize,
+    "embedding_unit_norm": q_embedding_unit_norm,
+    "cube_order_stats": q_cube_order_stats,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
