@@ -25,6 +25,7 @@ def norm(v):
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, 6)
     if hasattr(v, "isoformat"): return v.isoformat()
+    if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v
 
 qs, os_ = E.queries(), E.oracle_sql()

@@ -574,9 +574,10 @@ WITH n AS (
   FROM embeddings
 )
 SELECT vec_id,
-       list_transform(range(1, {_DIM + 1}), i -> round(CAST(embedding[i] AS DOUBLE) / l2, 6)) AS unit_embedding,
+       g.i - 1 AS dim,
+       round(CAST(embedding[g.i] AS DOUBLE) / l2, 6) AS component,
        round(l2, 6) AS l2_norm
-FROM n
+FROM n CROSS JOIN generate_series(1, {_DIM}) g(i)
 """,
     "cube_order_stats": """
 SELECT o_orderstatus, o_orderpriority,

@@ -247,17 +247,22 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vector op: L2-normalize embeddings (JVM-side transform/aggregate)."""
+    """Vector op: L2-normalize embeddings (JVM-side transform/aggregate),
+    emitted in scalar long form (vec_id, dim, component) so every output
+    cell is hashable by any comparison harness."""
     from stock_market_data_pipeline_spark.functions.vectors import as_double_vec, norm
 
     emb = read_table(spark, sf_dir, "embeddings")
     v = as_double_vec("embedding")
     n = norm(v)
-    return emb.select(
+    normalized = emb.select(
         "vec_id",
-        F.transform(v, lambda x: F.round(x / n, 6)).alias("unit_embedding"),
         F.round(n, 6).alias("l2_norm"),
+        F.posexplode(F.transform(v, lambda x: F.round(x / n, 6))).alias(
+            "dim", "component"
+        ),
     )
+    return normalized.select("vec_id", "dim", "component", "l2_norm")
 
 
 def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

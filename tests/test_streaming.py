@@ -134,6 +134,32 @@ def test_rate_ticks_plan_shape(spark):
     ]
 
 
+def test_stream_static_dimension_join(spark, sf_dir, tmp_path):
+    """Stream-static join (extension beyond the reference): enrich streaming
+    ticks with a static symbol dimension; Catalyst broadcasts the static side
+    into every micro-batch."""
+    src, ticks = _tick_files(spark, sf_dir, tmp_path, n_files=1)
+    dim = spark.createDataFrame(
+        [(s, f"sector_{i % 3}") for i, s in enumerate(["click", "view", "purchase", "signup", "error"])],
+        ["symbol", "sector"],
+    )
+    stream = spark.readStream.schema(
+        "symbol string, price double, volume long, timestamp timestamp"
+    ).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "symbol")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_ticks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("enriched_ticks")
+    assert got.count() == ticks.count()  # every symbol has a dimension row
+    assert got.filter(F.col("sector").isNull()).count() == 0
+
+
 def test_file_stream_csv_schema(spark, tmp_path):
     df = file_stream(spark, str(tmp_path), CLEAN_TICK_SCHEMA, fmt="csv")
     # file sources force nullable=True; compare names and types
