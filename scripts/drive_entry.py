@@ -22,6 +22,9 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, 6)
     if hasattr(v, "isoformat"): return v.isoformat()

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.operators.dedup import normalize_text
+from stock_market_data_pipeline_spark.utils import round_det
 
 NUM_PERM = 12
 LSH_BANDS = 4
@@ -138,7 +139,7 @@ def minhash_lsh_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+            round_det(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
         )
     )
 
@@ -183,7 +184,7 @@ def ngram_jaccard_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            round_det(
                 F.col("inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
                 6,

@@ -37,12 +37,28 @@ def with_rolling_metrics(
     """Append ma_<n>, and for the two shortest frames rolling stddev +
     volume MA, over trailing row frames of the given sizes."""
     order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+
+    # Deterministic frame means: accumulate fixed-precision prices in decimal
+    # (exact, associative) and integer volumes in long, divide by the frame
+    # row count as the very last double op. A double `avg` differs in the
+    # last ulps between engines/algorithms (sequential vs segment-tree
+    # summation), and means of 2-dp prices land on exact .5 rounding
+    # boundaries often enough to flap any rounded comparison.
+    def _frame_avg(col: str, w: Window) -> F.Column:
+        return (
+            F.sum(F.col(col).cast("decimal(25,10)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+
     out = df
     for n in frames:
         w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-(n - 1), 0)
-        out = out.withColumn(f"ma_{n}", F.avg(price).over(w))
+        out = out.withColumn(f"ma_{n}", _frame_avg(price, w))
     for n in frames[:2]:
         w = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-(n - 1), 0)
         out = out.withColumn(f"price_volatility_{n}", F.stddev(price).over(w))
-        out = out.withColumn(f"volume_ma_{n}", F.avg(volume).over(w))
+        out = out.withColumn(
+            f"volume_ma_{n}",
+            F.sum(volume).over(w).cast("double") / F.count(F.lit(1)).over(w),
+        )
     return out

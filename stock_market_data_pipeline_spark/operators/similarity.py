@@ -33,6 +33,7 @@ from stock_market_data_pipeline_spark.functions.vectors import (
     cosine,
     weighted_dot,
 )
+from stock_market_data_pipeline_spark.utils import round_det
 
 NUM_PLANES = 8
 
@@ -86,7 +87,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            round_det(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -137,7 +138,7 @@ def cosine_topk_vectorized(
                 # rank window orders by (rounded cosine DESC, neighbor_id), so
                 # the per-batch top-k must use the identical order or a
                 # boundary tie could drop the globally-winning row.
-                col = np.round(sims[:, j], 6)
+                col = np.round(sims[:, j] + 1e-9, 6)
                 idx = np.nonzero(ids != qid)[0]
                 if len(idx) == 0:
                     continue
@@ -189,7 +190,7 @@ def lsh_cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+            round_det(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -38,6 +38,19 @@ def _window_bounds(prefix: str = "") -> list[Column]:
     ]
 
 
+def det_avg(col: str | Column) -> Column:
+    """Partitioning-independent mean of a fixed-decimal-precision column.
+
+    A plain double ``avg`` differs in the last ulps between partitionings
+    (addition order) — enough to flip a rounded comparison on exact .5
+    boundaries. Market prices carry fixed decimal precision, so accumulating
+    in decimal is exact and associative; the final double division is then
+    bit-identical everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(25,10)")).cast("double") / F.count(F.lit(1))
+
+
 def sliding_metrics(
     df: DataFrame,
     window_size: str,
@@ -57,7 +70,7 @@ def sliding_metrics(
     return (
         df.groupBy(F.col(key), F.window(F.col(ts), window_size, slide))
         .agg(
-            F.avg(price).alias(f"ma_{suffix}"),
+            det_avg(price).alias(f"ma_{suffix}"),
             F.stddev(price).alias(f"volatility_{suffix}"),
             F.sum(volume).alias(f"volume_sum_{suffix}"),
         )
@@ -87,7 +100,7 @@ def tumbling_metrics(
             F.max(ts).alias("last_ts"),
             F.min_by(price, ts).alias("open_price"),
             F.max_by(price, ts).alias("close_price"),
-            F.avg(price).alias("avg_price"),
+            det_avg(price).alias("avg_price"),
             F.min(price).alias("min_price"),
             F.max(price).alias("max_price"),
             F.stddev(price).alias("volatility"),

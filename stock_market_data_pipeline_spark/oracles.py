@@ -30,43 +30,65 @@ ticks AS (
 """
 
 # Sliding-window expansions (Spark window() semantics, see module docstring).
-_SLIDE_15M = """
+# CTEs carry RAW aggregate values; rounding happens only in each query's
+# final projection — threshold CASEs must compare raw values exactly like
+# the Spark plans do, and price sums use decimal accumulation (2-dp source
+# values → exact) so the avg is a deterministic double on any partitioning.
+_AVG_EXACT = 'CAST(sum(CAST({col} AS DECIMAL(25,10))) AS DOUBLE) / count(*)'
+
+_SLIDE_15M = f"""
 m15 AS (
   SELECT t.symbol,
          time_bucket(INTERVAL 5 MINUTE, t."timestamp") - k.k * INTERVAL 5 MINUTE AS window_start,
-         round(avg(t.price), 6)         AS ma_15m,
-         round(stddev_samp(t.price), 6) AS volatility_15m,
+         {_AVG_EXACT.format(col='t.price')} AS ma_15m,
+         stddev_samp(t.price)           AS volatility_15m,
          CAST(sum(t.volume) AS BIGINT)  AS volume_sum_15m
   FROM ticks t CROSS JOIN generate_series(0, 2) k(k)
   GROUP BY 1, 2
 )
 """
 
-_SLIDE_1H = """
+_SLIDE_1H = f"""
 m1h AS (
   SELECT t.symbol,
          time_bucket(INTERVAL 10 MINUTE, t."timestamp") - k.k * INTERVAL 10 MINUTE AS window_start,
-         round(avg(t.price), 6)         AS ma_1h,
-         round(stddev_samp(t.price), 6) AS volatility_1h,
+         {_AVG_EXACT.format(col='t.price')} AS ma_1h,
+         stddev_samp(t.price)           AS volatility_1h,
          CAST(sum(t.volume) AS BIGINT)  AS volume_sum_1h
   FROM ticks t CROSS JOIN generate_series(0, 5) k(k)
   GROUP BY 1, 2
 )
 """
 
-_JOINED = f"""
-WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}
-SELECT m15.symbol,
-       m15.window_start,
-       m15.window_start + INTERVAL 15 MINUTE AS window_15m_end,
-       m1h.window_start + INTERVAL 60 MINUTE AS window_1h_end,
-       m15.ma_15m, m1h.ma_1h,
-       m15.volatility_15m, m1h.volatility_1h,
-       m15.volume_sum_15m, m1h.volume_sum_1h
-FROM m15 JOIN m1h ON m15.symbol = m1h.symbol AND m15.window_start = m1h.window_start
+_JOINED_CTE = f"""
+joined AS (
+  SELECT m15.symbol,
+         m15.window_start,
+         m15.window_start + INTERVAL 15 MINUTE AS window_15m_end,
+         m1h.window_start + INTERVAL 60 MINUTE AS window_1h_end,
+         m15.ma_15m, m1h.ma_1h,
+         m15.volatility_15m, m1h.volatility_1h,
+         m15.volume_sum_15m, m1h.volume_sum_1h
+  FROM m15 JOIN m1h ON m15.symbol = m1h.symbol AND m15.window_start = m1h.window_start
+)
 """
 
-_TUMBLE_BLOCK = """
+_JOINED_FINAL = """
+SELECT symbol, window_start, window_15m_end, window_1h_end,
+       round(ma_15m, 4) AS ma_15m, round(ma_1h, 4) AS ma_1h,
+       round(volatility_15m, 4) AS volatility_15m,
+       round(volatility_1h, 4) AS volatility_1h,
+       volume_sum_15m, volume_sum_1h
+FROM joined
+"""
+
+_JOINED = f"""
+WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}, {_JOINED_CTE}
+{_JOINED_FINAL}
+"""
+
+_TUMBLE_BLOCK = (
+    """
   SELECT symbol,
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") AS window_start,
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") + INTERVAL {mins} MINUTE AS window_end,
@@ -74,16 +96,19 @@ _TUMBLE_BLOCK = """
          max("timestamp")                 AS last_ts,
          arg_min(price, "timestamp")      AS open_price,
          arg_max(price, "timestamp")      AS close_price,
-         round(avg(price), 6)             AS avg_price,
+         round("""
+    + _AVG_EXACT.format(col="price")
+    + """, 4)  AS avg_price,
          min(price)                       AS min_price,
          max(price)                       AS max_price,
-         round(stddev_samp(price), 6)     AS volatility,
+         round(stddev_samp(price), 4)     AS volatility,
          CAST(sum(volume) AS BIGINT)      AS total_volume,
          count(*)                         AS tick_count,
          '{wtype}'                        AS window_type
   FROM ticks
   GROUP BY 1, 2
 """
+)
 
 # ---- similarity-search oracle building blocks (mirror operators/similarity.py) ----
 from stock_market_data_pipeline_spark.operators.similarity import hyperplanes as _hyperplanes
@@ -203,9 +228,9 @@ sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
 _ROLL_CTE = """
 roll AS (
   SELECT symbol, event_id, "timestamp", price, volume,
-         avg(price) OVER w5  AS ma_5,
-         avg(price) OVER w15 AS ma_15,
-         avg(price) OVER w30 AS ma_30,
+         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w5  AS DOUBLE) / count(*) OVER w5  AS ma_5,
+         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w15 AS DOUBLE) / count(*) OVER w15 AS ma_15,
+         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w30 AS DOUBLE) / count(*) OVER w30 AS ma_30,
          stddev_samp(price) OVER w5  AS pv5,
          stddev_samp(price) OVER w15 AS pv15
   FROM ticks
@@ -234,7 +259,7 @@ def _mws_block(mins: int, wtype: str, primary: str, secondary: str | None, rollv
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") AS window_start,
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") + INTERVAL {mins} MINUTE AS window_end,
          '{wtype}' AS window_type,
-         avg(price)                  AS avg_price,
+         CAST(sum(CAST(price AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS avg_price,
          min(price)                  AS min_price,
          max(price)                  AS max_price,
          stddev_samp(price)          AS volatility,
@@ -254,11 +279,11 @@ b15 AS ({_mws_block(15, '15min', 'ma_15', 'ma_30', 'pv15')}),
 b1h AS ({_mws_block(60, '1hour', 'ma_30', None, None)}),
 u AS (SELECT * FROM b5 UNION ALL SELECT * FROM b15 UNION ALL SELECT * FROM b1h)
 SELECT u.symbol, u.window_start, u.window_end, u.window_type,
-       round(u.avg_price, 6) AS avg_price, u.min_price, u.max_price,
-       round(u.volatility, 6) AS volatility, u.total_volume, u.tick_count,
-       round(u.ma_primary, 6) AS ma_primary,
-       round(u.ma_secondary, 6) AS ma_secondary,
-       round(u.rolling_volatility, 6) AS rolling_volatility,
+       round(u.avg_price, 4) AS avg_price, u.min_price, u.max_price,
+       round(u.volatility, 4) AS volatility, u.total_volume, u.tick_count,
+       round(u.ma_primary, 4) AS ma_primary,
+       round(u.ma_secondary, 4) AS ma_secondary,
+       round(u.rolling_volatility, 4) AS rolling_volatility,
        CASE WHEN u.ma_primary > u.ma_secondary THEN 'bullish'
             WHEN u.ma_primary < u.ma_secondary THEN 'bearish'
             ELSE 'neutral' END AS price_trend,
@@ -365,13 +390,15 @@ WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL AND value 
     "sliding_window_15m": f"""
 WITH {TICKS_CTE}, {_SLIDE_15M}
 SELECT symbol, window_start, window_start + INTERVAL 15 MINUTE AS window_end,
-       ma_15m, volatility_15m, volume_sum_15m
+       round(ma_15m, 4) AS ma_15m, round(volatility_15m, 4) AS volatility_15m,
+       volume_sum_15m
 FROM m15
 """,
     "sliding_window_1h": f"""
 WITH {TICKS_CTE}, {_SLIDE_1H}
 SELECT symbol, window_start, window_start + INTERVAL 60 MINUTE AS window_end,
-       ma_1h, volatility_1h, volume_sum_1h
+       round(ma_1h, 4) AS ma_1h, round(volatility_1h, 4) AS volatility_1h,
+       volume_sum_1h
 FROM m1h
 """,
     "windowed_analytics": _JOINED,
@@ -386,13 +413,13 @@ UNION ALL
     "rolling_frames": f"""
 WITH {TICKS_CTE}
 SELECT symbol, event_id, "timestamp", price,
-       round(avg(price)  OVER w5,  6) AS ma_5,
-       round(avg(price)  OVER w15, 6) AS ma_15,
-       round(avg(price)  OVER w30, 6) AS ma_30,
-       round(stddev_samp(price) OVER w5,  6) AS price_volatility_5,
-       round(stddev_samp(price) OVER w15, 6) AS price_volatility_15,
-       round(avg(volume) OVER w5,  6) AS volume_ma_5,
-       round(avg(volume) OVER w15, 6) AS volume_ma_15
+       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w5  AS DOUBLE) / count(*) OVER w5,  4) AS ma_5,
+       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w15 AS DOUBLE) / count(*) OVER w15, 4) AS ma_15,
+       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w30 AS DOUBLE) / count(*) OVER w30, 4) AS ma_30,
+       round(stddev_samp(price) OVER w5,  4) AS price_volatility_5,
+       round(stddev_samp(price) OVER w15, 4) AS price_volatility_15,
+       round(CAST(sum(volume) OVER w5  AS DOUBLE) / count(*) OVER w5,  4) AS volume_ma_5,
+       round(CAST(sum(volume) OVER w15 AS DOUBLE) / count(*) OVER w15, 4) AS volume_ma_15
 FROM ticks
 WINDOW
   w5  AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 4  PRECEDING AND CURRENT ROW),
@@ -465,13 +492,13 @@ GROUP BY 1
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE)      AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))) AS DOUBLE) AS sum_charge,
-       round(avg(l_quantity), 6)      AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6)      AS avg_disc,
+       sum(CAST(l_quantity AS DECIMAL(25,10)))      AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS sum_base_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS sum_disc_price,
+       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)      AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)      AS avg_disc,
        count(*)                       AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -493,7 +520,7 @@ FROM (
 """,
     "region_revenue": """
 SELECT r_name, n_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS revenue,
        count(*) AS line_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -503,7 +530,7 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 """,
     "revenue_forecast": """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))) AS revenue,
        count(*) AS line_count
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -512,7 +539,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """,
     "rollup_revenue": """
 SELECT r_name, n_name,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) AS revenue,
+       sum(CAST(o_totalprice AS DECIMAL(25,10))) AS revenue,
        count(*) AS order_count
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -564,7 +591,7 @@ GROUP BY 1
 WITH {TICKS_CTE}
 SELECT symbol, event_id, price,
        round((price - avg(price) OVER (PARTITION BY symbol))
-             / stddev_samp(price) OVER (PARTITION BY symbol), 6) AS price_z
+             / stddev_samp(price) OVER (PARTITION BY symbol), 4) AS price_z
 FROM ticks
 """,
     "embedding_unit_norm": f"""
@@ -582,7 +609,7 @@ FROM n CROSS JOIN generate_series(1, {_DIM}) g(i)
     "cube_order_stats": """
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS order_count,
-       round(avg(o_totalprice), 6) AS avg_price
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -601,8 +628,8 @@ UNPIVOT (value FOR metric IN (daily_open, daily_high, daily_low, daily_close))
 """,
     "linestatus_pivot": """
 SELECT l_returnflag,
-       CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS DOUBLE) AS "O",
-       CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS DOUBLE) AS "F"
+       sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS "O",
+       sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS "F"
 FROM lineitem
 GROUP BY 1
 """,
@@ -670,16 +697,12 @@ SELECT doc_id,
 FROM documents
 """,
     "trading_signals": f"""
-WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}, joined AS (
-  SELECT m15.symbol, m15.window_start,
-         m15.window_start + INTERVAL 15 MINUTE AS window_15m_end,
-         m1h.window_start + INTERVAL 60 MINUTE AS window_1h_end,
-         m15.ma_15m, m1h.ma_1h,
-         m15.volatility_15m, m1h.volatility_1h,
-         m15.volume_sum_15m, m1h.volume_sum_1h
-  FROM m15 JOIN m1h ON m15.symbol = m1h.symbol AND m15.window_start = m1h.window_start
-)
-SELECT *,
+WITH {TICKS_CTE}, {_SLIDE_15M}, {_SLIDE_1H}, {_JOINED_CTE}
+SELECT symbol, window_start, window_15m_end, window_1h_end,
+       round(ma_15m, 4) AS ma_15m, round(ma_1h, 4) AS ma_1h,
+       round(volatility_15m, 4) AS volatility_15m,
+       round(volatility_1h, 4) AS volatility_1h,
+       volume_sum_15m, volume_sum_1h,
        CASE WHEN ma_15m > ma_1h THEN 'bullish'
             WHEN ma_15m < ma_1h THEN 'bearish'
             ELSE 'neutral' END AS price_trend,
@@ -691,3 +714,46 @@ SELECT *,
 FROM joined
 """,
 }
+
+
+def _bias_rounds(sql: str) -> str:
+    """Rewrite every ``round(<expr>, <n>)`` to ``round(<expr> + 1e-9, <n>)``.
+
+    Mirrors utils.ROUND_BIAS on the Spark side: engines disagree on rounding
+    EXACT half-decimals (Spark BigDecimal-HALF_UP vs DuckDB scaled multiply),
+    and fixed-precision averages hit exact halves systematically; the
+    identical pre-round bias on both engines removes the boundary.
+    """
+    out, i = [], 0
+    while True:
+        j = sql.find("round(", i)
+        if j < 0:
+            out.append(sql[i:])
+            return "".join(out)
+        # skip non-function contexts (identifier chars right before)
+        if j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_"):
+            out.append(sql[i : j + 6])
+            i = j + 6
+            continue
+        depth, k = 1, j + 6
+        last_comma = -1
+        while k < len(sql) and depth:
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                last_comma = k
+            k += 1
+        if last_comma < 0:
+            out.append(sql[i:k])
+            i = k
+            continue
+        out.append(sql[i:last_comma])
+        out.append(" + 1e-9")
+        out.append(sql[last_comma:k])
+        i = k
+
+
+ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

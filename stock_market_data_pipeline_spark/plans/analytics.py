@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from stock_market_data_pipeline_spark.operators.joins import join_windowed_metrics
 from stock_market_data_pipeline_spark.operators.rolling import with_rolling_metrics
 from stock_market_data_pipeline_spark.operators.windows import (
+    det_avg,
     sliding_metrics,
     tumbling_metrics,
 )
@@ -99,7 +100,7 @@ def multi_window_signals(ticks: DataFrame, tiebreak: str = "event_id") -> DataFr
             (
                 F.min_by(rollvol, ts) if rollvol else F.lit(None).cast("double")
             ).alias("rolling_volatility"),
-            F.avg("price").alias("avg_price"),
+            det_avg("price").alias("avg_price"),
             F.min("price").alias("min_price"),
             F.max("price").alias("max_price"),
             F.stddev("price").alias("volatility"),

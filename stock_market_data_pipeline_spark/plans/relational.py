@@ -21,19 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.sources.batch import read_table
+from stock_market_data_pipeline_spark.utils import round_det
 
 
 def _exact_sum(col: F.Column) -> F.Column:
-    """Order-independent double sum: accumulate in decimal, cast back.
+    """Order-independent sum: accumulate in decimal, return the exact decimal.
 
     Summing doubles is order-dependent — a distributed partial aggregate and a
     single-threaded engine disagree in the last ~1e-13 relative digits, which
     on billion-scale totals is an absolute 1e-4 — enough to flap a rounded
     comparison. Rounding each addend to a fixed decimal scale first and
     summing exactly (decimal) is associative, so any partitioning yields the
-    bit-identical total; the final cast back to double is deterministic.
+    bit-identical total. The result stays DECIMAL: casting billion-scale
+    decimals to double is itself double-rounded differently across engines
+    (int128→double→/10^s vs correctly-rounded BigDecimal) — off by 1 ulp.
     """
-    return F.sum(col.cast("decimal(25,10)")).cast("double")
+    return F.sum(col.cast("decimal(25,10)"))
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2001-09-01") -> DataFrame:
@@ -56,9 +59,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2001-09-01"
             _exact_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            round_det(_exact_sum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            round_det(_exact_sum(F.col("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6).alias("avg_price"),
+            round_det(_exact_sum(F.col("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

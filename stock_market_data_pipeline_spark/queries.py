@@ -34,7 +34,7 @@ from stock_market_data_pipeline_spark.plans.analytics import (
 from stock_market_data_pipeline_spark.plans import relational
 from stock_market_data_pipeline_spark.sources.batch import read_table
 from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
-from stock_market_data_pipeline_spark.utils import round_doubles
+from stock_market_data_pipeline_spark.utils import round_det, round_doubles
 
 
 # --------------------------------------------------------------------------
@@ -64,38 +64,38 @@ def q_clean_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: 15-minute window sliding every 5 minutes — ma/volatility/volume."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(sliding_metrics(t, "15 minutes", "5 minutes", "15m"))
+    return round_doubles(sliding_metrics(t, "15 minutes", "5 minutes", "15m"), scale=4)
 
 
 def q_sliding_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: 1-hour window sliding every 10 minutes."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(sliding_metrics(t, "1 hour", "10 minutes", "1h"))
+    return round_doubles(sliding_metrics(t, "1 hour", "10 minutes", "1h"), scale=4)
 
 
 def q_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship (SBP pipeline): A1 × A2 joined on (symbol, window_start)."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(windowed_analytics(t))
+    return round_doubles(windowed_analytics(t), scale=4)
 
 
 def q_multi_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A5 + U1: long-format 5min ∪ 15min ∪ 1hour tumbling metric table."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(multi_window_analytics(t))
+    return round_doubles(multi_window_analytics(t), scale=4)
 
 
 def q_trading_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 (fixed): bullish/bearish, volatility level, volume trend per window."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(with_trading_signals(windowed_analytics(t)))
+    return round_doubles(with_trading_signals(windowed_analytics(t)), scale=4)
 
 
 def q_multi_window_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full DAP-parity: rolling metrics carried into 5m/15m/1h windows with
     per-row trading signals (reference defects U1/P8 fixed)."""
     t = ticks_from_events(spark, sf_dir)
-    return round_doubles(multi_window_signals(t))
+    return round_doubles(multi_window_signals(t), scale=4)
 
 
 def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,7 +104,7 @@ def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "event_id", "timestamp", "price", "volume"
     )
     out = with_rolling_metrics(t, tiebreak="event_id")
-    return round_doubles(out.drop("volume"))
+    return round_doubles(out.drop("volume"), scale=4)
 
 
 def q_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,9 +208,9 @@ def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles of quantity per return flag."""
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
+        round_det(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25_qty"),
+        round_det(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty"),
+        round_det(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75_qty"),
         F.count(F.lit(1)).alias("line_count"),
     )
 
@@ -238,10 +238,10 @@ def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "event_id",
         "price",
-        F.round(
+        round_det(
             (F.col("price") - F.avg("price").over(w))
             / F.stddev("price").over(w),
-            6,
+            4,
         ).alias("price_z"),
     )
 
@@ -257,8 +257,8 @@ def q_embedding_unit_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = norm(v)
     normalized = emb.select(
         "vec_id",
-        F.round(n, 6).alias("l2_norm"),
-        F.posexplode(F.transform(v, lambda x: F.round(x / n, 6))).alias(
+        round_det(n, 6).alias("l2_norm"),
+        F.posexplode(F.transform(v, lambda x: round_det(x / n, 6))).alias(
             "dim", "component"
         ),
     )
@@ -271,7 +271,11 @@ def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("order_count"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        round_det(
+            F.sum(F.col("o_totalprice").cast("decimal(25,10)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_price"),
     )
 
 

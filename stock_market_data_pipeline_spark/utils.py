@@ -2,13 +2,28 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+# Rounding-boundary bias. Engines round EXACT half-decimals differently
+# (Spark: BigDecimal of the double's shortest repr, HALF_UP; DuckDB: scaled
+# multiply) — and means of fixed-precision prices over power-of-two counts
+# land on exact halves systematically. Nudging every value off the boundary
+# by +1e-9 BEFORE rounding (identically on both engines — the oracle applies
+# the same bias, see oracles._bias_rounds) makes rounding deterministic; the
+# bias only changes values that sat exactly on a .5*10^-scale boundary.
+ROUND_BIAS = 1e-9
+
+
+def round_det(col: Column, scale: int = 6) -> Column:
+    """Deterministic cross-engine rounding: bias off boundaries, then round."""
+    return F.round(col + F.lit(ROUND_BIAS), scale)
+
 
 def round_doubles(df: DataFrame, scale: int = 6, exclude: tuple[str, ...] = ()) -> DataFrame:
-    """Round every DoubleType column to ``scale`` decimals.
+    """Round every DoubleType column to ``scale`` decimals (biased — see
+    ROUND_BIAS).
 
     Floating-point aggregates differ in the last ulps between engines (Spark's
     distributed partial aggregation sums in a different order than a
@@ -19,7 +34,7 @@ def round_doubles(df: DataFrame, scale: int = 6, exclude: tuple[str, ...] = ()) 
     cols = []
     for f in df.schema.fields:
         if isinstance(f.dataType, DoubleType) and f.name not in exclude:
-            cols.append(F.round(F.col(f.name), scale).alias(f.name))
+            cols.append(round_det(F.col(f.name), scale).alias(f.name))
         else:
             cols.append(F.col(f.name))
     return df.select(*cols)

@@ -48,6 +48,10 @@ def duck():
 
 
 def _norm_cell(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        return str(v.normalize())
     if isinstance(v, float):
         if math.isnan(v):
             return None
