@@ -297,7 +297,110 @@ JOIN (SELECT symbol AS h_symbol, window_start AS h_start, total_volume AS volume
   ON u.symbol = h.h_symbol AND date_trunc('hour', u.window_start) = h.h_start
 """
 
+# ---- corpus curation oracle (mirrors plans/curation.py) ----
+_QUALITY_RAW = """
+SELECT doc_id, text,
+       len(regexp_extract_all(text, '\\S+'))                   AS n_tokens,
+       length(text)                                            AS n_chars,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g'))      AS alpha,
+       length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct,
+       regexp_extract_all(lower(text), '[a-z]+')               AS words
+FROM documents
+"""
+
+_QSCORE = """least(1.0,
+    0.25 * least(n_tokens / 100.0, 1.0)
+  + 0.35 * (alpha / NULLIF(CAST(n_chars AS DOUBLE), 0.0))
+  + 0.25 * least((len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as')))
+                  / NULLIF(CAST(n_tokens AS DOUBLE), 0.0)) * 4.0, 1.0)
+  + 0.15 * (1.0 - least((punct / NULLIF(CAST(n_chars AS DOUBLE), 0.0)) * 10.0, 1.0)))"""
+
+_LANG_CASE = """
+CASE WHEN len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as')))
+        + len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))
+        + len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))
+        + len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas'))) = 0 THEN 'unknown'
+     WHEN len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as')))
+          >= len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))
+      AND len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as')))
+          >= len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))
+      AND len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as')))
+          >= len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas'))) THEN 'en'
+     WHEN len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))
+          >= len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))
+      AND len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))
+          >= len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas'))) THEN 'de'
+     WHEN len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))
+          >= len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas'))) THEN 'es'
+     ELSE 'fr' END
+"""
+
+_CURATION_ORACLE = f"""
+WITH fq AS ({_QUALITY_RAW}),
+q AS (
+  SELECT doc_id, text, n_tokens,
+         {_QSCORE} AS quality_score,
+         {_LANG_CASE} AS lang_pred
+  FROM fq
+),
+gated AS (SELECT * FROM q WHERE quality_score >= 0.5 AND n_tokens >= 10),
+fp AS (
+  SELECT doc_id, text,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM gated
+),
+canon AS (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1),
+ek AS (
+  SELECT fp.doc_id, fp.text FROM fp JOIN canon USING (fingerprint)
+  WHERE fp.doc_id = canon.canonical_id
+),
+norm2 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM ek
+),
+shingles2 AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(words) - 1),
+                i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
+  FROM norm2 WHERE len(words) >= 3
+),
+sig2 AS (
+  SELECT doc_id,
+         {_MH_AGGS}
+  FROM shingles2 GROUP BY doc_id
+),
+sig_arr2 AS (
+  SELECT doc_id, list_value({_SIG_LIST}) AS sig,
+         list_value({_BAND_EXPRS}) AS band_hashes
+  FROM sig2
+),
+bands2 AS (
+  SELECT doc_id, g.b AS band, band_hashes[g.b + 1] AS band_hash
+  FROM sig_arr2 CROSS JOIN generate_series(0, {_B - 1}) g(b)
+),
+cand2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands2 a JOIN bands2 b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs2 AS (
+  SELECT c.doc_a, c.doc_b,
+         round(len(list_filter(range(1, {_P + 1}), i -> sa.sig[i] = sb.sig[i])) / {_P}.0, 6) AS est_jaccard
+  FROM cand2 c
+  JOIN sig_arr2 sa ON sa.doc_id = c.doc_a
+  JOIN sig_arr2 sb ON sb.doc_id = c.doc_b
+),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs2 WHERE est_jaccard >= 0.75)
+SELECT g.doc_id, g.lang_pred, g.n_tokens, round(g.quality_score, 6) AS quality_score
+FROM gated g
+JOIN ek ON g.doc_id = ek.doc_id
+LEFT JOIN dropped d ON g.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+
 ORACLES: dict[str, str] = {
+    "corpus_curation": _CURATION_ORACLE,
     "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,

@@ -1,0 +1,62 @@
+"""End-to-end corpus curation plan — the LLM-training-data flow the engine's
+extension operators exist for, composed as one declarative pipeline:
+
+    quality gate → exact dedup (keep canonical) → MinHash-LSH near-dup
+    removal (keep lowest id per dup pair) → curated corpus with features.
+
+Scale shape: one scan computes all per-doc features (codegen projection);
+exact dedup joins on 16-byte md5 fingerprints; near-dup candidates come from
+the LSH band equi-join only among *survivors* (each stage shrinks the data
+the next stage touches — filter early, hash before shuffle, never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.dedup import normalize_text
+from stock_market_data_pipeline_spark.operators.neardup import minhash_lsh_pairs
+from stock_market_data_pipeline_spark.operators.textstats import (
+    with_lang_id,
+    with_quality,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    neardup_threshold: float = 0.75,
+) -> DataFrame:
+    """Curated corpus: per-doc features + all three filters applied.
+
+    Output: doc_id, lang_pred, n_tokens, quality_score (rounded upstream by
+    the caller) for every surviving document.
+    """
+    feats = with_lang_id(with_quality(docs))
+    gated = feats.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+
+    # Exact dedup: canonical = min doc_id per normalized-content fingerprint.
+    fp = gated.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    exact_kept = fp.join(canon, "fingerprint").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+
+    survivors = gated.join(exact_kept, "doc_id")
+
+    # Near-dup removal among survivors: for each LSH pair above threshold,
+    # the higher id drops.
+    pairs = minhash_lsh_pairs(survivors.select("doc_id", "text"))
+    drop = (
+        pairs.filter(F.col("est_jaccard") >= neardup_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = survivors.join(drop, "doc_id", "left_anti")
+    return curated.select("doc_id", "lang_pred", "n_tokens", "quality_score")

@@ -339,6 +339,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM corpus curation: quality gate → exact dedup → MinHash
+    near-dup removal; outputs surviving docs with routing features."""
+    from stock_market_data_pipeline_spark.plans.curation import curate_corpus
+
+    docs = _docs(spark, sf_dir)
+    return round_doubles(curate_corpus(docs))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: 12-permutation MinHash signatures (md5 string-min hashing)."""
     from stock_market_data_pipeline_spark.operators.neardup import minhash_signatures
@@ -458,6 +467,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "corpus_curation": q_corpus_curation,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -63,6 +63,35 @@ def stream_sliding_metrics(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "symbol",
+    left_ts: str = "timestamp",
+    right_ts: str = "quote_ts",
+    watermark: str = "10 minutes",
+    lookback: str = "15 minutes",
+) -> DataFrame:
+    """Legal stream-stream join: raw events joined on key within an event-time
+    interval (right_ts ∈ [left_ts − lookback, left_ts]).
+
+    This is the stream-stream join Structured Streaming DOES support — both
+    sides raw (not aggregated) with watermarks and a range condition bounding
+    state retention. The reference attempted the unsupported aggregated
+    variant (``spark_stream_processor.py:216-234``); the legal decomposition
+    is: interval-join raw streams here, or join *aggregates* per micro-batch
+    in ``stream_windowed_analytics``.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key])
+
+
 def stream_windowed_analytics(
     ticks: DataFrame,
     output_path: str,

@@ -12,6 +12,7 @@ from stock_market_data_pipeline_spark.schemas import CLEAN_TICK_SCHEMA
 from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
 from stock_market_data_pipeline_spark.streaming.pipeline import (
     stream_sliding_metrics,
+    stream_stream_interval_join,
     stream_windowed_analytics,
 )
 from stock_market_data_pipeline_spark.streaming.sources import file_stream, rate_ticks
@@ -132,6 +133,47 @@ def test_rate_ticks_plan_shape(spark):
         "volume",
         "timestamp",
     ]
+
+
+def test_stream_stream_interval_join(spark, sf_dir, tmp_path):
+    """Raw×raw stream-stream join with watermarks + interval condition must
+    start (the aggregated variant the reference wrote is rejected) and match
+    the equivalent batch interval join."""
+    src = str(tmp_path / "ssj_src")
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "price", "volume", "timestamp"
+    )
+    t.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = "symbol string, price double, volume long, timestamp timestamp"
+    left = spark.readStream.schema(schema).parquet(src)
+    right = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .selectExpr(
+            "symbol", "price as quote_price", "timestamp as quote_ts"
+        )
+    )
+    joined = stream_stream_interval_join(left, right)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("ssj").count()
+    rbatch = t.selectExpr("symbol", "price as quote_price", "timestamp as quote_ts")
+    expected = (
+        t.join(rbatch, "symbol")
+        .filter(
+            (F.col("quote_ts") <= F.col("timestamp"))
+            & (F.col("quote_ts") >= F.col("timestamp") - F.expr("INTERVAL 15 minutes"))
+        )
+        .count()
+    )
+    # single availableNow batch: watermark starts at epoch → no rows dropped
+    assert got == expected and got > 0
 
 
 def test_stream_static_dimension_join(spark, sf_dir, tmp_path):
