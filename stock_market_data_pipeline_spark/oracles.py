@@ -400,6 +400,19 @@ WHERE d.doc_id IS NULL
 """
 
 ORACLES: dict[str, str] = {
+    "price_trend_regression": f"""
+WITH {TICKS_CTE}, x AS (
+  SELECT symbol, price,
+         CAST(epoch("timestamp") - epoch(TIMESTAMP '2024-01-01 00:00:00') AS DOUBLE) / 86400.0 AS x
+  FROM ticks
+)
+SELECT symbol,
+       round(regr_slope(price, x), 4)     AS slope_per_day,
+       round(regr_intercept(price, x), 4) AS intercept,
+       round(corr(price, x), 4)           AS time_corr,
+       count(*)                           AS n_ticks
+FROM x GROUP BY 1
+""",
     "corpus_curation": _CURATION_ORACLE,
     "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,

@@ -339,6 +339,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol OLS of price on time (regr_slope/intercept/corr) — the
+    native-aggregate form of trend fitting; one partial-aggregated shuffle."""
+    # x = days since a fixed origin near the data: an uncentered epoch-seconds
+    # axis (x ~ 1.7e9) amplifies slope noise by avg(x) inside regr_intercept,
+    # flapping the 4th decimal across engines.
+    origin = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol",
+        F.col("price"),
+        (
+            (F.unix_timestamp("timestamp") - F.unix_timestamp(origin)).cast("double")
+            / 86400.0
+        ).alias("x"),
+    )
+    return t.groupBy("symbol").agg(
+        round_det(F.regr_slope("price", "x"), 4).alias("slope_per_day"),
+        round_det(F.regr_intercept("price", "x"), 4).alias("intercept"),
+        round_det(F.corr("price", "x"), 4).alias("time_corr"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM corpus curation: quality gate → exact dedup → MinHash
     near-dup removal; outputs surviving docs with routing features."""
@@ -467,6 +490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "price_trend_regression": q_price_trend_regression,
     "corpus_curation": q_corpus_curation,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
