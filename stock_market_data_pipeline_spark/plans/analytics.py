@@ -84,53 +84,78 @@ def multi_window_signals(ticks: DataFrame, tiebreak: str = "event_id") -> DataFr
        reference referenced a ``total_volume_1h`` column that did not
        survive its positional union (AnalysisException).
 
-    Scale: rolling = one sort-shuffle per symbol; each tumbling block is one
-    partial-aggregated shuffle over (symbol, window); the volume join's right
-    side is the tiny 1-hour aggregate → broadcast.
+    Scale: ONE pass — rolling is one sort-shuffle per symbol, and the three
+    tumbling granularities aggregate together via GROUPING SETS over
+    precomputed window starts (Catalyst's Expand ×3 + one partial-aggregated
+    shuffle), instead of three scans/sorts/shuffles through a union. The
+    volume join's right side is the tiny 1-hour slice → broadcast.
     """
     roll = with_rolling_metrics(ticks, tiebreak=tiebreak)
     ts = "timestamp"
-
-    def block(size: str, wtype: str, primary: str, secondary: str | None, rollvol: str | None) -> DataFrame:
-        aggs = [
-            F.min_by(primary, ts).alias("ma_primary"),
-            (
-                F.min_by(secondary, ts) if secondary else F.lit(None).cast("double")
-            ).alias("ma_secondary"),
-            (
-                F.min_by(rollvol, ts) if rollvol else F.lit(None).cast("double")
-            ).alias("rolling_volatility"),
-            det_avg("price").alias("avg_price"),
-            F.min("price").alias("min_price"),
-            F.max("price").alias("max_price"),
-            F.stddev("price").alias("volatility"),
-            F.sum("volume").alias("total_volume"),
-            F.count(F.lit(1)).alias("tick_count"),
-        ]
-        return (
-            roll.groupBy("symbol", F.window(F.col(ts), size))
-            .agg(*aggs)
-            .select(
-                "symbol",
-                F.col("window.start").alias("window_start"),
-                F.col("window.end").alias("window_end"),
-                F.lit(wtype).alias("window_type"),
-                "avg_price",
-                "min_price",
-                "max_price",
-                "volatility",
-                "total_volume",
-                "tick_count",
-                "ma_primary",
-                "ma_secondary",
-                "rolling_volatility",
-            )
-        )
-
-    b5 = block("5 minutes", "5min", "ma_5", "ma_15", "price_volatility_5")
-    b15 = block("15 minutes", "15min", "ma_15", "ma_30", "price_volatility_15")
-    b1h = block("1 hour", "1hour", "ma_30", None, None)
-    unioned = b5.unionByName(b15).unionByName(b1h)
+    with_starts = roll.withColumns(
+        {
+            "ws5": F.date_trunc("minute", ts)
+            - F.make_interval(mins=F.minute(ts) % 5),
+            "ws15": F.date_trunc("minute", ts)
+            - F.make_interval(mins=F.minute(ts) % 15),
+            "ws1h": F.date_trunc("hour", ts),
+        }
+    )
+    agg = with_starts.groupingSets(
+        [["symbol", "ws5"], ["symbol", "ws15"], ["symbol", "ws1h"]],
+        "symbol",
+        "ws5",
+        "ws15",
+        "ws1h",
+    ).agg(
+        F.min_by("ma_5", ts).alias("first_ma_5"),
+        F.min_by("ma_15", ts).alias("first_ma_15"),
+        F.min_by("ma_30", ts).alias("first_ma_30"),
+        F.min_by("price_volatility_5", ts).alias("first_pv5"),
+        F.min_by("price_volatility_15", ts).alias("first_pv15"),
+        det_avg("price").alias("avg_price"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.stddev("price").alias("volatility"),
+        F.sum("volume").alias("total_volume"),
+        F.count(F.lit(1)).alias("tick_count"),
+    )
+    wtype = (
+        F.when(F.col("ws5").isNotNull(), "5min")
+        .when(F.col("ws15").isNotNull(), "15min")
+        .otherwise("1hour")
+    )
+    wstart = F.coalesce("ws5", "ws15", "ws1h")
+    wmins = (
+        F.when(F.col("ws5").isNotNull(), 5)
+        .when(F.col("ws15").isNotNull(), 15)
+        .otherwise(60)
+    )
+    unioned = agg.select(
+        "symbol",
+        wstart.alias("window_start"),
+        (wstart + F.make_interval(mins=wmins)).alias("window_end"),
+        wtype.alias("window_type"),
+        "avg_price",
+        "min_price",
+        "max_price",
+        "volatility",
+        "total_volume",
+        "tick_count",
+        F.when(F.col("ws5").isNotNull(), F.col("first_ma_5"))
+        .when(F.col("ws15").isNotNull(), F.col("first_ma_15"))
+        .otherwise(F.col("first_ma_30"))
+        .alias("ma_primary"),
+        F.when(F.col("ws5").isNotNull(), F.col("first_ma_15"))
+        .when(F.col("ws15").isNotNull(), F.col("first_ma_30"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ma_secondary"),
+        F.when(F.col("ws5").isNotNull(), F.col("first_pv5"))
+        .when(F.col("ws15").isNotNull(), F.col("first_pv15"))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("rolling_volatility"),
+    )
+    b1h = unioned.filter(F.col("window_type") == "1hour")
 
     hourly = b1h.select(
         F.col("symbol").alias("h_symbol"),
