@@ -38,15 +38,17 @@ def with_rolling_metrics(
     volume MA, over trailing row frames of the given sizes."""
     order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
 
-    # Deterministic frame means: accumulate fixed-precision prices in decimal
-    # (exact, associative) and integer volumes in long, divide by the frame
-    # row count as the very last double op. A double `avg` differs in the
-    # last ulps between engines/algorithms (sequential vs segment-tree
-    # summation), and means of 2-dp prices land on exact .5 rounding
-    # boundaries often enough to flap any rounded comparison.
+    # Deterministic frame means: accumulate fixed-precision prices as integer
+    # cents (exact, associative, cheap) and divide by the frame row count as
+    # the trailing double ops. A double `avg` differs in the last ulps
+    # between engines/algorithms (sequential vs segment-tree summation), and
+    # means of 2-dp prices land on exact .5 rounding boundaries often enough
+    # to flap any rounded comparison.
     def _frame_avg(col: str, w: Window) -> F.Column:
+        cents = F.round(F.col(col) * 100, 0).cast("long")
         return (
-            F.sum(F.col(col).cast("decimal(25,10)")).over(w).cast("double")
+            F.sum(cents).over(w).cast("double")
+            / F.lit(100.0)
             / F.count(F.lit(1)).over(w)
         )
 

@@ -38,17 +38,21 @@ def _window_bounds(prefix: str = "") -> list[Column]:
     ]
 
 
-def det_avg(col: str | Column) -> Column:
+def det_avg(col: str | Column, cents_scale: int = 100) -> Column:
     """Partitioning-independent mean of a fixed-decimal-precision column.
 
     A plain double ``avg`` differs in the last ulps between partitionings
     (addition order) — enough to flip a rounded comparison on exact .5
-    boundaries. Market prices carry fixed decimal precision, so accumulating
-    in decimal is exact and associative; the final double division is then
-    bit-identical everywhere.
+    boundaries. Market prices carry fixed 2-dp precision, so scaling to
+    integer cents and summing longs is exact and associative (and much
+    cheaper than decimal accumulation); the trailing double divisions are
+    then bit-identical everywhere.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast("decimal(25,10)")).cast("double") / F.count(F.lit(1))
+    cents = F.round(c * cents_scale, 0).cast("long")
+    return (
+        F.sum(cents).cast("double") / F.lit(float(cents_scale)) / F.count(F.lit(1))
+    )
 
 
 def sliding_metrics(

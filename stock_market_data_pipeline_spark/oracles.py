@@ -34,7 +34,7 @@ ticks AS (
 # final projection — threshold CASEs must compare raw values exactly like
 # the Spark plans do, and price sums use decimal accumulation (2-dp source
 # values → exact) so the avg is a deterministic double on any partitioning.
-_AVG_EXACT = 'CAST(sum(CAST({col} AS DECIMAL(25,10))) AS DOUBLE) / count(*)'
+_AVG_EXACT = 'CAST(sum(CAST(round({col} * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*)'
 
 _SLIDE_15M = f"""
 m15 AS (
@@ -228,9 +228,9 @@ sim AS (SELECT doc_id, {_SIMHASH_TERMS} AS simhash FROM h)
 _ROLL_CTE = """
 roll AS (
   SELECT symbol, event_id, "timestamp", price, volume,
-         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w5  AS DOUBLE) / count(*) OVER w5  AS ma_5,
-         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w15 AS DOUBLE) / count(*) OVER w15 AS ma_15,
-         CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w30 AS DOUBLE) / count(*) OVER w30 AS ma_30,
+         CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w5  AS DOUBLE) / 100.0 / count(*) OVER w5  AS ma_5,
+         CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w15 AS DOUBLE) / 100.0 / count(*) OVER w15 AS ma_15,
+         CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w30 AS DOUBLE) / 100.0 / count(*) OVER w30 AS ma_30,
          stddev_samp(price) OVER w5  AS pv5,
          stddev_samp(price) OVER w15 AS pv15
   FROM ticks
@@ -259,7 +259,7 @@ def _mws_block(mins: int, wtype: str, primary: str, secondary: str | None, rollv
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") AS window_start,
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") + INTERVAL {mins} MINUTE AS window_end,
          '{wtype}' AS window_type,
-         CAST(sum(CAST(price AS DECIMAL(25,10))) AS DOUBLE) / count(*) AS avg_price,
+         CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
          min(price)                  AS min_price,
          max(price)                  AS max_price,
          stddev_samp(price)          AS volatility,
@@ -529,9 +529,9 @@ UNION ALL
     "rolling_frames": f"""
 WITH {TICKS_CTE}
 SELECT symbol, event_id, "timestamp", price,
-       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w5  AS DOUBLE) / count(*) OVER w5,  4) AS ma_5,
-       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w15 AS DOUBLE) / count(*) OVER w15, 4) AS ma_15,
-       round(CAST(sum(CAST(price AS DECIMAL(25,10))) OVER w30 AS DOUBLE) / count(*) OVER w30, 4) AS ma_30,
+       round(CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w5  AS DOUBLE) / 100.0 / count(*) OVER w5,  4) AS ma_5,
+       round(CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w15 AS DOUBLE) / 100.0 / count(*) OVER w15, 4) AS ma_15,
+       round(CAST(sum(CAST(round(price * 100, 0) AS BIGINT)) OVER w30 AS DOUBLE) / 100.0 / count(*) OVER w30, 4) AS ma_30,
        round(stddev_samp(price) OVER w5,  4) AS price_volatility_5,
        round(stddev_samp(price) OVER w15, 4) AS price_volatility_15,
        round(CAST(sum(volume) OVER w5  AS DOUBLE) / count(*) OVER w5,  4) AS volume_ma_5,
