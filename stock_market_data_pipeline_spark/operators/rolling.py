@@ -25,6 +25,53 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def with_ewma(
+    df: DataFrame,
+    key: str = "symbol",
+    order: str = "timestamp",
+    price: str = "price",
+    tiebreak: str | None = None,
+    alpha: float = 0.1,
+    lookback: int = 50,
+) -> DataFrame:
+    """Windowed EWMA (finance extension): exponentially weighted mean of the
+    trailing ``lookback`` rows, newest weighted ``1``, decaying by
+    ``(1-alpha)`` per step back; normalized by the present weights.
+
+    Truncating at ``lookback`` bounds state ((1-α)^50 ≈ 0.5% at α=0.1) and
+    keeps it expressible as a frame aggregation: collect the frame, weight by
+    position, fold — all JVM-side (collect_list over a bounded frame is
+    O(lookback) per row, no shuffle beyond the shared sort).
+    """
+    order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.collect_list(price).over(w)
+    n = F.size(xs)
+    decay = 1.0 - alpha
+
+    def weighted(x: F.Column, i: F.Column) -> F.Column:
+        return x * F.pow(F.lit(decay), (n - i).cast("double"))
+
+    num = F.aggregate(
+        F.zip_with(xs, F.sequence(F.lit(1), n), weighted),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pow(F.lit(decay), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn("ewma", num / den)
+
+
 def with_rolling_metrics(
     df: DataFrame,
     key: str = "symbol",

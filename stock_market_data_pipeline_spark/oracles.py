@@ -542,6 +542,21 @@ WINDOW
   w15 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
   w30 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 """,
+    "ewma": f"""
+WITH {TICKS_CTE}, fr AS (
+  SELECT symbol, event_id, "timestamp", price,
+         list(price) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
+                           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
+  FROM ticks
+)
+SELECT symbol, event_id, "timestamp", price,
+       round(
+         list_sum(list_transform(range(1, len(xs) + 1),
+                  i -> xs[i] * power(0.9, CAST(len(xs) - i AS DOUBLE))))
+         / list_sum(list_transform(range(1, len(xs) + 1),
+                  i -> power(0.9, CAST(len(xs) - i AS DOUBLE)))), 4) AS ewma
+FROM fr
+""",
     "daily_ohlcv": f"""
 WITH {TICKS_CTE}
 SELECT symbol,

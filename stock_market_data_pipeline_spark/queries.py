@@ -107,6 +107,16 @@ def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out.drop("volume"), scale=4)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed EWMA (α=0.1, 50-row lookback) per symbol."""
+    from stock_market_data_pipeline_spark.operators.rolling import with_ewma
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price"
+    )
+    return round_doubles(with_ewma(t, tiebreak="event_id"), scale=4)
+
+
 def q_daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 (implied-but-missing in the reference): daily OHLCV, intraday change."""
     t = ticks_from_events(spark, sf_dir)
@@ -465,6 +475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_window_signals": q_multi_window_signals,
     "trading_signals": q_trading_signals,
     "rolling_frames": q_rolling_frames,
+    "ewma": q_ewma,
     "daily_ohlcv": q_daily_ohlcv,
     "daily_change_close_over_close": q_daily_change_close_over_close,
     "dedup_keep_last": q_dedup_keep_last,

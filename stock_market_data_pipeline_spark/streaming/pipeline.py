@@ -63,6 +63,40 @@ def stream_sliding_metrics(
     )
 
 
+def stream_merge_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    order_col: str,
+    trigger: dict | None = None,
+    batch_transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """K6 under streaming: each micro-batch (optionally transformed by
+    ``batch_transform`` — which may freely aggregate/join, since it runs on a
+    batch DataFrame inside foreachBatch) MERGEs into the parquet table
+    (last-writer-wins per key). Combined with the checkpoint, reprocessed
+    batches are idempotent — the upsert collapses duplicate keys — giving the
+    stage+MERGE warehouse semantics (``load_stream_to_snowflake.py:240-305``)
+    without a warehouse."""
+    from stock_market_data_pipeline_spark.sinks.lake import merge_upsert
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_transform(batch_df) if batch_transform else batch_df
+        merge_upsert(
+            batch_df.sparkSession, out, path, keys=keys, order_col=order_col
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
