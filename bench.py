@@ -50,6 +50,9 @@ HEADLINE = [
     "cosine_topk",
     "cosine_topk_vectorized",
     "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "ewma",
+    "corpus_curation",
     "multimodal_image_features",
 ]
 

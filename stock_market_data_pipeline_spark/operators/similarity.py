@@ -163,6 +163,74 @@ def cosine_topk_vectorized(
     )
 
 
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    centroid_stride: int = 125,
+    centroid_offset: int = 7,
+) -> DataFrame:
+    """IVF-flavored ANN: partition the corpus into cells around pivot
+    vectors, search only the query's cell (nprobe=1), exact-rerank inside.
+
+    Pivots are a deterministic corpus sample (``id % stride == offset``) —
+    the training-free stand-in for k-means centroids (swap in fitted
+    centroids without touching the plan; selection is pure SQL so the oracle
+    reproduces it). Cell assignment = argmax cosine to pivot, ties broken by
+    pivot id. Scale shape: assignment is a broadcast nested-loop against the
+    tiny pivot set (corpus never shuffles), then candidates join on the cell
+    id — shuffle keyed by cell, like the LSH path.
+    """
+    pivots = corpus.filter(
+        (F.col(id_col) % centroid_stride) == centroid_offset
+    ).select(F.col(id_col).alias("pivot_id"), as_double_vec(vec_col).alias("p_vec"))
+
+    def assign(df: DataFrame, out_id: str) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(pivots)).select(
+            F.col(out_id),
+            "pivot_id",
+            round_det(cosine(F.col("_v"), F.col("p_vec")), 6).alias("sim"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("sim").desc(), F.col("pivot_id"))
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(out_id), F.col("pivot_id").alias("cell"))
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("_v")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("_v")
+    )
+    c_cells = assign(c, "neighbor_id")
+    q_cells = assign(q, "query_id")
+    c_full = c.join(c_cells, "neighbor_id").select(
+        "neighbor_id", F.col("_v").alias("c_vec"), "cell"
+    )
+    q_full = q.join(F.broadcast(q_cells), "query_id").select(
+        "query_id", F.col("_v").alias("q_vec"), "cell"
+    )
+    scored = (
+        c_full.join(F.broadcast(q_full), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_det(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -155,6 +155,49 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) t WHERE rank <= 5
 """
 
+def _cos_expr(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / NULLIF(sqrt({_sq_list_sum(a)}) * sqrt({_sq_list_sum(b)}), 0.0), 6)"
+    )
+
+
+_IVF_TOPK_ORACLE = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS p_vec FROM embeddings WHERE vec_id % 125 = 7
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+c_assign AS (
+  SELECT neighbor_id, pivot_id AS cell FROM (
+    SELECT neighbor_id, pivot_id,
+           row_number() OVER (PARTITION BY neighbor_id ORDER BY sim DESC, pivot_id) AS rn
+    FROM (SELECT neighbor_id, pivot_id, {_cos_expr('c_vec', 'p_vec')} AS sim
+          FROM c CROSS JOIN pivots) s
+  ) t WHERE rn = 1
+),
+q_assign AS (
+  SELECT query_id, pivot_id AS cell FROM (
+    SELECT query_id, pivot_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, pivot_id) AS rn
+    FROM (SELECT query_id, pivot_id, {_cos_expr('q_vec', 'p_vec')} AS sim
+          FROM q CROSS JOIN pivots) s
+  ) t WHERE rn = 1
+),
+scored AS (
+  SELECT qa.query_id, ca.neighbor_id, {_cos_expr('q_vec', 'c_vec')} AS cosine
+  FROM c JOIN c_assign ca USING (neighbor_id)
+  JOIN q_assign qa ON ca.cell = qa.cell
+  JOIN q ON q.query_id = qa.query_id
+  WHERE ca.neighbor_id <> qa.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
 _LSH_TOPK_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec, {_bucket_sql('embedding')} AS bucket
@@ -417,6 +460,7 @@ FROM x GROUP BY 1
     "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
+    "ivf_cosine_topk": _IVF_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
     "multimodal_image_features": """
 SELECT doc_id AS asset_id,

@@ -443,6 +443,14 @@ def q_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity: IVF-style cell-partitioned ANN (nprobe=1, exact rerank)."""
+    from stock_market_data_pipeline_spark.operators.similarity import ivf_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
+
+
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: binary-content feature extraction via Arrow mapInPandas
     (decode kernel stubbed deterministically — no image libs in container)."""
@@ -511,6 +519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_vectorized": q_cosine_topk_vectorized,
     "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_content_dedup": q_multimodal_content_dedup,
 }
