@@ -112,6 +112,25 @@ def test_as_of_join_basic(spark):
     assert bids[("B", 50.0)] is None    # no quote before t=15
 
 
+def test_salted_two_phase_aggregation(spark, sf_dir):
+    """Skew mitigation: salted partial aggregation → unsalted final must
+    equal the direct single-phase aggregation (the hot-key recipe)."""
+    from stock_market_data_pipeline_spark.operators.windows import salt_column
+
+    t = ticks_from_events(spark, sf_dir)
+    direct = t.groupBy("symbol").agg(
+        F.sum("volume").alias("vol"), F.count(F.lit(1)).alias("n")
+    )
+    salted = (
+        t.withColumn("_salt", salt_column(F.col("event_id"), 8))
+        .groupBy("symbol", "_salt")
+        .agg(F.sum("volume").alias("pvol"), F.count(F.lit(1)).alias("pn"))
+        .groupBy("symbol")
+        .agg(F.sum("pvol").alias("vol"), F.sum("pn").alias("n"))
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def test_synthetic_ticks_deterministic(spark):
     a = synthetic_ticks(spark, n_ticks_per_symbol=50).collect()
     b = synthetic_ticks(spark, n_ticks_per_symbol=50).collect()
