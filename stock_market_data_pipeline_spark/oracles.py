@@ -597,8 +597,7 @@ SELECT symbol, event_id, "timestamp", price,
        round(
          list_sum(list_transform(range(1, len(xs) + 1),
                   i -> xs[i] * power(0.9, CAST(len(xs) - i AS DOUBLE))))
-         / list_sum(list_transform(range(1, len(xs) + 1),
-                  i -> power(0.9, CAST(len(xs) - i AS DOUBLE)))), 4) AS ewma
+         / ((1.0 - power(0.9, CAST(len(xs) AS DOUBLE))) / (1.0 - 0.9)), 4) AS ewma
 FROM fr
 """,
     "daily_ohlcv": f"""
