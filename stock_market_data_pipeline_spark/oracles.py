@@ -586,6 +586,19 @@ WINDOW
   w15 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
   w30 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
 """,
+    "robust_zscore": f"""
+WITH {TICKS_CTE}, med AS (
+  SELECT symbol, median(price) AS m FROM ticks GROUP BY 1
+), mad AS (
+  SELECT t.symbol, median(abs(t.price - med.m)) AS d
+  FROM ticks t JOIN med ON t.symbol = med.symbol GROUP BY 1
+)
+SELECT t.symbol, t.event_id, t.price,
+       round((t.price - med.m) / NULLIF(mad.d * 1.4826, 0.0), 4) AS robust_z
+FROM ticks t
+JOIN med ON t.symbol = med.symbol
+JOIN mad ON t.symbol = mad.symbol
+""",
     "ewma": f"""
 WITH {TICKS_CTE}, fr AS (
   SELECT symbol, event_id, "timestamp", price,

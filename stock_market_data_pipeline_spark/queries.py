@@ -107,6 +107,14 @@ def q_rolling_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out.drop("volume"), scale=4)
 
 
+def q_robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol median/MAD robust z-score (native two-agg form)."""
+    from stock_market_data_pipeline_spark.operators.normalize import robust_zscore
+
+    t = ticks_from_events(spark, sf_dir).select("symbol", "event_id", "price")
+    return round_doubles(robust_zscore(t), scale=4)
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed EWMA (α=0.1, 50-row lookback) per symbol."""
     from stock_market_data_pipeline_spark.operators.rolling import with_ewma
@@ -484,6 +492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trading_signals": q_trading_signals,
     "rolling_frames": q_rolling_frames,
     "ewma": q_ewma,
+    "robust_zscore": q_robust_zscore,
     "daily_ohlcv": q_daily_ohlcv,
     "daily_change_close_over_close": q_daily_change_close_over_close,
     "dedup_keep_last": q_dedup_keep_last,
