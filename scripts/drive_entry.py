@@ -22,11 +22,14 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def norm(v):
+    # Strictest-plausible-driver comparison: raw repr, NO normalization.
+    # Decimal.normalize()/round(float) previously masked real divergences
+    # (the round-1 decimal(35,10)-vs-DECIMAL(38,10) hash failures).
     import decimal
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
+        return str(v)
     if isinstance(v, float):
-        return None if math.isnan(v) else round(v, 6)
+        return None if math.isnan(v) else v
     if hasattr(v, "isoformat"): return v.isoformat()
     if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
     return v

@@ -57,7 +57,9 @@ def robust_zscore_grouped_map(
         mad = (pdf[value] - med).abs().median()
         denom = mad * MAD_CONSISTENCY
         pdf = pdf.copy()
-        pdf["robust_z"] = (pdf[value] - med) / denom if denom else float("nan")
+        # Zero MAD (constant group) must yield NULL, not NaN, to match the
+        # native form's nullif — Spark treats NaN and NULL as distinct values.
+        pdf["robust_z"] = (pdf[value] - med) / denom if denom else None
         return pdf
 
     return df.groupBy(key).applyInPandas(per_group, schema=out_schema)

@@ -105,6 +105,7 @@ def cosine_topk_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    _max_queries: int = 10_000,
 ) -> DataFrame:
     """Brute-force cosine top-k, Arrow/numpy execution (the scale path).
 
@@ -121,7 +122,16 @@ def cosine_topk_vectorized(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # The collect is bounded by the small-query contract: the query matrix is
+    # broadcast into every task closure, so an unbounded query set would blow
+    # executor memory silently. Fail loudly instead.
+    q_rows = queries.select(id_col, vec_col).limit(_max_queries + 1).collect()
+    if len(q_rows) > _max_queries:
+        raise ValueError(
+            f"cosine_topk_vectorized collects the query set into the task "
+            f"closure; got >{_max_queries} queries. Use lsh_cosine_topk / "
+            f"ivf_cosine_topk for large query sets."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)

@@ -679,10 +679,10 @@ GROUP BY 1
 """,
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(25,10)))      AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS sum_base_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS sum_disc_price,
-       sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))) AS sum_charge,
+       CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)      AS sum_qty,
+       CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_charge,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)      AS avg_qty,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_price,
        round(CAST(sum(CAST(l_discount AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6)      AS avg_disc,
@@ -707,7 +707,7 @@ FROM (
 """,
     "region_revenue": """
 SELECT r_name, n_name,
-       sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS revenue,
+       CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS line_count
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -717,7 +717,7 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY 1, 2
 """,
     "revenue_forecast": """
-SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))) AS revenue,
+SELECT CAST(ROUND(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS line_count
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -726,7 +726,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """,
     "rollup_revenue": """
 SELECT r_name, n_name,
-       sum(CAST(o_totalprice AS DECIMAL(25,10))) AS revenue,
+       CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
        count(*) AS order_count
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -739,7 +739,7 @@ SELECT o_custkey, o_orderkey, o_totalprice,
        rank()       OVER w AS value_rank,
        dense_rank() OVER w AS value_dense_rank,
        row_number() OVER w AS value_row_number,
-       lag(o_totalprice) OVER w AS next_lower_price,
+       lag(o_totalprice) OVER w AS prev_higher_price,
        ntile(4)     OVER w AS value_quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
@@ -815,8 +815,8 @@ UNPIVOT (value FOR metric IN (daily_open, daily_high, daily_low, daily_close))
 """,
     "linestatus_pivot": """
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS "O",
-       sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,10)) END) AS "F"
+       CAST(ROUND(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(25,10)) END), 2) AS DOUBLE) AS "O",
+       CAST(ROUND(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(25,10)) END), 2) AS DOUBLE) AS "F"
 FROM lineitem
 GROUP BY 1
 """,
@@ -904,12 +904,18 @@ FROM joined
 
 
 def _bias_rounds(sql: str) -> str:
-    """Rewrite every ``round(<expr>, <n>)`` to ``round(<expr> + 1e-9, <n>)``.
+    """Rewrite every lowercase ``round(<expr>, <n>)`` to ``round(<expr> + 1e-9, <n>)``.
 
     Mirrors utils.ROUND_BIAS on the Spark side: engines disagree on rounding
     EXACT half-decimals (Spark BigDecimal-HALF_UP vs DuckDB scaled multiply),
     and fixed-precision averages hit exact halves systematically; the
     identical pre-round bias on both engines removes the boundary.
+
+    Uppercase ``ROUND(`` is the deliberate opt-out marker for DECIMAL-space
+    rounding (see plans.relational._exact_sum_dbl): decimal rounding is exact
+    arithmetic with identical half-away-from-zero semantics on both engines,
+    and adding a 1e-9 double bias would promote the operand to double and
+    break that exactness.
     """
     out, i = [], 0
     while True:

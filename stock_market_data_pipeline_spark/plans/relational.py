@@ -39,6 +39,25 @@ def _exact_sum(col: F.Column) -> F.Column:
     return F.sum(col.cast("decimal(25,10)"))
 
 
+def _exact_sum_dbl(col: F.Column, scale: int = 2) -> F.Column:
+    """Exact decimal sum surfaced as a deterministic DOUBLE.
+
+    The driver's value-hash rejects DecimalType output columns even when the
+    decimal values are bit-identical on both engines (CORRECTNESS_r01) — so no
+    DecimalType may escape a registered query's final schema. A raw
+    decimal→double cast of a scale-10 billion-scale total is NOT safe either:
+    DuckDB double-rounds (int128→double, then /10^s) while Java BigDecimal
+    correctly rounds — 1 ulp apart. The safe form rounds in DECIMAL space
+    first (exact arithmetic, half-away-from-zero on BOTH engines — verified
+    bit-identical) to ``scale`` = 2, which keeps the unscaled value below 2^53
+    so the final decimal→double cast is exact on both engines. Oracle mirror:
+    ``CAST(ROUND(sum(CAST(x AS DECIMAL(25,10))), 2) AS DOUBLE)`` — uppercase
+    ROUND( opts out of oracles._bias_rounds (decimal rounding needs no bias;
+    a double bias would promote the operand to double and break exactness).
+    """
+    return F.round(F.sum(col.cast("decimal(25,10)")), scale).cast("double")
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2001-09-01") -> DataFrame:
     """TPC-H Q1-style pricing summary over lineitem.
 
@@ -51,12 +70,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str, cutoff: str = "2001-09-01"
         li.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _exact_sum(F.col("l_quantity")).alias("sum_qty"),
-            _exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            _exact_sum_dbl(F.col("l_quantity")).alias("sum_qty"),
+            _exact_sum_dbl(F.col("l_extendedprice")).alias("sum_base_price"),
+            _exact_sum_dbl(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
-            _exact_sum(
+            _exact_sum_dbl(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             round_det(_exact_sum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
@@ -113,7 +132,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
-            _exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            _exact_sum_dbl(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("line_count"),
@@ -141,7 +160,7 @@ def revenue_forecast(
             & (F.col("l_quantity") < qty_below)
         )
         .agg(
-            _exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            _exact_sum_dbl(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("line_count"),
         )
     )
@@ -163,7 +182,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
         .rollup("r_name", "n_name")
         .agg(
-            _exact_sum(F.col("o_totalprice")).alias("revenue"),
+            _exact_sum_dbl(F.col("o_totalprice")).alias("revenue"),
             F.count(F.lit(1)).alias("order_count"),
         )
     )
@@ -171,8 +190,11 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function block per customer: rank/dense_rank/row_number over
-    order value, lag of the previous order's price, quartile ntile — one
-    shared window spec → a single sort."""
+    order value, lag of the next-higher-ranked (≥) order price in the
+    value-ordered window, quartile ntile — one shared window spec → a single
+    sort. The window is value-ordered (totalprice DESC), not temporal, so
+    lag(1) returns the previous row in rank order: a strictly
+    higher-or-equal price."""
     from pyspark.sql.window import Window
 
     orders = read_table(spark, sf_dir, "orders")
@@ -186,7 +208,7 @@ def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("value_rank"),
         F.dense_rank().over(w).alias("value_dense_rank"),
         F.row_number().over(w).alias("value_row_number"),
-        F.lag("o_totalprice").over(w).alias("next_lower_price"),
+        F.lag("o_totalprice").over(w).alias("prev_higher_price"),
         F.ntile(4).over(w).alias("value_quartile"),
     )
 
@@ -201,7 +223,7 @@ def linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(_exact_sum(F.col("l_quantity")))
+        .agg(_exact_sum_dbl(F.col("l_quantity")))
     )
 
 

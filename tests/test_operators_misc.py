@@ -141,3 +141,24 @@ def test_synthetic_ticks_deterministic(spark):
     assert len(a) == 8 * 50
     prices = [r.price for r in a]
     assert all(p > 0 for p in prices)
+
+
+def test_vectorized_topk_query_size_guard(spark):
+    """cosine_topk_vectorized collects the query set into each task closure;
+    an oversize query set must fail loudly, not OOM executors silently."""
+    import pytest
+
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_vectorized,
+    )
+
+    corpus = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=1), F.rand(seed=2)).alias("embedding"),
+    )
+    big_q = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.rand(seed=3), F.rand(seed=4)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="query set"):
+        cosine_topk_vectorized(corpus, big_q, k=3, _max_queries=10)

@@ -18,6 +18,20 @@ def test_registry_is_consistent():
     assert set(ORACLES) <= set(QUERIES), "oracle without a query"
 
 
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_decimal_in_final_schema(spark, sf_dir, name):
+    # The driver's value-hash rejects DecimalType output columns even when the
+    # decimal values are bit-identical on both engines (CORRECTNESS_r01: the 5
+    # hash failures were exactly the queries ending in raw decimal(35,10)).
+    # Rule: decimal accumulation stays internal; every exposed column is a
+    # rounded double / string / integral type.
+    from pyspark.sql.types import DecimalType
+
+    df = QUERIES[name](spark, sf_dir)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, DecimalType)]
+    assert not bad, f"{name} exposes DecimalType columns {bad}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
