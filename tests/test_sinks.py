@@ -60,3 +60,110 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     merge_upsert(spark, b3, path, keys=["symbol", "date"], order_col="version")
     aapl = spark.read.parquet(path).filter(F.col("symbol") == "AAPL").first()
     assert aapl.close == 111.0
+
+
+def _files_with_mtime(root):
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_bucketed_merge_rewrites_strict_subset(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        BUCKET_COL,
+        merge_upsert,
+        merge_upsert_bucketed,
+    )
+
+    path = str(tmp_path / "bucketed")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit(0).alias("version"),
+    )
+    touched0 = merge_upsert_bucketed(
+        spark, base, path, keys=["k"], order_col="version", n_buckets=16
+    )
+    assert len(touched0) == 16  # 1000 keys cover all buckets
+    before = _files_with_mtime(path)
+
+    # a 3-key micro-batch: strict subset of buckets rewritten
+    import time
+
+    time.sleep(1.1)  # mtime resolution guard
+    small = spark.createDataFrame(
+        [(7, -7.0, 1), (8, -8.0, 1), (9, -9.0, 1)], "k long, v double, version int"
+    )
+    touched = merge_upsert_bucketed(
+        spark, small, path, keys=["k"], order_col="version", n_buckets=16
+    )
+    assert 1 <= len(touched) <= 3 < 16
+    after = _files_with_mtime(path)
+
+    changed = {
+        f for f in before if f in after and after[f] != before[f]
+    } | (set(before) ^ set(after))
+    touched_dirs = {f"{BUCKET_COL}={b}" for b in touched}
+    for f in changed:
+        assert f.split("/")[0] in touched_dirs, f"untouched file rewritten: {f}"
+    untouched_before = {f for f in before if f.split("/")[0] not in touched_dirs}
+    assert untouched_before  # the subset really is strict
+    for f in untouched_before:
+        assert after[f] == before[f]
+
+    # semantics: equal to the flat merge_upsert on the same batches
+    flat = str(tmp_path / "flat")
+    merge_upsert(spark, base, flat, keys=["k"], order_col="version")
+    merge_upsert(spark, small, flat, keys=["k"], order_col="version")
+    flat_rows = {
+        (r.k): (r.v, r.version) for r in spark.read.parquet(flat).collect()
+    }
+    bucketed_rows = {
+        (r.k): (r.v, r.version)
+        for r in spark.read.parquet(path).drop(BUCKET_COL).collect()
+    }
+    assert bucketed_rows == flat_rows
+    assert bucketed_rows[7] == (-7.0, 1) and bucketed_rows[100] == (100.0, 0)
+
+
+def test_bucketed_merge_spec_mismatch_raises(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks.lake import merge_upsert_bucketed
+
+    path = str(tmp_path / "spec")
+    df = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"), F.lit(0).alias("version")
+    )
+    merge_upsert_bucketed(spark, df, path, keys=["k"], order_col="version", n_buckets=8)
+    with pytest.raises(ValueError, match="bucketed with"):
+        merge_upsert_bucketed(
+            spark, df, path, keys=["k"], order_col="version", n_buckets=4
+        )
+
+
+def test_bucketed_merge_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks.lake import merge_upsert_bucketed
+
+    path = str(tmp_path / "idem")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1.0).alias("v"), F.lit(3).alias("version")
+    )
+    for _ in range(2):
+        merge_upsert_bucketed(
+            spark, df, path, keys=["k"], order_col="version", n_buckets=8
+        )
+    got = spark.read.parquet(path)
+    assert got.count() == 50
+    assert got.filter(F.col("version") != 3).count() == 0
