@@ -34,6 +34,14 @@ LSH_BANDS = 4
 LSH_ROWS = 3  # NUM_PERM = LSH_BANDS * LSH_ROWS
 SIMHASH_BITS = 16
 
+# Kirsch-Mitzenmacher permutation family: g_p(s) = (h1(s) + p·h2(s)) mod M,
+# h1/h2 = the two 56-bit halves of ONE md5(s) digest, M the largest prime
+# below 2^56. Bounds: h1 + 11·h2 < 12·2^56 < 2^63, so every intermediate
+# fits a signed 64-bit integer — Spark bigint and DuckDB BIGINT compute the
+# identical value (DuckDB *errors* on BIGINT overflow rather than wrapping,
+# so staying under 2^63 is correctness, not just portability).
+MINHASH_PRIME = 72057594037927931  # 2^56 - 5
+
 
 def shingle_df(
     df: DataFrame,
@@ -61,26 +69,38 @@ def minhash_signatures(
     num_perm: int = NUM_PERM,
     k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: columns mh_0..mh_{P-1}.
+    """Per-doc MinHash signature: columns mh_0..mh_{P-1} (bigint).
 
-    Permutation p's hash of shingle s is ``md5(p || ':' || s)``; the
-    signature component is the lexicographic min over the doc's shingles —
-    uniform hex strings make string-min a valid uniform min-hash, and every
-    engine computes md5 identically (the portability trick that lets the
-    DuckDB oracle verify signatures exactly).
+    Each distinct shingle is md5-hashed ONCE; permutation p's value derives
+    by integer mixing of the digest's two 56-bit halves
+    (``(h1 + p·h2) mod MINHASH_PRIME`` — the Kirsch-Mitzenmacher double-hash
+    family, whose min-wise analysis needs the prime modulus). That cuts the
+    crypto-hash cost P× vs hashing per permutation while every engine still
+    computes the identical signature (the DuckDB oracle reproduces it
+    bit-for-bit: same md5, same hex slices, same 64-bit arithmetic).
     """
+    # Widen BEFORE shingling when the scan under-splits (a single parquet
+    # file arrives as one input split → tokenize/explode/hash all on one
+    # core). Exchanging whole documents is cheaper than exchanging their
+    # exploded shingles (measured 4.5× on the warm path), and the groupBy
+    # below then ships only map-side-combined partial signatures — 12
+    # bigints per doc per mapper — instead of raw shingle strings. On a
+    # well-split scan (the 100 TB case) no exchange is added at all.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sh = shingle_df(df, id_col, text_col, k)
-    # Pre-shuffle on the doc id: the P×md5 work happens in the partial
-    # aggregate, which otherwise runs on however few input splits the scan
-    # produced (a single parquet file → one core). Exchanging the raw
-    # shingles first costs one narrow shuffle of strings and buys full-core
-    # hashing; the groupBy then aggregates with no further exchange.
-    sh = sh.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    digest = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(digest, 15, 14), 16, 10).cast("bigint")
+    hashed = sh.select(F.col(id_col), h1.alias("_h1"), h2.alias("_h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle")))).alias(f"mh_{p}")
+        F.min(
+            (F.col("_h1") + F.lit(p) * F.col("_h2")) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{p}")
         for p in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -112,35 +132,40 @@ def minhash_lsh_pairs(
             ]
         ).alias("band_hashes"),
     )
+    # Carry the signature arrays THROUGH the band join: the alternative
+    # (join candidate pairs back to the signature relation twice, once per
+    # side) re-evaluates the signature aggregate two more times and adds two
+    # shuffled joins keyed on doc ids. The band rows are wider here — 12
+    # bigints ≈ 100 bytes per (doc, band) row crossing the band exchange —
+    # but the est-Jaccard is then a pure projection off the join output.
     band_rows = sig_arr.select(
-        F.col(id_col), F.posexplode("band_hashes").alias("band", "band_hash")
+        F.col(id_col),
+        F.col("sig"),
+        F.posexplode("band_hashes").alias("band", "band_hash"),
     )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col(f"a.band_hash") == F.col("b.band_hash"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
+        .distinct()  # pairs sharing several bands collapse to one row
     )
-    sa = sig_arr.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig_arr.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            round_det(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
-        )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        round_det(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
     )
 
 

@@ -39,9 +39,16 @@ def with_ewma(
     ``(1-alpha)`` per step back; normalized by the present weights.
 
     Truncating at ``lookback`` bounds state ((1-α)^50 ≈ 0.5% at α=0.1) and
-    keeps it expressible as a frame aggregation: collect the frame, weight by
-    position, fold — all JVM-side (collect_list over a bounded frame is
-    O(lookback) per row, no shuffle beyond the shared sort).
+    keeps it expressible as a frame aggregation: collect the bounded frame
+    and Horner-fold it — ``acc·d + x`` left-to-right over
+    [oldest … newest] IS the weighted sum Σ xᵢ·d^(n-i) with the newest
+    weighted 1, so the numerator needs zero ``pow`` calls and no
+    zip_with/sequence scratch arrays (the round-1 form paid a transcendental
+    per element plus two array allocations per row). All JVM-side;
+    O(lookback) per row; no shuffle beyond the shared sort. The DuckDB
+    oracle folds the identical list with ``list_reduce`` — its no-init fold
+    seeds with the first element, which equals the zero-init fold exactly
+    (IEEE: 0·d + x₁ = x₁), so results stay bit-identical cross-engine.
     """
     order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
     w = (
@@ -53,13 +60,8 @@ def with_ewma(
     n = F.size(xs)
     decay = 1.0 - alpha
 
-    def weighted(x: F.Column, i: F.Column) -> F.Column:
-        return x * F.pow(F.lit(decay), (n - i).cast("double"))
-
     num = F.aggregate(
-        F.zip_with(xs, F.sequence(F.lit(1), n), weighted),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        xs, F.lit(0.0), lambda acc, x: acc * F.lit(decay) + x
     )
     # Geometric-series denominator in closed form: Σ_{j=0}^{n-1} d^j =
     # (1 - d^n) / (1 - d) — one pow instead of an O(n) fold per row. (The

@@ -179,23 +179,35 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    centroid_stride: int = 125,
-    centroid_offset: int = 7,
+    n_cells: int = 32,
 ) -> DataFrame:
     """IVF-flavored ANN: partition the corpus into cells around pivot
     vectors, search only the query's cell (nprobe=1), exact-rerank inside.
 
-    Pivots are a deterministic corpus sample (``id % stride == offset``) —
-    the training-free stand-in for k-means centroids (swap in fitted
-    centroids without touching the plan; selection is pure SQL so the oracle
-    reproduces it). Cell assignment = argmax cosine to pivot, ties broken by
-    pivot id. Scale shape: assignment is a broadcast nested-loop against the
-    tiny pivot set (corpus never shuffles), then candidates join on the cell
-    id — shuffle keyed by cell, like the LSH path.
+    Pivots are a CONSTANT-SIZE deterministic corpus sample — the ``n_cells``
+    rows first in (md5(id), id) order, a training-free stand-in for k-means
+    centroids (swap in fitted centroids without touching the plan; selection
+    is pure SQL so the oracle reproduces it). Hash order makes the sample
+    scatter across the id space regardless of id distribution, and the
+    global ``ORDER BY … LIMIT n_cells`` compiles to TakeOrdered — each
+    partition keeps a local top-``n_cells``, the driver merges; no full
+    sort, no data-sized shuffle.
+
+    Cost model at scale (the round-1 scheme sampled ``id % 125`` — a pivot
+    set and broadcast growing LINEARLY with the corpus, O(|C|²/125)
+    assignment compute): pivot set is O(n_cells) regardless of |C|, the
+    broadcast is constant-size, and assignment is O(|C|·n_cells) — argmax
+    over a fixed pivot array per row, corpus never shuffles. Candidates then
+    join on the cell id — shuffle keyed by cell, like the LSH path. Cell
+    assignment = argmax cosine to pivot, ties broken by pivot id.
     """
-    pivots = corpus.filter(
-        (F.col(id_col) % centroid_stride) == centroid_offset
-    ).select(F.col(id_col).alias("pivot_id"), as_double_vec(vec_col).alias("p_vec"))
+    pivots = (
+        corpus.select(
+            F.col(id_col).alias("pivot_id"), as_double_vec(vec_col).alias("p_vec")
+        )
+        .orderBy(F.md5(F.col("pivot_id").cast("string")), F.col("pivot_id"))
+        .limit(n_cells)
+    )
 
     def assign(df: DataFrame, out_id: str) -> DataFrame:
         scored = df.crossJoin(F.broadcast(pivots)).select(

@@ -165,7 +165,8 @@ def _cos_expr(a: str, b: str) -> str:
 
 _IVF_TOPK_ORACLE = f"""
 WITH pivots AS (
-  SELECT vec_id AS pivot_id, embedding AS p_vec FROM embeddings WHERE vec_id % 125 = 7
+  SELECT vec_id AS pivot_id, embedding AS p_vec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
 ),
 c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
@@ -233,18 +234,30 @@ shingles AS (
   WHERE len(words) >= 3
 )
 """
+# One md5 per shingle, P permutation values by 64-bit integer mixing —
+# mirrors operators/neardup.py MINHASH_PRIME construction exactly (same hex
+# slices, same arithmetic, all intermediates < 2^63).
+_MH_PRIME = 72057594037927931  # 2^56 - 5
 _MH_AGGS = ",\n         ".join(
-    f"min(md5('{p}:' || shingle)) AS mh_{p}" for p in range(_P)
+    f"min((h1 + {p} * h2) % {_MH_PRIME}) AS mh_{p}" for p in range(_P)
 )
 _SIG_CTE = f"""
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT  AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM shingles
+),
 sig AS (
   SELECT doc_id,
          {_MH_AGGS}
-  FROM shingles GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 """
 _BAND_EXPRS = ", ".join(
-    "md5(" + " || '|' || ".join(f"mh_{b * _R + r}" for r in range(_R)) + ")"
+    "md5("
+    + " || '|' || ".join(f"CAST(mh_{b * _R + r} AS VARCHAR)" for r in range(_R))
+    + ")"
     for b in range(_B)
 )
 _SIG_LIST = ", ".join(f"mh_{p}" for p in range(_P))
@@ -408,10 +421,16 @@ shingles2 AS (
                 i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS shingle
   FROM norm2 WHERE len(words) >= 3
 ),
+hashed2 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 14))::BIGINT  AS h1,
+         ('0x' || substr(md5(shingle), 15, 14))::BIGINT AS h2
+  FROM shingles2
+),
 sig2 AS (
   SELECT doc_id,
          {_MH_AGGS}
-  FROM shingles2 GROUP BY doc_id
+  FROM hashed2 GROUP BY doc_id
 ),
 sig_arr2 AS (
   SELECT doc_id, list_value({_SIG_LIST}) AS sig,
@@ -608,8 +627,7 @@ WITH {TICKS_CTE}, fr AS (
 )
 SELECT symbol, event_id, "timestamp", price,
        round(
-         list_sum(list_transform(range(1, len(xs) + 1),
-                  i -> xs[i] * power(0.9, CAST(len(xs) - i AS DOUBLE))))
+         list_reduce(xs, (acc, x) -> acc * 0.9 + x)
          / ((1.0 - power(0.9, CAST(len(xs) AS DOUBLE))) / (1.0 - 0.9)), 4) AS ewma
 FROM fr
 """,

@@ -162,3 +162,44 @@ def test_vectorized_topk_query_size_guard(spark):
     )
     with pytest.raises(ValueError, match="query set"):
         cosine_topk_vectorized(corpus, big_q, k=3, _max_queries=10)
+
+
+def test_approx_stats_error_bounds(spark):
+    """approx_stats has no cross-engine oracle (sketches are approximate by
+    design) — instead, pin its error envelope against exact answers:
+    HLL++ distinct counts within 4 standard errors (rsd=0.05 default), the
+    approximate median strictly inside the exact [p25, p75] band.
+
+    Runs at sf0.01 and sf0.1 — sketch error is scale-dependent, and the
+    sf0.01 gate alone can pass by luck on bounds the 10x data would break.
+    """
+    import duckdb
+
+    from stock_market_data_pipeline_spark.plans.relational import approx_stats
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        got = {r["l_returnflag"]: r for r in approx_stats(spark, sf_dir).collect()}
+        con = duckdb.connect()
+        exact = con.execute(
+            f"""
+            SELECT l_returnflag,
+                   count(DISTINCT l_partkey)  AS parts,
+                   count(DISTINCT l_orderkey) AS orders,
+                   quantile_cont(l_quantity, 0.25) AS q25,
+                   quantile_cont(l_quantity, 0.75) AS q75,
+                   count(*) AS n
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY l_returnflag
+            """
+        ).fetchall()
+        con.close()
+        assert len(exact) == len(got)
+        for flag, parts, orders, q25, q75, n in exact:
+            row = got[flag]
+            # HLL++ standard error = rsd (Spark default 0.05); 4 sigma.
+            for approx, true in ((row["approx_parts"], parts), (row["approx_orders"], orders)):
+                assert abs(approx - true) <= max(4 * 0.05 * true, 1.0), (
+                    sf_dir, flag, approx, true,
+                )
+            assert q25 <= row["approx_median_qty"] <= q75, (sf_dir, flag, row)
+            assert row["line_count"] == n
