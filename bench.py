@@ -54,6 +54,10 @@ HEADLINE = [
     "ewma",
     "corpus_curation",
     "multimodal_image_features",
+    "neardup_clusters",
+    "embedding_neardup_pairs",
+    "stratified_sample",
+    "gapfill_15m",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Time-series gap-fill + forward-fill (hypertable-rollup-style operator).
+
+Market data (and any event stream) has empty intervals; downstream
+consumers — charting, feature windows, model training — want a DENSE grid
+per key with the last observation carried forward. The reference's pandas
+paths get this for free from ``DataFrame.resample``; distributed, it has to
+be built from relational pieces:
+
+1. bucket ticks to the grid step (``date_trunc`` family — pure projection);
+2. aggregate one row per (key, bucket): last price in bucket, volume sum —
+   single map-side-combined hash aggregate, shuffle is #keys × #buckets;
+3. generate each key's full bucket range with ``sequence`` + ``explode`` —
+   the grid materializes from per-key (min, max) bounds, i.e. from the
+   TINY aggregated table, never from the tick table;
+4. left-join the grid to the observed buckets (equi-join on key+bucket);
+5. forward-fill with ``last(col, ignorenulls=True)`` over an unbounded
+   preceding window per key — one sort per key, Spark's native
+   running-aggregate window, no UDF.
+
+Scale shape: everything after step 2 operates on #keys × #buckets rows
+(grid size), independent of tick count. The window in step 5 partitions by
+key, so no single-partition global sort exists anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gapfill_forward_fill(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    volume: str = "volume",
+    step_minutes: int = 15,
+) -> DataFrame:
+    """Dense per-key time grid at ``step_minutes`` with forward-filled close.
+
+    Output per (key, bucket): ``close`` = last observed price at or before
+    the bucket (carried forward across empty buckets), ``bucket_volume`` =
+    volume observed IN the bucket (0 when empty — volume is a flow, not a
+    level, so it does not carry), ``is_gap`` = 1 iff the bucket had no
+    ticks. Leading buckets before a key's first tick cannot exist: the grid
+    starts at each key's first observed bucket.
+
+    Bucketing: minutes-since-epoch floored to the step — portable arithmetic
+    (the oracle computes the identical expression), avoids tz-sensitive
+    truncation beyond the minute.
+    """
+    step = step_minutes * 60
+    # Epoch-second arithmetic, not date_trunc: floor(unix/step)*step is the
+    # same integer expression in every engine and session timezone
+    # (timestamp_seconds/make_timestamp are both tz-free epoch constructors).
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts)) / step).cast("bigint") * step
+    )
+    observed = (
+        df.groupBy(F.col(key), bucket.alias("bucket"))
+        .agg(
+            F.max_by(price, ts).alias("last_price"),
+            F.sum(volume).alias("bucket_volume"),
+        )
+    )
+    bounds = observed.groupBy(key).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"interval {step} seconds")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(observed, [key, "bucket"], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        F.col(key),
+        F.col("bucket"),
+        F.last("last_price", ignorenulls=True).over(w).alias("close"),
+        F.coalesce("bucket_volume", F.lit(0)).alias("bucket_volume"),
+        F.col("last_price").isNull().cast("int").alias("is_gap"),
+    )

@@ -68,6 +68,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = NUM_PERM,
     k: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature: columns mh_0..mh_{P-1} (bigint).
 
@@ -78,17 +79,21 @@ def minhash_signatures(
     crypto-hash cost P× vs hashing per permutation while every engine still
     computes the identical signature (the DuckDB oracle reproduces it
     bit-for-bit: same md5, same hex slices, same 64-bit arithmetic).
+
+    ``widen=True`` round-robins the documents across all cores BEFORE
+    shingling: an under-split input (one parquet file → one scan split, or an
+    AQE-coalesced join output) would otherwise tokenize/explode/hash on one
+    core. Exchanging whole documents is cheaper than exchanging their
+    exploded shingles (measured 4.5× on the warm path), and the groupBy
+    below then ships only map-side-combined partial signatures — P bigints
+    per doc per mapper. On a well-split 100 TB scan, pass ``widen=False`` to
+    skip the exchange. (Deliberately a static flag, not a
+    ``df.rdd.getNumPartitions()`` probe: under AQE, ``.rdd`` on a derived
+    plan eagerly executes its query stages — measured +2 s re-running the
+    whole upstream curation pipeline just to read the partition count.)
     """
-    # Widen BEFORE shingling when the scan under-splits (a single parquet
-    # file arrives as one input split → tokenize/explode/hash all on one
-    # core). Exchanging whole documents is cheaper than exchanging their
-    # exploded shingles (measured 4.5× on the warm path), and the groupBy
-    # below then ships only map-side-combined partial signatures — 12
-    # bigints per doc per mapper — instead of raw shingle strings. On a
-    # well-split scan (the 100 TB case) no exchange is added at all.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    if widen:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sh = shingle_df(df, id_col, text_col, k)
     digest = F.md5(F.col("shingle"))
     h1 = F.conv(F.substring(digest, 1, 14), 16, 10).cast("bigint")
@@ -110,6 +115,7 @@ def minhash_lsh_pairs(
     num_perm: int = NUM_PERM,
     bands: int = LSH_BANDS,
     k: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + estimated Jaccard.
 
@@ -117,7 +123,7 @@ def minhash_lsh_pairs(
     least one band; est_jaccard = matching signature components / P.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, num_perm, k)
+    sig = minhash_signatures(df, id_col, text_col, num_perm, k, widen=widen)
     sig_arr = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{p}") for p in range(num_perm)]).alias("sig"),
@@ -305,3 +311,103 @@ def simhash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.75,
+    max_iter: int = 25,
+    widen: bool = True,
+) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup graph: every doc
+    labeled with the smallest doc id reachable through pairs with
+    ``est_jaccard >= threshold`` (singletons label themselves).
+
+    This is the operator that turns pairwise near-dup *detection* into
+    near-dup *group* handling (keep one per cluster, audit clusters, etc.) —
+    pairwise removal alone under-deletes transitive chains (a~b, b~c, a≁c).
+
+    Algorithm: iterative min-label propagation — labels start as node ids;
+    each round every node takes min(own label, neighbors' labels) until a
+    fixpoint. Converges in O(graph diameter) rounds; near-dup clusters are
+    short chains (diameter rarely exceeds a few hops), so this beats the
+    O(log n)-but-heavier large-star/small-star alternating scheme in
+    practice — and only the EDGE ENDPOINT nodes (a vanishing fraction of a
+    100 TB corpus) enter the loop at all; non-candidate docs join back as
+    self-labeled singletons in one final broadcast-ish left join.
+
+    Driver-side per-iteration work is ONE scalar (the changed-label count);
+    ``localCheckpoint`` truncates lineage each round so plan depth stays
+    constant. Iterative fixpoint → genuinely non-single-SQL; the DuckDB
+    oracle uses a recursive CTE (transitive closure), feasible because
+    near-dup clusters are tiny — the Spark path never materializes closures.
+    """
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, widen=widen
+    ).filter(F.col("est_jaccard") >= threshold)
+    comp = connected_components(pairs, max_iter=max_iter)
+    return df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Min-label propagation over an undirected pair list → (node,
+    cluster_id = min node id in the component). Only edge-endpoint nodes
+    appear in the output (callers re-attach singletons with a left join).
+
+    See :func:`neardup_clusters` for the convergence/scale discussion.
+    """
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"(pathological cluster diameter — raise max_iter)"
+        )
+    return labels.select("node", F.col("label").alias("cluster_id"))

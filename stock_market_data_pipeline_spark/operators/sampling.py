@@ -1,0 +1,60 @@
+"""Deterministic sampling for training-data pipelines (engine extension).
+
+Corpus curation ends with a MIX decision: keep X% of each language /
+source / quality band. Doing that with ``df.sample`` is non-reproducible
+across runs and partitionings; doing it with a shuffle-based rank cutoff
+costs a global sort. Hash-threshold sampling gives both properties the
+pipeline actually needs:
+
+* **Deterministic & partition-independent** — keep iff
+  ``hash32(seed, id) < rate · 2^32``; the decision depends only on (seed,
+  id), so re-runs, retries, and repartitions select the identical rows, and
+  the DuckDB oracle reproduces the exact sample.
+* **Zero shuffle** — a pure filter; at 100 TB it composes with the scan
+  (predicate evaluated next to the parquet reader, no exchange at all).
+* **Stratified** — the threshold is a CASE over the stratum column, so each
+  stratum gets its own rate in the same single pass.
+
+The hash is the first 8 hex chars of md5 (a 32-bit uniform), not Spark's
+``xxhash64``, because md5 is the cross-engine deterministic choice every
+other operator here already relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 32
+
+
+def sample_hash32(id_col: Column, seed: str) -> Column:
+    """Uniform 32-bit integer from (seed, id) — md5-derived, engine-portable."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum Bernoulli sample at exactly the configured rates,
+    deterministic in (seed, id).
+
+    ``rates`` maps stratum value → keep probability; strata not listed keep
+    ``default_rate``. Expected kept fraction per stratum equals its rate
+    (binomial, not exact-count quota — quota sampling needs a per-stratum
+    global sort; at 100 TB the binomial guarantee is the one you can afford,
+    and the variance at corpus scale is negligible).
+    """
+    threshold = F.lit(int(default_rate * HASH_SPACE))
+    for value, rate in rates.items():
+        threshold = (
+            F.when(F.col(stratum_col) == value, F.lit(int(rate * HASH_SPACE)))
+            .otherwise(threshold)
+        )
+    return df.filter(sample_hash32(F.col(id_col), seed) < threshold)

@@ -290,3 +290,48 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int = 64,
+    num_planes: int = NUM_PLANES,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of the
+    dedup family (MinHash/SimHash catch lexical dups; this catches semantic
+    dups that share no tokens).
+
+    Candidates come from the hyperplane-LSH bucket self-join (equi-join on
+    the bucket id — never an all-pairs product); exact cosine filters at
+    ``threshold``. Output: (vec_a, vec_b, cosine) with vec_a < vec_b, one row
+    per surviving pair.
+
+    Scale shape: one shuffle keyed by bucket; each bucket's pair blowup is
+    O(bucket_size²), bounded by adding planes (``num_planes`` +1 halves the
+    expected bucket occupancy). Recall < 1 by LSH construction — a pair can
+    straddle buckets; multi-probe or banded plane sets raise recall the same
+    way they do for MinHash bands. Deterministic: planes are seeded md5
+    parity literals, reproducible in the DuckDB oracle.
+    """
+    planes = hyperplanes(dim, num_planes, seed)
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("vec")
+    ).withColumn("bucket", bucket_of(F.col("vec"), planes))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            round_det(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

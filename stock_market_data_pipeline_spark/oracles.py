@@ -918,6 +918,113 @@ SELECT symbol, window_start, window_15m_end, window_1h_end,
             ELSE 'normal_activity' END AS volume_trend
 FROM joined
 """,
+    # Connected components over the MinHash-LSH near-dup graph. The Spark
+    # path iterates min-label propagation (no closure ever materialized);
+    # the oracle can afford the recursive-CTE transitive closure because
+    # near-dup clusters are tiny.
+    "neardup_clusters": f"""
+WITH RECURSIVE {_SHINGLES_CTE}, {_SIG_CTE}, {_SIGARR_CTE},
+bands AS (
+  SELECT doc_id, g.b AS band, band_hashes[g.b + 1] AS band_hash
+  FROM sig_arr CROSS JOIN generate_series(0, {_B - 1}) g(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sig_arr sa ON sa.doc_id = c.doc_a
+  JOIN sig_arr sb ON sb.doc_id = c.doc_b
+  WHERE round(len(list_filter(range(1, {_P + 1}), i -> sa.sig[i] = sb.sig[i])) / {_P}.0, 6) >= 0.75
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(node, rid) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.rid
+),
+lbl AS (SELECT node, min(rid) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+""",
+    "embedding_neardup_pairs": f"""
+WITH v AS (
+  SELECT vec_id, embedding AS vec, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.vec AS va, b.vec AS vb
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_cos_expr('va', 'vb')} AS cosine
+FROM s WHERE {_cos_expr('va', 'vb')} >= 0.3
+""",
+    # Hash-threshold stratified sample: keep iff first-8-hex-of-md5(seed:id)
+    # < rate * 2^32 — the identical integer expression as
+    # operators/sampling.py (thresholds are Python ints in both).
+    "stratified_sample": f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as'))) AS en_hits,
+         len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))   AS de_hits,
+         len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))         AS es_hits,
+         len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas')))      AS fr_hits
+  FROM w
+), l AS (
+  SELECT doc_id,
+       CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'unknown'
+            WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS lang_pred
+  FROM h
+)
+SELECT doc_id, lang_pred FROM l
+WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+      CASE lang_pred
+        WHEN 'en' THEN {int(0.5 * 2**32)}
+        WHEN 'de' THEN {int(0.25 * 2**32)}
+        WHEN 'es' THEN {int(0.25 * 2**32)}
+        WHEN 'fr' THEN {int(0.1 * 2**32)}
+        WHEN 'unknown' THEN {int(1.0 * 2**32)}
+        ELSE 0 END
+""",
+    # Bucket = floor(epoch/900)*900 via tz-free epoch constructors on both
+    # engines (make_timestamp(µs) here, timestamp_seconds there).
+    "gapfill_15m": f"""
+WITH {TICKS_CTE},
+obs AS (
+  SELECT symbol,
+         make_timestamp(((CAST(floor(epoch("timestamp")) AS BIGINT) // 900) * 900) * 1000000) AS bucket,
+         arg_max(price, "timestamp") AS last_price,
+         CAST(sum(volume) AS BIGINT) AS bucket_volume
+  FROM ticks GROUP BY 1, 2
+),
+bounds AS (SELECT symbol, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT g.symbol, g.bucket, o.last_price, o.bucket_volume
+  FROM grid g LEFT JOIN obs o ON o.symbol = g.symbol AND o.bucket = g.bucket
+)
+SELECT symbol, bucket,
+       last_value(last_price IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+       COALESCE(bucket_volume, 0) AS bucket_volume,
+       CASE WHEN last_price IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM j
+""",
 }
 
 

@@ -390,17 +390,70 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: 12-permutation MinHash signatures (md5 string-min hashing)."""
+    """Near-dup: 12-permutation MinHash signatures (one md5 per shingle,
+    Kirsch-Mitzenmacher integer mixing). ``widen=False``: _docs already
+    fanned the scan out."""
     from stock_market_data_pipeline_spark.operators.neardup import minhash_signatures
 
-    return minhash_signatures(_docs(spark, sf_dir))
+    return minhash_signatures(_docs(spark, sf_dir), widen=False)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: LSH-banded candidate pairs + estimated Jaccard."""
     from stock_market_data_pipeline_spark.operators.neardup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(_docs(spark, sf_dir), widen=False)
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: connected components over the MinHash-LSH pair graph
+    (iterative min-label propagation; oracle = recursive-CTE closure)."""
+    from stock_market_data_pipeline_spark.operators.neardup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), widen=False)
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucket candidates, exact-cosine
+    filter. Threshold 0.3 — the synthetic embeddings are near-orthogonal
+    random vectors (max pairwise cosine ≈ 0.5 at sf0.01), so a production
+    0.9-style threshold would select nothing; the operator's threshold is a
+    parameter and 0.3 exercises the full candidate→filter path non-trivially
+    at every SF."""
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.3)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling by predicted
+    language — the corpus-mix step of a training-data pipeline (zero-shuffle
+    filter, reproducible across runs/partitionings/engines)."""
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        hash_stratified_sample,
+    )
+    from stock_market_data_pipeline_spark.operators.textstats import with_lang_id
+
+    docs = with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    return hash_stratified_sample(
+        docs,
+        stratum_col="lang_pred",
+        rates={"en": 0.5, "de": 0.25, "es": 0.25, "fr": 0.1, "unknown": 1.0},
+        id_col="doc_id",
+    )
+
+
+def q_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 15-minute per-symbol grid with forward-filled close + gap flags
+    (hypertable-style rollup; ~half the grid is gap at sf0.01)."""
+    from stock_market_data_pipeline_spark.operators.gapfill import (
+        gapfill_forward_fill,
+    )
+
+    return gapfill_forward_fill(ticks_from_events(spark, sf_dir), step_minutes=15)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,4 +584,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_content_dedup": q_multimodal_content_dedup,
+    "neardup_clusters": q_neardup_clusters,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "stratified_sample": q_stratified_sample,
+    "gapfill_15m": q_gapfill_15m,
 }

@@ -1,0 +1,104 @@
+"""Behavioral tests for the round-2 curation extensions: connected-component
+clustering, deterministic stratified sampling, embedding near-dup pairs, and
+time-series gap-fill."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.gapfill import gapfill_forward_fill
+from stock_market_data_pipeline_spark.operators.neardup import connected_components
+from stock_market_data_pipeline_spark.operators.sampling import (
+    hash_stratified_sample,
+)
+from stock_market_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+from stock_market_data_pipeline_spark.sources.batch import read_table
+
+
+def test_connected_components_transitive_chain(spark):
+    # Chain 1-2-3 plus pair 10-11: transitivity must put 3 in cluster 1
+    # even though (1,3) is not an edge — the failure mode pairwise-only
+    # dedup has. Multi-hop also exercises >1 propagation iteration.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 0-1-2-...-9: diameter 9 forces ~9 propagation rounds — the fixpoint
+    # loop (not a bounded-unroll) is what's under test.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("stratum", F.lit("all"))
+    )
+    half = hash_stratified_sample(docs, "stratum", {"all": 0.5}, id_col="doc_id")
+    again = hash_stratified_sample(docs, "stratum", {"all": 0.5}, id_col="doc_id")
+    quarter = hash_stratified_sample(docs, "stratum", {"all": 0.25}, id_col="doc_id")
+
+    half_ids = {r["doc_id"] for r in half.collect()}
+    assert half_ids == {r["doc_id"] for r in again.collect()}  # deterministic
+    quarter_ids = {r["doc_id"] for r in quarter.collect()}
+    assert quarter_ids <= half_ids  # hash-threshold samples are nested
+    n = docs.count()
+    assert 0.35 * n <= len(half_ids) <= 0.65 * n  # binomial, not degenerate
+    # unlisted strata keep default_rate=0.0
+    none = hash_stratified_sample(docs, "stratum", {"other": 1.0}, id_col="doc_id")
+    assert none.count() == 0
+
+
+def test_embedding_neardup_pairs_subset_of_bruteforce(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.3).collect()
+    assert pairs, "threshold 0.3 must select candidates on the test lake"
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)
+    assert all(r["cosine"] >= 0.3 for r in pairs)
+    # Every LSH pair must also be a brute-force pair at the same threshold
+    # (recall<1 allowed, precision must be exact: LSH only prunes).
+    k_all = emb.count()
+    brute = cosine_topk(emb, emb, k=k_all).filter(F.col("cosine") >= 0.3)
+    brute_pairs = {
+        (min(r["query_id"], r["neighbor_id"]), max(r["query_id"], r["neighbor_id"]))
+        for r in brute.collect()
+    }
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} <= brute_pairs
+
+
+def test_gapfill_forward_fill_semantics(spark):
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
+
+    def at(minutes, price, volume):
+        return ("A", t0 + datetime.timedelta(minutes=minutes), price, volume)
+
+    # Buckets (15m): 0 has two ticks, 1-2 empty, 3 has one tick.
+    ticks = spark.createDataFrame(
+        [at(0, 10.0, 5), at(10, 11.0, 7), at(47, 12.0, 9)],
+        "symbol string, timestamp timestamp, price double, volume long",
+    )
+    rows = sorted(
+        gapfill_forward_fill(ticks, step_minutes=15).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert len(rows) == 4  # dense grid, first..last observed bucket
+    assert [r["is_gap"] for r in rows] == [0, 1, 1, 0]
+    # close: last price in bucket, carried across the two empty buckets
+    assert [r["close"] for r in rows] == [11.0, 11.0, 11.0, 12.0]
+    # volume is a flow: summed in-bucket, zero (not carried) in gaps
+    assert [r["bucket_volume"] for r in rows] == [12, 0, 0, 9]
