@@ -50,11 +50,25 @@ def hash_stratified_sample(
     (binomial, not exact-count quota — quota sampling needs a per-stratum
     global sort; at 100 TB the binomial guarantee is the one you can afford,
     and the variance at corpus scale is negligible).
+
+    The stratum→threshold map is a BROADCAST-JOINED relation, not a CASE
+    chain: when ``stratum_col`` is itself a computed expression (e.g. a
+    language-ID CASE over higher-order list ops), a threshold CASE would
+    inline that expression into every WHEN branch of the pushed-down filter
+    — Catalyst does no subexpression elimination on lambda expressions, so
+    the stratum gets recomputed once per configured rate (measured ~6× on
+    the language-stratified query). The join evaluates the stratum once per
+    row, and a broadcast hash join adds no exchange.
     """
-    threshold = F.lit(int(default_rate * HASH_SPACE))
-    for value, rate in rates.items():
-        threshold = (
-            F.when(F.col(stratum_col) == value, F.lit(int(rate * HASH_SPACE)))
-            .otherwise(threshold)
+    rates_df = df.sparkSession.createDataFrame(
+        [(value, int(rate * HASH_SPACE)) for value, rate in rates.items()],
+        schema=f"`{stratum_col}` string, `_keep_below` bigint",
+    )
+    return (
+        df.join(F.broadcast(rates_df), stratum_col, "left")
+        .filter(
+            sample_hash32(F.col(id_col), seed)
+            < F.coalesce(F.col("_keep_below"), F.lit(int(default_rate * HASH_SPACE)))
         )
-    return df.filter(sample_hash32(F.col(id_col), seed) < threshold)
+        .select(*df.columns)
+    )

@@ -22,6 +22,7 @@ from stock_market_data_pipeline_spark.functions.text import (
     LANG_ORDER,
 )
 from stock_market_data_pipeline_spark.operators.dedup import normalize_text
+from stock_market_data_pipeline_spark.utils import round_det
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,4 +61,128 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint_md5": F.md5(norm),
             "fingerprint_64": F.xxhash64(norm),
         }
+    )
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/quality signals: the standard filters for
+    detecting degenerate (looping, boilerplate, keyword-stuffed) documents
+    in LLM training corpora.
+
+    * ``distinct_word_ratio`` — |distinct words| / |words| (low → loopy).
+    * ``top_word_ratio`` — frequency of the most common word / |words|.
+    * ``top_bigram_ratio`` — frequency of the most common word 2-gram /
+      |2-grams| (the "fraction in most common n-gram" filter).
+    * ``mean_word_len`` — chars per word (out-of-band values → non-text).
+
+    All four are pure per-row array expressions — no explode, no shuffle:
+    the mode computation folds over the distinct words of THIS row only
+    (O(distinct·n) per row, bounded by document length), so at 100 TB the
+    operator runs at scan speed, embarrassingly parallel. The relational
+    alternative (explode + two groupBys) costs two data-sized shuffles to
+    compute the same per-document numbers.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+
+    def max_freq(arr: F.Column) -> F.Column:
+        # max over distinct elements of (count of element in arr)
+        return F.aggregate(
+            F.array_distinct(arr),
+            F.lit(0),
+            lambda acc, w: F.greatest(
+                acc, F.size(F.filter(arr, lambda t: t == w))
+            ),
+        )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.withColumns(
+        {
+            "n_words": n,
+            "distinct_word_ratio": round_det(
+                F.size(F.array_distinct(toks)) / n.cast("double"), 6
+            ),
+            "top_word_ratio": round_det(max_freq(toks) / n.cast("double"), 6),
+            "top_bigram_ratio": round_det(
+                F.when(n > 1, max_freq(bigrams) / (n - 1).cast("double")), 6
+            ),
+            "mean_word_len": round_det(total_chars / n.cast("double"), 6),
+        }
+    )
+
+
+# PII patterns: conservative, cross-engine-portable regex (no lookarounds —
+# Java and RE2-family engines agree on these).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{6,}[0-9]",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+}
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline runs
+    before text leaves curation: emails, phone-like numbers, SSN-formatted
+    ids replaced by typed placeholder tags, with per-kind match counts kept
+    as audit columns.
+
+    Order matters (SSN before phone — an SSN is also phone-shaped);
+    replacements chain inside one projection, all JVM-regex, no UDF — scan
+    speed at any scale. The synthetic test lake contains no digits, so this
+    operator is verified by crafted-input unit tests rather than a registry
+    query (a lake-wide all-zeros oracle would assert nothing).
+    """
+    c = F.col(text_col)
+    counts = {
+        f"n_{kind}": F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    redacted = c
+    for kind in ("email", "ssn", "phone"):  # ssn before phone
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.withColumns({**counts, "text_redacted": redacted})
+
+
+def with_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Overlapping word-window chunking — the document→training-example
+    splitter (context-window packing): one output row per (doc, window
+    start), windows of ``chunk_size`` words every ``stride`` words, the last
+    window possibly short.
+
+    Pure generate: tokenize → sequence of starts → explode — a row
+    expansion with no shuffle; chunk text is sliced from the token array in
+    the same projection. Output: id, chunk_start (1-based word offset,
+    the deterministic chunk key), chunk_text, chunk_tokens.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    out = (
+        df.filter(F.size(toks) > 0)
+        .select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.explode(
+                F.sequence(F.lit(1), F.size(toks), F.lit(stride))
+            ).alias("chunk_start"),
+        )
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_start"), chunk_size)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_start"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("chunk_tokens"),
     )

@@ -1025,6 +1025,46 @@ SELECT symbol, bucket,
        CASE WHEN last_price IS NULL THEN 1 ELSE 0 END AS is_gap
 FROM j
 """,
+    # Per-row array folds mirroring operators/textstats.py
+    # with_repetition_signals (mode-by-fold over distinct words, same
+    # normalize/tokenize as the shingle CTEs).
+    "repetition_signals": """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+)
+SELECT doc_id,
+  len(words) AS n_words,
+  round(len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6) AS distinct_word_ratio,
+  round(list_reduce(list_transform(list_distinct(words),
+          w -> len(list_filter(words, t -> t = w))),
+        (a, b) -> greatest(a, b)) / CAST(len(words) AS DOUBLE), 6) AS top_word_ratio,
+  CASE WHEN len(words) > 1 THEN
+    round(list_reduce(
+            list_transform(
+              list_distinct(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1])),
+              w -> len(list_filter(list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]), t -> t = w))),
+          (a, b) -> greatest(a, b)) / CAST(len(words) - 1 AS DOUBLE), 6)
+  END AS top_bigram_ratio,
+  round(list_sum(list_transform(words, w -> length(w))) / CAST(len(words) AS DOUBLE), 6) AS mean_word_len
+FROM n
+""",
+    "doc_chunks": """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1, 8)) AS chunk_start
+  FROM n WHERE len(words) > 0
+)
+SELECT doc_id, chunk_start,
+       array_to_string(list_slice(words, chunk_start, chunk_start + 15), ' ') AS chunk_text,
+       len(list_slice(words, chunk_start, chunk_start + 15)) AS chunk_tokens
+FROM s
+""",
 }
 
 

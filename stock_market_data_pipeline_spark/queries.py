@@ -446,6 +446,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (distinct-word ratio, top word/bigram
+    fraction, mean word length) — pure per-row array folds, scan-speed."""
+    from stock_market_data_pipeline_spark.operators.textstats import (
+        with_repetition_signals,
+    )
+
+    return with_repetition_signals(_docs(spark, sf_dir)).drop("text")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 16-word windows every 8 words,
+    one row per (doc, chunk_start)."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_chunks
+
+    return with_chunks(_docs(spark, sf_dir))
+
+
 def q_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 15-minute per-symbol grid with forward-filled close + gap flags
     (hypertable-style rollup; ~half the grid is gap at sf0.01)."""
@@ -588,4 +606,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     "stratified_sample": q_stratified_sample,
     "gapfill_15m": q_gapfill_15m,
+    "repetition_signals": q_repetition_signals,
+    "doc_chunks": q_doc_chunks,
 }

@@ -102,3 +102,65 @@ def test_gapfill_forward_fill_semantics(spark):
     assert [r["close"] for r in rows] == [11.0, 11.0, 11.0, 12.0]
     # volume is a flow: summed in-bucket, zero (not carried) in gaps
     assert [r["bucket_volume"] for r in rows] == [12, 0, 0, 9]
+
+
+def test_pii_redaction_crafted_inputs(spark):
+    from stock_market_data_pipeline_spark.operators.textstats import (
+        with_pii_redacted,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk for details"),
+            (2, "ssn 123-45-6789 and phone +1 (415) 555-0199 on file"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_pii_redacted(docs).collect()}
+    assert got[1]["n_email"] == 1 and "<EMAIL>" in got[1]["text_redacted"]
+    assert "bob" not in got[1]["text_redacted"]
+    # SSN must be tagged as SSN, not swallowed by the phone pattern
+    assert got[2]["n_ssn"] == 1 and "<SSN>" in got[2]["text_redacted"]
+    assert got[2]["n_phone"] >= 1 and "<PHONE>" in got[2]["text_redacted"]
+    assert "6789" not in got[2]["text_redacted"]
+    assert "0199" not in got[2]["text_redacted"]
+    assert got[3]["text_redacted"] == "no pii here at all"
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ssn"] == 0
+
+
+def test_chunking_windows_and_tail(spark):
+    from stock_market_data_pipeline_spark.operators.textstats import with_chunks
+
+    text = " ".join(f"w{i}" for i in range(20))  # 20 words
+    docs = spark.createDataFrame([(1, text), (2, "short doc")],
+                                 "doc_id long, text string")
+    rows = sorted(
+        with_chunks(docs, chunk_size=16, stride=8).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_start"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_start"] for r in d1] == [1, 9, 17]
+    assert d1[0]["chunk_tokens"] == 16 and d1[0]["chunk_text"].startswith("w0 w1 ")
+    assert d1[1]["chunk_tokens"] == 12  # 20 - 8
+    assert d1[2]["chunk_tokens"] == 4  # tail window is short, kept
+    assert d1[2]["chunk_text"] == "w16 w17 w18 w19"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_tokens"] == 2
+
+
+def test_repetition_signals_degenerate_doc(spark):
+    from stock_market_data_pipeline_spark.operators.textstats import (
+        with_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words fully distinct here"), (3, "one")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in with_repetition_signals(docs).collect()}
+    assert got[1]["top_word_ratio"] == 1.0 and got[1]["distinct_word_ratio"] == 0.25
+    assert got[1]["top_bigram_ratio"] == 1.0
+    assert got[2]["distinct_word_ratio"] == 1.0 and got[2]["top_word_ratio"] == 0.2
+    assert got[3]["top_bigram_ratio"] is None  # single word: no bigrams
+    assert got[3]["mean_word_len"] == 3.0
