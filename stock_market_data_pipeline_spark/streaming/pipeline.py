@@ -63,6 +63,34 @@ def stream_sliding_metrics(
     )
 
 
+def stream_dedup_keyed(
+    ticks: DataFrame,
+    keys: list[str] | None = None,
+    ts: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming keyed deduplication with bounded state — the streaming twin
+    of the batch ``dedup_keep_last`` (A8): at-least-once upstream delivery
+    (the reference's Kafka consumer commits after write,
+    ``realtime_data_consumer.py`` — redelivery duplicates rows) becomes
+    exactly-once-per-key downstream.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and expires each
+    key's state once the event-time watermark passes it — state is
+    O(keys-in-watermark-window), not O(all keys ever), which is the property
+    that keeps an always-on dedup running for months at 100 TB/day (plain
+    streaming ``dropDuplicates`` grows state without bound). First-seen row
+    wins within the watermark window; the batch keep-last variant remains
+    the reconciliation pass (SURVEY §7 lambda note).
+
+    Returns an unstarted streaming DataFrame; works under append output with
+    any sink.
+    """
+    if keys is None:
+        keys = ["symbol", ts]
+    return ticks.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stream_merge_upsert_sink(
     stream: DataFrame,
     path: str,

@@ -209,3 +209,34 @@ def test_file_stream_csv_schema(spark, tmp_path):
     assert [(f.name, f.dataType) for f in df.schema.fields] == [
         (f.name, f.dataType) for f in CLEAN_TICK_SCHEMA.fields
     ]
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicated deliveries (same symbol+timestamp) across micro-batches
+    collapse to one row per key; state is watermark-bounded."""
+    from stock_market_data_pipeline_spark.streaming.pipeline import stream_dedup_keyed
+
+    src = str(tmp_path / "dup_src")
+    ticks = ticks_from_events(spark, sf_dir).select(
+        "symbol", "price", "volume", "timestamp"
+    ).limit(500)
+    # Write the same rows twice into separate files — a redelivery scenario.
+    ticks.coalesce(1).write.mode("overwrite").parquet(src)
+    ticks.coalesce(1).write.mode("append").parquet(src)
+    assert spark.read.parquet(src).count() == 1000
+
+    stream = spark.readStream.schema(
+        "symbol string, price double, volume long, timestamp timestamp"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream_dedup_keyed(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+    assert got.count() == ticks.dropDuplicates(["symbol", "timestamp"]).count()
+    assert got.groupBy("symbol", "timestamp").count().filter("count > 1").count() == 0
