@@ -100,3 +100,38 @@ def as_of_join(
     return out.select(
         F.col("_k").alias(key), F.col("_ts").alias(left_ts), *lcols, *rcols
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    equi_keys: list[str],
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Range/band join done the way it scales: equi-join on the shared
+    prefix keys, range containment (``lo <= value <= hi``) as a residual
+    post-join filter.
+
+    A naive range join (``ON l.v BETWEEN r.lo AND r.hi`` with no equi key)
+    degenerates to a broadcast nested loop — O(|L|·|R|) comparisons. When
+    the bands carry natural partition keys (symbol, date, tenant, …), keying
+    the join on them turns the plan into an ordinary shuffled/broadcast hash
+    join whose per-group fanout is bounded by bands-per-key; Catalyst
+    evaluates the band predicate as a cheap residual on the matched rows.
+    This is the standard interval-join decomposition (cf. interval joins in
+    stream processors and range-join optimizations in warehouse engines).
+    """
+    l, r = left.alias("_bj_l"), right.alias("_bj_r")
+    cond = None
+    for k in equi_keys:
+        c = F.col(f"_bj_l.{k}") == F.col(f"_bj_r.{k}")
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(f"_bj_l.{value_col}") >= F.col(f"_bj_r.{lo_col}"))
+        & (F.col(f"_bj_l.{value_col}") <= F.col(f"_bj_r.{hi_col}"))
+    )
+    return l.join(r, cond, how).drop(*[F.col(f"_bj_r.{k}") for k in equi_keys])

@@ -385,24 +385,23 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # Carry the convergence flag THROUGH the checkpoint: the changed
+        # probe then reads materialized partitions instead of re-running the
+        # propagation join a second time per round (one job per iteration,
+        # not two).
+        stepped = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("_changed")).limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     else:

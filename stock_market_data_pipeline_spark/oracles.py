@@ -1065,6 +1065,42 @@ SELECT doc_id, chunk_start,
        len(list_slice(words, chunk_start, chunk_start + 15)) AS chunk_tokens
 FROM s
 """,
+    # Ranked on the ROUNDED score + term tiebreak (ln is not correctly-
+    # rounded across libm implementations — see operators/tfidf.py).
+    "tfidf_top_terms": """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+terms AS (SELECT doc_id, unnest(words) AS term FROM n),
+t AS (SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+d AS (SELECT term, count(*) AS df_t FROM t GROUP BY 1),
+nn AS (SELECT count(DISTINCT doc_id) AS _n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df_t,
+         round(t.tf * ln(CAST(_n_docs AS DOUBLE) / df_t), 6) AS tfidf
+  FROM t JOIN d USING (term) CROSS JOIN nn
+)
+SELECT doc_id, term, tf, df_t, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) x WHERE rank <= 3
+""",
+    "price_band_join": f"""
+WITH {TICKS_CTE},
+days AS (
+  SELECT symbol, CAST("timestamp" AS DATE) AS date,
+         min(price) AS band_lo, (min(price) + max(price)) / 2 AS band_hi
+  FROM ticks GROUP BY 1, 2
+)
+SELECT t.symbol, CAST(t."timestamp" AS DATE) AS date, t."timestamp", t.event_id,
+       t.price, d.band_lo, d.band_hi,
+       round((t.price - d.band_lo) / NULLIF(d.band_hi - d.band_lo, 0.0), 6) AS band_pos
+FROM ticks t JOIN days d
+  ON t.symbol = d.symbol AND CAST(t."timestamp" AS DATE) = d.date
+ AND t.price >= d.band_lo AND t.price <= d.band_hi
+""",
 }
 
 

@@ -464,6 +464,51 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_chunks(_docs(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document, ranked on the
+    rounded score (cross-libm ln determinism)."""
+    from stock_market_data_pipeline_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def q_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/band join, scale-decomposed: ticks ⋈ per-(symbol, day)
+    lower-half price band — equi-join on (symbol, date) with the band
+    containment as residual filter, never a nested loop."""
+    from stock_market_data_pipeline_spark.operators.joins import band_join
+
+    t = ticks_from_events(spark, sf_dir).withColumn(
+        "date", F.to_date("timestamp")
+    )
+    days = t.groupBy("symbol", "date").agg(
+        F.min("price").alias("band_lo"),
+        ((F.min("price") + F.max("price")) / 2).alias("band_hi"),
+    )
+    joined = band_join(
+        t.select("symbol", "date", "timestamp", "event_id", "price"),
+        days,
+        equi_keys=["symbol", "date"],
+        value_col="price",
+        lo_col="band_lo",
+        hi_col="band_hi",
+    )
+    return joined.select(
+        "symbol",
+        "date",
+        "timestamp",
+        "event_id",
+        "price",
+        "band_lo",
+        "band_hi",
+        round_det(
+            (F.col("price") - F.col("band_lo"))
+            / F.nullif(F.col("band_hi") - F.col("band_lo"), F.lit(0.0)),
+            6,
+        ).alias("band_pos"),
+    )
+
+
 def q_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 15-minute per-symbol grid with forward-filled close + gap flags
     (hypertable-style rollup; ~half the grid is gap at sf0.01)."""
@@ -608,4 +653,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gapfill_15m": q_gapfill_15m,
     "repetition_signals": q_repetition_signals,
     "doc_chunks": q_doc_chunks,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "price_band_join": q_price_band_join,
 }

@@ -164,3 +164,43 @@ def test_repetition_signals_degenerate_doc(spark):
     assert got[2]["distinct_word_ratio"] == 1.0 and got[2]["top_word_ratio"] == 0.2
     assert got[3]["top_bigram_ratio"] is None  # single word: no bigrams
     assert got[3]["mean_word_len"] == 3.0
+
+
+def test_band_join_residual_filter(spark):
+    from stock_market_data_pipeline_spark.operators.joins import band_join
+
+    left = spark.createDataFrame(
+        [("A", 5.0, 1), ("A", 15.0, 2), ("B", 5.0, 3)],
+        "sym string, v double, row_id long",
+    )
+    bands = spark.createDataFrame(
+        [("A", 0.0, 10.0, "low"), ("A", 10.0, 20.0, "high"), ("B", 50.0, 60.0, "only")],
+        "sym string, lo double, hi double, band string",
+    )
+    got = {
+        (r["row_id"], r["band"])
+        for r in band_join(left, bands, ["sym"], "v", "lo", "hi").collect()
+    }
+    # equi key restricts to same sym; residual restricts to containing band;
+    # B's value is outside its only band -> dropped entirely (inner join)
+    assert got == {(1, "low"), (2, "high")}
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    from stock_market_data_pipeline_spark.operators.tfidf import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "alpha common common"), (2, "beta common"), (3, "gamma common")],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        # the unique term always outranks the everywhere-term (idf = ln(1) = 0)
+        assert rs[0]["term"] in {"alpha", "beta", "gamma"}
+        assert rs[0]["tfidf"] > 0
+        common = [r for r in rs if r["term"] == "common"]
+        assert all(r["tfidf"] == 0.0 for r in common)
