@@ -1,0 +1,85 @@
+"""Plan-shape regression tests: the scale properties this engine claims —
+pushdown, pruned scans, broadcasts, bounded exchange counts — asserted on
+the PHYSICAL plan, so a refactor that silently de-optimizes a query (drops a
+pushed filter, widens a scan, turns a broadcast into a sort-merge of a tiny
+side) fails CI rather than only showing up in a 100 TB bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from stock_market_data_pipeline_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(plan: str) -> list[str]:
+    return [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    """revenue_forecast (TPC-H Q6 shape): every predicate is a DataFilter on
+    the scan and the scan reads only the four referenced columns."""
+    plan = _plan(spark, sf_dir, "revenue_forecast")
+    scans = _scan_lines(plan)
+    assert len(scans) == 1
+    scan = scans[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert re.search(rf"DataFilters: \[[^]]*{col}", scan), (col, scan)
+    # column pruning: schema on the scan is exactly the 4 used columns
+    read_cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    names = {c.split("#")[0] for c in read_cols.split(",")}
+    assert names == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_pricing_summary_single_exchange(spark, sf_dir):
+    """One hash aggregate pair → exactly one data exchange (plus none other):
+    partial aggregation happens map-side before the only shuffle."""
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(l_returnflag" in exchanges[0]
+
+
+def test_cosine_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    """The small query set is the broadcast side; the corpus scan never
+    shuffles before scoring (only the final per-query top-k window keys an
+    exchange on query_id)."""
+    plan = _plan(spark, sf_dir, "cosine_topk")
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    # the broadcast side is the filtered (vec_id % 50 = 0) query scan
+    bcast = plan.split("BroadcastExchange", 1)[1]
+    assert re.search(r"% 50\)? = 0", bcast), bcast[:400]
+
+
+def test_partition_pruned_read(spark, tmp_path):
+    """where= on a partitioned read becomes PartitionFilters, not a
+    post-scan filter: non-matching partition dirs are never opened."""
+    from stock_market_data_pipeline_spark.sinks.lake import write_partitioned
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    src = read_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    out = str(tmp_path / "part_lake")
+    write_partitioned(src.withColumn("etype", src.event_type), out, ["etype"])
+    got = spark.read.parquet(out).where("etype = 'VOL'")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    scan = _scan_lines(plan)[0]
+    assert re.search(r"PartitionFilters: \[[^]]*etype", scan), scan
+
+
+def test_stratified_sample_no_data_shuffle(spark, sf_dir):
+    """The sampling filter composes with the scan: no exchange except the
+    deliberate _docs fan-out repartition; the rates map joins as broadcast."""
+    plan = _plan(spark, sf_dir, "stratified_sample")
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Broadcast" not in ln and "Reused" not in ln
+    ]
+    # only the round-robin widen of the documents scan
+    assert len(exchanges) == 1 and "RoundRobinPartitioning" in exchanges[0], exchanges
