@@ -58,6 +58,10 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "stratified_sample",
     "gapfill_15m",
+    "repetition_signals",
+    "doc_chunks",
+    "tfidf_top_terms",
+    "price_band_join",
 ]
 
 

@@ -72,3 +72,45 @@ def hash_stratified_sample(
         )
         .select(*df.columns)
     )
+
+
+def hash_quota_sample(
+    df: DataFrame,
+    stratum_col: str,
+    quotas: dict[str, int],
+    id_col: str = "doc_id",
+    seed: str = "quota",
+) -> DataFrame:
+    """Exact-count per-stratum sample: the ``quotas[stratum]`` rows with the
+    SMALLEST hash32(seed, id) in each stratum — deterministic, reproducible,
+    and stable under corpus growth (a row stays selected until enough
+    smaller-hash rows arrive; cf. bottom-k / KMV sketch selection).
+
+    Strata not in ``quotas`` contribute nothing. Complements
+    :func:`hash_stratified_sample`: rate-based when proportions matter,
+    quota-based when the downstream mix needs exact counts (eval sets,
+    balanced fine-tuning mixes).
+
+    Scale shape: per-stratum top-N by hash = window ``row_number`` over
+    (stratum, hash order) — a shuffle keyed by stratum and a per-stratum
+    sort. For huge strata, pre-filter with
+    ``hash_stratified_sample(rate ≈ margin·quota/|stratum|)`` first so the
+    exact rank sorts only ~margin·quota survivors; the two compose without
+    changing the selected set (hash-threshold keeps a superset of the
+    bottom-k for any margin ≥ 1 realized ratio).
+    """
+    from pyspark.sql.window import Window
+
+    quota_df = df.sparkSession.createDataFrame(
+        [(value, int(n)) for value, n in quotas.items()],
+        schema=f"`{stratum_col}` string, `_quota` int",
+    )
+    w = Window.partitionBy(stratum_col).orderBy(
+        sample_hash32(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quota_df), stratum_col, "inner")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_quota"))
+        .select(*df.columns)
+    )

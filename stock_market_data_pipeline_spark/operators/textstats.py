@@ -75,25 +75,36 @@ def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
       |2-grams| (the "fraction in most common n-gram" filter).
     * ``mean_word_len`` — chars per word (out-of-band values → non-text).
 
-    All four are pure per-row array expressions — no explode, no shuffle:
-    the mode computation folds over the distinct words of THIS row only
-    (O(distinct·n) per row, bounded by document length), so at 100 TB the
-    operator runs at scan speed, embarrassingly parallel. The relational
-    alternative (explode + two groupBys) costs two data-sized shuffles to
-    compute the same per-document numbers.
+    All four are pure per-row array expressions — no explode, no shuffle, so
+    at 100 TB the operator runs at scan speed, embarrassingly parallel. The
+    relational alternative (explode + two groupBys) costs two data-sized
+    shuffles to compute the same per-document numbers.
+
+    The mode (most-common element count) is a LONGEST-RUN fold over the
+    sorted array — one pass, one array construction per fold. The obvious
+    ``max over distinct w of count(t == w)`` form references the outer
+    array inside the lambda, and lambda expressions get no subexpression
+    elimination: the text was re-tokenized once per distinct word per row
+    (measured 21 s for 5 k docs at sf0.1 vs ~1 s for this form).
     """
     toks = F.split(normalize_text(text_col), " ")
     n = F.size(toks)
 
     def max_freq(arr: F.Column) -> F.Column:
-        # max over distinct elements of (count of element in arr)
-        return F.aggregate(
-            F.array_distinct(arr),
-            F.lit(0),
-            lambda acc, w: F.greatest(
-                acc, F.size(F.filter(arr, lambda t: t == w))
-            ),
+        # longest run in the sorted array == count of the most common element
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         )
+
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc.best, run).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc.best)
 
     bigrams = F.transform(
         F.sequence(F.lit(1), n - 1),

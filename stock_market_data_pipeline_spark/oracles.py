@@ -1101,6 +1101,37 @@ FROM ticks t JOIN days d
   ON t.symbol = d.symbol AND CAST(t."timestamp" AS DATE) = d.date
  AND t.price >= d.band_lo AND t.price <= d.band_hi
 """,
+    # Bottom-k by hash per stratum — identical hash32 as the Spark side.
+    "quota_sample": """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words FROM documents
+), h AS (
+  SELECT doc_id,
+         len(list_filter(words, x -> x IN ('the','a','and','of','to','in','is','it','for','on','with','as'))) AS en_hits,
+         len(list_filter(words, x -> x IN ('der','die','das','und','ist','von','mit','ein','nicht','auch')))   AS de_hits,
+         len(list_filter(words, x -> x IN ('el','los','las','una','y','es','por','que','con','para')))         AS es_hits,
+         len(list_filter(words, x -> x IN ('le','les','et','est','pour','dans','que','une','sur','pas')))      AS fr_hits
+  FROM w
+), l AS (
+  SELECT doc_id,
+       CASE WHEN en_hits + de_hits + es_hits + fr_hits = 0 THEN 'unknown'
+            WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN es_hits >= fr_hits THEN 'es'
+            ELSE 'fr' END AS lang_pred
+  FROM h
+), ranked AS (
+  SELECT doc_id, lang_pred,
+         row_number() OVER (
+           PARTITION BY lang_pred
+           ORDER BY ('0x' || substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT, doc_id
+         ) AS rk
+  FROM l
+)
+SELECT doc_id, lang_pred FROM ranked
+WHERE rk <= CASE lang_pred
+  WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'es' THEN 30 WHEN 'fr' THEN 10 ELSE 0 END
+""",
 }
 
 

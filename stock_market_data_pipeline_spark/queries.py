@@ -464,6 +464,21 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_chunks(_docs(spark, sf_dir))
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language quota sample (bottom-k by hash per stratum) —
+    deterministic eval-set / balanced-mix selection."""
+    from stock_market_data_pipeline_spark.operators.sampling import hash_quota_sample
+    from stock_market_data_pipeline_spark.operators.textstats import with_lang_id
+
+    docs = with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+    return hash_quota_sample(
+        docs,
+        stratum_col="lang_pred",
+        quotas={"en": 50, "de": 30, "es": 30, "fr": 10},
+        id_col="doc_id",
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document, ranked on the
     rounded score (cross-libm ln determinism)."""
@@ -655,4 +670,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "tfidf_top_terms": q_tfidf_top_terms,
     "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
 }

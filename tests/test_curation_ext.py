@@ -204,3 +204,27 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
         assert rs[0]["tfidf"] > 0
         common = [r for r in rs if r["term"] == "common"]
         assert all(r["tfidf"] == 0.0 for r in common)
+
+
+def test_quota_sample_exact_counts_and_stability(spark, sf_dir):
+    from stock_market_data_pipeline_spark.operators.sampling import hash_quota_sample
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("stratum", (F.col("doc_id") % 2 == 0).cast("string"))
+    )
+    got = hash_quota_sample(docs, "stratum", {"true": 20, "false": 10}).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["stratum"], set()).add(r["doc_id"])
+    assert len(by["true"]) == 20 and len(by["false"]) == 10
+    # growth stability: sampling a SUBSET of the corpus keeps every selected
+    # row that is still present (bottom-k property)
+    sub = docs.filter(F.col("doc_id") < 250)
+    sub_sel = {
+        r["doc_id"]
+        for r in hash_quota_sample(sub, "stratum", {"true": 20, "false": 10}).collect()
+    }
+    full_sel_in_sub = {d for s in by.values() for d in s if d < 250}
+    assert full_sel_in_sub <= sub_sel
