@@ -1132,6 +1132,28 @@ SELECT doc_id, lang_pred FROM ranked
 WHERE rk <= CASE lang_pred
   WHEN 'en' THEN 50 WHEN 'de' THEN 30 WHEN 'es' THEN 30 WHEN 'fr' THEN 10 ELSE 0 END
 """,
+    # Symmetric int8: scale = max|x|/127, q_i = biased-round(x_i/scale);
+    # folds are sequential in both engines (the cosine-oracle pattern).
+    "quantize_embeddings": f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                     (a, b) -> greatest(a, b)) / 127.0 AS sc
+  FROM embeddings
+),
+qq AS (
+  SELECT vec_id, embedding, sc,
+         list_transform(embedding,
+           x -> CAST(COALESCE(round(CAST(x AS DOUBLE) / NULLIF(sc, 0.0), 0), 0.0) AS INTEGER)) AS q
+  FROM s
+)
+SELECT vec_id,
+       round(sc, 6) AS scale,
+       q,
+       round(list_sum(list_transform(range(1, {_DIM + 1}),
+               i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * sc))) / {_DIM}.0, 6) AS mean_abs_err
+FROM qq
+""",
 }
 
 

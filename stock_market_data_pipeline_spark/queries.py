@@ -479,6 +479,15 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction-error QA."""
+    from stock_market_data_pipeline_spark.operators.quantize import (
+        quantize_embeddings_int8,
+    )
+
+    return quantize_embeddings_int8(read_table(spark, sf_dir, "embeddings"))
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document, ranked on the
     rounded score (cross-libm ln determinism)."""
@@ -671,4 +680,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "price_band_join": q_price_band_join,
     "quota_sample": q_quota_sample,
+    "quantize_embeddings": q_quantize_embeddings,
 }

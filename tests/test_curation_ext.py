@@ -228,3 +228,27 @@ def test_quota_sample_exact_counts_and_stability(spark, sf_dir):
     }
     full_sel_in_sub = {d for s in by.values() for d in s if d < 250}
     assert full_sel_in_sub <= sub_sel
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    from stock_market_data_pipeline_spark.operators.quantize import (
+        quantize_embeddings_int8,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    r1 = got[1]
+    # scale = 1/127; -0.5/scale = -63.5 — an exact half, which the +1e-9
+    # bias resolves UP to -63 identically on both engines (the determinism
+    # contract: biased rounding, not IEEE half-even or HALF_UP)
+    assert r1["q"] == [127, -63, 32, 0]
+    assert all(-127 <= v <= 127 for v in r1["q"])
+    assert r1["scale"] == round(1.0 / 127.0 + 1e-9, 6)
+    # reconstruction error bounded by scale/2 per dim
+    assert r1["mean_abs_err"] <= (1.0 / 127.0) / 2 + 1e-9
+    # zero vector: zero scale, all-zero q, zero error
+    r2 = got[2]
+    assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0, 0] and r2["mean_abs_err"] == 0.0

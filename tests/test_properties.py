@@ -93,3 +93,42 @@ def test_dedup_keep_last_is_argmax_per_key(spark, rows):
     for r in out:
         assert r.ord == seen[(r.k, r.sub)]
     assert len(out) == len(seen)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 25), st.integers(0, 25)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_SETTINGS
+@given(edges=_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation == classic union-find on any graph
+    shape hypothesis throws (cycles, multi-edges, reversed duplicates,
+    star+chain mixtures)."""
+    from stock_market_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+    # canonicalize: union-find with min-root unions yields min-id roots
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == expected
