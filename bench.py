@@ -62,6 +62,8 @@ HEADLINE = [
     "doc_chunks",
     "tfidf_top_terms",
     "price_band_join",
+    "quota_sample",
+    "quantize_embeddings",
 ]
 
 

@@ -82,3 +82,82 @@ def stream_running_vwap(ticks: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SILENCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("last_seen", TimestampType()),
+        StructField("status", StringType()),
+    ]
+)
+SILENCE_STATE_SCHEMA = StructType([StructField("last_seen_ms", LongType())])
+
+
+def make_silence_fn(gap_seconds: int):
+    """Build the per-key state function for :func:`stream_silence_monitor`
+    (gap is closed over — applyInPandasWithState passes no extra args)."""
+
+    def _silence_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "symbol": [key[0]],
+                    "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                    "status": ["stale"],
+                }
+            )
+            return
+        last_ms = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            ts_max = pdf["timestamp"].max()
+            last_ms = max(last_ms, int(ts_max.value // 1_000_000))
+        state.update((last_ms,))
+        state.setTimeoutTimestamp(last_ms + gap_seconds * 1000)
+        yield pd.DataFrame(
+            {
+                "symbol": [key[0]],
+                "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                "status": ["active"],
+            }
+        )
+
+    return _silence_fn
+
+
+def stream_silence_monitor(
+    ticks: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Feed-health monitor: emits ``active`` per key per micro-batch and a
+    terminal ``stale`` row once the event-time watermark passes the key's
+    last event + ``gap_seconds`` — i.e. detects symbols that went SILENT,
+    something windowed aggregation cannot express (no rows → no windows; the
+    signal is the *absence* of data).
+
+    Built on ``applyInPandasWithState`` with ``EventTimeTimeout``: state per
+    key is one timestamp (O(#keys) memory); the timeout fires inside a later
+    micro-batch when the watermark (driven by OTHER keys' events) crosses the
+    deadline, and the state is dropped — a stale key that resumes starts
+    fresh. The reference's availability checks poll object-store paths from
+    Airflow (`check_minio_file.py`); this is the in-engine, per-key,
+    event-time-correct form.
+    """
+    return (
+        ticks.withWatermark("timestamp", watermark)
+        .groupBy("symbol")
+        .applyInPandasWithState(
+            make_silence_fn(gap_seconds),
+            outputStructType=SILENCE_OUTPUT_SCHEMA,
+            stateStructType=SILENCE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

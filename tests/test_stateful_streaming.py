@@ -55,3 +55,52 @@ def test_running_vwap_across_microbatches(spark, sf_dir, tmp_path):
         | (F.col("cum_volume") != F.col("vol_batch"))
     )
     assert mismatch.count() == 0
+
+
+def test_silence_monitor_times_out_quiet_keys(spark, tmp_path):
+    """Symbol B stops sending; once A's later events push the watermark past
+    B's last_seen + gap, B's state times out and emits a terminal 'stale'."""
+    import datetime
+
+    from stock_market_data_pipeline_spark.streaming.stateful import (
+        stream_silence_monitor,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return [
+            (s, 1.0, 1, t0 + datetime.timedelta(minutes=m)) for s, m in specs
+        ]
+
+    src = str(tmp_path / "silence_src")
+    schema = "symbol string, price double, volume long, timestamp timestamp"
+    # batch 1: both symbols alive
+    spark.createDataFrame(rows(("A", 0), ("B", 0)), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # batch 2: only A, 30 min later — watermark sweeps past B's 10-min gap
+    spark.createDataFrame(rows(("A", 30)), schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream_silence_monitor(stream, gap_seconds=600)
+        .writeStream.format("memory")
+        .queryName("silence")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = [
+        (r["symbol"], r["status"], r["last_seen"])
+        for r in spark.table("silence").collect()
+    ]
+    assert ("B", "stale", t0) in out, out
+    assert ("A", "stale", t0) not in out
+    # A stayed active through both batches
+    assert sum(1 for s, st, _ in out if s == "A" and st == "active") >= 1
