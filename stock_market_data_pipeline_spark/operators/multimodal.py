@@ -118,3 +118,90 @@ def dedup_assets_by_content(assets: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+# (asset_id, frame_idx, frame_bytes, frame_ok) — frame-sampling contract.
+FRAME_SAMPLE_SCHEMA = (
+    "asset_id long, frame_idx int, frame_bytes binary, frame_ok boolean"
+)
+
+
+def sample_frames(
+    assets: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Video frame sampling plumbing: each asset expands to ``n_frames``
+    evenly-spaced (asset, frame_idx, frame_bytes) rows — the row-expansion
+    contract every video-training pipeline needs before per-frame feature
+    extraction.
+
+    Decode is the stubbed kernel (no ffmpeg in this container): the fake
+    "frame" is a deterministic byte slice at idx/n through the content, so
+    batch shapes, binary transport, and expansion factors are all real.
+    Swapping a real extractor changes only ``_extract``.
+
+    Scale shape: ``mapInPandas`` row expansion — output rows = n_frames ×
+    input rows, produced streaming per Arrow batch (no explode of
+    pre-materialized frame arrays, so peak memory stays O(batch) even for
+    megabyte frames); downstream repartitions by (asset, frame) only if a
+    shuffle-bearing op follows.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, oks = [], [], [], []
+            for aid, content in zip(pdf[id_col], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                for i in range(n_frames):
+                    start = (len(data) * i) // n_frames
+                    end = (len(data) * (i + 1)) // n_frames
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(data[start:end])
+                    oks.append(end > start)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(frames, dtype="object"),
+                    "frame_ok": pd.Series(oks, dtype="bool"),
+                }
+            )
+
+    return assets.mapInPandas(_extract, schema=FRAME_SAMPLE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, n_bytes long, target_w int, target_h int, "
+    "resized_bytes long, resize_ok boolean"
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+) -> DataFrame:
+    """Image resize plumbing (stub kernel — no PIL): emits per-asset resize
+    bookkeeping with a deterministic fake output size (capped proportional
+    model). The real kernel replaces ``_resize`` with ``Image.resize`` +
+    re-encode; everything else (Arrow batching, schema, QA columns) stands.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["content"].str.len().astype("int64")
+            est = (n * 3 // 4).clip(upper=target_w * target_h * 3)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "n_bytes": n,
+                    "target_w": pd.Series([target_w] * len(n), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(n), dtype="int32"),
+                    "resized_bytes": est,
+                    "resize_ok": n > 0,
+                }
+            )
+
+    return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)

@@ -1154,6 +1154,24 @@ SELECT vec_id,
                i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * sc))) / {_DIM}.0, 6) AS mean_abs_err
 FROM qq
 """,
+    # Byte-slice frames reproduced on the HEX of the content (DuckDB has no
+    # BLOB substring/md5; hex is per-byte so hex-slice == slice-hex, and
+    # both engines emit uppercase hex).
+    "multimodal_frame_sample": """
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (SELECT asset_id, hx, n, unnest(range(0, 4)) AS fi FROM a)
+SELECT asset_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       md5(substring(hx, ((n * fi) // 4) * 2 + 1,
+                     ((n * (fi + 1)) // 4 - (n * fi) // 4) * 2)) AS frame_md5,
+       CAST((n * (fi + 1)) // 4 - (n * fi) // 4 AS INTEGER) AS frame_len,
+       ((n * (fi + 1)) // 4) > ((n * fi) // 4) AS frame_ok
+FROM f
+""",
 }
 
 

@@ -479,6 +479,27 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (stub kernel): 4 evenly-spaced
+    byte-slice frames per asset via streaming mapInPandas row expansion.
+    Frames surface as md5-of-hex (the driver's value-hash can't take raw
+    binary) + length + ok flag."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_assets(docs))
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.md5(F.hex("frame_bytes")).alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+        "frame_ok",
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization with reconstruction-error QA."""
     from stock_market_data_pipeline_spark.operators.quantize import (
@@ -681,4 +702,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_band_join": q_price_band_join,
     "quota_sample": q_quota_sample,
     "quantize_embeddings": q_quantize_embeddings,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }

@@ -252,3 +252,30 @@ def test_quantize_int8_roundtrip_bounds(spark):
     # zero vector: zero scale, all-zero q, zero error
     r2 = got[2]
     assert r2["scale"] == 0.0 and r2["q"] == [0, 0, 0, 0] and r2["mean_abs_err"] == 0.0
+
+
+def test_frame_sampling_covers_content_exactly(spark):
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"0123456789AB")), (2, bytearray(b""))],
+        "asset_id long, content binary",
+    )
+    rows = sorted(
+        sample_frames(assets, n_frames=4).collect(),
+        key=lambda r: (r["asset_id"], r["frame_idx"]),
+    )
+    a1 = [r for r in rows if r["asset_id"] == 1]
+    # evenly spaced, contiguous, lossless coverage: concat == content
+    assert [bytes(r["frame_bytes"]) for r in a1] == [b"012", b"345", b"678", b"9AB"]
+    assert all(r["frame_ok"] for r in a1)
+    a2 = [r for r in rows if r["asset_id"] == 2]
+    assert len(a2) == 4 and all(
+        not r["frame_ok"] and bytes(r["frame_bytes"]) == b"" for r in a2
+    )
+    rz = {r["asset_id"]: r for r in resize_images(assets).collect()}
+    assert rz[1]["resize_ok"] and rz[1]["resized_bytes"] <= 224 * 224 * 3
+    assert not rz[2]["resize_ok"]
