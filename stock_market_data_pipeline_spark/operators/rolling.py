@@ -109,3 +109,59 @@ def with_rolling_metrics(
             F.sum(volume).over(w).cast("double") / F.count(F.lit(1)).over(w),
         )
     return out
+
+
+def with_technical_indicators(
+    df: DataFrame,
+    key: str = "symbol",
+    order: str = "timestamp",
+    price: str = "price",
+    tiebreak: str | None = None,
+    rsi_n: int = 14,
+    boll_n: int = 20,
+    boll_k: float = 2.0,
+) -> DataFrame:
+    """Classic technical indicators over trailing row frames — the analysis
+    the reference's stock consumers layer on next (RSI, Bollinger bands),
+    shapes chosen for exact cross-engine determinism:
+
+    * ``rsi`` — cutoff (SMA) RSI: 100·avgGain/(avgGain+avgLoss) over the
+      last ``rsi_n`` price changes. The textbook Wilder smoothing is an
+      infinite recursion (state from the first row forever); the SMA form
+      is frame-local, side-steps the 100/(1+RS) division-by-zero at
+      zero-loss frames (algebraically identical, defined everywhere unless
+      the frame is flat → NULL), and is what a bounded-state engine should
+      compute. First ``rsi_n`` rows per key emit NULL (warm-up).
+    * ``boll_mid/up/dn`` — Bollinger: cents-exact frame mean ±
+      ``boll_k``·stddev_samp over ``boll_n`` rows (same decimal-cents trick
+      as :func:`with_rolling_metrics`; single-row frames → NULL stddev →
+      NULL bands).
+
+    One sort per key serves every indicator (shared window ordering); all
+    expressions are codegen window aggregates — no UDF, no state store.
+    """
+    order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w1 = Window.partitionBy(key).orderBy(*order_cols)
+    cents = F.round(F.col(price) * 100, 0).cast("long")
+    chg = cents - F.lag(cents).over(w1)  # integer cents: gains/losses exact
+
+    w_rsi = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-(rsi_n - 1), 0)
+    gains = F.sum(F.when(chg > 0, chg).otherwise(F.lit(0))).over(w_rsi)
+    losses = F.sum(F.when(chg < 0, -chg).otherwise(F.lit(0))).over(w_rsi)
+    n_chg = F.count(chg).over(w_rsi)  # counts non-null changes only
+    rsi = F.when(
+        (n_chg >= rsi_n) & ((gains + losses) > 0),
+        F.lit(100.0) * gains.cast("double") / (gains + losses).cast("double"),
+    )
+
+    w_boll = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(-(boll_n - 1), 0)
+    mid = F.sum(cents).over(w_boll).cast("double") / F.lit(100.0) / F.count(
+        F.lit(1)
+    ).over(w_boll)
+    sd = F.stddev(F.col(price)).over(w_boll)
+    return (
+        df.withColumn("rsi", rsi)
+        .withColumn("boll_mid", mid)
+        .withColumn("boll_up", mid + F.lit(boll_k) * sd)
+        .withColumn("boll_dn", mid - F.lit(boll_k) * sd)
+    )

@@ -1172,6 +1172,39 @@ SELECT asset_id,
        ((n * (fi + 1)) // 4) > ((n * fi) // 4) AS frame_ok
 FROM f
 """,
+    # Integer-cents gains/losses (exact), cutoff-form RSI, cents-exact
+    # Bollinger mid — mirrors operators/rolling.py with_technical_indicators.
+    "technical_indicators": f"""
+WITH {TICKS_CTE},
+c AS (
+  SELECT symbol, event_id, "timestamp", price,
+         CAST(round(price * 100, 0) AS BIGINT) AS cents
+  FROM ticks
+),
+d AS (
+  SELECT *, cents - lag(cents) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id) AS chg
+  FROM c
+),
+ind AS (
+  SELECT symbol, event_id, "timestamp", price,
+         sum(CASE WHEN chg > 0 THEN chg ELSE 0 END) OVER w14 AS gains,
+         sum(CASE WHEN chg < 0 THEN -chg ELSE 0 END) OVER w14 AS losses,
+         count(chg) OVER w14 AS n_chg,
+         CAST(sum(cents) OVER w20 AS DOUBLE) / 100.0 / count(*) OVER w20 AS mid,
+         stddev_samp(price) OVER w20 AS sd
+  FROM d
+  WINDOW
+    w14 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+    w20 AS (PARTITION BY symbol ORDER BY "timestamp", event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, event_id, "timestamp", price,
+       round(CASE WHEN n_chg >= 14 AND (gains + losses) > 0
+             THEN 100.0 * CAST(gains AS DOUBLE) / CAST(gains + losses AS DOUBLE) END, 6) AS rsi,
+       round(mid, 6) AS boll_mid,
+       round(mid + 2.0 * sd, 6) AS boll_up,
+       round(mid - 2.0 * sd, 6) AS boll_dn
+FROM ind
+""",
 }
 
 

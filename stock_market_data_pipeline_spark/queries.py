@@ -500,6 +500,29 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI(14, cutoff form) + Bollinger(20, 2σ) per symbol — one shared sort,
+    all codegen window aggregates."""
+    from stock_market_data_pipeline_spark.operators.rolling import (
+        with_technical_indicators,
+    )
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price"
+    )
+    out = with_technical_indicators(t, tiebreak="event_id")
+    return out.select(
+        "symbol",
+        "event_id",
+        "timestamp",
+        "price",
+        round_det(F.col("rsi"), 6).alias("rsi"),
+        round_det(F.col("boll_mid"), 6).alias("boll_mid"),
+        round_det(F.col("boll_up"), 6).alias("boll_up"),
+        round_det(F.col("boll_dn"), 6).alias("boll_dn"),
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization with reconstruction-error QA."""
     from stock_market_data_pipeline_spark.operators.quantize import (
@@ -703,4 +726,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quota_sample": q_quota_sample,
     "quantize_embeddings": q_quantize_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "technical_indicators": q_technical_indicators,
 }

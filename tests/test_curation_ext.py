@@ -279,3 +279,31 @@ def test_frame_sampling_covers_content_exactly(spark):
     rz = {r["asset_id"]: r for r in resize_images(assets).collect()}
     assert rz[1]["resize_ok"] and rz[1]["resized_bytes"] <= 224 * 224 * 3
     assert not rz[2]["resize_ok"]
+
+
+def test_technical_indicators_semantics(spark):
+    import datetime
+
+    from stock_market_data_pipeline_spark.operators.rolling import (
+        with_technical_indicators,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # strictly rising prices: RSI must be 100 once warmed up (losses = 0)
+    rows = [
+        ("A", i, t0 + datetime.timedelta(minutes=i), 100.0 + i) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, event_id long, timestamp timestamp, price double"
+    )
+    got = sorted(
+        with_technical_indicators(df, tiebreak="event_id").collect(),
+        key=lambda r: r["event_id"],
+    )
+    assert all(r["rsi"] is None for r in got[:14])  # warm-up window
+    assert all(r["rsi"] == 100.0 for r in got[14:])
+    last = got[-1]
+    # Bollinger: mid = mean of last 20 rising prices; band is symmetric
+    assert abs(last["boll_mid"] - (sum(100.0 + i for i in range(10, 30)) / 20)) < 1e-9
+    assert abs((last["boll_up"] - last["boll_mid"]) - (last["boll_mid"] - last["boll_dn"])) < 1e-9
+    assert last["boll_up"] > last["boll_mid"] > last["boll_dn"]
