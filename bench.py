@@ -64,6 +64,8 @@ HEADLINE = [
     "price_band_join",
     "quota_sample",
     "quantize_embeddings",
+    "multimodal_frame_sample",
+    "technical_indicators",
 ]
 
 

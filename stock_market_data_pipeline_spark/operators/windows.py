@@ -163,3 +163,33 @@ def salt_column(key: Column, buckets: int) -> Column:
     """Skew mitigation helper: stable salt in [0, buckets) to append to a hot
     grouping key; aggregate twice (salted partial → unsalted final)."""
     return F.pmod(F.xxhash64(key), F.lit(buckets))
+
+
+def salted_sum_agg(
+    df,
+    keys: list[str],
+    sums: dict[str, str],
+    salt_src: str,
+    buckets: int = 16,
+):
+    """Two-phase skew-safe aggregation: partial sums keyed (keys..., salt),
+    then the unsalted final — a hot key's rows split across ``buckets``
+    reducers in phase 1, so no single task owns the whole key.
+
+    ``sums`` maps output alias → input column (SUM/COUNT decompose exactly;
+    for AVG carry sum+count and divide in the final projection — never
+    average partial averages). AQE's skew-join/agg handles moderate skew on
+    its own; explicit salting is for the pathological hot key you know about
+    (one symbol = half the exchange feed). Results are identical to the
+    direct aggregation by associativity — asserted by the oracle gate and
+    the equality test.
+    """
+    salted = df.withColumn("_salt", salt_column(F.col(salt_src), buckets))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[F.sum(src).alias(f"_p_{alias}") for alias, src in sums.items()],
+        F.count(F.lit(1)).alias("_p_n"),
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"_p_{alias}").alias(alias) for alias in sums],
+        F.sum("_p_n").alias("n_rows"),
+    )

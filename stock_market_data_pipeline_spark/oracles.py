@@ -1205,6 +1205,14 @@ SELECT symbol, event_id, "timestamp", price,
        round(mid - 2.0 * sd, 6) AS boll_dn
 FROM ind
 """,
+    # Direct GROUP BY — the salted two-phase plan must be value-identical.
+    "salted_symbol_volume": f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       count(*) AS n_rows
+FROM ticks GROUP BY symbol
+""",
 }
 
 

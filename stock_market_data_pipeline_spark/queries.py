@@ -523,6 +523,18 @@ def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_symbol_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation (hot-key recipe); the oracle is
+    the direct GROUP BY — equality IS the correctness claim (associative
+    decomposition)."""
+    from stock_market_data_pipeline_spark.operators.windows import salted_sum_agg
+
+    t = ticks_from_events(spark, sf_dir)
+    return salted_sum_agg(
+        t, keys=["symbol"], sums={"total_volume": "volume"}, salt_src="event_id"
+    )
+
+
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector symmetric int8 quantization with reconstruction-error QA."""
     from stock_market_data_pipeline_spark.operators.quantize import (
@@ -727,4 +739,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "technical_indicators": q_technical_indicators,
+    "salted_symbol_volume": q_salted_symbol_volume,
 }
