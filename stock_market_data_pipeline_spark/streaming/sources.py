@@ -42,6 +42,58 @@ def file_stream(
     return reader.load(path)
 
 
+def parse_kafka_envelope(
+    raw: DataFrame,
+    schema: StructType = RAW_TICK_SCHEMA,
+    keep_lineage: bool = True,
+) -> DataFrame:
+    """Kafka wire envelope → typed tick columns (the transform HALF of S4,
+    broker-independent and contract-tested against simulated wire rows).
+
+    Input contract = the kafka source's fixed output schema (key/value
+    binary, topic, partition, offset, timestamp). ``value`` is the
+    reference producer's JSON tick (``stream_data_producer.py:86-94``);
+    ``key`` is the symbol. Parsing is PERMISSIVE ``from_json`` — a corrupt
+    payload yields a row of nulls rather than killing the stream (poison-
+    pill tolerance the reference's ``json.loads`` loop lacks); downstream
+    null-gates drop it, and ``_value_ok`` marks it for dead-lettering.
+
+    ``keep_lineage`` retains (topic, partition, offset, kafka_ts) — the
+    exactly-once audit columns (P6 metadata parity): offset is the
+    per-partition unique id a replayed pipeline dedups on.
+    """
+    parsed = raw.select(
+        F.col("key").cast("string").alias("key_symbol"),
+        F.from_json(F.col("value").cast("string"), schema).alias("m"),
+        F.col("topic"),
+        F.col("partition"),
+        F.col("offset"),
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    cols = [F.col(f"m.{f.name}") for f in schema.fields]
+    lineage = (
+        [
+            F.col("key_symbol"),
+            F.col("topic"),
+            F.col("partition"),
+            F.col("offset"),
+            F.col("kafka_ts"),
+        ]
+        if keep_lineage
+        else []
+    )
+    required = schema.fields[0].name  # first field is the contract's id col
+    return parsed.select(
+        *cols,
+        *lineage,
+        # PERMISSIVE from_json yields a struct of NULL fields (not a null
+        # struct) on malformed input — detect via the required field.
+        (F.col("m").isNotNull() & F.col(f"m.{required}").isNotNull()).alias(
+            "_value_ok"
+        ),
+    )
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -49,7 +101,11 @@ def kafka_stream(
     schema: StructType = RAW_TICK_SCHEMA,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """S4: Kafka topic → parsed tick columns (key = symbol, value = JSON)."""
+    """S4: Kafka topic → parsed tick columns (key = symbol, value = JSON).
+
+    Plan construction only runs where a broker exists; the parse/lineage
+    half is :func:`parse_kafka_envelope`, tested without one.
+    """
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -57,9 +113,7 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("m")
-    ).select("m.*")
+    return parse_kafka_envelope(raw, schema)
 
 
 def rate_ticks(

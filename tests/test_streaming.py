@@ -240,3 +240,59 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.table("dedup_stream")
     assert got.count() == ticks.dropDuplicates(["symbol", "timestamp"]).count()
     assert got.groupBy("symbol", "timestamp").count().filter("count > 1").count() == 0
+
+
+def test_kafka_envelope_contract_without_broker(spark):
+    """S4's transform half on simulated wire rows: the exact kafka-source
+    output schema (key/value binary, topic/partition/offset/timestamp) with
+    the reference producer's JSON payloads — plus a poison-pill row that
+    must parse to nulls (flagged, not fatal) and lineage columns for
+    exactly-once replay dedup."""
+    import datetime
+    import json
+
+    from stock_market_data_pipeline_spark.streaming.sources import (
+        parse_kafka_envelope,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def wire(key, payload, partition, offset):
+        val = payload if isinstance(payload, (bytes, bytearray)) else json.dumps(
+            payload
+        ).encode()
+        return (bytearray(key.encode()), bytearray(val), "stock_ticks", partition, offset, t0)
+
+    rows = [
+        wire("AAPL", {"symbol": "AAPL", "price": 150.25, "change": 1.5,
+                      "change_percent": "1.01%", "volume": "55000",
+                      "timestamp": "2024-01-01T12:00:00.000001"}, 0, 7),
+        wire("MSFT", {"symbol": "MSFT", "price": 380.0, "change": None,
+                      "change_percent": "-0.20%", "volume": "9000",
+                      "timestamp": "2024-01-01T12:00:00.000002"}, 1, 3),
+        wire("JUNK", b"\x00not json at all", 0, 8),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    got = {r["offset"]: r for r in parse_kafka_envelope(raw).collect()}
+    a = got[7]
+    assert a["symbol"] == "AAPL" and a["price"] == 150.25
+    assert a["key_symbol"] == "AAPL" and a["topic"] == "stock_ticks"
+    assert a["partition"] == 0 and a["_value_ok"]
+    m = got[3]
+    assert m["symbol"] == "MSFT" and m["change"] is None and m["_value_ok"]
+    junk = got[8]
+    assert not junk["_value_ok"] and junk["symbol"] is None  # poison pill survives as nulls
+    assert junk["key_symbol"] == "JUNK"  # lineage still identifies the source
+    # the full clean path accepts the parsed rows
+    from stock_market_data_pipeline_spark.operators.clean import cast_ticks, drop_invalid
+
+    clean = drop_invalid(
+        cast_ticks(
+            parse_kafka_envelope(raw, keep_lineage=False).drop("_value_ok")
+        )
+    )
+    assert clean.count() == 2  # poison pill dropped by the null gate
