@@ -165,3 +165,56 @@ def with_technical_indicators(
         .withColumn("boll_up", mid + F.lit(boll_k) * sd)
         .withColumn("boll_dn", mid - F.lit(boll_k) * sd)
     )
+
+
+def with_macd(
+    df: DataFrame,
+    key: str = "symbol",
+    order: str = "timestamp",
+    price: str = "price",
+    tiebreak: str | None = None,
+    fast: int = 12,
+    slow: int = 26,
+    lookback: int = 50,
+) -> DataFrame:
+    """MACD line (truncated form): EMA(fast) − EMA(slow), both as
+    ``lookback``-row windowed EWMAs with α = 2/(n+1) — the same
+    bounded-frame Horner fold as :func:`with_ewma`, sharing ONE
+    ``collect_list`` frame for both decay rates (two folds over the same
+    array, one window sort).
+
+    Truncation note: the textbook MACD recursion carries state from the
+    first bar forever; at 50 rows the oldest term's weight is (1-α)^50 ≤
+    2.1% (slow EMA) — inside normal indicator tolerance, and the bounded
+    frame is what keeps this a stateless window expression any engine can
+    verify. The signal line (EMA of MACD) needs a second pass over derived
+    values; compose ``with_macd`` then ``with_ewma`` on ``macd`` if needed.
+    """
+    order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    xs = F.collect_list(price).over(w)
+    f_alpha, s_alpha = 2.0 / (fast + 1), 2.0 / (slow + 1)
+    # materialize the frame once as a column; both folds reference it
+    # (lambda exprs get no subexpression elimination — an inline `xs` would
+    # re-collect the frame per fold)
+    out = df.withColumn("_xs", xs)
+    xs_col = F.col("_xs")
+
+    def ema_on(col: F.Column, alpha: float) -> F.Column:
+        d = 1.0 - alpha
+        num = F.aggregate(col, F.lit(0.0), lambda acc, x: acc * F.lit(d) + x)
+        den = (
+            F.lit(1.0) - F.pow(F.lit(d), F.size(col).cast("double"))
+        ) / F.lit(1.0 - d)
+        return num / den
+
+    return (
+        out.withColumn("ema_fast", ema_on(xs_col, f_alpha))
+        .withColumn("ema_slow", ema_on(xs_col, s_alpha))
+        .withColumn("macd", F.col("ema_fast") - F.col("ema_slow"))
+        .drop("_xs")
+    )

@@ -1205,6 +1205,30 @@ SELECT symbol, event_id, "timestamp", price,
        round(mid - 2.0 * sd, 6) AS boll_dn
 FROM ind
 """,
+    # Truncated-EMA MACD: same Horner folds as the ewma oracle, decay
+    # literals embedded via Python repr so both engines parse the identical
+    # double (1 - 2/13, 1 - 2/27).
+    "macd": f"""
+WITH {TICKS_CTE}, fr AS (
+  SELECT symbol, event_id, "timestamp", price,
+         list(price) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
+                           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
+  FROM ticks
+),
+e AS (
+  SELECT symbol, event_id, "timestamp", price,
+         list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 13.0!r} + x)
+           / ((1.0 - power({1.0 - 2.0 / 13.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 13.0!r})) AS ef,
+         list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 27.0!r} + x)
+           / ((1.0 - power({1.0 - 2.0 / 27.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 27.0!r})) AS es
+  FROM fr
+)
+SELECT symbol, event_id, "timestamp", price,
+       round(ef, 6) AS ema_fast,
+       round(es, 6) AS ema_slow,
+       round(ef - es, 6) AS macd
+FROM e
+""",
     # Direct GROUP BY — the salted two-phase plan must be value-identical.
     "salted_symbol_volume": f"""
 WITH {TICKS_CTE}

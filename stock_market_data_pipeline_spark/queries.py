@@ -523,6 +523,25 @@ def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD line: truncated EMA(12) − EMA(26), one shared 50-row frame."""
+    from stock_market_data_pipeline_spark.operators.rolling import with_macd
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price"
+    )
+    out = with_macd(t, tiebreak="event_id")
+    return out.select(
+        "symbol",
+        "event_id",
+        "timestamp",
+        "price",
+        round_det(F.col("ema_fast"), 6).alias("ema_fast"),
+        round_det(F.col("ema_slow"), 6).alias("ema_slow"),
+        round_det(F.col("macd"), 6).alias("macd"),
+    )
+
+
 def q_salted_symbol_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase salted aggregation (hot-key recipe); the oracle is
     the direct GROUP BY — equality IS the correctness claim (associative
@@ -740,4 +759,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "technical_indicators": q_technical_indicators,
     "salted_symbol_volume": q_salted_symbol_volume,
+    "macd": q_macd,
 }

@@ -307,3 +307,28 @@ def test_technical_indicators_semantics(spark):
     assert abs(last["boll_mid"] - (sum(100.0 + i for i in range(10, 30)) / 20)) < 1e-9
     assert abs((last["boll_up"] - last["boll_mid"]) - (last["boll_mid"] - last["boll_dn"])) < 1e-9
     assert last["boll_up"] > last["boll_mid"] > last["boll_dn"]
+
+
+def test_macd_constant_series_is_zero(spark):
+    import datetime
+
+    from stock_market_data_pipeline_spark.operators.rolling import with_macd
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # constant price: every EMA equals the price, MACD exactly 0
+    rows = [("A", i, t0 + datetime.timedelta(minutes=i), 50.0) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "symbol string, event_id long, timestamp timestamp, price double"
+    )
+    got = with_macd(df, tiebreak="event_id").collect()
+    assert all(abs(r["ema_fast"] - 50.0) < 1e-9 for r in got)
+    assert all(abs(r["macd"]) < 1e-9 for r in got)
+    # rising series: fast EMA tracks recent (higher) prices above slow EMA
+    rows2 = [("B", i, t0 + datetime.timedelta(minutes=i), 50.0 + i) for i in range(60)]
+    df2 = spark.createDataFrame(
+        rows2, "symbol string, event_id long, timestamp timestamp, price double"
+    )
+    last = sorted(
+        with_macd(df2, tiebreak="event_id").collect(), key=lambda r: r["event_id"]
+    )[-1]
+    assert last["ema_fast"] > last["ema_slow"] and last["macd"] > 0
