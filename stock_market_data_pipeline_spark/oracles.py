@@ -461,6 +461,32 @@ LEFT JOIN dropped d ON g.doc_id = d.doc_id
 WHERE d.doc_id IS NULL
 """
 
+# Same CTE chain, transitive drop: recursive closure over the thresholded
+# pair graph; keep only each component's min-id representative.
+_CURATION_TRANSITIVE_ORACLE = (
+    "WITH RECURSIVE "
+    + _CURATION_ORACLE.split("WITH ", 1)[1].rsplit("dropped AS", 1)[0]
+    + """
+edges3 AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs2 WHERE est_jaccard >= 0.75
+  UNION
+  SELECT doc_b, doc_a FROM pairs2 WHERE est_jaccard >= 0.75
+),
+reach3(node, rid) AS (
+  SELECT src, src FROM edges3
+  UNION
+  SELECT r.node, e.dst FROM reach3 r JOIN edges3 e ON e.src = r.rid
+),
+lbl3 AS (SELECT node, min(rid) AS cluster_id FROM reach3 GROUP BY node),
+dropped AS (SELECT node AS doc_id FROM lbl3 WHERE node <> cluster_id)
+SELECT g.doc_id, g.lang_pred, g.n_tokens, round(g.quality_score, 6) AS quality_score
+FROM gated g
+JOIN ek ON g.doc_id = ek.doc_id
+LEFT JOIN dropped d ON g.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+"""
+)
+
 ORACLES: dict[str, str] = {
     "price_trend_regression": f"""
 WITH {TICKS_CTE}, x AS (
@@ -476,6 +502,7 @@ SELECT symbol,
 FROM x GROUP BY 1
 """,
     "corpus_curation": _CURATION_ORACLE,
+    "corpus_curation_transitive": _CURATION_TRANSITIVE_ORACLE,
     "multi_window_signals": _MWS_ORACLE,
     "cosine_topk": _COSINE_TOPK_ORACLE,
     "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,

@@ -60,3 +60,50 @@ def curate_corpus(
     )
     curated = survivors.join(drop, "doc_id", "left_anti")
     return curated.select("doc_id", "lang_pred", "n_tokens", "quality_score")
+
+
+def curate_corpus_transitive(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    min_tokens: int = 10,
+    neardup_threshold: float = 0.75,
+) -> DataFrame:
+    """:func:`curate_corpus` with TRANSITIVE near-dup removal: connected
+    components over the LSH pair graph, keep exactly the min-id doc per
+    cluster.
+
+    Semantics difference from the pairwise form: for a~9, b~9, a≁b the
+    pairwise rule keeps BOTH a and b (they are not near-dups of each
+    other); the cluster rule keeps only min(a, b, 9)'s component root —
+    one representative per connected group, the policy dedup papers call
+    "cluster then keep one". Chains (a~b~c with a≁c) are handled correctly
+    by both here (pairwise drops every non-min pair member), but cluster
+    membership is the stated contract only in this form. Adds the
+    O(diameter) label-propagation rounds on edge endpoints; everything else
+    is the same shrinking pipeline.
+    """
+    from stock_market_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    feats = with_lang_id(with_quality(docs))
+    gated = feats.filter(
+        (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+    )
+    fp = gated.select("doc_id", F.md5(normalize_text("text")).alias("fingerprint"))
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    exact_kept = fp.join(canon, "fingerprint").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    survivors = gated.join(exact_kept, "doc_id")
+
+    pairs = minhash_lsh_pairs(survivors.select("doc_id", "text")).filter(
+        F.col("est_jaccard") >= neardup_threshold
+    )
+    comp = connected_components(pairs)
+    # drop every clustered doc that is not its component's min id
+    drop = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    curated = survivors.join(drop, "doc_id", "left_anti")
+    return curated.select("doc_id", "lang_pred", "n_tokens", "quality_score")

@@ -389,6 +389,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(curate_corpus(docs))
 
 
+def q_corpus_curation_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation with cluster-transitive near-dup removal (one representative
+    per connected component; recursive-CTE oracle)."""
+    from stock_market_data_pipeline_spark.plans.curation import (
+        curate_corpus_transitive,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return round_doubles(curate_corpus_transitive(docs))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup: 12-permutation MinHash signatures (one md5 per shingle,
     Kirsch-Mitzenmacher integer mixing). ``widen=False``: _docs already
@@ -760,4 +771,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "technical_indicators": q_technical_indicators,
     "salted_symbol_volume": q_salted_symbol_volume,
     "macd": q_macd,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
 }
