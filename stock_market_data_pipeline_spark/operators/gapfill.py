@@ -36,6 +36,7 @@ def gapfill_forward_fill(
     price: str = "price",
     volume: str = "volume",
     step_minutes: int = 15,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Dense per-key time grid at ``step_minutes`` with forward-filled close.
 
@@ -57,10 +58,24 @@ def gapfill_forward_fill(
     bucket = F.timestamp_seconds(
         (F.unix_timestamp(F.col(ts)) / step).cast("bigint") * step
     )
+    # last-in-bucket price: with a tiebreak, take the struct-max over
+    # (ts, tiebreak, price) — lexicographic, so duplicate timestamps resolve
+    # by the unique tiebreak instead of partition order (the repo-wide
+    # determinism rule; bare max_by(price, ts) is nondeterministic on ties).
+    if tiebreak is not None:
+        last_price = F.max(
+            F.struct(
+                F.col(ts).alias("_t"),
+                F.col(tiebreak).alias("_k"),
+                F.col(price).alias("_p"),
+            )
+        ).getField("_p")
+    else:
+        last_price = F.max_by(price, ts)
     observed = (
         df.groupBy(F.col(key), bucket.alias("bucket"))
         .agg(
-            F.max_by(price, ts).alias("last_price"),
+            last_price.alias("last_price"),
             F.sum(volume).alias("bucket_volume"),
         )
     )

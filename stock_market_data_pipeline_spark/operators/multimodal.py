@@ -191,7 +191,10 @@ def resize_images(
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n = pdf["content"].str.len().astype("int64")
+            # NULL content → length 0, resize_ok False — a bad row degrades,
+            # it must never kill the batch (.str.len() yields NaN for nulls,
+            # which a bare astype('int64') refuses).
+            n = pdf["content"].str.len().fillna(0).astype("int64")
             est = (n * 3 // 4).clip(upper=target_w * target_h * 3)
             yield pd.DataFrame(
                 {

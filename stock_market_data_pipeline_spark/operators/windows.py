@@ -180,10 +180,23 @@ def salted_sum_agg(
     for AVG carry sum+count and divide in the final projection — never
     average partial averages). AQE's skew-join/agg handles moderate skew on
     its own; explicit salting is for the pathological hot key you know about
-    (one symbol = half the exchange feed). Results are identical to the
-    direct aggregation by associativity — asserted by the oracle gate and
-    the equality test.
+    (one symbol = half the exchange feed).
+
+    EXACT-TYPE COLUMNS ONLY (integral/decimal): their addition is
+    associative, so the two-phase result is bit-identical to the direct
+    GROUP BY — the oracle-equality claim. Float/double sums REASSOCIATE
+    under salting (different partial order → different last-ulp results,
+    varying with partitioning), so they are rejected here; sum cents/
+    DECIMAL instead (`plans.relational._exact_sum`, `rolling._frame_avg`).
     """
+    for alias, src in sums.items():
+        dt = df.schema[src].dataType.typeName()
+        if dt in ("double", "float"):
+            raise TypeError(
+                f"salted_sum_agg({alias}={src!r}): {dt} sums reassociate "
+                f"under salting and lose bit-equality with the direct "
+                f"aggregation; cast to DECIMAL or integer units first"
+            )
     salted = df.withColumn("_salt", salt_column(F.col(salt_src), buckets))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[F.sum(src).alias(f"_p_{alias}") for alias, src in sums.items()],

@@ -1031,7 +1031,7 @@ WITH {TICKS_CTE},
 obs AS (
   SELECT symbol,
          make_timestamp(((CAST(floor(epoch("timestamp")) AS BIGINT) // 900) * 900) * 1000000) AS bucket,
-         arg_max(price, "timestamp") AS last_price,
+         max(struct_pack(_t := "timestamp", _k := event_id, _p := price))._p AS last_price,
          CAST(sum(volume) AS BIGINT) AS bucket_volume
   FROM ticks GROUP BY 1, 2
 ),

@@ -626,7 +626,9 @@ def q_gapfill_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         gapfill_forward_fill,
     )
 
-    return gapfill_forward_fill(ticks_from_events(spark, sf_dir), step_minutes=15)
+    return gapfill_forward_fill(
+        ticks_from_events(spark, sf_dir), step_minutes=15, tiebreak="event_id"
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,8 +171,23 @@ def merge_upsert_bucketed(
     import json
 
     spec_path = os.path.join(path, _BUCKET_SPEC)
-    exists = os.path.isfile(spec_path)
-    if exists:
+    has_spec = os.path.isfile(spec_path)
+    has_data = os.path.isdir(path) and any(
+        name.startswith(f"{BUCKET_COL}=") for name in os.listdir(path)
+    )
+    # Existence is decided by DATA, and data without a spec is refused, not
+    # treated as a fresh table: the exists=False branch skips reading the
+    # current rows, so mistaking an existing table for a new one would make
+    # dynamic overwrite silently DELETE every pre-existing key in the
+    # touched buckets (spec lost to a crash window or metadata cleanup, or
+    # the directory was written by the flat merge_upsert).
+    if has_data and not has_spec:
+        raise ValueError(
+            f"table at {path} has bucket partitions but no {_BUCKET_SPEC}; "
+            f"refusing to merge blindly — restore the spec "
+            f'({{"keys": [...], "n_buckets": N}}) or rebuild the table'
+        )
+    if has_spec:
         with open(spec_path) as fh:
             spec = json.load(fh)
         if spec["keys"] != keys or spec["n_buckets"] != n_buckets:
@@ -182,17 +197,13 @@ def merge_upsert_bucketed(
             )
 
     bucketed_in = incoming.withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
-
-    if exists:
-        touched = sorted(
-            r[0] for r in bucketed_in.select(BUCKET_COL).distinct().collect()
-        )
+    touched = sorted(
+        r[0] for r in bucketed_in.select(BUCKET_COL).distinct().collect()
+    )
+    if has_data:
         current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))
         merged = current.unionByName(bucketed_in, allowMissingColumns=True)
     else:
-        touched = sorted(
-            r[0] for r in bucketed_in.select(BUCKET_COL).distinct().collect()
-        )
         merged = bucketed_in
 
     deduped = dedup_keep_last(merged, keys=keys, order=[order_col])
@@ -203,7 +214,7 @@ def merge_upsert_bucketed(
         .partitionBy(BUCKET_COL)
         .parquet(path)
     )
-    if not exists:
+    if not has_spec:
         with open(spec_path, "w") as fh:
             json.dump({"keys": keys, "n_buckets": n_buckets}, fh)
     return touched

@@ -156,12 +156,19 @@ def build_merge_plan(
     )
 
     on = " AND ".join(f"target.{k} = source.{k}" for k in pk)
+    # The MERGE source is SELECT DISTINCT over the stage, not the raw stage:
+    # executor staging runs under Spark's at-least-once task semantics, so a
+    # retried/speculative partition re-inserts its rows VERBATIM (the input
+    # frame is already one-row-per-key). DISTINCT collapses those exact
+    # duplicates, keeping the ≤1-source-row-per-key invariant the MERGE (and
+    # the delete+insert fallback) depends on.
+    distinct_src = f"(SELECT DISTINCT {', '.join(cols)} FROM {stage})"
     if dialect.supports_merge:
         updates = ",\n    ".join(f"target.{c} = source.{c}" for c in non_key)
         src_cols = ", ".join(f"source.{c}" for c in cols)
         merge: tuple[str, ...] = (
             f"MERGE INTO {table} AS target\n"
-            f"USING {stage} AS source\n"
+            f"USING {distinct_src} AS source\n"
             f"ON {on}\n"
             f"WHEN MATCHED THEN\n  UPDATE SET\n    {updates}\n"
             f"WHEN NOT MATCHED THEN\n"
@@ -176,7 +183,7 @@ def build_merge_plan(
             f"DELETE FROM {table} WHERE EXISTS "
             f"(SELECT 1 FROM {stage} s WHERE {key_match})",
             f"INSERT INTO {table} ({', '.join(cols)}) "
-            f"SELECT {', '.join(cols)} FROM {stage}",
+            f"SELECT DISTINCT {', '.join(cols)} FROM {stage}",
         )
     if not temp_stage:
         merge = merge + (f"DROP TABLE IF EXISTS {stage}",)

@@ -332,3 +332,16 @@ def test_macd_constant_series_is_zero(spark):
         with_macd(df2, tiebreak="event_id").collect(), key=lambda r: r["event_id"]
     )[-1]
     assert last["ema_fast"] > last["ema_slow"] and last["macd"] > 0
+
+
+def test_gapfill_tiebreak_on_duplicate_timestamps(spark):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # two ticks with the SAME timestamp: the higher event_id must win close
+    ticks = spark.createDataFrame(
+        [("A", t0, 1, 10.0, 1), ("A", t0, 2, 12.0, 1)],
+        "symbol string, timestamp timestamp, event_id long, price double, volume long",
+    )
+    rows = gapfill_forward_fill(ticks, step_minutes=15, tiebreak="event_id").collect()
+    assert len(rows) == 1 and rows[0]["close"] == 12.0

@@ -59,7 +59,10 @@ def test_snowflake_merge_sql_shape(spark):
     assert plan.insert.count("%s") == 5 and "?" not in plan.insert
     (merge,) = plan.merge
     assert "MERGE INTO DAILY_STOCK_METRICS AS target" in merge
-    assert "USING DAILY_STOCK_METRICS_STAGE AS source" in merge
+    # source is SELECT DISTINCT over the stage (at-least-once task retries
+    # duplicate stage rows verbatim; DISTINCT restores <=1 row per key)
+    assert "USING (SELECT DISTINCT" in merge
+    assert "FROM DAILY_STOCK_METRICS_STAGE) AS source" in merge
     assert "ON target.symbol = source.symbol AND target.date = source.date" in merge
     # every non-key column updated, no key column updated
     assert "target.daily_open = source.daily_open" in merge
@@ -220,3 +223,36 @@ def test_sqlite_executor_staging_path(spark, tmp_path):
     assert con.execute("SELECT count(*) FROM kv").fetchone()[0] == 100
     assert con.execute("SELECT v FROM kv WHERE k = 3").fetchone()[0] == -1.0
     assert con.execute("SELECT v FROM kv WHERE k = 50").fetchone()[0] == 100.0
+
+
+def test_merge_tolerates_duplicated_stage_rows(tmp_path):
+    """Simulated task retry: the same row staged twice must still merge to
+    one target row (DISTINCT source restores the <=1-per-key invariant)."""
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    from stock_market_data_pipeline_spark.sinks.warehouse import (
+        SQLITE,
+        build_merge_plan,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    plan = build_merge_plan("t", schema, ["symbol"], dialect=SQLITE, temp_stage=False)
+    con = sqlite3.connect(str(tmp_path / "wh.db"))
+    cur = con.cursor()
+    cur.execute(plan.create_table)
+    for stmt in plan.create_stage:
+        cur.execute(stmt)
+    # retry scenario: identical row inserted twice into the stage
+    cur.executemany(plan.insert, [("AAPL", 10.0), ("AAPL", 10.0)])
+    for stmt in plan.merge:
+        cur.execute(stmt)
+    con.commit()
+    rows = cur.execute("SELECT symbol, price FROM t").fetchall()
+    assert rows == [("AAPL", 10.0)]
