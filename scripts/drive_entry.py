@@ -1,12 +1,12 @@
 """Consumer mimicking the round driver: smoke entry(), then per-query oracle compare at sf0.01."""
-import sys, math, hashlib
+import os, sys, math, hashlib
 from collections import Counter
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as E
 from stock_market_data_pipeline_spark.session import get_spark
 import duckdb
 
-spark = get_spark(master="local[8]", shuffle_partitions=16)
+spark = get_spark(master=os.environ.get("MIRROR_MASTER", "local[8]"), shuffle_partitions=int(os.environ.get("MIRROR_SHUFFLE", "16")))
 
 # 1. smoke
 df = E.entry(spark)
