@@ -180,9 +180,13 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_cells: int = 32,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-flavored ANN: partition the corpus into cells around pivot
-    vectors, search only the query's cell (nprobe=1), exact-rerank inside.
+    vectors, search the query's ``nprobe`` nearest cells, exact-rerank
+    inside (corpus rows live in exactly ONE cell each — probing widens the
+    query side only, the standard IVF recall knob: recall grows ~linearly in
+    probed cells at O(nprobe/n_cells) extra scan fraction).
 
     Pivots are a CONSTANT-SIZE deterministic corpus sample — the ``n_cells``
     rows first in (md5(id), id) order, a training-free stand-in for k-means
@@ -209,7 +213,7 @@ def ivf_cosine_topk(
         .limit(n_cells)
     )
 
-    def assign(df: DataFrame, out_id: str) -> DataFrame:
+    def assign(df: DataFrame, out_id: str, probes: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(pivots)).select(
             F.col(out_id),
             "pivot_id",
@@ -218,7 +222,7 @@ def ivf_cosine_topk(
         w = Window.partitionBy(out_id).orderBy(F.col("sim").desc(), F.col("pivot_id"))
         return (
             scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
+            .filter(F.col("_rn") <= probes)
             .select(F.col(out_id), F.col("pivot_id").alias("cell"))
         )
 
@@ -228,8 +232,8 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("_v")
     )
-    c_cells = assign(c, "neighbor_id")
-    q_cells = assign(q, "query_id")
+    c_cells = assign(c, "neighbor_id", 1)
+    q_cells = assign(q, "query_id", nprobe)
     c_full = c.join(c_cells, "neighbor_id").select(
         "neighbor_id", F.col("_v").alias("c_vec"), "cell"
     )
@@ -262,15 +266,34 @@ def lsh_cosine_topk(
     dim: int = 64,
     num_planes: int = NUM_PLANES,
     seed: int = 42,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share the LSH hyperplane bucket,
     exact cosine reranks within the bucket. Same output contract as
     :func:`cosine_topk`; queries whose bucket holds < k corpus rows return
-    fewer neighbors (documented ANN recall trade-off)."""
+    fewer neighbors (documented ANN recall trade-off).
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's bucket (flip each plane bit once) — the
+    standard multi-probe LSH recall knob: a true neighbor on the wrong side
+    of ONE hyperplane is recovered, at (1 + num_planes)× candidate cost.
+    Only the query side fans out; the corpus stays bucketed once, so the
+    join remains an equi-join keyed by bucket."""
     planes = hyperplanes(dim, num_planes, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("q_vec")
     ).withColumn("bucket", bucket_of(F.col("q_vec"), planes))
+    if multiprobe:
+        probe_list = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probe_list).alias("bucket")
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("c_vec")
     ).withColumn("bucket", bucket_of(F.col("c_vec"), planes))

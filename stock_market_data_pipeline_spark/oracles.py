@@ -199,6 +199,44 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) t WHERE rank <= 5
 """
 
+# nprobe=4 variant: only the query-side assignment rank bound changes.
+_IVF_TOPK_NPROBE4_ORACLE = _IVF_TOPK_ORACLE.replace(
+    """           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, pivot_id) AS rn
+    FROM (SELECT query_id, pivot_id, {c} AS sim
+          FROM q CROSS JOIN pivots) s
+  ) t WHERE rn = 1""".format(c=_cos_expr('q_vec', 'p_vec')),
+    """           row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, pivot_id) AS rn
+    FROM (SELECT query_id, pivot_id, {c} AS sim
+          FROM q CROSS JOIN pivots) s
+  ) t WHERE rn <= 4""".format(c=_cos_expr('q_vec', 'p_vec')),
+)
+assert "rn <= 4" in _IVF_TOPK_NPROBE4_ORACLE  # replace() must have matched
+
+_LSH_MULTIPROBE_ORACLE = f"""
+WITH q0 AS (
+  SELECT vec_id AS query_id, embedding AS q_vec, {_bucket_sql('embedding')} AS bucket0
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+q AS (
+  SELECT query_id, q_vec,
+         unnest(list_value(bucket0,
+                {', '.join(f'xor(bucket0, {1 << p})' for p in range(8))})) AS bucket
+  FROM q0
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_vec, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COSINE_EXPR} AS cosine
+  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t WHERE rank <= 5
+"""
+
 _LSH_TOPK_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS q_vec, {_bucket_sql('embedding')} AS bucket
@@ -508,6 +546,8 @@ FROM x GROUP BY 1
     "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
     "ivf_cosine_topk": _IVF_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
+    "lsh_cosine_topk_multiprobe": _LSH_MULTIPROBE_ORACLE,
+    "ivf_cosine_topk_nprobe4": _IVF_TOPK_NPROBE4_ORACLE,
     "multimodal_image_features": """
 SELECT doc_id AS asset_id,
        'image' AS modality,
