@@ -66,6 +66,10 @@ HEADLINE = [
     "quantize_embeddings",
     "multimodal_frame_sample",
     "technical_indicators",
+    "macd",
+    "ivf_cosine_topk_nprobe4",
+    "lsh_cosine_topk_multiprobe",
+    "corpus_curation_transitive",
 ]
 
 
