@@ -218,3 +218,47 @@ def with_macd(
         .withColumn("macd", F.col("ema_fast") - F.col("ema_slow"))
         .drop("_xs")
     )
+
+
+def with_macd_signal(
+    df: DataFrame,
+    key: str = "symbol",
+    order: str = "timestamp",
+    price: str = "price",
+    tiebreak: str | None = None,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    lookback: int = 50,
+) -> DataFrame:
+    """MACD signal line + histogram: the second pass the :func:`with_macd`
+    docstring sketches — ``macd_signal`` = truncated EMA(``signal``) of the
+    MACD line, ``macd_hist`` = macd − signal (the crossover indicator traders
+    actually chart).
+
+    Plan shape: the signal EMA is a second Window over the SAME
+    (partition, order) spec, collecting the *materialized* ``macd`` column
+    — Catalyst stacks both Window nodes on one Exchange + one Sort (window
+    expressions are subexpression barriers, so each macd value is folded
+    once by the first window and merely collected by the second; no
+    recompute). Asserted by the plan-shape test: one sort total.
+    """
+    out = with_macd(df, key, order, price, tiebreak, fast, slow, lookback)
+    order_cols = [F.col(order)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    d = 1.0 - 2.0 / (signal + 1)
+    out = out.withColumn("_sx", F.collect_list("macd").over(w))
+    sx = F.col("_sx")
+    num = F.aggregate(sx, F.lit(0.0), lambda acc, x: acc * F.lit(d) + x)
+    den = (
+        F.lit(1.0) - F.pow(F.lit(d), F.size(sx).cast("double"))
+    ) / F.lit(1.0 - d)
+    return (
+        out.withColumn("macd_signal", num / den)
+        .withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
+        .drop("_sx")
+    )

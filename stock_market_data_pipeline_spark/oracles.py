@@ -525,6 +525,16 @@ WHERE d.doc_id IS NULL
 """
 )
 
+# PII patterns imported from the operator so oracle and engine can never
+# drift; DuckDB regular strings keep backslashes literal, so the Java-regex
+# source text doubles as RE2 source text (patterns avoid lookarounds for
+# exactly this portability).
+from stock_market_data_pipeline_spark.operators.textstats import PII_PATTERNS as _PII
+
+_PII_EMAIL = _PII["email"]
+_PII_PHONE = _PII["phone"]
+_PII_SSN = _PII["ssn"]
+
 ORACLES: dict[str, str] = {
     "price_trend_regression": f"""
 WITH {TICKS_CTE}, x AS (
@@ -1303,6 +1313,93 @@ SELECT symbol,
        CAST(sum(volume) AS BIGINT) AS total_volume,
        count(*) AS n_rows
 FROM ticks GROUP BY symbol
+""",
+    # MACD signal: the macd CTE repeats the macd oracle's folds unrounded,
+    # then a second 50-row frame folds the derived macd values (mirrors the
+    # second Window node in operators/rolling.py with_macd_signal).
+    "macd_signal": f"""
+WITH {TICKS_CTE}, fr AS (
+  SELECT symbol, event_id, "timestamp", price,
+         list(price) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
+                           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
+  FROM ticks
+),
+e AS (
+  SELECT symbol, event_id, "timestamp", price,
+         list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 13.0!r} + x)
+           / ((1.0 - power({1.0 - 2.0 / 13.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 13.0!r}))
+         - list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 27.0!r} + x)
+           / ((1.0 - power({1.0 - 2.0 / 27.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 27.0!r})) AS macd
+  FROM fr
+),
+s AS (
+  SELECT symbol, event_id, "timestamp", price, macd,
+         list(macd) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
+                          ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sx
+  FROM e
+),
+g AS (
+  SELECT symbol, event_id, "timestamp", price, macd,
+         list_reduce(sx, (acc, x) -> acc * {1.0 - 2.0 / 10.0!r} + x)
+           / ((1.0 - power({1.0 - 2.0 / 10.0!r}, CAST(len(sx) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 10.0!r})) AS sig
+  FROM s
+)
+SELECT symbol, event_id, "timestamp", price,
+       round(macd, 6) AS macd,
+       round(sig, 6) AS macd_signal,
+       round(macd - sig, 6) AS macd_hist
+FROM g
+""",
+    # PII redaction: identical synthesized text, counts on the original,
+    # replacement chain email -> ssn -> phone ('g' flag = Spark replace-all).
+    "pii_redaction": f"""
+WITH src AS (
+  SELECT doc_id,
+         'reach u' || CAST(doc_id AS VARCHAR) || '@mail.example.org or +1 (555) 01'
+         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' '
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ', ssn '
+         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '. ' || text AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+       len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phone,
+       len(regexp_extract_all(t, '{_PII_SSN}')) AS n_ssn,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_SSN}', '<SSN>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS text_redacted
+FROM src
+""",
+    # ANN recall@5: each variant's own oracle as a derived table, joined
+    # against the exact-top-5 oracle; LEFT JOIN keeps zero-hit variants.
+    "ann_recall": f"""
+WITH gt AS (SELECT query_id, neighbor_id FROM ({_COSINE_TOPK_ORACLE}) g),
+cand AS (
+  SELECT 'ivf_nprobe1' AS variant, query_id, neighbor_id FROM ({_IVF_TOPK_ORACLE}) a
+  UNION ALL
+  SELECT 'ivf_nprobe4' AS variant, query_id, neighbor_id FROM ({_IVF_TOPK_NPROBE4_ORACLE}) b
+  UNION ALL
+  SELECT 'lsh' AS variant, query_id, neighbor_id FROM ({_LSH_TOPK_ORACLE}) c
+  UNION ALL
+  SELECT 'lsh_multiprobe' AS variant, query_id, neighbor_id FROM ({_LSH_MULTIPROBE_ORACLE}) d
+),
+hits AS (
+  SELECT variant, count(*) AS hits
+  FROM cand JOIN gt USING (query_id, neighbor_id) GROUP BY variant
+),
+vlist AS (
+  SELECT unnest(['ivf_nprobe1', 'ivf_nprobe4', 'lsh', 'lsh_multiprobe']) AS variant
+),
+tot AS (SELECT count(*) AS total FROM gt)
+SELECT v.variant,
+       coalesce(h.hits, 0) AS hits,
+       t.total AS total,
+       round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.total, 6) AS recall_at_5
+FROM vlist v LEFT JOIN hits h USING (variant) CROSS JOIN tot t
 """,
 }
 

@@ -730,6 +730,106 @@ def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_assets_by_content(documents_as_assets(docs))
 
 
+def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD signal line (EMA-9 of the MACD line) + histogram — the crossover
+    chart; both window passes share one sort (plan-shape asserted)."""
+    from stock_market_data_pipeline_spark.operators.rolling import with_macd_signal
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price"
+    )
+    out = with_macd_signal(t, tiebreak="event_id")
+    return out.select(
+        "symbol",
+        "event_id",
+        "timestamp",
+        "price",
+        round_det(F.col("macd"), 6).alias("macd"),
+        round_det(F.col("macd_signal"), 6).alias("macd_signal"),
+        round_det(F.col("macd_hist"), 6).alias("macd_hist"),
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, oracle-gated: the synthetic lake has no digits, so
+    deterministic PII-shaped text (email/phone/SSN derived from doc_id) is
+    prepended to each document and redaction + per-kind counts are verified
+    against a DuckDB regexp oracle. Counts are taken on the pre-redaction
+    text (audit semantics); an SSN is phone-shaped, so n_phone counts it too
+    — identical leftmost-first scan on both engines."""
+    from stock_market_data_pipeline_spark.operators.textstats import with_pii_redacted
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sid = F.col("doc_id").cast("string")
+    pii_text = F.concat(
+        F.lit("reach u"), sid, F.lit("@mail.example.org or +1 (555) 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(", ssn "),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(". "),
+        F.col("text"),
+    )
+    out = with_pii_redacted(d.select("doc_id", pii_text.alias("text")))
+    return out.select("doc_id", "n_email", "n_phone", "n_ssn", "text_redacted")
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN recall@5: every approximate variant joined against the
+    exact brute-force top-5 ground truth; one row per variant with the exact
+    rational hits/total — the number the SURVEY X9 recall-knob claim rests
+    on. The four variant scans and the ground-truth scan union into ONE plan
+    (ground truth appears once as a join side, not once per variant)."""
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    gt = cosine_topk(emb, q).select("query_id", "neighbor_id")
+    variants = {
+        "ivf_nprobe1": ivf_cosine_topk(emb, q),
+        "ivf_nprobe4": ivf_cosine_topk(emb, q, nprobe=4),
+        "lsh": lsh_cosine_topk(emb, q),
+        "lsh_multiprobe": lsh_cosine_topk(emb, q, multiprobe=True),
+    }
+    tagged = None
+    for name, df in variants.items():
+        t = df.select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    hits = (
+        tagged.join(gt, ["query_id", "neighbor_id"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    vlist = spark.createDataFrame(
+        [(v,) for v in variants], "variant string"
+    )
+    total = gt.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        vlist.join(hits, "variant", "left")
+        .select(
+            "variant", F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits")
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "variant",
+            "hits",
+            "total",
+            round_det(F.col("hits") / F.col("total"), 6).alias("recall_at_5"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -796,4 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation_transitive": q_corpus_curation_transitive,
     "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
     "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
+    "macd_signal": q_macd_signal,
+    "pii_redaction": q_pii_redaction,
+    "ann_recall": q_ann_recall,
 }

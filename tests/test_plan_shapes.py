@@ -71,6 +71,20 @@ def test_partition_pruned_read(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[[^]]*etype", scan), scan
 
 
+def test_macd_signal_single_sort(spark, sf_dir):
+    """Both MACD window passes (price EMAs, then signal EMA of the derived
+    macd column) share one (symbol, timestamp, event_id) sort: the stacked
+    Window nodes must not introduce a second Sort or Exchange."""
+    plan = _plan(spark, sf_dir, "macd_signal")
+    sorts = [ln for ln in plan.splitlines() if re.search(r"^\W*[*]?\(?\d*\)?\s*Sort ", ln)]
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(sorts) == 1, sorts
+    assert len(exchanges) == 1, exchanges
+    assert plan.count("Window") >= 2  # two window passes, one sort
+
+
 def test_stratified_sample_no_data_shuffle(spark, sf_dir):
     """The sampling filter composes with the scan: no exchange except the
     deliberate _docs fan-out repartition; the rates map joins as broadcast."""
