@@ -23,54 +23,11 @@ from stock_market_data_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# Headline set: one per operator family (window aggs, rolling, OHLCV,
-# relational joins/aggs, near-dup, ANN, text, multimodal).
-HEADLINE = [
-    "windowed_analytics",
-    "multi_window_tumbling",
-    "multi_window_signals",
-    "trading_signals",
-    "rolling_frames",
-    "daily_ohlcv",
-    "dedup_keep_last",
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_revenue",
-    "order_priority_counts",
-    "revenue_forecast",
-    "rollup_revenue",
-    "customer_order_ranks",
-    "session_windows",
-    "linestatus_pivot",
-    "dedup_exact",
-    "text_quality",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
-    "cosine_topk",
-    "cosine_topk_vectorized",
-    "lsh_cosine_topk",
-    "ivf_cosine_topk",
-    "ewma",
-    "corpus_curation",
-    "multimodal_image_features",
-    "neardup_clusters",
-    "embedding_neardup_pairs",
-    "stratified_sample",
-    "gapfill_15m",
-    "repetition_signals",
-    "doc_chunks",
-    "tfidf_top_terms",
-    "price_band_join",
-    "quota_sample",
-    "quantize_embeddings",
-    "multimodal_frame_sample",
-    "technical_indicators",
-    "macd",
-    "ivf_cosine_topk_nprobe4",
-    "lsh_cosine_topk_multiprobe",
-    "corpus_curation_transitive",
-]
+# Every registered batch query is benched — a regression in an unbenched
+# query cannot hide. Deliberate exclusions go here WITH a reason and are
+# emitted in the output JSON.
+EXCLUDED: dict[str, str] = {}
+HEADLINE = sorted(QUERIES)
 
 
 def main() -> None:
@@ -88,6 +45,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in EXCLUDED:
+            continue
         t0 = time.perf_counter()
         QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -100,6 +59,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "excluded": sorted(EXCLUDED),
                 "sf": float(sf),
             }
         )

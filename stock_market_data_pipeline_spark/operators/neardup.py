@@ -320,6 +320,7 @@ def neardup_clusters(
     threshold: float = 0.75,
     max_iter: int = 25,
     widen: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup graph: every doc
     labeled with the smallest doc id reachable through pairs with
@@ -347,7 +348,7 @@ def neardup_clusters(
     pairs = minhash_lsh_pairs(
         df, id_col, text_col, widen=widen
     ).filter(F.col("est_jaccard") >= threshold)
-    comp = connected_components(pairs, max_iter=max_iter)
+    comp = connected_components(pairs, max_iter=max_iter, reliable=reliable)
     return df.select(F.col(id_col)).join(
         comp, df[id_col] == comp.node, "left"
     ).select(
@@ -361,23 +362,58 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Min-label propagation over an undirected pair list → (node,
     cluster_id = min node id in the component). Only edge-endpoint nodes
     appear in the output (callers re-attach singletons with a left join).
 
+    ``reliable`` picks the lineage-truncation strategy for the loop:
+
+    - ``False`` (default): ``localCheckpoint`` — materializes to *executor*
+      block storage. Fastest, but on a multi-node cluster a lost executor
+      invalidates the truncated lineage mid-loop and kills the job (there is
+      no upstream plan left to recompute from). Fine for short jobs and
+      local mode.
+    - ``True``: eager ``checkpoint()`` to the session's *reliable* checkpoint
+      directory (HDFS/S3 on a real cluster — set it with
+      ``spark.sparkContext.setCheckpointDir``). Each round costs an extra
+      write+read of the label set (tiny: edge endpoints only), and the loop
+      survives executor loss. Use for long-running runs at scale. If no
+      checkpoint dir is configured, one is created under the JVM's temp dir
+      so local callers don't have to bother — on a cluster you *must* point
+      it at shared storage for the resilience to be real.
+
     See :func:`neardup_clusters` for the convergence/scale discussion.
     """
-    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    if reliable:
+        sc = pairs.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            import tempfile
 
-    labels = (
+            sc.setCheckpointDir(
+                tempfile.mkdtemp(prefix="spark-cc-checkpoint-")
+            )
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    half = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = _truncate(
+        half.union(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+
+    labels = _truncate(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = (
@@ -389,16 +425,14 @@ def connected_components(
         # probe then reads materialized partitions instead of re-running the
         # propagation join a second time per round (one job per iteration,
         # not two).
-        stepped = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
+        stepped = _truncate(
+            labels.join(nbr, labels.node == nbr.src, "left").select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("_changed"),
             )
-            .localCheckpoint()
         )
         changed = stepped.filter(F.col("_changed")).limit(1).count()
         labels = stepped.drop("_changed")

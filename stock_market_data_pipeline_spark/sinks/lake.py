@@ -28,14 +28,68 @@ Reference parity:
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.operators.dedup import dedup_keep_last
+
+
+class _HadoopFS:
+    """Thin wrapper over Hadoop's FileSystem API (via the session JVM) so the
+    merge sinks work against any scheme Spark can write — file://, hdfs://,
+    s3a://, abfs:// — instead of being local-FS-only through ``os``/``shutil``.
+
+    One caveat object stores can't hide: ``rename`` is atomic on HDFS and
+    POSIX filesystems but is copy+delete on S3A — callers that need an atomic
+    publish on object stores should use :func:`merge_upsert_bucketed` (dynamic
+    partition overwrite rides Spark's committer) rather than the
+    rename-swapping flat :func:`merge_upsert`.
+    """
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self._jvm = spark._jvm
+        self._jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        self.fs = self._jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def is_dir(self, p: str) -> bool:
+        jp = self.path(p)
+        return bool(self.fs.exists(jp) and self.fs.getFileStatus(jp).isDirectory())
+
+    def is_file(self, p: str) -> bool:
+        jp = self.path(p)
+        return bool(self.fs.exists(jp) and self.fs.getFileStatus(jp).isFile())
+
+    def child_names(self, p: str) -> list[str]:
+        return [s.getPath().getName() for s in self.fs.listStatus(self.path(p))]
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename reports failure via a False return, not an exception.
+        if not self.fs.rename(self.path(src), self.path(dst)):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+    def delete(self, p: str) -> None:
+        self.fs.delete(self.path(p), True)
+
+    def read_text(self, p: str) -> str:
+        stream = self.fs.open(self.path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, content: str) -> None:
+        out = self.fs.create(self.path(p), True)
+        try:
+            out.write(bytearray(content, "utf-8"))
+        finally:
+            out.close()
 
 
 def write_partitioned(
@@ -95,11 +149,16 @@ def merge_upsert(
 
     Publication is a staging-dir write + directory swap — readers never see a
     half-written table; concurrent *writers* are out of scope (single-writer,
-    like the reference's loader).
+    like the reference's loader). All filesystem traffic goes through
+    Hadoop's FileSystem API, so the same code runs against file://, hdfs://,
+    s3a://, or abfs:// paths. The rename swap is atomic on HDFS/POSIX but
+    copy+delete on object stores — at scale on S3-like storage prefer
+    :func:`merge_upsert_bucketed`, whose publish rides Spark's committer.
     """
-    exists = os.path.isdir(path) and any(
+    fs = _HadoopFS(spark, path)
+    exists = fs.is_dir(path) and any(
         n.endswith(".parquet") or n.startswith("part-") or n.startswith("_")
-        for n in os.listdir(path)
+        for n in fs.child_names(path)
     )
     if exists:
         current = spark.read.parquet(path)
@@ -110,15 +169,15 @@ def merge_upsert(
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(staging)
     # Publish via two renames, never a delete-then-rename: the table is only
-    # absent for the instant between the two os.replace calls, and a crash in
-    # that window leaves both the old dir (aside) and the staging dir intact —
+    # absent for the instant between the two renames, and a crash in that
+    # window leaves both the old dir (aside) and the staging dir intact —
     # nothing committed is ever the only copy in a directory about to be
     # deleted.
     old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(path):
-        os.replace(path, old)
-    os.replace(staging, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.is_dir(path):
+        fs.rename(path, old)
+    fs.rename(staging, path)
+    fs.delete(old)
 
 
 BUCKET_COL = "key_bucket"
@@ -170,10 +229,11 @@ def merge_upsert_bucketed(
     """
     import json
 
-    spec_path = os.path.join(path, _BUCKET_SPEC)
-    has_spec = os.path.isfile(spec_path)
-    has_data = os.path.isdir(path) and any(
-        name.startswith(f"{BUCKET_COL}=") for name in os.listdir(path)
+    fs = _HadoopFS(spark, path)
+    spec_path = f"{path.rstrip('/')}/{_BUCKET_SPEC}"
+    has_spec = fs.is_file(spec_path)
+    has_data = fs.is_dir(path) and any(
+        name.startswith(f"{BUCKET_COL}=") for name in fs.child_names(path)
     )
     # Existence is decided by DATA, and data without a spec is refused, not
     # treated as a fresh table: the exists=False branch skips reading the
@@ -188,8 +248,7 @@ def merge_upsert_bucketed(
             f'({{"keys": [...], "n_buckets": N}}) or rebuild the table'
         )
     if has_spec:
-        with open(spec_path) as fh:
-            spec = json.load(fh)
+        spec = json.loads(fs.read_text(spec_path))
         if spec["keys"] != keys or spec["n_buckets"] != n_buckets:
             raise ValueError(
                 f"table at {path} was bucketed with {spec}; "
@@ -215,6 +274,7 @@ def merge_upsert_bucketed(
         .parquet(path)
     )
     if not has_spec:
-        with open(spec_path, "w") as fh:
-            json.dump({"keys": keys, "n_buckets": n_buckets}, fh)
+        fs.write_text(
+            spec_path, json.dumps({"keys": keys, "n_buckets": n_buckets})
+        )
     return touched

@@ -43,6 +43,22 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_reliable_checkpoint(spark):
+    # reliable=True routes lineage truncation through df.checkpoint()
+    # (reliable storage) instead of localCheckpoint (executor blocks).
+    # Same fixpoint, same answer; a checkpoint dir is auto-provisioned
+    # when the session has none configured.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs, reliable=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+
+
 def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
     docs = (
         read_table(spark, sf_dir, "documents")

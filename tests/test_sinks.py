@@ -62,6 +62,49 @@ def test_merge_upsert_last_writer_wins(spark, tmp_path):
     assert aapl.close == 111.0
 
 
+def test_merge_upsert_scheme_qualified_uri(spark, tmp_path):
+    # The flat merge routes ALL filesystem traffic through Hadoop's
+    # FileSystem API — an explicit file:// URI (which os.path/shutil would
+    # mangle) must behave identically to a bare local path. This is the
+    # portability contract: the same code path serves hdfs:// and s3a://.
+    path = f"file://{tmp_path}/merged_uri"
+    b1 = spark.createDataFrame(
+        [("AAPL", "2024-01-01", 100.0, 1)],
+        ["symbol", "date", "close", "version"],
+    )
+    merge_upsert(spark, b1, path, keys=["symbol", "date"], order_col="version")
+    b2 = spark.createDataFrame(
+        [("AAPL", "2024-01-01", 111.0, 2), ("NVDA", "2024-01-01", 800.0, 2)],
+        ["symbol", "date", "close", "version"],
+    )
+    merge_upsert(spark, b2, path, keys=["symbol", "date"], order_col="version")
+    got = {(r.symbol, r.close) for r in spark.read.parquet(path).collect()}
+    assert got == {("AAPL", 111.0), ("NVDA", 800.0)}
+    # no leftover staging/old dirs after the swap
+    import os
+
+    leftovers = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith("merged_uri__")
+    ]
+    assert leftovers == []
+
+
+def test_merge_upsert_bucketed_scheme_qualified_uri(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.lake import merge_upsert_bucketed
+
+    path = f"file://{tmp_path}/bucketed_uri"
+    b1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], ["k", "v", "version"]
+    )
+    merge_upsert_bucketed(spark, b1, path, keys=["k"], order_col="version", n_buckets=4)
+    b2 = spark.createDataFrame([(1, "a2", 2)], ["k", "v", "version"])
+    merge_upsert_bucketed(spark, b2, path, keys=["k"], order_col="version", n_buckets=4)
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a2"), (2, "b")}
+
+
 def _files_with_mtime(root):
     import os
 
