@@ -161,17 +161,31 @@ def stream_windowed_analytics(
     trigger: dict | None = None,
     watermark: str = "5 minutes",
     batch_hook: Callable[[DataFrame, int], None] | None = None,
+    post_write_hook: Callable[[int], None] | None = None,
 ) -> StreamingQuery:
     """The flagship pipeline under streaming: A1×A2 join per micro-batch.
 
     ``foreachBatch`` receives each micro-batch as a batch DataFrame; the
     *same* ``windowed_analytics`` plan used in batch mode runs on it and
-    appends partitioned parquet — K3's trigger/checkpoint/append contract
+    writes partitioned parquet — K3's trigger/checkpoint contract
     (``spark_stream_processor.py:256-263``) with the illegal stream-stream
     aggregation join replaced by this legal per-batch join.
 
+    **Exactly-once file output.** ``foreachBatch`` itself is at-least-once: a
+    crash after the write but before the checkpoint commit replays the batch
+    on restart. The write is therefore made *idempotent* — each batch lands
+    in its own ``batch_id=N`` partition via dynamic partition overwrite, so a
+    replayed batch overwrites its own previous (possibly partial) output
+    instead of appending a duplicate. Checkpointed offsets fix WHAT each
+    batch contains; the deterministic transform + self-overwriting write fix
+    what it produces. At-least-once replay + idempotent sink = exactly-once
+    table contents.
+
     ``trigger`` e.g. ``{"processingTime": "1 minute"}`` (reference default) or
     ``{"availableNow": True}`` for drain-and-stop runs/tests.
+    ``post_write_hook(batch_id)`` runs after the sink write but before the
+    micro-batch commits — tests inject crashes there to prove the replay
+    contract.
     """
     ticks = ticks.withWatermark("timestamp", watermark)
 
@@ -182,11 +196,14 @@ def stream_windowed_analytics(
         if batch_hook is not None:
             batch_hook(result, batch_id)
         (
-            result.write.mode("append")
-            .partitionBy("symbol")
+            result.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "symbol")
             .option("compression", "snappy")
             .parquet(output_path)
         )
+        if post_write_hook is not None:
+            post_write_hook(batch_id)
 
     writer = (
         ticks.writeStream.foreachBatch(_process)
