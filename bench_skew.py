@@ -1,0 +1,223 @@
+"""Skew + scale-growth stress bench (VERDICT r2 #9).
+
+Synthesizes a deliberately skewed tick table — ONE hot symbol owns 50% of
+all rows — at 1× (~600k rows, the sf0.1 envelope) and 10× (~6M rows), plus
+synthetic document corpora at 30k and 300k docs, then measures:
+
+1. ``windowed_analytics`` at 1× and 10× — wall-time must grow ≤ ~linearly
+   (ratio ≤ 10 × slack) despite the hot key, because sliding-window
+   aggregation partial-combines map-side and the composite (symbol, window)
+   grouping key spreads the hot symbol across reducers.
+2. Hot-key aggregation, direct vs ``salted_sum_agg`` — honest result
+   expected: for ALGEBRAIC sums Spark's map-side partial aggregation already
+   neutralizes key skew (each map task emits one row per key), so direct and
+   salted should be comparable; the salted form exists for when partial
+   aggregation is ineffective. The bench records both so the claim is
+   measured, not asserted from folklore.
+3. Hot-key JOIN against a symbol dimension, three ways, broadcast disabled
+   so the shuffle actually happens (at 100 TB the dim may not broadcast):
+   unmitigated sort-merge (AQE skew-split OFF — one task sorts the hot 50%),
+   AQE skew-split ON (Spark's runtime mitigation), and explicit
+   ``salted_skew_join``. Expectation: both mitigations beat unmitigated;
+   this is where skew actually bites, unlike algebraic aggregation.
+4. ``minhash_lsh_pairs`` at 30k and 300k synthetic docs — ≤ ~linear growth
+   (shingle explosion and band join are per-doc local; candidate pairs stay
+   sparse because the synthetic texts are not near-dups of each other).
+
+Run:  python bench_skew.py            (prints one JSON line, ~2-4 min)
+Knobs: SPARK_GRAFT_CPUS (default 32), SKEW_BENCH_SCALE (default 1.0 —
+row counts multiply by this; use 0.1 for a quick smoke).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.joins import salted_skew_join
+from stock_market_data_pipeline_spark.operators.neardup import minhash_lsh_pairs
+from stock_market_data_pipeline_spark.operators.windows import salted_sum_agg
+from stock_market_data_pipeline_spark.plans.analytics import windowed_analytics
+from stock_market_data_pipeline_spark.session import get_spark
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SCALE = float(os.environ.get("SKEW_BENCH_SCALE", "1.0"))
+
+BASE_TICKS = int(600_000 * SCALE)
+BASE_DOCS = int(30_000 * SCALE)
+N_COLD_SYMBOLS = 40
+HOT = "HOT"
+
+
+def synth_skewed_ticks(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic skewed ticks: even ids → the hot symbol (50% of rows),
+    odd ids → one of N_COLD_SYMBOLS. One day of per-second timestamps."""
+    base_epoch = 1_704_067_200  # 2024-01-01T00:00:00Z
+    return spark.range(n_rows).select(
+        F.when(F.col("id") % 2 == 0, F.lit(HOT))
+        .otherwise(
+            F.concat(
+                F.lit("S"),
+                ((F.col("id") % (2 * N_COLD_SYMBOLS)) / 2).cast("int"),
+            )
+        )
+        .alias("symbol"),
+        (100.0 + F.pmod(F.xxhash64("id"), 10_000) / 100.0).alias("price"),
+        (1_000 + F.pmod(F.xxhash64("id", F.lit(1)), 9_000)).alias("volume"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + F.pmod(F.col("id"), 86_400)
+        ).alias("timestamp"),
+        F.col("id"),
+    )
+
+
+def synth_docs(spark: SparkSession, n_docs: int, words_per_doc: int = 40) -> DataFrame:
+    """Deterministic synthetic corpus: each doc is words_per_doc tokens drawn
+    from a 500-word vocab by hash(doc_id, position) — docs are NOT near-dups
+    of each other, so LSH candidate pairs stay sparse and growth measures the
+    per-doc pipeline (shingle → minhash → band join), not pair explosion."""
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words_per_doc)),
+                lambda j: F.concat(
+                    F.lit("w"), F.pmod(F.xxhash64(F.col("id") * 1000 + j), 500)
+                ),
+            ),
+        ).alias("text"),
+    )
+
+
+def timed(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark(
+        "bench-skew", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    results: dict = {"metric": "skew_bench", "cpus": CPUS, "scale": SCALE}
+
+    ticks_1x = synth_skewed_ticks(spark, BASE_TICKS).localCheckpoint()
+    ticks_10x = synth_skewed_ticks(spark, BASE_TICKS * 10).localCheckpoint()
+    docs_1x = synth_docs(spark, BASE_DOCS).localCheckpoint()
+    docs_10x = synth_docs(spark, BASE_DOCS * 10).localCheckpoint()
+
+    # Warm up JIT/codegen paths so the 1× measurements aren't first-run noise.
+    timed(windowed_analytics(ticks_1x))
+
+    # 1. windowed analytics linear growth under skew
+    t1 = timed(windowed_analytics(ticks_1x))
+    t10 = timed(windowed_analytics(ticks_10x))
+    results["windowed_analytics"] = {
+        "rows_1x": BASE_TICKS,
+        "sec_1x": t1,
+        "sec_10x": t10,
+        "growth_ratio": round(t10 / t1, 2),
+        "linear_ok": t10 <= t1 * 10 * 1.6,
+    }
+
+    # 2. hot-key aggregation: direct vs salted (algebraic sums)
+    def direct_agg(df):
+        return df.groupBy("symbol").agg(
+            F.sum("volume").alias("volume_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    timed(direct_agg(ticks_10x))  # warm
+    t_direct = timed(direct_agg(ticks_10x))
+    t_salted = timed(
+        salted_sum_agg(
+            ticks_10x,
+            keys=["symbol"],
+            sums={"volume_sum": "volume"},
+            salt_src="id",
+            buckets=32,
+        )
+    )
+    direct_rows = {
+        r["symbol"]: r["volume_sum"] for r in direct_agg(ticks_10x).collect()
+    }
+    salted_rows = {
+        r["symbol"]: r["volume_sum"]
+        for r in salted_sum_agg(
+            ticks_10x, ["symbol"], {"volume_sum": "volume"}, "id", 32
+        ).collect()
+    }
+    results["hot_key_agg"] = {
+        "rows": BASE_TICKS * 10,
+        "sec_direct": t_direct,
+        "sec_salted": t_salted,
+        "results_equal": direct_rows == salted_rows,
+        "note": "algebraic sums partial-combine map-side; direct is expected "
+        "to be fine under key skew — salting targets non-combining paths",
+    }
+
+    # 3. hot-key join vs symbol dimension, broadcast disabled
+    dim = spark.createDataFrame(
+        [(HOT, "hot_sector")]
+        + [(f"S{i}", f"sector_{i % 5}") for i in range(N_COLD_SYMBOLS)],
+        ["symbol", "sector"],
+    ).localCheckpoint()
+
+    def with_conf(pairs: dict[str, str], fn):
+        old = {k: spark.conf.get(k, None) for k in pairs}
+        for k, v in pairs.items():
+            spark.conf.set(k, v)
+        try:
+            return fn()
+        finally:
+            for k, v in old.items():
+                if v is not None:
+                    spark.conf.set(k, v)
+
+    no_bcast = {"spark.sql.autoBroadcastJoinThreshold": "-1"}
+    t_unmitigated = with_conf(
+        {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+        lambda: timed(ticks_10x.join(dim, "symbol")),
+    )
+    t_aqe = with_conf(
+        {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "true"},
+        lambda: timed(ticks_10x.join(dim, "symbol")),
+    )
+    t_salted_join = with_conf(
+        {**no_bcast, "spark.sql.adaptive.skewJoin.enabled": "false"},
+        lambda: timed(salted_skew_join(ticks_10x, dim, "symbol", buckets=32)),
+    )
+    n_direct = ticks_10x.join(dim, "symbol").count()
+    n_salted = salted_skew_join(ticks_10x, dim, "symbol", buckets=32).count()
+    results["hot_key_join"] = {
+        "rows": BASE_TICKS * 10,
+        "sec_unmitigated_smj": t_unmitigated,
+        "sec_aqe_skew_split": t_aqe,
+        "sec_salted_join": t_salted_join,
+        "rows_equal": n_direct == n_salted,
+        "salted_beats_unmitigated": t_salted_join < t_unmitigated,
+        "aqe_beats_unmitigated": t_aqe < t_unmitigated,
+    }
+
+    # 4. minhash LSH linear growth
+    timed(minhash_lsh_pairs(docs_1x))  # warm
+    m1 = timed(minhash_lsh_pairs(docs_1x))
+    m10 = timed(minhash_lsh_pairs(docs_10x))
+    results["minhash_lsh_pairs"] = {
+        "docs_1x": BASE_DOCS,
+        "sec_1x": m1,
+        "sec_10x": m10,
+        "growth_ratio": round(m10 / m1, 2),
+        "linear_ok": m10 <= m1 * 10 * 1.6,
+    }
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

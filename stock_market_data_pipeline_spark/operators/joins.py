@@ -102,6 +102,35 @@ def as_of_join(
     )
 
 
+def salted_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join of a huge skewed fact table against a small dim
+    table without broadcast: each fact row gets a uniform salt in
+    [0, buckets); the dim side is replicated once per salt value; the join
+    key becomes (key, salt). A hot key's rows then spread across ``buckets``
+    tasks instead of concentrating the whole key in one sort-merge partition.
+
+    Decision order at scale: (1) ``broadcast(dim)`` when dim fits in memory —
+    no shuffle at all; (2) AQE skew-join splitting (on by default in the
+    session factory) for runtime-detected moderate skew; (3) this explicit
+    salting when the hot key is known and extreme or broadcast is impossible.
+    The dim side is replicated ×buckets, so keep buckets modest (16-64).
+
+    Row-level semantics are unchanged for inner/left joins: every fact row
+    carries exactly one salt, and its key's dim row exists at every salt.
+    """
+    fact_s = fact.withColumn("_salt", (F.rand(seed=7) * buckets).cast("int"))
+    dim_s = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return fact_s.join(dim_s, on=[key, "_salt"], how=how).drop("_salt")
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,
