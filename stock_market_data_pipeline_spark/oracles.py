@@ -1401,6 +1401,79 @@ SELECT v.variant,
        round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.total, 6) AS recall_at_5
 FROM vlist v LEFT JOIN hits h USING (variant) CROSS JOIN tot t
 """,
+    # Gap rule and duration mirror the Spark plan's truncated-seconds
+    # arithmetic (cast ts to long) via epoch_us // 1_000_000.
+    "event_sessionization": """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000 AS duration_sec,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM s GROUP BY 1, 2
+""",
+    "event_funnel": """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY 1
+),
+c AS (
+  SELECT 0 AS stage_index, 'signup' AS stage, count(*) AS users_reached FROM s0
+  UNION ALL SELECT 1, 'click', count(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+)
+SELECT stage_index, stage, CAST(users_reached AS BIGINT) AS users_reached,
+       round(users_reached * 100.0
+             / (SELECT users_reached FROM c WHERE stage_index = 0), 2) AS pct_of_top
+FROM c
+""",
+    "retention_cohorts": """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+),
+cells AS (
+  SELECT DISTINCT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS week_offset,
+         e.user_id
+  FROM events e JOIN f USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*) AS active_users
+FROM cells GROUP BY 1, 2
+""",
+    "event_json_stats": """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+FROM events GROUP BY 1
+""",
 }
 
 

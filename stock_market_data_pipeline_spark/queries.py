@@ -830,6 +830,56 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level gap sessionization rolled up per (user, ordinal session).
+
+    Unlike ``session_windows`` (native merged-window aggregate), this keeps
+    per-key ordinal session ids — the shape downstream attribution joins need.
+    """
+    from stock_market_data_pipeline_spark.operators.events import session_stats
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    out = session_stats(ev, key="user_id", ts="ts", value="value")
+    return round_doubles(out)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered signup → click → purchase funnel over the event log."""
+    from stock_market_data_pipeline_spark.operators.events import funnel
+
+    ev = read_table(spark, sf_dir, "events")
+    return funnel(ev, stages=["signup", "click", "purchase"])
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event log."""
+    from stock_market_data_pipeline_spark.operators.events import retention_cohorts
+
+    ev = read_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)
+
+
+def q_event_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON-path extraction (``get_json_object``) + per-type stats.
+
+    The reference parses its payload JSON in Python consumers
+    (`/root/reference/src/kafka/realtime_data_consumer.py`); here the path
+    extraction stays JVM-side so column pruning and codegen apply.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            round_det(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_cast_filter": q_clean_cast_filter,
     "sliding_window_15m": q_sliding_window_15m,
@@ -899,4 +949,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "macd_signal": q_macd_signal,
     "pii_redaction": q_pii_redaction,
     "ann_recall": q_ann_recall,
+    "event_sessionization": q_event_sessionization,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "event_json_stats": q_event_json_stats,
 }
