@@ -39,16 +39,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM/codegen paths once so per-query timings measure the
     # queries, not first-job startup.
-    QUERIES["windowed_analytics"](spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    warm = "windowed_analytics" if "windowed_analytics" in QUERIES else HEADLINE[0]
+    try:
+        QUERIES[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001 — warm-up failure is re-reported below
+        pass
 
+    # One broken query must not erase the other timings (round-3 lesson:
+    # a single AnalysisException zeroed the whole artifact). Errors are
+    # recorded per-query and surfaced in the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name in EXCLUDED:
             continue
         t0 = time.perf_counter()
-        QUERIES[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # noqa: BLE001 — any failure is a data point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,12 +71,15 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "excluded": sorted(EXCLUDED),
                 "sf": float(sf),
             }
         )
     )
     spark.stop()
+    # Exit 0 even with errors: the driver must record the surviving timings
+    # (r3's rc=1 run was recorded as parsed:null). `errors` is the loud flag.
 
 
 if __name__ == "__main__":

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from stock_market_data_pipeline_spark.utils import to_epoch_seconds
+
 
 def sessionize(
     df: DataFrame,
@@ -39,9 +41,8 @@ def sessionize(
     key group beyond the sort.
     """
     w_ord = Window.partitionBy(key).orderBy(ts)
-    gap_expr = (
-        F.col(ts).cast("long") - F.lag(F.col(ts).cast("long")).over(w_ord)
-    )
+    epoch = to_epoch_seconds(ts)  # NTZ-safe: bare cast("long") crashes on NTZ
+    gap_expr = epoch - F.lag(epoch).over(w_ord)
     new_session = F.when(
         gap_expr.isNull() | (gap_expr >= gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))
@@ -70,7 +71,7 @@ def session_stats(
     return s.groupBy(key, "session_id").agg(
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        (F.max(F.col(ts).cast("long")) - F.min(F.col(ts).cast("long"))).alias(
+        (F.max(to_epoch_seconds(ts)) - F.min(to_epoch_seconds(ts))).alias(
             "duration_sec"
         ),
         F.count(F.lit(1)).alias("n_events"),

@@ -63,6 +63,68 @@ def stream_sliding_metrics(
     )
 
 
+def stream_session_stats(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming sessionization: the native-streaming twin of the batch
+    ``operators.events.session_stats`` (VERDICT r3 #7).
+
+    Uses ``F.session_window`` — Spark's state-mergeable session window — so
+    the gap rule runs incrementally: each key's open session lives in the
+    state store, merges with in-gap events, and is finalized (emitted under
+    append mode) once the event-time watermark passes ``last_event + gap``.
+    State per key is O(open sessions), pruned by the watermark — the only
+    formulation that survives an unbounded stream; the batch lag/cumsum
+    formulation needs the whole key history and is the backfill path.
+
+    Gap-boundary semantics match batch ``sessionize`` exactly: the session
+    window is ``[first, last + gap)`` with an exclusive end, so an event at
+    precisely ``last + gap`` starts a NEW session — the batch rule's
+    ``gap >= gap_minutes * 60``. (``session_start``/``session_end`` here are
+    the observed event bounds, same as the batch rollup, not the padded
+    window end.)
+
+    Returns an unstarted streaming DataFrame; attach a sink with
+    outputMode("append"). Works identically on a batch DataFrame, which is
+    how the parity test pins stream-semantics == batch-semantics.
+    """
+    gap = f"{gap_minutes} minutes"
+    # Flavor-blind: withWatermark rejects TIMESTAMP_NTZ (the lake's flavor
+    # under inferTimestampNTZ), so normalize to TIMESTAMP first — session TZ
+    # is pinned UTC (session.py), the instants are unchanged.
+    events = events.withColumn(ts, F.col(ts).cast("timestamp"))
+    grouped = (
+        (
+            events.withWatermark(ts, watermark)
+            if events.isStreaming
+            else events
+        )
+        .groupBy(F.col(key), F.session_window(F.col(ts), gap))
+        .agg(
+            F.min(ts).alias("session_start"),
+            F.max(ts).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value).alias("value_sum"),
+        )
+    )
+    return grouped.select(
+        key,
+        "session_start",
+        "session_end",
+        (
+            F.unix_timestamp(F.col("session_end").cast("timestamp"))
+            - F.unix_timestamp(F.col("session_start").cast("timestamp"))
+        ).alias("duration_sec"),
+        "n_events",
+        "value_sum",
+    )
+
+
 def stream_dedup_keyed(
     ticks: DataFrame,
     keys: list[str] | None = None,

@@ -21,6 +21,22 @@ def round_det(col: Column, scale: int = 6) -> Column:
     return F.round(col + F.lit(ROUND_BIAS), scale)
 
 
+def to_epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds from a timestamp of EITHER flavor (LTZ or NTZ).
+
+    ``cast("long")`` directly on TIMESTAMP_NTZ raises
+    ``DATATYPE_MISMATCH.CAST_WITHOUT_SUGGESTION`` (the lake stores
+    TIMESTAMP_MICROS with isAdjustedToUTC=0, read as NTZ under
+    ``spark.sql.parquet.inferTimestampNTZ.enabled=true``). NTZ→TIMESTAMP is a
+    legal cast and the session timezone is pinned to UTC (session.py), so the
+    wall-clock value — and therefore the epoch count — is unchanged; the
+    second cast to long is then legal for both flavors. Every operator doing
+    timestamp arithmetic MUST use this instead of a bare ``cast("long")``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("long")
+
+
 def round_doubles(df: DataFrame, scale: int = 6, exclude: tuple[str, ...] = ()) -> DataFrame:
     """Round every DoubleType column to ``scale`` decimals (biased — see
     ROUND_BIAS).

@@ -97,3 +97,20 @@ def test_stratified_sample_no_data_shuffle(spark, sf_dir):
     ]
     # only the round-robin widen of the documents scan
     assert len(exchanges) == 1 and "RoundRobinPartitioning" in exchanges[0], exchanges
+
+
+def test_session_stats_single_exchange_single_sort(spark, sf_dir):
+    """Sessionize shuffles ONCE on the user key; the per-session rollup
+    reuses that partitioning (hashpartitioning(user_id) satisfies the
+    (user_id, session_id) clustering — subset rule), so the whole
+    event_sessionization plan has exactly one data exchange and one sort
+    (the window's per-key ordering; hash aggregation adds no sort)."""
+    plan = _plan(spark, sf_dir, "event_sessionization")
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln and "Broadcast" not in ln
+    ]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(user_id" in exchanges[0], exchanges[0]
+    sorts = [ln for ln in plan.splitlines() if re.match(r"\s*[+:*-]*\s*Sort \[", ln)]
+    assert len(sorts) == 1, sorts
