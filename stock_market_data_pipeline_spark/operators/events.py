@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from stock_market_data_pipeline_spark.utils import to_epoch_seconds
+from stock_market_data_pipeline_spark.utils import round_det, to_epoch_seconds
 
 
 def sessionize(
@@ -168,4 +168,130 @@ def retention_cohorts(
     ).distinct()
     return cells.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("active_users")
+    )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    value: str = "value",
+    conversion: str = "purchase",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is credited
+    to the user's most recent PRECEDING non-conversion event type (their
+    last marketing touch); conversions with no prior touch credit
+    ``'direct'``. Output: one row per source with conversion count and
+    value — the report a growth team reads daily.
+
+    Plan: one window over (user, ts, tiebreak) carrying the last non-null
+    touch (``last(..., ignorenulls)`` over an unbounded-preceding-to--1
+    frame — evaluated streamingly within each key after the one shuffle on
+    the user key), then a filter to conversions and a tiny groupBy on the
+    source label. Same single-shuffle shape as ``sessionize``; the
+    ``tiebreak`` column makes ordering total so results are identical under
+    any partitioning.
+    """
+    w = (
+        Window.partitionBy(user)
+        .orderBy(ts, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        df.withColumn("attributed_source", F.coalesce(touch, F.lit("direct")))
+        .filter(F.col(type_col) == conversion)
+        .groupBy("attributed_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            round_det(F.sum(value), 6).alias("value_sum"),
+        )
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    attr: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Derive a type-2 slowly-changing-dimension history from a change log:
+    collapse consecutive rows where ``attr`` is unchanged, emit one validity
+    interval per run — (key, attr, effective_from, effective_to, is_current),
+    ``effective_to`` NULL on the open current row. This is the
+    warehouse-side dimension-history derivation (the reference loads
+    dimensions with blind full-refresh,
+    `/root/reference/src/snowflake/scripts/load_to_snowflake.py` — no
+    history; SCD2 is what a real warehouse keeps).
+
+    Plan: one shuffle on the key; two windows over the SAME (key, ts,
+    tiebreak) sort — change detection via lag, interval close via lead on
+    the change rows (a filter, so the second window reuses the sort and
+    partitioning). Output is O(#changes), not O(#events).
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = df.select(
+        F.col(key), F.col(ts), F.col(attr), F.col(tiebreak)
+    ).withColumn(
+        "_chg",
+        (
+            F.lag(attr).over(w).isNull()
+            | (F.col(attr) != F.lag(attr).over(w))
+        ).cast("int"),
+    )
+    changes = marked.filter(F.col("_chg") == 1)
+    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return changes.select(
+        F.col(key),
+        F.col(attr),
+        F.col(ts).alias("effective_from"),
+        F.lead(ts).over(w2).alias("effective_to"),
+        F.lead(ts).over(w2).isNull().alias("is_current"),
+    )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts over the event stream: for each
+    user, count consecutive (from_type → to_type) steps, then aggregate
+    globally with each from-state's transition probability — the navigation
+    /behavior matrix product analytics reads (and a quick anomaly signal:
+    improbable transitions).
+
+    Plan: one shuffle on the user key, one lag window, then a tiny groupBy
+    on (from, to) — |types|² output rows. The probability denominator
+    reuses a window over the from-state of the aggregated frame
+    (driver-sized), not a second pass over the data.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    steps = (
+        df.select(F.col(key), F.col(ts), F.col(type_col), F.col(tiebreak))
+        .withColumn("from_type", F.lag(type_col).over(w))
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col(type_col).alias("to_type"))
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        round_det(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(w_from).cast("double"),
+            6,
+        ).alias("p_transition"),
     )

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stock_market_data_pipeline_spark.utils import round_det
+
 
 def with_ewma(
     df: DataFrame,
@@ -261,4 +263,54 @@ def with_macd_signal(
         out.withColumn("macd_signal", num / den)
         .withColumn("macd_hist", F.col("macd") - F.col("macd_signal"))
         .drop("_sx")
+    )
+
+
+def return_correlation(
+    ticks: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+) -> DataFrame:
+    """Pairwise Pearson correlation of daily close-over-close returns — the
+    classic cross-asset co-movement matrix (pairs trading / portfolio risk),
+    a cross-SERIES statistic the reference's per-symbol jobs never compute.
+
+    Built on ``daily_ohlcv`` closes: per-symbol daily return r_t =
+    close_t / close_{t-1} - 1, then corr(r_a, r_b) over the dates both
+    symbols traded, one row per unordered pair (a < b).
+
+    100 TB posture: the tick→daily rollup does the data-sized work (one
+    map-side-combined aggregate, output |symbols|×|days| rows — tiny). The
+    pair join is a self-equi-join on the DATE key of that rolled-up frame
+    and corr is algebraic (one pass, partial-combined); S symbols give
+    S·(S-1)/2 output rows from |days|·S² joined rows — never data-sized.
+    """
+    from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
+
+    daily = daily_ohlcv(
+        ticks, key=key, ts=ts, price=price, change_mode="intraday"
+    ).select(key, "date", "daily_close")
+    w = Window.partitionBy(key).orderBy("date")
+    rets = daily.select(
+        F.col(key),
+        F.col("date"),
+        (
+            F.col("daily_close") / F.lag("daily_close").over(w) - F.lit(1.0)
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a = rets.select(
+        F.col(key).alias("symbol_a"), "date", F.col("ret").alias("ret_a")
+    )
+    b = rets.select(
+        F.col(key).alias("symbol_b"), "date", F.col("ret").alias("ret_b")
+    )
+    return (
+        a.join(b, "date")
+        .filter(F.col("symbol_a") < F.col("symbol_b"))
+        .groupBy("symbol_a", "symbol_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_det(F.corr("ret_a", "ret_b"), 4).alias("return_corr"),
+        )
     )

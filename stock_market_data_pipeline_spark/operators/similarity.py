@@ -358,3 +358,63 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_iteration(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+) -> DataFrame:
+    """One Lloyd's-iteration step over the IVF pivot set: assign every vector
+    to its max-cosine pivot, then report per-cell size, cohesion, and how far
+    the recomputed centroid moved — the training loop IVF needs to upgrade
+    its hash-sampled pivots (``ivf_cosine_topk``'s "swap in fitted centroids"
+    path) without an MLlib dependency.
+
+    Output per cell: ``cell`` (pivot id), ``n_members``, ``cohesion`` (mean
+    member→pivot cosine), ``centroid_drift`` (cosine between the old pivot
+    and the recomputed mean vector — 1.0 means converged).
+
+    100 TB posture: pivots are a constant-size broadcast (TakeOrdered sample,
+    same as IVF); assignment is a per-row argmax over the broadcast array —
+    the corpus never shuffles for it. The component-wise centroid mean is 64
+    algebraic ``avg`` aggregates on the cell key: map-side partial combine,
+    ONE shuffle of n_cells × dim partial sums. Iterating = feeding the new
+    centroids back as pivots; each round is one job with identical shape.
+    """
+    dim = 64
+    pivots = (
+        corpus.select(
+            F.col(id_col).alias("pivot_id"), as_double_vec(vec_col).alias("p_vec")
+        )
+        .orderBy(F.md5(F.col("pivot_id").cast("string")), F.col("pivot_id"))
+        .limit(n_cells)
+    )
+    c = corpus.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("_v"))
+    scored = c.crossJoin(F.broadcast(pivots)).select(
+        "vid",
+        "_v",
+        "pivot_id",
+        "p_vec",
+        round_det(cosine(F.col("_v"), F.col("p_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "_v", F.col("pivot_id").alias("cell"), "p_vec", "sim")
+    )
+    new_centroids = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        round_det(F.avg("sim"), 6).alias("cohesion"),
+        *[F.avg(F.col("_v")[i]).alias(f"_m{i}") for i in range(dim)],
+        F.first("p_vec").alias("p_vec"),
+    )
+    mean_vec = F.array(*[F.col(f"_m{i}") for i in range(dim)])
+    return new_centroids.select(
+        "cell",
+        "n_members",
+        "cohesion",
+        round_det(cosine(mean_vec, F.col("p_vec")), 4).alias("centroid_drift"),
+    )

@@ -197,3 +197,47 @@ def with_chunks(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("chunk_tokens"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM quality score (CCNet-style): per-doc mean log-probability
+    of its tokens under an add-1-smoothed unigram model fit on the SAME
+    corpus. Low scores mark out-of-distribution / junk documents — the
+    cheap stand-in for "perplexity under a reference LM" quality filtering,
+    with the LM derived from the data itself (no model artifact needed).
+
+    p(w) = (count(w) + 1) / (N + V);  score(doc) = mean over tokens of ln p.
+
+    100 TB posture: token explode is a projection; the unigram count is one
+    map-side-combined aggregate on the token key; N and V are a driver-sized
+    broadcast row. The token→logprob join keys on the token — Zipf-skewed,
+    but the count table is |vocab|-sized (millions of rows at corpus scale,
+    still the small side), so it broadcasts and the corpus never shuffles;
+    the final per-doc mean reuses the doc key.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    logp = toks.join(F.broadcast(counts), "token").crossJoin(
+        F.broadcast(totals)
+    )
+    return logp.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        round_det(
+            F.avg(
+                F.log(
+                    (F.col("c") + F.lit(1.0))
+                    / (F.col("n_total") + F.col("v_size")).cast("double")
+                )
+            ),
+            6,
+        ).alias("avg_logprob"),
+    )

@@ -1474,7 +1474,150 @@ SELECT event_type,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
 FROM events GROUP BY 1
 """,
+    # 8-gram shingles: i in 1..len-7 (range end-exclusive), slice inclusive.
+    "ngram_decontaminate": """
+WITH train AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 <> 0
+),
+ev AS (
+  SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0
+),
+tr_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+    FROM train
+  )
+),
+ev_sh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+    FROM ev
+  )
+),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM tr_sh GROUP BY 1),
+coll AS (
+  SELECT doc_id, count(*) AS n_collisions
+  FROM tr_sh JOIN ev_sh USING (shingle) GROUP BY 1
+)
+SELECT t.doc_id,
+       coalesce(p.n_shingles, 0)      AS n_shingles,
+       coalesce(c.n_collisions, 0)    AS n_collisions,
+       coalesce(c.n_collisions, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM train) t
+LEFT JOIN per_doc p USING (doc_id)
+LEFT JOIN coll c USING (doc_id)
+""",
+    "unigram_logprob": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM toks) AS n_total,
+               (SELECT count(*) FROM cnt) AS v_size)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln((c + 1.0) / CAST(n_total + v_size AS DOUBLE))), 6) AS avg_logprob
+FROM toks JOIN cnt USING (token) CROSS JOIN tot
+GROUP BY 1
+""",
+    "return_correlation": f"""
+WITH {TICKS_CTE},
+daily AS (
+  SELECT symbol, CAST("timestamp" AS DATE) AS date,
+         arg_max(price, "timestamp") AS daily_close
+  FROM ticks GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol, date,
+         daily_close / lag(daily_close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+  FROM daily
+)
+SELECT a.symbol AS symbol_a, b.symbol AS symbol_b,
+       count(*) AS n_days,
+       round(corr(a.ret, b.ret), 4) AS return_corr
+FROM rets a JOIN rets b USING (date)
+WHERE a.symbol < b.symbol AND a.ret IS NOT NULL AND b.ret IS NOT NULL
+GROUP BY 1, 2
+""",
+    "last_touch_attribution": """
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT coalesce(touch, 'direct') AS attributed_source,
+       count(*) AS n_conversions,
+       round(sum(value), 6) AS value_sum
+FROM x WHERE event_type = 'purchase' GROUP BY 1
+""",
+    "scd2_history": """
+WITH m AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (SELECT * FROM m WHERE chg = 1)
+SELECT user_id, event_type,
+       ts AS effective_from,
+       lead(ts) OVER w2 AS effective_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM c
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "event_transitions": """
+WITH s AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n_transitions
+  FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
+FROM c
+""",
 }
+
+# ---- kmeans_iteration oracle (generated: 64 component means) ----
+_KM_MEANS = ", ".join(
+    f"avg(CAST(_v[{i}] AS DOUBLE)) AS m{i}" for i in range(1, _DIM + 1)
+)
+_KM_DOT = " + ".join(f"m{i} * CAST(p_vec[{i}] AS DOUBLE)" for i in range(1, _DIM + 1))
+_KM_MNORM = " + ".join(f"m{i} * m{i}" for i in range(1, _DIM + 1))
+
+ORACLES["kmeans_iteration"] = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS p_vec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+),
+c AS (SELECT vec_id AS vid, embedding AS _v FROM embeddings),
+scored AS (
+  SELECT vid, _v, pivot_id, p_vec, {_cos_expr('_v', 'p_vec')} AS sim
+  FROM c CROSS JOIN pivots
+),
+assigned AS (
+  SELECT vid, _v, pivot_id AS cell, p_vec, sim FROM (
+    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, pivot_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT cell, count(*) AS n_members, round(avg(sim), 6) AS cohesion, {_KM_MEANS}
+  FROM assigned GROUP BY cell
+)
+SELECT cell, n_members, cohesion,
+       round(({_KM_DOT})
+             / NULLIF(sqrt({_KM_MNORM}) * sqrt({_sq_list_sum('p_vec')}), 0.0),
+             4) AS centroid_drift
+FROM agg JOIN pivots ON cell = pivot_id
+"""
 
 
 def _bias_rounds(sql: str) -> str:

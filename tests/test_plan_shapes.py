@@ -114,3 +114,50 @@ def test_session_stats_single_exchange_single_sort(spark, sf_dir):
     assert "hashpartitioning(user_id" in exchanges[0], exchanges[0]
     sorts = [ln for ln in plan.splitlines() if re.match(r"\s*[+:*-]*\s*Sort \[", ln)]
     assert len(sorts) == 1, sorts
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark/eval shingle set is the broadcast side; the train
+    corpus never shuffles on the shingle key for the collision join (its
+    only wide ops are keyed on (doc_id, shingle) dedup / doc_id rollup)."""
+    plan = _plan(spark, sf_dir, "ngram_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # exactly ONE hash exchange keyed on the shingle alone — the EVAL side's
+    # own distinct (small by construction), and it must sit inside the
+    # broadcast subtree. A second one would mean the train corpus shuffles
+    # on the shingle key — corpus-sized traffic at scale.
+    lines = plan.splitlines()
+    bcast_at = next(i for i, ln in enumerate(lines) if "BroadcastExchange" in ln)
+    shingle_ex = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+        and re.search(r"hashpartitioning\(shingle#\d+, \d+\)", ln)
+    ]
+    assert len(shingle_ex) == 1, [lines[i] for i in shingle_ex]
+    assert shingle_ex[0] > bcast_at, "shingle shuffle outside broadcast subtree"
+
+
+def test_kmeans_assignment_broadcasts_pivots(spark, sf_dir):
+    """Pivot set is a constant-size broadcast; the corpus is never shuffled
+    for assignment — the only hash exchanges are the per-vid argmax window
+    and the cell rollup."""
+    plan = _plan(spark, sf_dir, "kmeans_iteration")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_last_touch_attribution_single_data_exchange(spark, sf_dir):
+    """One shuffle on the user key feeds the carry-forward window; the
+    final source rollup is driver-sized (handful of groups)."""
+    plan = _plan(spark, sf_dir, "last_touch_attribution")
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert any("user_id" in ln for ln in exchanges)
+    # user shuffle + tiny rollup shuffle; nothing else
+    assert len(exchanges) <= 2, exchanges

@@ -18,7 +18,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.operators.events import (
+    last_touch_attribution,
     retention_cohorts,
+    scd2_history,
     session_stats,
     sessionize,
 )
@@ -73,6 +75,11 @@ def _both(spark, sf_dir, fn):
             lambda ev: session_stats(ev, key="user_id", ts="ts", value="value"),
         ),
         ("retention_cohorts", lambda ev: retention_cohorts(ev)),
+        ("scd2_history", lambda ev: scd2_history(ev)),
+        (
+            "last_touch_attribution",
+            lambda ev: last_touch_attribution(ev),
+        ),
         (
             "session_windows",
             lambda ev: session_windows(
