@@ -1,0 +1,141 @@
+"""Behavioral invariants for the round-4 operators — properties the oracle
+hash can't express: planted-contamination detection, SCD2 interval algebra,
+probability-mass closure, attribution conservation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.decontam import (
+    ngram_decontaminate,
+    ngram_shingles,
+)
+from stock_market_data_pipeline_spark.operators.events import (
+    event_transition_matrix,
+    last_touch_attribution,
+    scd2_history,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+def test_planted_contamination_is_detected(spark, sf_dir):
+    """Append a verbatim 8-gram from an eval doc to one train doc: exactly
+    that doc must flip to contaminated=true relative to the unplanted run,
+    and its collision count must increase by at least one."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    eval_first8 = (
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+    )
+    planted_gram = (
+        eval_set.orderBy("doc_id").select(eval_first8.alias("g")).first()["g"]
+    )
+    assert len(planted_gram.split(" ")) == 8
+    victim = train.orderBy("doc_id").first()["doc_id"]
+    train_planted = train.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == victim,
+            F.concat_ws(" ", F.col("text"), F.lit(planted_gram)),
+        ).otherwise(F.col("text")),
+    )
+    base = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train, eval_set).collect()
+    }
+    planted = {
+        r["doc_id"]: r
+        for r in ngram_decontaminate(train_planted, eval_set).collect()
+    }
+    assert planted[victim]["contaminated"] is True
+    assert planted[victim]["n_collisions"] >= base[victim]["n_collisions"] + 1
+    # nobody else's verdict changed
+    for d in base:
+        if d != victim:
+            assert planted[d]["n_collisions"] == base[d]["n_collisions"]
+
+
+def test_shingle_count_matches_token_count(spark, sf_dir):
+    """Each doc yields exactly max(0, n_tokens - n + 1) shingles (pre-dedup)."""
+    docs = _docs(spark, sf_dir)
+    n = 8
+    got = (
+        ngram_shingles(docs, n=n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    expected = docs.select(
+        "doc_id",
+        F.greatest(
+            F.size(F.split(F.col("text"), " ")) - F.lit(n - 1), F.lit(0)
+        ).alias("expected"),
+    )
+    joined = got.join(expected, "doc_id")
+    assert joined.filter(F.col("n_shingles") != F.col("expected")).count() == 0
+
+
+def test_scd2_intervals_tile_per_key(spark, sf_dir):
+    """Per key: intervals are disjoint, contiguous (each effective_to equals
+    the next effective_from), exactly one open current row, and the number
+    of intervals equals the number of attr changes in the raw stream."""
+    ev = _events(spark, sf_dir)
+    hist = scd2_history(ev)
+    # one current row per key
+    cur = hist.filter(F.col("is_current")).groupBy("user_id").count()
+    assert cur.filter(F.col("count") != 1).count() == 0
+    # contiguity: lead(effective_from) == effective_to for closed rows
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("effective_from")
+    chk = hist.withColumn("nxt", F.lead("effective_from").over(w))
+    bad = chk.filter(
+        (F.col("effective_to").isNotNull())
+        & (F.col("effective_to") != F.col("nxt"))
+    )
+    assert bad.count() == 0
+    # interval count == change count from first principles
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("event_type").over(w2))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .count()
+    )
+    assert hist.count() == changes
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_dir):
+    m = event_transition_matrix(_events(spark, sf_dir))
+    sums = m.groupBy("from_type").agg(F.sum("p_transition").alias("s"))
+    assert sums.filter(F.abs(F.col("s") - 1.0) > 1e-4).count() == 0
+    # transition mass == total events minus one first-event per user
+    ev = _events(spark, sf_dir)
+    total = m.agg(F.sum("n_transitions")).first()[0]
+    assert total == ev.count() - ev.select("user_id").distinct().count()
+
+
+def test_attribution_conserves_conversions(spark, sf_dir):
+    """Every purchase is attributed exactly once; the source labels are
+    drawn from the non-conversion event types plus 'direct'."""
+    ev = _events(spark, sf_dir)
+    out = last_touch_attribution(ev).collect()
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    assert sum(r["n_conversions"] for r in out) == n_purchases
+    allowed = {
+        r["event_type"]
+        for r in ev.select("event_type").distinct().collect()
+        if r["event_type"] != "purchase"
+    } | {"direct"}
+    assert {r["attributed_source"] for r in out} <= allowed
