@@ -90,3 +90,77 @@ def ngram_decontaminate(
             (F.coalesce("n_collisions", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def contamination_gate(
+    df: DataFrame,
+    eval_shingles: frozenset[str],
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row contamination gate: flag each document whose text contains any
+    verbatim n-gram from the (pre-collected) eval shingle set — the STREAMING
+    twin of :func:`ngram_decontaminate`. Stateless, so the same operator runs
+    identically on a batch frame and inside a structured stream (no
+    watermark, no state store — ingest-time gating, not corpus analytics).
+
+    The eval set ships as a closed-over Python frozenset inside an
+    Arrow-batched ``mapInPandas`` kernel: benchmark suites are KBs-to-MBs
+    (constant-size relative to the corpus), so the task closure is the
+    broadcast; membership tests are O(1) per shingle. This is the right
+    boundary for Python — a join would force shuffle or a giant literal
+    array into codegen; a per-row UDF would be 10-100× slower than the
+    batch loop.
+
+    Output: id, n_shingles, n_collisions, contaminated — same contract as
+    the batch operator's per-doc columns (parity pinned by test).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    schema = f"{id_col} long, n_shingles long, n_collisions long, contaminated boolean"
+    ev = eval_shingles  # local name for closure pickling
+
+    def run(batches):
+        for pdf in batches:
+            ids, n_sh, n_col = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ") if isinstance(text, str) else []
+                grams = {
+                    " ".join(toks[i : i + n])
+                    for i in range(max(0, len(toks) - n + 1))
+                }
+                ids.append(did)
+                n_sh.append(len(grams))
+                n_col.append(sum(1 for g in grams if g in ev))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_shingles": n_sh,
+                    "n_collisions": n_col,
+                    "contaminated": [c > 0 for c in n_col],
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def collect_eval_shingles(
+    eval_set: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingles: int = 5_000_000,
+) -> frozenset[str]:
+    """Collect the eval set's distinct shingles to the driver for the gate's
+    closure. Guarded: benchmark sets are small by definition; a corpus-sized
+    frame here is a usage error, not something to silently collect."""
+    ev = ngram_shingles(eval_set, n=n, id_col=id_col, text_col=text_col)
+    cnt = ev.select("shingle").distinct()
+    rows = cnt.limit(max_shingles + 1).collect()
+    if len(rows) > max_shingles:
+        raise ValueError(
+            f"eval set produced >{max_shingles} distinct shingles — "
+            "that is corpus-sized; use ngram_decontaminate (broadcast join) instead"
+        )
+    return frozenset(r["shingle"] for r in rows)

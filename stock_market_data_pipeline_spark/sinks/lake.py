@@ -278,3 +278,65 @@ def merge_upsert_bucketed(
             spec_path, json.dumps({"keys": keys, "n_buckets": n_buckets})
         )
     return touched
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction for an UNPARTITIONED lake directory: rewrite the
+    dataset into ceil(total_bytes / target) files and atomically swap the
+    directory. The streaming file sink and per-batch merges accrete many
+    small files (one+ per micro-batch); at 100 TB scan cost is dominated by
+    file-open/listing overhead once files shrink below ~tens of MB — the
+    standard maintenance job every lakehouse runs (Delta OPTIMIZE / Iceberg
+    rewrite_data_files do exactly this under the hood).
+
+    Sizing uses the FILE SYSTEM's byte count (not sampled row width), so the
+    target is hit regardless of compression/encoding drift. The rewrite is
+    one repartition(n) job — a full shuffle of the data being compacted,
+    which is the unavoidable cost of re-binpacking; run it per partition
+    directory at scale. Swap is two renames through the Hadoop FS API
+    (atomic on HDFS/POSIX; on S3A prefer writing to a new versioned prefix).
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    Refuses paths that don't look like a single-level data directory (no
+    partition subdirectories) — partitioned lakes compact per leaf.
+    """
+    import math
+
+    hfs = _HadoopFS(spark, path)
+    names = hfs.child_names(path)
+    if any("=" in n for n in names):
+        raise ValueError(
+            f"{path} has partition subdirectories; compact each leaf directory"
+        )
+    statuses = hfs.fs.listStatus(hfs.path(path))
+    data_files = [
+        s for s in statuses
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    total = sum(s.getLen() for s in data_files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    hfs.delete(tmp)
+    df.repartition(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    hfs.rename(path.rstrip("/"), old)
+    try:
+        hfs.rename(tmp, path.rstrip("/"))
+    except Exception:
+        hfs.rename(old, path.rstrip("/"))  # roll back: restore original dir
+        raise
+    hfs.delete(old)
+    after = [
+        n for n in hfs.child_names(path) if not n.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes": total,
+    }

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 # Test-lake columns physically stored as parquet TIMESTAMP(NANOS); with
 # spark.sql.legacy.parquet.nanosAsLong they surface as LongType nanos and are
@@ -77,3 +77,50 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
     return df
+
+
+def read_jsonl_docs(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    quarantine_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus scan with poison-line quarantine — the ingest format of
+    most raw LLM-training corpora (one JSON doc per line, a few percent of
+    which are truncated or malformed in the wild).
+
+    Returns ``(clean, quarantined)``. The file is scanned as TEXT and parsed
+    with ``from_json`` carrying an in-struct corrupt-record field: unlike the
+    native ``spark.read.json`` corrupt column (which Spark refuses to query
+    in isolation — QUERY_ONLY_CORRUPT_RECORD_COLUMN — forcing a cache), a
+    computed struct has no such restriction, so both branches stay lazy,
+    prunable plans over one scan definition. Malformed lines keep their raw
+    text plus whatever fields half-parsed; clean rows surface typed. At
+    100 TB the quarantine side writes to a dead-letter path while the clean
+    side flows on — the Kafka poison-pill pattern
+    (`streaming/sources.py:parse_kafka_envelope`) applied to files.
+
+    The schema must NOT contain ``quarantine_col``; it is appended here.
+    """
+    from pyspark.sql.types import StringType
+
+    full = StructType(
+        list(schema.fields) + [StructField(quarantine_col, StringType())]
+    )
+    parsed = spark.read.text(path).select(
+        F.col("value").alias("raw_line"),
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": quarantine_col},
+        ).alias("_p"),
+    )
+    ok = F.col(f"_p.{quarantine_col}").isNull()
+    clean = parsed.filter(ok).select(
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantined = parsed.filter(~ok).select(
+        "raw_line",
+        *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields],
+    )
+    return clean, quarantined

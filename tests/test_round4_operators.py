@@ -139,3 +139,59 @@ def test_attribution_conserves_conversions(spark, sf_dir):
         if r["event_type"] != "purchase"
     } | {"direct"}
     assert {r["attributed_source"] for r in out} <= allowed
+
+
+def test_contamination_gate_matches_batch_and_streams(spark, sf_dir, tmp_path):
+    """The stateless mapInPandas gate must agree with the batch broadcast-join
+    decontaminate on every doc, and run as-is inside a structured stream."""
+    from stock_market_data_pipeline_spark.operators.decontam import (
+        collect_eval_shingles,
+        contamination_gate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 20 == 0)
+    ev = collect_eval_shingles(eval_set)
+    assert len(ev) > 0
+
+    batch_ref = {
+        r["doc_id"]: (r["n_shingles"], r["n_collisions"], r["contaminated"])
+        for r in ngram_decontaminate(train, eval_set).collect()
+    }
+    gate = {
+        r["doc_id"]: (r["n_shingles"], r["n_collisions"], r["contaminated"])
+        for r in contamination_gate(train, ev).collect()
+    }
+    assert gate == batch_ref
+
+    # streaming execution: same operator, file stream, availableNow
+    src = str(tmp_path / "docs_stream")
+    train.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        contamination_gate(stream, ev)
+        .writeStream.format("memory")
+        .queryName("contam_gate")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_shingles"], r["n_collisions"], r["contaminated"])
+        for r in spark.table("contam_gate").collect()
+    }
+    assert streamed == batch_ref
+
+
+def test_collect_eval_shingles_refuses_corpus_sized(spark, sf_dir):
+    import pytest as _pytest
+
+    from stock_market_data_pipeline_spark.operators.decontam import (
+        collect_eval_shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    with _pytest.raises(ValueError, match="corpus-sized"):
+        collect_eval_shingles(docs, max_shingles=10)

@@ -210,3 +210,62 @@ def test_bucketed_merge_idempotent(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 50
     assert got.filter(F.col("version") != 3).count() == 0
+
+
+def test_compact_small_files_preserves_data(spark, sf_dir, tmp_path):
+    """Many small files in → few right-sized files out, rows identical,
+    stats honest; partitioned roots are refused."""
+    from stock_market_data_pipeline_spark.sinks.lake import compact_small_files
+
+    src = str(tmp_path / "smalls")
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "price", "volume", "timestamp", "event_id"
+    )
+    t.repartition(40).write.mode("overwrite").parquet(src)
+    before = t.orderBy("event_id").collect()
+    n_files_before = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_files_before >= 40
+    stats = compact_small_files(spark, src, target_file_bytes=10 * 1024 * 1024)
+    after_files = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert stats["files_before"] == n_files_before
+    assert stats["files_after"] == len(after_files)
+    assert len(after_files) < n_files_before
+    after = spark.read.parquet(src).orderBy("event_id").collect()
+    assert after == before
+
+    # refuses partitioned roots
+    import pytest as _pytest
+
+    part = str(tmp_path / "parted")
+    t.limit(100).write.partitionBy("symbol").mode("overwrite").parquet(part)
+    with _pytest.raises(ValueError, match="partition subdirectories"):
+        compact_small_files(spark, part)
+
+
+def test_read_jsonl_docs_quarantines_poison_lines(spark, tmp_path):
+    """PERMISSIVE JSONL scan: valid docs parse typed, malformed lines land in
+    the quarantine frame with the raw line preserved — nothing is dropped."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stock_market_data_pipeline_spark.sources.batch import read_jsonl_docs
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha beta"}\n'
+        '{"doc_id": 2, "text": "gamma"}\n'
+        "{truncated json no close\n"
+        '{"doc_id": "not_a_number", "text": 3}\n'
+        '{"doc_id": 4, "text": "delta"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    clean, quarantined = read_jsonl_docs(spark, str(p), schema)
+    good = {r["doc_id"] for r in clean.collect()}
+    assert {1, 2, 4} <= good
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert any("truncated" in b for b in bad)
+    # conservation: every input line is in exactly one frame
+    assert clean.count() + quarantined.count() == 5
