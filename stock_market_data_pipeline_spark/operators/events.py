@@ -85,12 +85,17 @@ def funnel(
     user: str = "user_id",
     ts: str = "ts",
     type_col: str = "event_type",
+    max_gap_minutes: int | None = None,
 ) -> DataFrame:
     """Strictly-ordered conversion funnel over an event log.
 
     A user reaches stage *i* iff they performed ``stages[i]`` at a timestamp
     strictly after their (earliest-completion) timestamp for stage *i-1* —
-    the standard "first matching path" funnel semantics.
+    the standard "first matching path" funnel semantics. With
+    ``max_gap_minutes`` set, each stage must additionally land within that
+    deadline of the previous stage's completion (the "converted within N
+    days" product question); the bound is an extra residual predicate on the
+    same equi-join, so the plan shape is unchanged.
 
     Plan: stage 0 is a filtered aggregate; each later stage is an equi-join
     on the user key against the (shrinking) survivor set followed by a
@@ -111,9 +116,15 @@ def funnel(
     for i, stage in enumerate(stages[1:], start=1):
         nxt = ev.filter(F.col(type_col) == stage).select(user, ts)
         prev_cols = [f"t{j}" for j in range(i)]
+        cond = F.col(ts) > F.col(f"t{i - 1}")
+        if max_gap_minutes is not None:
+            cond = cond & (
+                to_epoch_seconds(ts) - to_epoch_seconds(F.col(f"t{i - 1}"))
+                <= max_gap_minutes * 60
+            )
         cur = (
             nxt.join(levels[-1], on=user)
-            .filter(F.col(ts) > F.col(f"t{i - 1}"))
+            .filter(cond)
             .groupBy(user, *prev_cols)
             .agg(F.min(ts).alias(f"t{i}"))
         )

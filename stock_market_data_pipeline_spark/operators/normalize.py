@@ -63,3 +63,39 @@ def robust_zscore_grouped_map(
         return pdf
 
     return df.groupBy(key).applyInPandas(per_group, schema=out_schema)
+
+
+def winsorize(
+    df: DataFrame,
+    key: str = "symbol",
+    value: str = "price",
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-key winsorization: clip ``value`` to its group's exact
+    [lower, upper] interpolated percentiles and flag the clipped rows — the
+    outlier treatment that keeps heavy-tailed features usable without
+    dropping rows (and, on tick data, tames fat-finger prints before
+    normalization).
+
+    Plan: one map-side-combined aggregate computes both bounds per key
+    (exact ``percentile`` — at 100 TB swap for ``approx_percentile``, same
+    plan shape); the bounds frame is |keys|-sized and broadcasts back, so
+    the data passes once and never shuffles.
+    """
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    bounds = df.groupBy(key).agg(
+        F.percentile(value, F.lit(lower)).alias("_lo"),
+        F.percentile(value, F.lit(upper)).alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), key)
+        .withColumn(f"{value}_winsorized", round_det(clipped, 6))
+        .withColumn(
+            "was_clipped",
+            (F.col(value) < F.col("_lo")) | (F.col(value) > F.col("_hi")),
+        )
+        .drop("_lo", "_hi")
+    )

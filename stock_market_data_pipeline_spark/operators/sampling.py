@@ -114,3 +114,52 @@ def hash_quota_sample(
         .filter(F.col("_rk") <= F.col("_quota"))
         .select(*df.columns)
     )
+
+
+def alpha_temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    id_col: str = "doc_id",
+    seed: str = "alpha",
+) -> DataFrame:
+    """Temperature-based multi-source mixing: sample so group g's share of
+    the output is ∝ n_g^alpha (alpha<1 upweights small sources, alpha=1 is
+    proportional, alpha=0 uniform across groups) at an overall target
+    fraction — the standard corpus-mixing recipe for combining crawl dumps
+    of wildly different sizes.
+
+    keep_rate_g = min(1, N·f·w_g / (Σw · n_g)),  w_g = n_g^alpha; groups
+    capped at rate 1 leave the realized total slightly under target (the
+    usual convention — no re-normalization pass, deterministic rates).
+
+    Plan: the rate table derives from ONE tiny groupBy (|groups| rows;
+    window-over-all on that frame is |groups|-local, not data-sized),
+    broadcast back; the data-side decision is the same zero-shuffle
+    hash-threshold filter as ``hash_stratified_sample``.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    wall = Window.partitionBy()
+    wt = F.pow(F.col("_n").cast("double"), F.lit(alpha))
+    rate = F.least(
+        F.lit(1.0),
+        (
+            F.sum("_n").over(wall).cast("double")
+            * F.lit(target_fraction)
+            * wt
+            / F.sum(wt).over(wall)
+        )
+        / F.col("_n"),
+    )
+    thresholds = counts.select(
+        group_col,
+        F.floor(rate * F.lit(float(HASH_SPACE))).cast("bigint").alias("_keep_below"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(sample_hash32(F.col(id_col), seed) < F.col("_keep_below"))
+        .select(*df.columns)
+    )

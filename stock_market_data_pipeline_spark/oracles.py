@@ -1583,6 +1583,62 @@ SELECT from_type, to_type, n_transitions,
        round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p_transition
 FROM c
 """,
+    "alpha_sample": f"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+r AS (
+  SELECT source,
+         least(1.0,
+               (sum(n) OVER () * 0.5 * pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()) / n
+         ) AS rate
+  FROM c
+),
+t AS (SELECT source, CAST(floor(rate * {float(1 << 32)}) AS BIGINT) AS keep_below FROM r)
+SELECT d.doc_id, d.source
+FROM documents d JOIN t USING (source)
+WHERE ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.keep_below
+""",
+    "winsorize_prices": f"""
+WITH {TICKS_CTE},
+t AS (SELECT symbol, event_id, price FROM ticks),
+b AS (
+  SELECT symbol,
+         quantile_cont(price, 0.01) AS lo,
+         quantile_cont(price, 0.99) AS hi
+  FROM t GROUP BY 1
+)
+SELECT t.symbol, t.event_id, t.price,
+       round(least(greatest(t.price, b.lo), b.hi), 6) AS price_winsorized,
+       (t.price < b.lo OR t.price > b.hi) AS was_clipped
+FROM t JOIN b USING (symbol)
+""",
+    "event_funnel_windowed": """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+    AND epoch_us(e.ts) // 1000000 - epoch_us(s0.t0) // 1000000 <= 86400
+  GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+    AND epoch_us(e.ts) // 1000000 - epoch_us(s1.t1) // 1000000 <= 86400
+  GROUP BY 1
+),
+c AS (
+  SELECT 0 AS stage_index, 'signup' AS stage, count(*) AS users_reached FROM s0
+  UNION ALL SELECT 1, 'click', count(*) FROM s1
+  UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+)
+SELECT stage_index, stage, CAST(users_reached AS BIGINT) AS users_reached,
+       round(users_reached * 100.0
+             / (SELECT users_reached FROM c WHERE stage_index = 0), 2) AS pct_of_top
+FROM c
+""",
 }
 
 # ---- kmeans_iteration oracle (generated: 64 component means) ----
