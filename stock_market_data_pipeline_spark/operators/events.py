@@ -144,7 +144,7 @@ def funnel(
     ))
     return counts.withColumn(
         "pct_of_top",
-        F.round(F.col("users_reached") * 100.0 / base, 2),
+        round_det(F.col("users_reached") * 100.0 / base, 2),
     )
 
 
