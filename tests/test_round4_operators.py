@@ -195,3 +195,69 @@ def test_collect_eval_shingles_refuses_corpus_sized(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     with _pytest.raises(ValueError, match="corpus-sized"):
         collect_eval_shingles(docs, max_shingles=10)
+
+
+def test_winsorize_bounds_and_flags(spark, sf_dir):
+    """All winsorized values lie inside the group's [p01, p99]; flags mark
+    exactly the rows whose raw value fell outside; unclipped rows pass
+    through (up to the deterministic rounding bias)."""
+    from stock_market_data_pipeline_spark.operators.normalize import winsorize
+    from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
+
+    t = ticks_from_events(spark, sf_dir).select("symbol", "event_id", "price")
+    out = winsorize(t)
+    bounds = t.groupBy("symbol").agg(
+        F.percentile("price", F.lit(0.01)).alias("lo"),
+        F.percentile("price", F.lit(0.99)).alias("hi"),
+    )
+    j = out.join(bounds, "symbol")
+    eps = 1e-6 + 1e-9
+    assert (
+        j.filter(
+            (F.col("price_winsorized") < F.col("lo") - eps)
+            | (F.col("price_winsorized") > F.col("hi") + eps)
+        ).count()
+        == 0
+    )
+    assert (
+        j.filter(
+            F.col("was_clipped")
+            != ((F.col("price") < F.col("lo")) | (F.col("price") > F.col("hi")))
+        ).count()
+        == 0
+    )
+    unclipped_drift = j.filter(
+        ~F.col("was_clipped")
+        & (F.abs(F.col("price_winsorized") - F.col("price")) > eps)
+    )
+    assert unclipped_drift.count() == 0
+
+
+def test_alpha_sample_upweights_small_sources(spark, sf_dir):
+    """Deterministic (two runs identical); every group's realized rate is at
+    most its cap; smaller sources keep a HIGHER fraction than larger ones
+    (the point of alpha<1 temperature mixing)."""
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        alpha_temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    s1 = alpha_temperature_sample(docs)
+    s2 = alpha_temperature_sample(docs)
+    r1 = {r["doc_id"] for r in s1.collect()}
+    assert r1 == {r["doc_id"] for r in s2.collect()}
+
+    n_by_src = {r["source"]: r["n"] for r in
+                docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_by_src = {r["source"]: r["n"] for r in
+                   s1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    rates = {s: kept_by_src.get(s, 0) / n for s, n in n_by_src.items()}
+    # α=0.5: keep-rate ∝ n^-0.5 → the smallest source's rate must beat the
+    # largest source's (binomial noise is far smaller than the rate gap when
+    # the size gap is meaningful; guard against near-equal sizes)
+    smallest = min(n_by_src, key=n_by_src.get)
+    largest = max(n_by_src, key=n_by_src.get)
+    if n_by_src[largest] >= 2 * n_by_src[smallest]:
+        assert rates[smallest] > rates[largest]
