@@ -314,3 +314,45 @@ def return_correlation(
             round_det(F.corr("ret_a", "ret_b"), 4).alias("return_corr"),
         )
     )
+
+
+def market_beta(
+    ticks: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+) -> DataFrame:
+    """Per-symbol market beta: covar(r_s, r_m) / var(r_m) over daily
+    close-over-close returns, with the market return defined as the
+    equal-weight mean of all symbols' returns per date (index-free CAPM
+    beta — the risk decomposition every portfolio report carries).
+
+    Plan: same tick→daily rollup as ``return_correlation`` does the only
+    data-sized work; the market series is one tiny aggregate of the daily
+    frame joined back on the date key; covar/var are algebraic one-pass
+    aggregates. Dates where any symbol lacks a return simply contribute the
+    symbols that do have one (mean over present symbols).
+    """
+    from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    daily = daily_ohlcv(
+        ticks, key=key, ts=ts, price=price, change_mode="intraday"
+    ).select(key, "date", "daily_close")
+    w = Window.partitionBy(key).orderBy("date")
+    rets = daily.select(
+        F.col(key),
+        F.col("date"),
+        (
+            F.col("daily_close") / F.lag("daily_close").over(w) - F.lit(1.0)
+        ).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    market = rets.groupBy("date").agg(F.avg("ret").alias("mkt_ret"))
+    joined = rets.join(market, "date")
+    return joined.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        round_det(
+            F.covar_samp("ret", "mkt_ret") / F.var_samp("mkt_ret"), 4
+        ).alias("beta"),
+        round_det(F.avg("ret") * 252.0, 4).alias("annualized_return"),
+    )

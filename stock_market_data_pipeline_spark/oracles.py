@@ -1597,6 +1597,27 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN t USING (source)
 WHERE ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < t.keep_below
 """,
+    "market_beta": f"""
+WITH {TICKS_CTE},
+daily AS (
+  SELECT symbol, CAST("timestamp" AS DATE) AS date,
+         arg_max(price, "timestamp") AS daily_close
+  FROM ticks GROUP BY 1, 2
+),
+rets AS (
+  SELECT symbol, date,
+         daily_close / lag(daily_close) OVER (PARTITION BY symbol ORDER BY date) - 1.0 AS ret
+  FROM daily
+),
+r AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+m AS (SELECT date, avg(ret) AS mkt_ret FROM r GROUP BY 1)
+SELECT r.symbol,
+       count(*) AS n_days,
+       round(covar_samp(r.ret, m.mkt_ret) / var_samp(m.mkt_ret), 4) AS beta,
+       round(avg(r.ret) * 252.0, 4) AS annualized_return
+FROM r JOIN m USING (date)
+GROUP BY 1
+""",
     "winsorize_prices": f"""
 WITH {TICKS_CTE},
 t AS (SELECT symbol, event_id, price FROM ticks),

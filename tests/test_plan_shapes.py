@@ -161,3 +161,43 @@ def test_last_touch_attribution_single_data_exchange(spark, sf_dir):
     assert any("user_id" in ln for ln in exchanges)
     # user shuffle + tiny rollup shuffle; nothing else
     assert len(exchanges) <= 2, exchanges
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """Scale technique pin: with broadcast off (the 100 TB case where even
+    the dim side exceeds the broadcast budget), Spark injects a runtime
+    bloom filter built from the SELECTIVE dim side into the fact scan — rows
+    that cannot join are dropped before the shuffle. Assert the rewrite
+    actually fires under this session's confs so a conf/regression that
+    silently disables it fails here, not in a cluster bill."""
+    fact_p = str(tmp_path / "fact")
+    dim_p = str(tmp_path / "dim")
+    spark.range(200_000).selectExpr("id AS k", "id % 1000 AS v").write.mode(
+        "overwrite"
+    ).parquet(fact_p)
+    spark.range(5_000).selectExpr("id AS k", "id % 7 AS tag").write.mode(
+        "overwrite"
+    ).parquet(dim_p)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("tag") == 0)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        # result still correct under the rewrite (every dim key joins once)
+        assert j.count() == dim.count()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
