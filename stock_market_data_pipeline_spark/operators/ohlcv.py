@@ -52,3 +52,61 @@ def daily_ohlcv(
             "daily_change", F.col("daily_close") - F.lag("daily_close").over(w)
         )
     raise ValueError(f"unknown change_mode: {change_mode}")
+
+
+def risk_metrics(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    volume: str = "volume",
+) -> DataFrame:
+    """Per-symbol risk panel from the daily OHLCV rollup: maximum drawdown
+    (trough vs running peak of daily closes, with the trough date) and the
+    range-based volatility estimators every desk quotes — Parkinson
+    (high/low range) and Garman-Klass (OHLC), both annualized ×√252.
+
+    Plan: the tick→daily rollup is the only data-sized pass; everything
+    after runs on the |symbols|×|days| frame — one running-max window over
+    the per-key date order, then a one-pass aggregate. GK's per-day term can
+    go negative on pathological bars; the mean is floored at 0 before the
+    sqrt (standard practice) so the estimator degrades, never NaNs.
+    """
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    daily = daily_ohlcv(df, key=key, ts=ts, price=price, volume=volume)
+    w = Window.partitionBy(key).orderBy("date").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.withColumn(
+        "_dd",
+        F.col("daily_close") / F.max("daily_close").over(w) - F.lit(1.0),
+    )
+    worst = Window.partitionBy(key).orderBy(F.col("_dd").asc(), F.col("date").asc())
+    ln2 = 0.6931471805599453
+    hl2 = F.pow(F.log(F.col("daily_high") / F.col("daily_low")), 2)
+    co2 = F.pow(F.log(F.col("daily_close") / F.col("daily_open")), 2)
+    return (
+        dd.withColumn("_rn", F.row_number().over(worst))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            round_det(F.min("_dd"), 6).alias("max_drawdown"),
+            F.min_by("date", "_rn").alias("worst_date"),
+            round_det(
+                F.sqrt(F.avg(hl2) / F.lit(4.0 * ln2)) * F.lit(252.0**0.5), 6
+            ).alias("parkinson_vol"),
+            round_det(
+                F.sqrt(
+                    F.greatest(
+                        F.avg(
+                            F.lit(0.5) * hl2 - F.lit(2.0 * ln2 - 1.0) * co2
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+                * F.lit(252.0**0.5),
+                6,
+            ).alias("gk_vol"),
+        )
+    )

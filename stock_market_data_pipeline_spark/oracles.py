@@ -1618,6 +1618,39 @@ SELECT r.symbol,
 FROM r JOIN m USING (date)
 GROUP BY 1
 """,
+    "risk_metrics": f"""
+WITH {TICKS_CTE},
+daily AS (
+  SELECT symbol, CAST("timestamp" AS DATE) AS date,
+         arg_min(price, "timestamp") AS daily_open,
+         max(price)                  AS daily_high,
+         min(price)                  AS daily_low,
+         arg_max(price, "timestamp") AS daily_close
+  FROM ticks GROUP BY 1, 2
+),
+dd AS (
+  SELECT *,
+         daily_close / max(daily_close) OVER (
+           PARTITION BY symbol ORDER BY date ROWS UNBOUNDED PRECEDING
+         ) - 1.0 AS _dd
+  FROM daily
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY _dd ASC, date ASC) AS _rn
+  FROM dd
+)
+SELECT symbol,
+       count(*) AS n_days,
+       round(min(_dd), 6) AS max_drawdown,
+       arg_min(date, _rn) AS worst_date,
+       round(sqrt(avg(pow(ln(daily_high / daily_low), 2)) / (4 * 0.6931471805599453))
+             * sqrt(252.0), 6) AS parkinson_vol,
+       round(sqrt(greatest(
+               avg(0.5 * pow(ln(daily_high / daily_low), 2)
+                   - (2 * 0.6931471805599453 - 1.0) * pow(ln(daily_close / daily_open), 2)),
+               0.0)) * sqrt(252.0), 6) AS gk_vol
+FROM r GROUP BY 1
+""",
     "winsorize_prices": f"""
 WITH {TICKS_CTE},
 t AS (SELECT symbol, event_id, price FROM ticks),
