@@ -216,6 +216,47 @@ def main() -> None:
         "linear_ok": m10 <= m1 * 10 * 1.6,
     }
 
+    # 5. n-gram decontamination growth (round-4 operator): train side grows
+    # 10×, the eval/broadcast side stays a constant 5% slice — growth must be
+    # ~linear because the corpus only ever shuffles on (doc_id, shingle).
+    from stock_market_data_pipeline_spark.operators.decontam import (
+        ngram_decontaminate,
+    )
+    from stock_market_data_pipeline_spark.operators.textstats import (
+        unigram_logprob,
+    )
+
+    def _decontam(docs):
+        return ngram_decontaminate(
+            docs.filter(F.col("doc_id") % 20 != 0),
+            docs.filter(F.col("doc_id") % 20 == 0),
+        )
+
+    timed(_decontam(docs_1x))  # warm
+    d1 = timed(_decontam(docs_1x))
+    d10 = timed(_decontam(docs_10x))
+    results["ngram_decontaminate"] = {
+        "docs_1x": BASE_DOCS,
+        "sec_1x": d1,
+        "sec_10x": d10,
+        "growth_ratio": round(d10 / d1, 2),
+        "linear_ok": d10 <= d1 * 10 * 1.6,
+    }
+
+    # 6. unigram-LM scoring growth: token explode + vocab agg + broadcast
+    # join back; vocab is capped by the synthetic 500-word space, so growth
+    # is pure data-side scan/agg.
+    timed(unigram_logprob(docs_1x))  # warm
+    u1 = timed(unigram_logprob(docs_1x))
+    u10 = timed(unigram_logprob(docs_10x))
+    results["unigram_logprob"] = {
+        "docs_1x": BASE_DOCS,
+        "sec_1x": u1,
+        "sec_10x": u10,
+        "growth_ratio": round(u10 / u1, 2),
+        "linear_ok": u10 <= u1 * 10 * 1.6,
+    }
+
     print(json.dumps(results))
 
 
