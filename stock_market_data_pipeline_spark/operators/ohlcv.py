@@ -71,10 +71,18 @@ def risk_metrics(
     the per-key date order, then a one-pass aggregate. GK's per-day term can
     go negative on pathological bars; the mean is floored at 0 before the
     sqrt (standard practice) so the estimator degrades, never NaNs.
+
+    Nonpositive prints are excluded up front: a 0 price makes every
+    log-range term divide by zero (daily_low = 0 ⇒ ln(high/low) blows up —
+    this actually occurs in the sf0.1 lake), and a 0 close corrupts the
+    drawdown ratio. Bad prints are a data-quality problem, not a risk
+    signal; the clean operators (`operators/clean.py`) quarantine them.
     """
     from stock_market_data_pipeline_spark.utils import round_det
 
-    daily = daily_ohlcv(df, key=key, ts=ts, price=price, volume=volume)
+    daily = daily_ohlcv(
+        df.filter(F.col(price) > 0), key=key, ts=ts, price=price, volume=volume
+    )
     w = Window.partitionBy(key).orderBy("date").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -108,5 +116,35 @@ def risk_metrics(
                 * F.lit(252.0**0.5),
                 6,
             ).alias("gk_vol"),
+        )
+    )
+
+
+def daily_vwap(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    volume: str = "volume",
+) -> DataFrame:
+    """Daily volume-weighted average price per symbol — the batch
+    reconciliation twin of the streaming running VWAP
+    (`streaming/stateful.py:stream_running_vwap`): end-of-day the batch
+    number is authoritative, intraday the stateful stream serves it live
+    (the lambda-architecture pairing SURVEY §7 prescribes).
+
+    One map-side-combined aggregate; the weighted sums are algebraic, so
+    the plan is a single exchange on (symbol, date) regardless of scale.
+    """
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    return (
+        df.groupBy(F.col(key), F.to_date(F.col(ts)).alias("date"))
+        .agg(
+            round_det(
+                F.sum(F.col(price) * F.col(volume)) / F.sum(volume), 6
+            ).alias("vwap"),
+            F.sum(volume).alias("total_volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
         )
     )

@@ -288,8 +288,11 @@ def return_correlation(
     """
     from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
 
+    # nonpositive prints excluded: a 0 close would divide the next day's
+    # return by zero (zero prices exist in the sf0.1 lake)
     daily = daily_ohlcv(
-        ticks, key=key, ts=ts, price=price, change_mode="intraday"
+        ticks.filter(F.col(price) > 0), key=key, ts=ts, price=price,
+        change_mode="intraday",
     ).select(key, "date", "daily_close")
     w = Window.partitionBy(key).orderBy("date")
     rets = daily.select(
@@ -337,7 +340,8 @@ def market_beta(
     from stock_market_data_pipeline_spark.utils import round_det
 
     daily = daily_ohlcv(
-        ticks, key=key, ts=ts, price=price, change_mode="intraday"
+        ticks.filter(F.col(price) > 0), key=key, ts=ts, price=price,
+        change_mode="intraday",
     ).select(key, "date", "daily_close")
     w = Window.partitionBy(key).orderBy("date")
     rets = daily.select(

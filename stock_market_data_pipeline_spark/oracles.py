@@ -1525,7 +1525,7 @@ WITH {TICKS_CTE},
 daily AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
          arg_max(price, "timestamp") AS daily_close
-  FROM ticks GROUP BY 1, 2
+  FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 rets AS (
   SELECT symbol, date,
@@ -1602,7 +1602,7 @@ WITH {TICKS_CTE},
 daily AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
          arg_max(price, "timestamp") AS daily_close
-  FROM ticks GROUP BY 1, 2
+  FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 rets AS (
   SELECT symbol, date,
@@ -1618,6 +1618,14 @@ SELECT r.symbol,
 FROM r JOIN m USING (date)
 GROUP BY 1
 """,
+    "daily_vwap": f"""
+WITH {TICKS_CTE}
+SELECT symbol, CAST("timestamp" AS DATE) AS date,
+       round(sum(price * volume) / sum(volume), 6) AS vwap,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       count(*) AS n_ticks
+FROM ticks GROUP BY 1, 2
+""",
     "risk_metrics": f"""
 WITH {TICKS_CTE},
 daily AS (
@@ -1626,7 +1634,7 @@ daily AS (
          max(price)                  AS daily_high,
          min(price)                  AS daily_low,
          arg_max(price, "timestamp") AS daily_close
-  FROM ticks GROUP BY 1, 2
+  FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 dd AS (
   SELECT *,
