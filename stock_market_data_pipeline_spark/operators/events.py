@@ -144,7 +144,11 @@ def funnel(
     ))
     return counts.withColumn(
         "pct_of_top",
-        round_det(F.col("users_reached") * 100.0 / base, 2),
+        round_det(
+            F.col("users_reached") * 100.0
+            / F.nullif(base.cast("double"), F.lit(0.0)),
+            2,
+        ),
     )
 
 

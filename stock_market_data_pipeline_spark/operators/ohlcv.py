@@ -142,7 +142,9 @@ def daily_vwap(
         df.groupBy(F.col(key), F.to_date(F.col(ts)).alias("date"))
         .agg(
             round_det(
-                F.sum(F.col(price) * F.col(volume)) / F.sum(volume), 6
+                F.sum(F.col(price) * F.col(volume))
+                / F.nullif(F.sum(volume).cast("double"), F.lit(0.0)),
+                6,
             ).alias("vwap"),
             F.sum(volume).alias("total_volume"),
             F.count(F.lit(1)).alias("n_ticks"),

@@ -356,7 +356,9 @@ def market_beta(
     return joined.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_days"),
         round_det(
-            F.covar_samp("ret", "mkt_ret") / F.var_samp("mkt_ret"), 4
+            F.covar_samp("ret", "mkt_ret")
+            / F.nullif(F.var_samp("mkt_ret"), F.lit(0.0)),
+            4,
         ).alias("beta"),
         round_det(F.avg("ret") * 252.0, 4).alias("annualized_return"),
     )

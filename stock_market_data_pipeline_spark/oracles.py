@@ -1449,7 +1449,7 @@ c AS (
 )
 SELECT stage_index, stage, CAST(users_reached AS BIGINT) AS users_reached,
        round(users_reached * 100.0
-             / (SELECT users_reached FROM c WHERE stage_index = 0), 2) AS pct_of_top
+             / NULLIF((SELECT users_reached FROM c WHERE stage_index = 0), 0), 2) AS pct_of_top
 FROM c
 """,
     "retention_cohorts": """
@@ -1613,7 +1613,7 @@ r AS (SELECT * FROM rets WHERE ret IS NOT NULL),
 m AS (SELECT date, avg(ret) AS mkt_ret FROM r GROUP BY 1)
 SELECT r.symbol,
        count(*) AS n_days,
-       round(covar_samp(r.ret, m.mkt_ret) / var_samp(m.mkt_ret), 4) AS beta,
+       round(covar_samp(r.ret, m.mkt_ret) / NULLIF(var_samp(m.mkt_ret), 0.0), 4) AS beta,
        round(avg(r.ret) * 252.0, 4) AS annualized_return
 FROM r JOIN m USING (date)
 GROUP BY 1
@@ -1621,7 +1621,7 @@ GROUP BY 1
     "daily_vwap": f"""
 WITH {TICKS_CTE}
 SELECT symbol, CAST("timestamp" AS DATE) AS date,
-       round(sum(price * volume) / sum(volume), 6) AS vwap,
+       round(sum(price * volume) / NULLIF(CAST(sum(volume) AS DOUBLE), 0.0), 6) AS vwap,
        CAST(sum(volume) AS BIGINT) AS total_volume,
        count(*) AS n_ticks
 FROM ticks GROUP BY 1, 2
@@ -1698,7 +1698,7 @@ c AS (
 )
 SELECT stage_index, stage, CAST(users_reached AS BIGINT) AS users_reached,
        round(users_reached * 100.0
-             / (SELECT users_reached FROM c WHERE stage_index = 0), 2) AS pct_of_top
+             / NULLIF((SELECT users_reached FROM c WHERE stage_index = 0), 0), 2) AS pct_of_top
 FROM c
 """,
 }

@@ -261,3 +261,59 @@ def test_alpha_sample_upweights_small_sources(spark, sf_dir):
     largest = max(n_by_src, key=n_by_src.get)
     if n_by_src[largest] >= 2 * n_by_src[smallest]:
         assert rates[smallest] > rates[largest]
+
+
+def test_division_guards_on_poison_data(spark):
+    """The sf0.1 lake taught us: zero prices exist. Every financial ratio
+    operator must survive zero prices, zero-volume days, flat (zero-variance)
+    markets, and empty funnel stages — degrading to NULL, never throwing
+    (ANSI mode turns 0/0 into a job-killing exception at 100 TB)."""
+    import datetime
+
+    from stock_market_data_pipeline_spark.operators.events import funnel
+    from stock_market_data_pipeline_spark.operators.ohlcv import (
+        daily_vwap,
+        risk_metrics,
+    )
+    from stock_market_data_pipeline_spark.operators.rolling import market_beta
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # symbol A: includes a zero price print and a zero-volume day 2
+    for d in range(3):
+        for i in range(4):
+            price = 0.0 if (d == 0 and i == 0) else 100.0 + d + i
+            vol = 0 if d == 2 else 10
+            rows.append(
+                ("A", price, vol, base + datetime.timedelta(days=d, minutes=i))
+            )
+    # symbol B: perfectly flat prices → zero-variance returns
+    for d in range(3):
+        for i in range(4):
+            rows.append(
+                ("B", 50.0, 10, base + datetime.timedelta(days=d, minutes=i))
+            )
+    ticks = spark.createDataFrame(
+        rows, "symbol string, price double, volume long, timestamp timestamp"
+    )
+
+    rm = {r["symbol"]: r for r in risk_metrics(ticks).collect()}
+    assert rm["A"]["parkinson_vol"] is not None  # zero print excluded, not fatal
+    assert rm["B"]["max_drawdown"] == 0.0
+
+    vw = {(r["symbol"], str(r["date"])): r for r in daily_vwap(ticks).collect()}
+    assert vw[("A", "2024-01-03")]["vwap"] is None  # zero-volume day → NULL
+    assert vw[("A", "2024-01-02")]["vwap"] is not None
+
+    # single flat symbol → market return variance 0 → beta NULL, no throw
+    beta_flat = market_beta(ticks.filter(F.col("symbol") == "B")).collect()
+    assert beta_flat[0]["beta"] is None
+
+    # funnel whose first stage never occurs → pct NULL, no throw
+    ev = spark.createDataFrame(
+        [(1, base, "click"), (1, base + datetime.timedelta(minutes=1), "purchase")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = funnel(ev, stages=["signup", "click", "purchase"]).collect()
+    assert all(r["users_reached"] == 0 or r["pct_of_top"] is None for r in out)
+    assert {r["pct_of_top"] for r in out} == {None}
