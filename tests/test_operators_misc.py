@@ -203,3 +203,33 @@ def test_approx_stats_error_bounds(spark):
                 )
             assert q25 <= row["approx_median_qty"] <= q75, (sf_dir, flag, row)
             assert row["line_count"] == n
+
+
+def test_cli_runner_writes_and_reports(spark, sf_dir, tmp_path, capsys):
+    """The job entrypoint runs queries by name, writes the requested format,
+    emits one JSON line per query, and isolates per-query failures."""
+    import json as _json
+
+    from stock_market_data_pipeline_spark.run import main
+
+    out = str(tmp_path / "jobs")
+    rc = main(
+        ["--query", "daily_vwap", "--query", "order_priority_counts",
+         "--sf-dir", sf_dir, "--out", out, "--cpus", "4"]
+    )
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert rc == 0
+    by_name = {r["query"]: r for r in lines}
+    assert by_name["daily_vwap"]["rows"] > 0
+    written = spark.read.parquet(by_name["daily_vwap"]["out"])
+    assert written.count() == by_name["daily_vwap"]["rows"]
+
+    # unknown query → argparse error (SystemExit), not a stack trace
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["--query", "no_such_query", "--sf-dir", sf_dir])
