@@ -1618,6 +1618,29 @@ SELECT r.symbol,
 FROM r JOIN m USING (date)
 GROUP BY 1
 """,
+    "chunk_dedup_stats": """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, words, unnest(range(1, len(words) + 1, 8)) AS chunk_start
+  FROM n WHERE len(words) > 0
+),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(words, chunk_start, chunk_start + 15), ' ')) AS h
+  FROM s
+),
+g AS (SELECT h, count(*) AS n_global FROM ch GROUP BY 1)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(CASE WHEN n_global > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicated_chunks,
+       round(avg(CASE WHEN n_global > 1 THEN 1.0 ELSE 0.0 END), 6) AS dup_chunk_ratio
+FROM ch JOIN g USING (h)
+GROUP BY 1
+""",
     "daily_vwap": f"""
 WITH {TICKS_CTE}
 SELECT symbol, CAST("timestamp" AS DATE) AS date,
