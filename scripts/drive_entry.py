@@ -21,18 +21,21 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
-def norm(v):
-    # Strictest-plausible-driver comparison: raw repr, NO normalization.
-    # Decimal.normalize()/round(float) previously masked real divergences
-    # (the round-1 decimal(35,10)-vs-DECIMAL(38,10) hash failures).
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return str(v)
-    if isinstance(v, float):
-        return None if math.isnan(v) else v
-    if hasattr(v, "isoformat"): return v.isoformat()
-    if isinstance(v, (list, tuple)): return tuple(norm(x) for x in v)
-    return v
+def canon(pdf):
+    # Representation-strict driver mirror (r4 lesson): sort raw values the
+    # way the driver does (crashes identically on unhashable array cells),
+    # then render via astype(str) so int64 1 != float64 1.0 and -0.0 != 0.0.
+    import pandas as pd
+    pdf = pdf[sorted(pdf.columns)]
+    for c in pdf.columns:
+        if str(pdf[c].dtype).startswith("datetime64") and pdf[c].dtype != "datetime64[ns]":
+            pdf[c] = pdf[c].astype("datetime64[ns]")  # duck [us] vs spark [ns]
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns))
+    pdf = pdf.reset_index(drop=True)
+    # Series.astype(str), not DataFrame.astype(str): only the Series form
+    # renders all-midnight datetime64[ns] date-only (matching Spark dates).
+    return pd.DataFrame({c: pdf[c].astype(str) for c in pdf.columns})
 
 qs, os_ = E.queries(), E.oracle_sql()
 for name, fn in sorted(qs.items()):
@@ -40,16 +43,12 @@ for name, fn in sorted(qs.items()):
     if name not in os_:
         print(f"{name}: rows-only rows={sdf.count()}")
         continue
-    res = con.execute(os_[name]); cols = [d[0] for d in res.description]; drows = res.fetchall()
-    srows = sdf.collect(); scols = sdf.columns
-    ok_cols = sorted(cols) == sorted(scols)
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    sidx = {c: i for i, c in enumerate(scols)}
-    sorder = [sidx[cols[i]] for i in order]
-    dc = Counter(tuple(norm(r[i]) for i in order) for r in drows)
-    sc = Counter(tuple(norm(r[i]) for i in sorder) for r in srows)
-    print(f"{name}: rows spark={len(srows)} oracle={len(drows)} cols_match={ok_cols} values_match={dc==sc}")
-    assert ok_cols and dc == sc and len(srows) == len(drows), name
+    spdf = canon(sdf.toPandas())
+    dpdf = canon(con.execute(os_[name]).df())
+    ok_cols = list(spdf.columns) == list(dpdf.columns)
+    ok_vals = spdf.equals(dpdf)
+    print(f"{name}: rows spark={len(spdf)} oracle={len(dpdf)} cols_match={ok_cols} strict_match={ok_vals}")
+    assert ok_cols and ok_vals and len(spdf) == len(dpdf), name
 
 # 3. probes: re-run a query on same session; run flagship at sf0.1
 df2 = qs["windowed_analytics"](spark, SF)

@@ -1226,7 +1226,7 @@ qq AS (
 )
 SELECT vec_id,
        round(sc, 6) AS scale,
-       q,
+       array_to_string(q, ',') AS q,
        round(list_sum(list_transform(range(1, {_DIM + 1}),
                i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * sc))) / {_DIM}.0, 6) AS mean_abs_err
 FROM qq
@@ -1415,7 +1415,8 @@ WITH m AS (
 ),
 s AS (
   SELECT user_id, ts, value,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
   FROM m
 )
 SELECT user_id, session_id,
