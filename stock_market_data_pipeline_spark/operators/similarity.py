@@ -399,11 +399,27 @@ def kmeans_iteration(
         "p_vec",
         round_det(cosine(F.col("_v"), F.col("p_vec")), 6).alias("sim"),
     )
-    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id"))
+    # Argmax via max_by, not Window+row_number: the aggregate partially
+    # combines map-side, so the exchange carries one row per vid instead of
+    # the full n_cells × corpus scored frame (~n_cells× less shuffle volume).
+    # Tie-break mirrors the old (sim DESC, pivot_id ASC) ordering: max over
+    # the struct (sim, -pivot_id).
     assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vid", "_v", F.col("pivot_id").alias("cell"), "p_vec", "sim")
+        scored.groupBy("vid")
+        .agg(
+            F.max_by(
+                F.struct("pivot_id", "p_vec", "sim"),
+                F.struct(F.col("sim"), (-F.col("pivot_id")).alias("_nid")),
+            ).alias("_best"),
+            F.first("_v").alias("_v"),
+        )
+        .select(
+            "vid",
+            "_v",
+            F.col("_best.pivot_id").alias("cell"),
+            F.col("_best.p_vec").alias("p_vec"),
+            F.col("_best.sim").alias("sim"),
+        )
     )
     new_centroids = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -921,6 +921,20 @@ FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
 GROUP BY 1
 """,
+    # Sketch-accuracy contract: exact aggregates are value-checked; the
+    # envelope flags are deterministic for fixed data, so the oracle pins
+    # them as literal 1 (estimate out of envelope → red row, not invisible).
+    "approx_stats": """
+SELECT l_returnflag,
+       count(*) AS line_count,
+       count(DISTINCT l_partkey) AS exact_parts,
+       count(DISTINCT l_orderkey) AS exact_orders,
+       1 AS parts_est_in_envelope,
+       1 AS orders_est_in_envelope,
+       1 AS median_est_in_envelope
+FROM lineitem
+GROUP BY 1
+""",
     "token_counts": """
 SELECT doc_id,
        len(regexp_extract_all(text, '\\S+')) AS n_tokens_ws,

@@ -228,18 +228,44 @@ def linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates: HLL++ distinct counts and t-digest-style quantiles.
+    """Sketch aggregates: HLL++ distinct counts and quantile sketches, made
+    oracle-checkable (closes the r4 "no_oracle" gap).
 
-    Approximate by design → no cross-engine oracle (rows-only check); the
-    point at 100 TB is one-pass mergeable sketches instead of exact
-    countDistinct's double shuffle.
+    The sketches stay in the plan — at 100 TB one-pass mergeable sketches
+    replace exact countDistinct's double shuffle — but the OUTPUT is the
+    sketch-accuracy contract, not the raw estimate: exact aggregates
+    (oracle-verified values) plus 0/1 flags asserting each estimate landed
+    inside its documented envelope (HLL++ default rsd 5% → ±10% gate ≈ 2σ;
+    percentile_approx at accuracy 10⁴ on an integer grid → ±1 gate). For
+    fixed data both engines' flags are deterministic, so the oracle pins
+    them as literal 1 — an estimate drifting out of envelope turns the row
+    red instead of being invisible. The exact countDistinct here is the
+    verification cost of the QA query, not the production pattern.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("line_count"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("_ap"),
+        F.approx_count_distinct("l_orderkey").alias("_ao"),
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("_amq"),
+        F.expr("percentile(l_quantity, 0.5)").alias("_emq"),
+    )
+    rel_ok = lambda a, e: (  # noqa: E731
+        (F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.10))
+        .cast("int")
+    )
+    return agg.select(
+        "l_returnflag",
+        "line_count",
+        "exact_parts",
+        "exact_orders",
+        rel_ok("_ap", "exact_parts").alias("parts_est_in_envelope"),
+        rel_ok("_ao", "exact_orders").alias("orders_est_in_envelope"),
+        (F.abs(F.col("_amq") - F.col("_emq")) <= F.lit(1.0))
+        .cast("int")
+        .alias("median_est_in_envelope"),
     )
 
 

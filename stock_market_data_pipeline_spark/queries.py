@@ -239,8 +239,9 @@ def q_linestatus_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (HLL++, approximate percentile) — approximate by
-    design, so no oracle: rows-only check."""
+    """Sketch aggregates (HLL++, approximate percentile), emitted as an
+    oracle-checkable accuracy contract: exact aggregates value-checked,
+    envelope flags pinned as literal 1 in the oracle."""
     return relational.approx_stats(spark, sf_dir)
 
 

@@ -68,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
             df = QUERIES[name](spark, args.sf_dir)
             if args.explain:
                 print(df._jdf.queryExecution().explainString("formatted"))
+            # Row count rides the write via observe(): one execution of the
+            # plan per job, and the count is of what was actually written —
+            # a trailing df.count() would re-run the whole query.
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"rows_{name}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             if args.out:
                 dest = os.path.join(args.out, name)
                 w = df.write.mode("overwrite")
@@ -77,7 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 dest = None
                 df.write.format("noop").mode("overwrite").save()
-            rows = df.count()
+            rows = obs.get["rows"]
             print(
                 json.dumps(
                     {

@@ -67,6 +67,9 @@ class _HadoopFS:
     def child_names(self, p: str) -> list[str]:
         return [s.getPath().getName() for s in self.fs.listStatus(self.path(p))]
 
+    def exists(self, p: str) -> bool:
+        return bool(self.fs.exists(self.path(p)))
+
     def rename(self, src: str, dst: str) -> None:
         # Hadoop rename reports failure via a False return, not an exception.
         if not self.fs.rename(self.path(src), self.path(dst)):
@@ -323,13 +326,26 @@ def compact_small_files(
     df = spark.read.format(fmt).load(path)
     tmp = path.rstrip("/") + "._compact_tmp"
     old = path.rstrip("/") + "._compact_old"
+    # A leftover ._compact_old means a prior run crashed mid-swap: the live
+    # directory may BE that backup. Renaming onto an existing dir nests or
+    # fails depending on the FS — fail fast and make the operator recover
+    # deliberately instead of silently eating the only good copy.
+    if hfs.exists(old):
+        raise RuntimeError(
+            f"{old} exists — a previous compaction crashed mid-swap;"
+            f" inspect and remove/restore it before compacting again"
+        )
     hfs.delete(tmp)
     df.repartition(n_out).write.mode("overwrite").format(fmt).save(tmp)
+    # Readers see a missing directory for the instant between the two
+    # renames; schedule compaction in a maintenance window (or use a
+    # versioned-prefix swap on object stores).
     hfs.rename(path.rstrip("/"), old)
     try:
         hfs.rename(tmp, path.rstrip("/"))
     except Exception:
         hfs.rename(old, path.rstrip("/"))  # roll back: restore original dir
+        hfs.delete(tmp)  # don't leak the tmp rewrite on rollback
         raise
     hfs.delete(old)
     after = [

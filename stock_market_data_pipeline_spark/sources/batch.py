@@ -115,7 +115,10 @@ def read_jsonl_docs(
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": quarantine_col},
         ).alias("_p"),
     )
-    ok = F.col(f"_p.{quarantine_col}").isNull()
+    # A blank/whitespace-only line parses to a NULL struct (corrupt field
+    # null too) — it must land in quarantine, not surface as an all-null
+    # "clean" document.
+    ok = F.col("_p").isNotNull() & F.col(f"_p.{quarantine_col}").isNull()
     clean = parsed.filter(ok).select(
         *[F.col(f"_p.{f.name}").alias(f.name) for f in schema.fields]
     )

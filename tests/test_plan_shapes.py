@@ -148,6 +148,11 @@ def test_kmeans_assignment_broadcasts_pivots(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "Reused" not in ln
     ]
     assert len(exchanges) <= 2, exchanges
+    # The per-vid argmax is an aggregate (max_by), not Window+row_number, so
+    # it partially combines map-side: the exchange carries one row per vid
+    # instead of the n_cells × corpus scored frame.
+    assert "partial_max_by" in plan, "argmax should map-side combine"
+    assert "row_number" not in plan
 
 
 def test_last_touch_attribution_single_data_exchange(spark, sf_dir):

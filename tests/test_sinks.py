@@ -257,6 +257,7 @@ def test_read_jsonl_docs_quarantines_poison_lines(spark, tmp_path):
         '{"doc_id": 2, "text": "gamma"}\n'
         "{truncated json no close\n"
         '{"doc_id": "not_a_number", "text": 3}\n'
+        "   \n"
         '{"doc_id": 4, "text": "delta"}\n'
     )
     schema = StructType(
@@ -267,5 +268,9 @@ def test_read_jsonl_docs_quarantines_poison_lines(spark, tmp_path):
     assert {1, 2, 4} <= good
     bad = [r["raw_line"] for r in quarantined.collect()]
     assert any("truncated" in b for b in bad)
+    # blank/whitespace lines (NULL parsed struct) are quarantined, never
+    # surfaced as all-null "clean" documents
+    assert any(b.strip() == "" for b in bad)
+    assert all(r["doc_id"] is not None for r in clean.collect())
     # conservation: every input line is in exactly one frame
-    assert clean.count() + quarantined.count() == 5
+    assert clean.count() + quarantined.count() == 6
