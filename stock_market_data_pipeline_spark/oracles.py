@@ -772,6 +772,26 @@ SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
 FROM documents
 GROUP BY 1
 """,
+    # Incremental dedup: the store machinery (bucketed seed + pruned lookup
+    # + MERGE) is Spark-side; the oracle recomputes the pure classification
+    # semantics and pins the post-merge completeness flag at literal 1.
+    "incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+seed AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+bmin AS (SELECT fingerprint, min(doc_id) AS bm FROM batch GROUP BY 1)
+SELECT b.doc_id, b.fingerprint,
+       CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_store'
+            WHEN b.doc_id = m.bm THEN 'novel'
+            ELSE 'dup_in_batch' END AS status,
+       1 AS in_store_after_merge
+FROM batch b
+LEFT JOIN seed s USING (fingerprint)
+JOIN bmin m USING (fingerprint)
+""",
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)      AS sum_qty,
@@ -1440,6 +1460,35 @@ SELECT user_id, session_id,
        count(*) AS n_events,
        round(sum(value), 6) AS value_sum
 FROM s GROUP BY 1, 2
+""",
+    # Streaming-parity verdict row: session counts recomputed from the batch
+    # gap rule (real cross-engine values); the soundness/completeness
+    # invariants of the streaming run are pinned at literal 0.
+    "stream_batch_session_parity": """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+sess AS (
+  SELECT user_id, sid, max(ts) AS session_end
+  FROM s GROUP BY 1, 2
+),
+hi AS (SELECT max(ts) AS max_ts FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_batch_sessions,
+       CAST(count(*) FILTER (WHERE session_end < max_ts - INTERVAL 61 MINUTE) AS BIGINT) AS n_must_emit,
+       CAST(0 AS BIGINT) AS stream_only_rows,
+       CAST(0 AS BIGINT) AS missed_finalized
+FROM sess CROSS JOIN hi
 """,
     "event_funnel": """
 WITH s0 AS (

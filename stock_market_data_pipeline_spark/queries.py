@@ -586,6 +586,38 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup vs a persistent bucketed fingerprint store:
+    seed the store from the doc_id%3==0 slice (the "already ingested"
+    history), classify the rest as a new batch (novel / dup_in_batch /
+    dup_of_store) with a bucket-pruned lookup, merge the novel fingerprints
+    back, and prove completeness — every batch fingerprint must be present
+    after the merge (oracle pins the flag at literal 1)."""
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.incremental import (
+        STORE_KEY,
+        incremental_dedup_batch,
+        seed_fingerprint_store,
+    )
+
+    docs = _docs(spark, sf_dir)
+    store = tempfile.mkdtemp(prefix="smdp_fp_store_")
+    seed_fingerprint_store(spark, docs.filter(F.col("doc_id") % 3 == 0), store)
+    classified = incremental_dedup_batch(
+        spark, docs.filter(F.col("doc_id") % 3 != 0), store
+    )
+    after = spark.read.parquet(store).select(
+        STORE_KEY, F.lit(1).alias("_after")
+    )
+    return classified.join(after, STORE_KEY, "left").select(
+        "doc_id",
+        STORE_KEY,
+        "status",
+        F.col("_after").isNotNull().cast("int").alias("in_store_after_merge"),
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document, ranked on the
     rounded score (cross-libm ln determinism)."""
@@ -858,6 +890,83 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_doubles(out)
 
 
+_PARITY_SEQ = [0]
+
+
+def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-streaming sessionization parity as a registry query (r4
+    verdict #8): run the native session_window STREAMING pipeline over the
+    event fixture via the file source (availableNow, memory sink), compare
+    against the batch lag/cumsum formulation, and emit the verdict row.
+
+    ``n_batch_sessions`` / ``n_must_emit`` are recomputed independently by
+    the DuckDB oracle (real cross-engine values); ``stream_only_rows`` and
+    ``missed_finalized`` are the soundness/completeness invariants of the
+    streaming run — any watermark/state bug makes them nonzero and the row
+    goes red. must-emit boundary: sessions ending >61 min (watermark delay
+    + 1 min slack) before the max event time are guaranteed finalized.
+    """
+    from stock_market_data_pipeline_spark.operators.events import session_stats
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_session_stats,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            "user_id",
+            F.col("session_start").cast("timestamp").alias("session_start"),
+            F.col("session_end").cast("timestamp").alias("session_end"),
+            "duration_sec",
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+
+    batch = norm(
+        session_stats(ev, key="user_id", ts="ts", value="value").drop(
+            "session_id"
+        )
+    )
+    _PARITY_SEQ[0] += 1
+    qname = f"sess_parity_{_PARITY_SEQ[0]}"
+    # File-stream source requires a directory: stream the lake dir with a
+    # glob pinned to the events table.
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp_ntz, value double")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    q = (
+        stream_session_stats(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = norm(spark.table(qname))
+
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    from datetime import timedelta
+
+    must_emit = batch.filter(
+        F.col("session_end") < F.lit(hi - timedelta(minutes=61))
+    )
+    row = (
+        batch.count(),
+        must_emit.count(),
+        emitted.exceptAll(batch).count(),
+        must_emit.exceptAll(emitted).count(),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_batch_sessions long, n_must_emit long,"
+        " stream_only_rows long, missed_finalized long",
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-ordered signup → click → purchase funnel over the event log."""
     from stock_market_data_pipeline_spark.operators.events import funnel
@@ -1079,6 +1188,9 @@ def q_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-parity suite (tests/test_oracle_parity.py sweeps the whole dict).
 # NEXT ROUND: move the freshly-green block down, lead with round-5 work.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # -- new in round 5 (never driver-checked — in-window per rotation policy)
+    "incremental_dedup": q_incremental_dedup,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,
