@@ -792,6 +792,86 @@ FROM batch b
 LEFT JOIN seed s USING (fingerprint)
 JOIN bmin m USING (fingerprint)
 """,
+    # Causal-LM packing: per-shard running token offset → sequence id.
+    # DuckDB windowed sum(BIGINT) → HUGEINT → cast back (module docstring).
+    "sequence_packing": """
+WITH a AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM a
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       CASE WHEN floor((start_offset + n_tokens - 1) / 512.0)
+                 > floor(start_offset / 512.0) THEN 1 ELSE 0 END AS spans_boundary
+FROM b
+""",
+    "packed_sequence_stats": """
+WITH a AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM a
+)
+SELECT shard,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_started,
+       CAST(sum(CASE WHEN floor((start_offset + n_tokens - 1) / 512.0)
+                     > floor(start_offset / 512.0) THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+FROM b
+GROUP BY 1, 2
+""",
+    # Exact cents-average threshold (associative on any partitioning —
+    # mirrors plans.relational.wealthy_inactive_customers).
+    "wealthy_inactive_customers": """
+WITH t AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_custkey, c_name, c_nationkey,
+       round(c_acctbal, 2) AS c_acctbal
+FROM customer, t
+WHERE c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+""",
+    "top_supplier_revenue": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    "large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250.0
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE)      AS sum_qty,

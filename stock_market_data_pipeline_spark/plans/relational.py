@@ -279,3 +279,111 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+def wealthy_inactive_customers(
+    spark: SparkSession, sf_dir: str, since: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q22-flavored churn query: customers with above-average positive
+    balance and NO orders since ``since`` — a scalar subquery (global avg)
+    plus an anti-join on the recent-order custkeys.
+
+    Physical strategy: the scalar average is a 1-row aggregate crossJoined
+    (broadcast) onto customer, so the comparison is a free map-side filter;
+    the NOT EXISTS is `left_anti` on the order key — Spark builds the hash
+    table on the distinct custkeys of orders, never multiplying rows. At
+    100 TB both sides shuffle on custkey once; no driver round-trip for the
+    scalar (no collect) keeps the plan one job."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(since).cast("timestamp"))
+        .select("o_custkey")
+    )
+    # Exact average: acctbal is 2-dp, so summing cents as BIGINT is
+    # associative — any partitioning yields the bit-identical threshold
+    # double (the same trick as oracles._AVG_EXACT; a double avg would be
+    # last-ulp order-dependent and could flap rows sitting on the boundary).
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))
+        ).alias("_avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            round_det(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        )
+    )
+
+
+def top_supplier_revenue(
+    spark: SparkSession, sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15-flavored: the supplier(s) with maximum quarterly revenue —
+    an aggregate feeding a scalar-subquery max over itself.
+
+    The revenue agg shuffles lineitem once on suppkey; the max is a 1-row
+    broadcast crossJoin (not a second scan — Spark reuses the agg via the
+    self-referencing plan); supplier is a broadcast dimension join. ties kept
+    like the spec."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    rev = (
+        li.filter((F.col("l_shipdate") >= start) & (F.col("l_shipdate") < end))
+        .groupBy("l_suppkey")
+        .agg(
+            _exact_sum_dbl(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 250.0
+) -> DataFrame:
+    """TPC-H Q18-flavored: orders whose total lineitem quantity exceeds a
+    threshold, with customer detail — GROUP BY + HAVING driving a key join.
+
+    The heavy work is one map-side-combined sum on l_orderkey; the HAVING
+    filter shrinks the key set before any join, so orders/customer join
+    against the (tiny) qualifying keys — at scale this is a broadcast of the
+    qualifying keys against the fact table, not a fact-fact shuffle."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            round_det(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            round_det(F.col("total_qty"), 2).alias("total_qty"),
+        )
+    )

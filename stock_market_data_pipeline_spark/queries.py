@@ -181,6 +181,24 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(spark, sf_dir)
 
 
+def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-flavored: scalar subquery (exact global avg balance) +
+    anti-join (customers with no orders)."""
+    return relational.wealthy_inactive_customers(spark, sf_dir)
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-flavored: quarterly revenue per supplier, keep the max —
+    aggregate + self-referencing scalar-subquery max."""
+    return relational.top_supplier_revenue(spark, sf_dir)
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-flavored: GROUP BY + HAVING on lineitem quantity driving a
+    qualifying-key join into orders/customer."""
+    return relational.large_volume_orders(spark, sf_dir)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (finance extension): each purchase event picks up the most
     recent prior click value for the same user. Verified against DuckDB's
@@ -615,6 +633,28 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         STORE_KEY,
         "status",
         F.col("_after").isNotNull().cast("int").alias("in_store_after_merge"),
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal-LM sequence packing: per-document (shard, seq_id, offset)
+    assignment under a 512-token budget — the last batch-prep step of a
+    training-data pipeline. Only shuffle is on the shard key."""
+    from stock_market_data_pipeline_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
+
+
+def q_packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level packing QA: docs/tokens/straddlers per packed training
+    sequence — the fill/waste signal that sizes a training run."""
+    from stock_market_data_pipeline_spark.operators.packing import (
+        pack_sequences,
+        packed_sequence_stats,
+    )
+
+    return packed_sequence_stats(
+        pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8), budget=512
     )
 
 
@@ -1191,6 +1231,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,
+    "sequence_packing": q_sequence_packing,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_volume_orders": q_large_volume_orders,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,
