@@ -17,7 +17,7 @@ the same primitives at warehouse scale and document the physical strategy a
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stock_market_data_pipeline_spark.sources.batch import read_table
@@ -327,12 +327,15 @@ def top_supplier_revenue(
     spark: SparkSession, sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
 ) -> DataFrame:
     """TPC-H Q15-flavored: the supplier(s) with maximum quarterly revenue —
-    an aggregate feeding a scalar-subquery max over itself.
+    an aggregate feeding a scalar max over itself, ties kept like the spec.
 
-    The revenue agg shuffles lineitem once on suppkey; the max is a 1-row
-    broadcast crossJoin (not a second scan — Spark reuses the agg via the
-    self-referencing plan); supplier is a broadcast dimension join. ties kept
-    like the spec."""
+    The revenue agg shuffles lineitem once on suppkey; the max is then an
+    unpartitioned window over the |suppliers|-sized agg output — one extra
+    single-partition pass over the SMALL frame, deliberately NOT a
+    scalar-subquery self-join: Spark plans the self-referencing agg as a
+    second full lineitem scan + shuffle (no exchange reuse, measured), which
+    at 100 TB doubles the dominant cost. A plan-shape test pins the
+    single-scan property. supplier is a broadcast dimension join."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
     )
@@ -345,10 +348,10 @@ def top_supplier_revenue(
             ).alias("total_revenue")
         )
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("_max_rev"))
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    w = Window.partitionBy()
     return (
-        rev.join(F.broadcast(max_rev))
+        rev.withColumn("_max_rev", F.max("total_revenue").over(w))
         .filter(F.col("total_revenue") == F.col("_max_rev"))
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")

@@ -206,3 +206,38 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_top_supplier_revenue_single_lineitem_scan(spark, sf_dir):
+    """Q15 shape: the scalar max must NOT replan the revenue aggregate as a
+    second fact scan — one lineitem FileScan, max via window over the small
+    per-supplier frame, supplier broadcast."""
+    plan = _plan(spark, sf_dir, "top_supplier_revenue")
+    li_scans = [ln for ln in _scan_lines(plan) if "l_suppkey" in ln]
+    assert len(li_scans) == 1, li_scans
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wealthy_inactive_customers_anti_join_shape(spark, sf_dir):
+    """Q22 shape: the NOT EXISTS is a hash anti-join (never a nested loop
+    over fact rows) and the scalar threshold arrives via broadcast; the
+    recent-order date filter reaches the orders scan."""
+    plan = _plan(spark, sf_dir, "wealthy_inactive_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
+    orders_scan = [ln for ln in _scan_lines(plan) if "o_custkey" in ln]
+    assert orders_scan and "o_orderdate" in orders_scan[0], orders_scan
+
+
+def test_large_volume_orders_qualifying_keys_broadcast(spark, sf_dir):
+    """Q18 shape: the HAVING-qualified keys and customer are both broadcast
+    — orders never shuffles; lineitem's quantity sum partial-aggregates
+    map-side before its only exchange."""
+    plan = _plan(spark, sf_dir, "large_volume_orders")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "partial_sum(l_quantity" in plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert all("l_orderkey" in ln for ln in exchanges), exchanges
