@@ -53,9 +53,13 @@ def seed_fingerprint_store(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    batch_id: int = -1,
 ) -> None:
     """Initialize (or top up) the store from a document frame: one row per
-    distinct fingerprint, canonical_id = min id that produced it."""
+    distinct fingerprint, canonical_id = min id that produced it.
+    ``first_batch_id`` records ingest lineage (seeded history = -1) so a
+    streaming gate can distinguish "seen in an EARLIER batch" from "merged
+    by a crashed attempt of THIS batch" (see ``batch_id`` below)."""
     fps = (
         docs.select(
             F.md5(normalize_text(text_col)).alias(STORE_KEY),
@@ -63,6 +67,7 @@ def seed_fingerprint_store(
         )
         .groupBy(STORE_KEY)
         .agg(F.min("canonical_id").alias("canonical_id"))
+        .withColumn("first_batch_id", F.lit(batch_id).cast("bigint"))
     )
     merge_upsert_bucketed(
         spark,
@@ -81,6 +86,7 @@ def incremental_dedup_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 16,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """Classify a new batch against the fingerprint store, then merge the
     batch's novel fingerprints in.
@@ -89,6 +95,15 @@ def incremental_dedup_batch(
     ``dup_of_store`` (content already ingested in a prior batch),
     ``dup_in_batch`` (first seen in THIS batch but not this row), or
     ``novel`` (this row is the batch-canonical first sighting).
+
+    ``batch_id`` (streaming gate): when given, a store row counts as
+    "prior" only if its ``first_batch_id`` is STRICTLY EARLIER. This makes
+    classification replay-idempotent under at-least-once delivery: if a
+    run crashed after the store merge but before the output committed, the
+    replay of the same micro-batch sees its own fingerprints in the store
+    with ``first_batch_id == batch_id`` and still classifies them
+    novel/dup_in_batch exactly as the first attempt did. ``None`` keeps
+    plain presence semantics for one-shot batch jobs.
 
     100 TB posture: the lookup join reads only the store buckets the batch
     hashes into (partition-pruned scan on the bucket column); the store
@@ -113,18 +128,23 @@ def incremental_dedup_batch(
         store = (
             spark.read.parquet(store_path)
             .filter(F.col(BUCKET_COL).isin(touched))
-            .select(STORE_KEY, F.lit(1).alias("_in_store"))
+            .select(STORE_KEY, F.col("first_batch_id").alias("_store_batch"))
         )
         looked = fp.join(store, STORE_KEY, "left")
     else:
-        looked = fp.withColumn("_in_store", F.lit(None).cast("int"))
+        looked = fp.withColumn("_store_batch", F.lit(None).cast("bigint"))
+    prior = (
+        F.col("_store_batch") < batch_id
+        if batch_id is not None
+        else F.col("_store_batch").isNotNull()
+    )
     batch_min = fp.groupBy(STORE_KEY).agg(F.min("doc_id").alias("_bmin"))
     classified = (
         looked.join(batch_min, STORE_KEY)
         .select(
             "doc_id",
             STORE_KEY,
-            F.when(F.col("_in_store").isNotNull(), F.lit("dup_of_store"))
+            F.when(prior, F.lit("dup_of_store"))
             .when(F.col("doc_id") == F.col("_bmin"), F.lit("novel"))
             .otherwise(F.lit("dup_in_batch"))
             .alias("status"),
@@ -135,7 +155,13 @@ def incremental_dedup_batch(
     )
     novel = (
         classified.filter(F.col("status") == "novel")
-        .select(STORE_KEY, F.col("doc_id").alias("canonical_id"))
+        .select(
+            STORE_KEY,
+            F.col("doc_id").alias("canonical_id"),
+            F.lit(-1 if batch_id is None else batch_id)
+            .cast("bigint")
+            .alias("first_batch_id"),
+        )
     )
     merge_upsert_bucketed(
         spark,

@@ -434,3 +434,72 @@ def kmeans_iteration(
         "cohesion",
         round_det(cosine(mean_vec, F.col("p_vec")), 4).alias("centroid_drift"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 32,
+    tau: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into cells, then inside each cell
+    drop every vector that has a higher-priority (lower-id) member at cosine
+    ≥ ``tau`` — semantic dups share meaning, not tokens, so the lexical
+    family (MinHash/SimHash) can't see them.
+
+    Cells are the deterministic IVF pivot assignment of
+    :func:`ivf_cosine_topk` (argmax cosine over a constant-size broadcast
+    pivot set, ties to the lower pivot id) — swap in k-means centroids from
+    :func:`kmeans_iteration` without touching the plan. The pairwise stage
+    is a self-equi-join ON THE CELL KEY only — never an all-pairs product:
+    one shuffle keyed by cell, per-cell O(size²) compare like the paper's
+    within-cluster design. At 100 TB, ``n_cells`` scales with the corpus to
+    hold E[cell²] bounded, and a hot cell (skew) splits under AQE or by
+    raising n_cells; determinism: cosines rounded to 6 dp before the
+    threshold and min-witness selection.
+
+    Output one row per vector: ``vec_id``, ``cell``, ``removed`` (0/1),
+    ``dup_of`` (lowest-id witness ≥ tau in-cell, NULL when kept).
+    """
+    pivots = (
+        corpus.select(
+            F.col(id_col).alias("pivot_id"), as_double_vec(vec_col).alias("p_vec")
+        )
+        .orderBy(F.md5(F.col("pivot_id").cast("string")), F.col("pivot_id"))
+        .limit(n_cells)
+    )
+    v = corpus.select(F.col(id_col).alias("vid"), as_double_vec(vec_col).alias("vec"))
+    scored = v.crossJoin(F.broadcast(pivots)).select(
+        "vid",
+        "vec",
+        "pivot_id",
+        round_det(cosine(F.col("vec"), F.col("p_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("pivot_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "vec", F.col("pivot_id").alias("cell"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    witnesses = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vid") < F.col("a.vid")),
+        )
+        .filter(round_det(cosine(F.col("a.vec"), F.col("b.vec")), 6) >= tau)
+        .groupBy(F.col("a.vid").alias("vid"))
+        .agg(F.min(F.col("b.vid")).alias("dup_of"))
+    )
+    return (
+        assigned.join(witnesses, "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cell",
+            F.col("dup_of").isNotNull().cast("int").alias("removed"),
+            "dup_of",
+        )
+    )

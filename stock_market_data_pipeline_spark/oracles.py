@@ -1870,6 +1870,36 @@ FROM c
 """,
 }
 
+# ---- semantic_dedup oracle (SemDeDup within IVF cells) ----
+ORACLES["semantic_dedup"] = f"""
+WITH pivots AS (
+  SELECT vec_id AS pivot_id, embedding AS p_vec FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32
+),
+c AS (SELECT vec_id, embedding AS vec FROM embeddings),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, s.pivot_id AS cell,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.pivot_id) AS rn
+    FROM (SELECT c.vec_id, pivot_id, {_cos_expr('vec', 'p_vec')} AS sim
+          FROM c CROSS JOIN pivots) s
+  ) t WHERE rn = 1
+),
+m AS (SELECT a.vec_id, a.cell, c.vec FROM assign a JOIN c USING (vec_id)),
+wit AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM (SELECT vec_id, cell, vec AS a_vec FROM m) a
+  JOIN (SELECT vec_id, cell, vec AS b_vec FROM m) b
+    ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE {_cos_expr('a_vec', 'b_vec')} >= 0.35
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cell,
+       CASE WHEN w.dup_of IS NOT NULL THEN 1 ELSE 0 END AS removed,
+       w.dup_of
+FROM assign a LEFT JOIN wit w USING (vec_id)
+"""
+
 # ---- kmeans_iteration oracle (generated: 64 component means) ----
 _KM_MEANS = ", ".join(
     f"avg(CAST(_v[{i}] AS DOUBLE)) AS m{i}" for i in range(1, _DIM + 1)

@@ -658,6 +658,17 @@ def q_packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
+    cosine pruning (tau tuned to this lake's random embeddings — see
+    q_embedding_neardup_pairs note)."""
+    from stock_market_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        read_table(spark, sf_dir, "embeddings"), n_cells=32, tau=0.35
+    )
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction: top-3 terms per document, ranked on the
     rounded score (cross-libm ln determinism)."""
@@ -1236,6 +1247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "top_supplier_revenue": q_top_supplier_revenue,
     "large_volume_orders": q_large_volume_orders,
+    "semantic_dedup": q_semantic_dedup,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,

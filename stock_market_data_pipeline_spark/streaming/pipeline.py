@@ -275,3 +275,68 @@ def stream_windowed_analytics(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_incremental_dedup(
+    docs: DataFrame,
+    store_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Ingest-time corpus dedup: every micro-batch of documents is classified
+    against the persistent fingerprint store (novel / dup_in_batch /
+    dup_of_store), the classified batch lands under
+    ``output_path/ingest_batch=N``, and novel fingerprints merge into the
+    store — the streaming twin of
+    :func:`..operators.incremental.incremental_dedup_batch`, which is what a
+    continuously-ingesting training-data pipeline actually runs.
+
+    Exactly-once story: output is an idempotent per-batch dynamic partition
+    overwrite (a replayed batch rewrites its own ``ingest_batch=N``
+    directory); the store merge is idempotent per fingerprint; and
+    classification itself is replay-stable because store rows carry
+    ``first_batch_id`` — a crash between the store merge and the output
+    commit re-runs the batch, sees its own fingerprints at
+    ``first_batch_id == N``, and classifies them exactly as the first
+    attempt did (strictly-earlier test; see the operator's docstring).
+
+    100 TB posture: per micro-batch cost is O(batch) — bucket-pruned store
+    lookup, bucket-scoped merge; state lives in the store table, not in
+    executor memory, so an arbitrarily long stream holds no growing
+    streaming state.
+    """
+    from stock_market_data_pipeline_spark.operators.incremental import (
+        incremental_dedup_batch,
+    )
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        classified = incremental_dedup_batch(
+            spark,
+            batch_df,
+            store_path,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            batch_id=batch_id,
+        )
+        (
+            classified.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(output_path)
+        )
+
+    writer = (
+        docs.writeStream.foreachBatch(_gate)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
