@@ -978,7 +978,11 @@ def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         session_stats(ev, key="user_id", ts="ts", value="value").drop(
             "session_id"
         )
-    )
+    # Pin once: the verdict row reads this frame four times (two counts +
+    # two exceptAll sides); without the checkpoint each read replans the
+    # full sessionization. #sessions-sized, executor-stored — QA-query
+    # bounded like ann_recall's ground truth.
+    ).localCheckpoint(eager=True)
     _PARITY_SEQ[0] += 1
     qname = f"sess_parity_{_PARITY_SEQ[0]}"
     # File-stream source requires a directory: stream the lake dir with a
