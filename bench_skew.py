@@ -94,6 +94,22 @@ def synth_docs(spark: SparkSession, n_docs: int, words_per_doc: int = 40) -> Dat
     )
 
 
+def synth_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64) -> DataFrame:
+    """Deterministic synthetic embeddings: component j of vector i is a
+    hash-derived value in [-1, 1) — spread out enough that cells stay
+    balanced and near-dup pairs are sparse, so growth measures the
+    assign + cell-join machinery, not pair explosion."""
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id") * 131 + j), 2000) / 1000.0 - 1.0
+            ),
+        ).alias("embedding"),
+    )
+
+
 def timed(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -255,6 +271,46 @@ def main() -> None:
         "sec_10x": u10,
         "growth_ratio": round(u10 / u1, 2),
         "linear_ok": u10 <= u1 * 10 * 1.6,
+    }
+
+    # 7. sequence packing growth (round-5): per-shard cumsum — growth must be
+    # ~linear in docs (shard count fixed, window partitions grow in rows only).
+    from stock_market_data_pipeline_spark.operators.packing import pack_sequences
+
+    def _pack(docs):
+        return pack_sequences(docs, budget=512, n_shards=64)
+
+    timed(_pack(docs_1x))  # warm
+    p1 = timed(_pack(docs_1x))
+    p10 = timed(_pack(docs_10x))
+    results["sequence_packing"] = {
+        "docs_1x": BASE_DOCS,
+        "sec_1x": p1,
+        "sec_10x": p10,
+        "growth_ratio": round(p10 / p1, 2),
+        "linear_ok": p10 <= p1 * 10 * 1.6,
+    }
+
+    # 8. semantic dedup growth (round-5): cell assignment is O(n·n_cells);
+    # the within-cell pairwise stage is quadratic PER CELL, so scaling
+    # n_cells with the corpus (64 → 640) holds E[cell²] per-cell bounded —
+    # the documented operating rule at 100 TB. Measured with that rule
+    # applied: growth should stay ~linear.
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb_1x = synth_embeddings(spark, BASE_DOCS)
+    emb_10x = synth_embeddings(spark, BASE_DOCS * 10)
+    timed(semantic_dedup(emb_1x, n_cells=64, tau=0.35))  # warm
+    s1 = timed(semantic_dedup(emb_1x, n_cells=64, tau=0.35))
+    s10 = timed(semantic_dedup(emb_10x, n_cells=640, tau=0.35))
+    results["semantic_dedup"] = {
+        "docs_1x": BASE_DOCS,
+        "sec_1x": s1,
+        "sec_10x": s10,
+        "growth_ratio": round(s10 / s1, 2),
+        "linear_ok": s10 <= s1 * 10 * 1.6,
     }
 
     print(json.dumps(results))

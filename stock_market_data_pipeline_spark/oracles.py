@@ -792,6 +792,26 @@ FROM batch b
 LEFT JOIN seed s USING (fingerprint)
 JOIN bmin m USING (fingerprint)
 """,
+    # Corpus report card: fingerprint-count join + per-(source, lang) rollup.
+    "corpus_report": """
+WITH fp AS (
+  SELECT source, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+counts AS (SELECT fp, count(*) AS n_same FROM fp GROUP BY 1)
+SELECT source, lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       count(DISTINCT f.fp) AS distinct_contents,
+       round(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM fp f JOIN counts USING (fp)
+GROUP BY 1, 2
+""",
     # Causal-LM packing: per-shard running token offset → sequence id.
     # DuckDB windowed sum(BIGINT) → HUGEINT → cast back (module docstring).
     "sequence_packing": """

@@ -658,6 +658,45 @@ def q_packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus report card — the QA rollup a curation
+    pipeline publishes per ingest: volume (docs/tokens/chars), exact-dup
+    pressure (docs whose content fingerprint repeats corpus-wide, distinct
+    contents), and the dup ratio.
+
+    Scale shape: one fingerprint-count join keyed on the 16-byte md5 (text
+    never shuffles), then a map-side-combined rollup on the tiny
+    (source, lang) key. countDistinct costs one expand on the slim frame —
+    at 100 TB swap for approx_count_distinct (documented sketch pattern)."""
+    from stock_market_data_pipeline_spark.functions.text import token_count_ws
+    from stock_market_data_pipeline_spark.operators.dedup import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        "lang",
+        F.md5(normalize_text("text")).alias("fp"),
+        token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n_same"))
+    return (
+        fp.join(counts, "fp")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum((F.col("n_same") > 1).cast("bigint")).alias("dup_docs"),
+            F.countDistinct("fp").alias("distinct_contents"),
+        )
+        .withColumn(
+            "dup_ratio",
+            round_det(F.col("dup_docs") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: IVF-cell clustering + within-cell
     cosine pruning (tau tuned to this lake's random embeddings — see
@@ -1252,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_revenue": q_top_supplier_revenue,
     "large_volume_orders": q_large_volume_orders,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_report": q_corpus_report,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,

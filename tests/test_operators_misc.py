@@ -233,3 +233,21 @@ def test_cli_runner_writes_and_reports(spark, sf_dir, tmp_path, capsys):
 
     with _pytest.raises(SystemExit):
         main(["--query", "no_such_query", "--sf-dir", sf_dir])
+
+
+def test_semantic_dedup_kernels_agree(spark, sf_dir):
+    """The Arrow (matmul/Gram) and expr (codegen fold) kernels of
+    semantic_dedup must produce identical assignments and removals on the
+    lake — the vectorized scale path may not drift from the oracle-shaped
+    DataFrame form."""
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    arrow = semantic_dedup(emb, n_cells=32, tau=0.35, kernel="arrow")
+    expr = semantic_dedup(emb, n_cells=32, tau=0.35, kernel="expr")
+    assert arrow.exceptAll(expr).count() == 0
+    assert expr.exceptAll(arrow).count() == 0
+    assert arrow.filter("removed = 1").count() > 0  # non-trivial at sf0.01

@@ -241,3 +241,40 @@ def test_large_volume_orders_qualifying_keys_broadcast(spark, sf_dir):
         if "Exchange hashpartitioning" in ln and "Reused" not in ln
     ]
     assert all("l_orderkey" in ln for ln in exchanges), exchanges
+
+
+def test_semantic_dedup_expr_argmax_combines_mapside(spark, sf_dir):
+    """expr kernel: cell-assignment argmax is a max_by aggregate over the
+    slim (vid, pivot_id, sim) frame — partial-combined map-side, no vectors
+    in the exchange, no Window row_number; pivots are broadcast."""
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = semantic_dedup(emb, n_cells=32, tau=0.35, kernel="expr")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, "argmax should map-side combine"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "row_number" not in plan
+    # the scored frame feeding the argmax carries no embedding vector: no
+    # max_by aggregate references a vec/embedding column
+    agg_lines = [ln for ln in plan.splitlines() if "partial_max_by" in ln]
+    assert agg_lines and all(
+        "vec" not in ln and "embedding" not in ln for ln in agg_lines
+    ), agg_lines
+
+
+def test_semantic_dedup_arrow_is_grouped_pandas(spark, sf_dir):
+    """arrow kernel (registry default): assignment is mapInPandas (no
+    n·n_cells scored exchange at all) and the pairwise stage is one
+    cell-keyed grouped-pandas op — exactly one hash exchange on the cell."""
+    plan = _plan(spark, sf_dir, "semantic_dedup")
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan
+    assert "MapInPandas" in plan
+    cell_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(cell" in ln and "Reused" not in ln
+    ]
+    assert len(cell_ex) == 1, cell_ex
