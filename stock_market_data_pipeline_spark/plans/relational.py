@@ -243,14 +243,32 @@ def approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification cost of the QA query, not the production pattern.
     """
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    # Two exact countDistincts in ONE agg force Catalyst's Expand plan
+    # (data × n_distinct_groups rows through the shuffle): measured 9.9 s at
+    # sf0.1 vs 3.3 s split. Each exact distinct runs as its own
+    # distinct-then-count (map-side partial distinct, no Expand) and joins
+    # back on the 5-row flag key — broadcast, free.
+    sketches = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("line_count"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey").alias("_ap"),
         F.approx_count_distinct("l_orderkey").alias("_ao"),
         F.percentile_approx("l_quantity", 0.5, 10000).alias("_amq"),
         F.expr("percentile(l_quantity, 0.5)").alias("_emq"),
+    )
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    exact_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    agg = sketches.join(F.broadcast(exact_parts), "l_returnflag").join(
+        F.broadcast(exact_orders), "l_returnflag"
     )
     rel_ok = lambda a, e: (  # noqa: E731
         (F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.10))

@@ -278,3 +278,12 @@ def test_semantic_dedup_arrow_is_grouped_pandas(spark, sf_dir):
         if "Exchange hashpartitioning(cell" in ln and "Reused" not in ln
     ]
     assert len(cell_ex) == 1, cell_ex
+
+
+def test_approx_stats_no_expand(spark, sf_dir):
+    """Exact distinct counts must run as distinct-then-count joins, not as
+    multi-countDistinct in one aggregate — that form plans an Expand
+    (data × n_distinct_groups through the shuffle; measured 3× slower)."""
+    plan = _plan(spark, sf_dir, "approx_stats")
+    assert "Expand" not in plan, "multi-distinct Expand regressed"
+    assert plan.count("BroadcastHashJoin") >= 2
