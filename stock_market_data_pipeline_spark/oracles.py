@@ -812,6 +812,28 @@ SELECT source, lang,
 FROM fp f JOIN counts USING (fp)
 GROUP BY 1, 2
 """,
+    "price_histogram": f"""
+WITH {TICKS_CTE},
+bounds AS (SELECT symbol, min(price) AS lo, max(price) AS hi FROM ticks GROUP BY 1),
+binned AS (
+  SELECT t.symbol,
+         CAST(CASE WHEN b.hi = b.lo THEN 0
+              ELSE least(floor((t.price - b.lo) / ((b.hi - b.lo) / 10.0)), 9)
+         END AS BIGINT) AS bin
+  FROM ticks t JOIN bounds b USING (symbol)
+),
+counts AS (SELECT symbol, bin, count(*) AS n FROM binned GROUP BY 1, 2)
+SELECT symbol, bin, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY symbol) AS DOUBLE), 6) AS frac
+FROM counts
+""",
+    "user_set_ops": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
     # Causal-LM packing: per-shard running token offset → sequence id.
     # DuckDB windowed sum(BIGINT) → HUGEINT → cast back (module docstring).
     "sequence_packing": """

@@ -658,6 +658,60 @@ def q_packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol equi-width price histogram (10 bins over [min, max]) with
+    bin fractions — the profiling primitive behind data-skipping decisions
+    and feature binning.
+
+    Scale shape: per-symbol bounds are one map-side-combined agg broadcast
+    back onto the scan; binning is a codegen projection; the rollup keys on
+    (symbol, bin) — |symbols|·10 output rows. The fraction reuses the
+    (symbol)-partitioned window over that tiny frame, no extra data pass."""
+    t = ticks_from_events(spark, sf_dir).select("symbol", "price")
+    bounds = t.groupBy("symbol").agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    binned = t.join(F.broadcast(bounds), "symbol").select(
+        "symbol",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("price") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / 10.0)
+                ),
+                F.lit(9),
+            )
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("symbol", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("symbol")
+    return counts.select(
+        "symbol",
+        "bin",
+        "n",
+        round_det(F.col("n") / F.sum("n").over(w), 6).alias("frac"),
+    )
+
+
+def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (INTERSECT / EXCEPT): users who both clicked and
+    purchased, minus users who ever hit an error — the audience-segmentation
+    shape. Spark plans these as hash semi/anti joins on the user key; the
+    distinct collapses each side before the joins."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clicked.intersect(purchased).subtract(errored)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus report card — the QA rollup a curation
     pipeline publishes per ingest: volume (docs/tokens/chars), exact-dup
@@ -1292,6 +1346,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "semantic_dedup": q_semantic_dedup,
     "corpus_report": q_corpus_report,
+    "price_histogram": q_price_histogram,
+    "user_set_ops": q_user_set_ops,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,
