@@ -40,14 +40,28 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order_keys: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Per-document packing assignment: (shard, seq_id, start_offset,
-    n_tokens, spans_boundary) under a fixed per-sequence token budget."""
+    n_tokens, spans_boundary) under a fixed per-sequence token budget.
+
+    ``order_keys`` sets the within-shard packing order — the curriculum
+    knob — as ``[(column_name, "asc"|"desc"), ...]`` over columns of
+    ``docs`` (e.g. ``[("n_chars", "desc")]`` packs longest-first);
+    ``id_col`` ascending is always appended as the deterministic tiebreak.
+    Default: pure id order. Only the named scalar order columns ride
+    through the shard shuffle alongside (id, shard, n_tokens) — the text
+    column is dropped before the exchange either way."""
     shard = (F.col(id_col) % n_shards).cast("bigint")
     toks = token_count_bpe_ish(F.col(text_col)).cast("bigint")
+    keys = list(order_keys or [])
+    order = [
+        F.col(name).desc() if direction == "desc" else F.col(name).asc()
+        for name, direction in keys
+    ] + [F.col(id_col).asc()]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = (
@@ -55,6 +69,7 @@ def pack_sequences(
             F.col(id_col),
             shard.alias("shard"),
             toks.alias("n_tokens"),
+            *[F.col(name) for name, _ in keys],
         )
         .withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .withColumn("seq_id", F.floor(F.col("start_offset") / budget))
@@ -67,6 +82,7 @@ def pack_sequences(
                 > F.col("seq_id")
             ).cast("int"),
         )
+        .drop(*[name for name, _ in keys])
     )
     return out
 

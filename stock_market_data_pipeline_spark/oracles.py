@@ -853,6 +853,23 @@ SELECT doc_id, shard, n_tokens, start_offset,
                  > floor(start_offset / 512.0) THEN 1 ELSE 0 END AS spans_boundary
 FROM b
 """,
+    "curriculum_packing": """
+WITH a AS (
+  SELECT doc_id, n_chars, doc_id % 8 AS shard,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY n_chars DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_offset
+  FROM a
+)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       CASE WHEN floor((start_offset + n_tokens - 1) / 512.0)
+                 > floor(start_offset / 512.0) THEN 1 ELSE 0 END AS spans_boundary
+FROM b
+""",
     "packed_sequence_stats": """
 WITH a AS (
   SELECT doc_id, doc_id % 8 AS shard,

@@ -645,6 +645,21 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=8)
 
 
+def q_curriculum_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum packing: longest-documents-first within each shard (the
+    order_keys knob) — same packing laws, different training order."""
+    from stock_market_data_pipeline_spark.operators.packing import pack_sequences
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return pack_sequences(
+        docs, budget=512, n_shards=8, order_keys=[("n_chars", "desc")]
+    )
+
+
 def q_packed_sequence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-level packing QA: docs/tokens/straddlers per packed training
     sequence — the fill/waste signal that sizes a training run."""
@@ -1348,6 +1363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_report": q_corpus_report,
     "price_histogram": q_price_histogram,
     "user_set_ops": q_user_set_ops,
+    "curriculum_packing": q_curriculum_packing,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,

@@ -18,6 +18,35 @@ def test_registry_is_consistent():
     assert set(ORACLES) <= set(QUERIES), "oracle without a query"
 
 
+def test_driver_window_composition():
+    """The driver oracle-checks exactly the first 50 registry entries
+    (rotation contract, see the comment above QUERIES). Guard the round-5
+    plan: every never-driver-checked round-5 query AND the two r4-repaired
+    queries (which must earn a green row before rotating out) sit inside
+    the window."""
+    window = list(QUERIES)[:50]
+    must_be_in = [
+        # r4-repaired — keep in-window until green in a driver round
+        "event_sessionization",
+        "quantize_embeddings",
+        # round-5 additions — never driver-checked
+        "incremental_dedup",
+        "stream_batch_session_parity",
+        "sequence_packing",
+        "packed_sequence_stats",
+        "curriculum_packing",
+        "wealthy_inactive_customers",
+        "top_supplier_revenue",
+        "large_volume_orders",
+        "semantic_dedup",
+        "corpus_report",
+        "price_histogram",
+        "user_set_ops",
+    ]
+    missing = [q for q in must_be_in if q not in window]
+    assert not missing, f"queries fell out of the driver window: {missing}"
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_decimal_in_final_schema(spark, sf_dir, name):
     # The driver's value-hash rejects DecimalType output columns even when the
