@@ -792,6 +792,41 @@ FROM batch b
 LEFT JOIN seed s USING (fingerprint)
 JOIN bmin m USING (fingerprint)
 """,
+    # Data-quality expectations: one conditional-agg pass + uniqueness pass.
+    "data_expectations": f"""
+WITH {TICKS_CTE},
+base AS (
+  SELECT count(*) AS total,
+         CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+         CAST(sum(CASE WHEN volume IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(sum(CASE WHEN price IS NULL OR NOT (price BETWEEN 0.01 AND 1000000.0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(sum(CASE WHEN symbol IS NULL OR symbol NOT IN ('signup','click','purchase','view','error') THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(sum(CASE WHEN "timestamp" > TIMESTAMP '2031-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v4
+  FROM ticks
+),
+uniq AS (
+  SELECT count(*) AS total,
+         CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM (SELECT event_id, count(*) AS n FROM ticks GROUP BY 1) g
+)
+SELECT 'not_null(price)' AS "check", v0 AS violations, total,
+       CASE WHEN v0 <= ROUND(0.0 * total, 0) THEN 1 ELSE 0 END AS passed FROM base
+UNION ALL
+SELECT 'not_null(volume)', v1, total,
+       CASE WHEN v1 <= ROUND(0.01 * total, 0) THEN 1 ELSE 0 END FROM base
+UNION ALL
+SELECT 'in_range(price,0.01,1000000.0)', v2, total,
+       CASE WHEN v2 <= ROUND(0.0 * total, 0) THEN 1 ELSE 0 END FROM base
+UNION ALL
+SELECT 'accepted_values(symbol)', v3, total,
+       CASE WHEN v3 <= ROUND(0.0 * total, 0) THEN 1 ELSE 0 END FROM base
+UNION ALL
+SELECT 'no_future_ts', v4, total,
+       CASE WHEN v4 <= ROUND(0.0 * total, 0) THEN 1 ELSE 0 END FROM base
+UNION ALL
+SELECT 'unique(event_id)', v, total,
+       CASE WHEN v = 0 THEN 1 ELSE 0 END FROM uniq
+""",
     # Corpus report card: fingerprint-count join + per-(source, lang) rollup.
     "corpus_report": """
 WITH fp AS (

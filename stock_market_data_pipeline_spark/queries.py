@@ -727,6 +727,38 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicked.intersect(purchased).subtract(errored)
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over the tick stream — the
+    generalization of the reference's validate_stock_data checklist
+    (README.md:676-694): null budget, range, accepted values, uniqueness,
+    and a custom future-timestamp rule, all in one conditional-agg pass
+    (+1 keyed pass for uniqueness)."""
+    from stock_market_data_pipeline_spark.operators.expectations import (
+        accepted_values,
+        custom,
+        in_range,
+        not_null,
+        run_expectations,
+        unique,
+    )
+
+    t = ticks_from_events(spark, sf_dir)
+    checks = [
+        not_null("price"),
+        not_null("volume", max_null_frac=0.01),
+        in_range("price", 0.01, 1_000_000.0),
+        accepted_values(
+            "symbol", ["signup", "click", "purchase", "view", "error"]
+        ),
+        custom(
+            "no_future_ts",
+            F.col("timestamp") > F.lit("2031-01-01").cast("timestamp"),
+        ),
+        unique(["event_id"]),
+    ]
+    return run_expectations(t, checks)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, lang) corpus report card — the QA rollup a curation
     pipeline publishes per ingest: volume (docs/tokens/chars), exact-dup
@@ -1364,6 +1396,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_histogram": q_price_histogram,
     "user_set_ops": q_user_set_ops,
     "curriculum_packing": q_curriculum_packing,
+    "data_expectations": q_data_expectations,
     # -- never driver-checked before round 4 (r2/r3 additions, positions 51+)
     "event_sessionization": q_event_sessionization,
     "event_funnel": q_event_funnel,
