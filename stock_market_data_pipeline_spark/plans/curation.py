@@ -49,6 +49,15 @@ def curate_corpus(
     ).select("doc_id")
 
     survivors = gated.join(exact_kept, "doc_id")
+    # Pin the survivor frame: it feeds BOTH the near-dup candidate pipeline
+    # and the final anti-join, and without pinning Spark replans the whole
+    # regex-heavy feature/gate/exact-dedup subtree per consumer (measured: 9
+    # documents scans in the un-pinned plan). Lazy localCheckpoint
+    # materializes once at the action; at cluster scale the same role is
+    # played by persist(DISK_ONLY) or a staged write of the (shrunken)
+    # survivor set — either way recompute-per-consumer is the wrong trade
+    # for a many-consumer, expensive-to-produce frame.
+    survivors = survivors.localCheckpoint(eager=False)
 
     # Near-dup removal among survivors: for each LSH pair above threshold,
     # the higher id drops.
@@ -96,6 +105,8 @@ def curate_corpus_transitive(
         F.col("doc_id") == F.col("canonical_id")
     ).select("doc_id")
     survivors = gated.join(exact_kept, "doc_id")
+    # Same pinning rationale as curate_corpus (see comment there).
+    survivors = survivors.localCheckpoint(eager=False)
 
     pairs = minhash_lsh_pairs(survivors.select("doc_id", "text")).filter(
         F.col("est_jaccard") >= neardup_threshold
