@@ -164,3 +164,73 @@ def band_join(
         & (F.col(f"_bj_l.{value_col}") <= F.col(f"_bj_r.{hi_col}"))
     )
     return l.join(r, cond, how).drop(*[F.col(f"_bj_r.{k}") for k in equi_keys])
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int = 900,
+    equi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Interval-overlap join via bin decomposition — the range-join
+    optimization warehouse engines (and Databricks' range-join hint) apply,
+    spelled out as DataFrame ops so the plan is an EQUI join.
+
+    Semantics: closed intervals at one-second granularity — rows pair iff
+    ``l_start <= r_end AND r_start <= l_end`` (plus any ``equi_keys``
+    equality). A zero-length interval (start == end, e.g. a single-event
+    session) still matches windows containing that instant.
+
+    Why not write the predicate directly? A bare inequality join has no
+    equi key, so Catalyst plans BroadcastNestedLoop — O(|L|·|R|)
+    comparisons, a scale-killer the moment neither side is tiny. Instead
+    both sides explode to the 1-second-granularity time bins they cover
+    (``sequence(floor(start/W), floor(end/W))``), the join runs as an
+    ordinary hash join on ``(equi_keys..., bin)``, and the true overlap
+    predicate is a residual filter on the matched rows. Each pair can share
+    many bins, so duplicate emission is suppressed arithmetically — only the
+    FIRST bin both intervals cover (``greatest(floor(l_start/W),
+    floor(r_start/W))``) emits the pair; no distinct needed, no second
+    shuffle. Replication factor is interval_len/W per side: pick
+    ``bin_seconds`` near the typical interval length so fan-out stays O(1)
+    per row while bins spread hot time ranges across the cluster.
+
+    Adds ``overlap_sec`` = seconds both intervals share (0 when they touch
+    at a point). Column names must not collide across the two sides apart
+    from ``equi_keys`` (which are coalesced into single output columns).
+    """
+    from stock_market_data_pipeline_spark.utils import to_epoch_seconds
+
+    keys = list(equi_keys or [])
+    w = int(bin_seconds)
+
+    def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
+        s, e = to_epoch_seconds(start), to_epoch_seconds(end)
+        return df.withColumn(f"_{tag}s", s).withColumn(f"_{tag}e", e).withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(F.floor(s / w), F.floor(e / w))
+            ),
+        )
+    l = binned(left, l_start, l_end, "l").alias("_ij_l")
+    r = binned(right, r_start, r_end, "r").alias("_ij_r")
+    cond = F.col("_ij_l._bin") == F.col("_ij_r._bin")
+    for k in keys:
+        cond = cond & (F.col(f"_ij_l.{k}") == F.col(f"_ij_r.{k}"))
+    ls, le = F.col("_ij_l._ls"), F.col("_ij_l._le")
+    rs, re_ = F.col("_ij_r._rs"), F.col("_ij_r._re")
+    overlap = (ls <= re_) & (rs <= le)
+    first_shared_bin = F.floor(F.greatest(ls, rs) / w) == F.col("_ij_l._bin")
+    out = l.join(r, cond & overlap & first_shared_bin, "inner")
+    lcols = [c for c in left.columns if c not in keys]
+    rcols = [c for c in right.columns if c not in keys]
+    return out.select(
+        *[F.col(f"_ij_l.{k}").alias(k) for k in keys],
+        *[F.col(f"_ij_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_ij_r.{c}").alias(c) for c in rcols],
+        (F.least(le, re_) - F.greatest(ls, rs)).alias("overlap_sec"),
+    )

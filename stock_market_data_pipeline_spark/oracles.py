@@ -535,6 +535,46 @@ _PII_EMAIL = _PII["email"]
 _PII_PHONE = _PII["phone"]
 _PII_SSN = _PII["ssn"]
 
+# X67: int8-quantized shortlist + exact rerank (shared by the standalone
+# query and the ann_recall union).
+_QUANT_RERANK_ORACLE = f"""
+WITH c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 50 = 0),
+cq AS (
+  SELECT neighbor_id,
+         list_transform(c_vec,
+           x -> CAST(COALESCE(round(CAST(x AS DOUBLE) / NULLIF(
+                  list_reduce(list_transform(c_vec, y -> abs(CAST(y AS DOUBLE))),
+                              (a, b) -> greatest(a, b)) / 127.0, 0.0), 0), 0.0)
+                AS DOUBLE)) AS qv
+  FROM c
+),
+approx AS (
+  SELECT query_id, neighbor_id,
+         round(list_sum(list_transform(range(1, {_DIM + 1}),
+                 i -> CAST(q_vec[i] AS DOUBLE) * qv[i]))
+           / NULLIF(sqrt({_sq_list_sum('q_vec')})
+                    * sqrt(list_sum(list_transform(range(1, {_DIM + 1}),
+                                    i -> qv[i] * qv[i]))), 0.0), 6) AS _approx
+  FROM cq, q WHERE neighbor_id <> query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY _approx DESC, neighbor_id) AS rn
+    FROM approx
+  ) t WHERE rn <= 20
+),
+rer AS (
+  SELECT cand.query_id, cand.neighbor_id, {_cos_expr('q_vec', 'c_vec')} AS cosine
+  FROM cand JOIN c USING (neighbor_id) JOIN q USING (query_id)
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rer
+) t WHERE rank <= 5
+"""
+
+
 ORACLES: dict[str, str] = {
     "price_trend_regression": f"""
 WITH {TICKS_CTE}, x AS (
@@ -1594,13 +1634,15 @@ cand AS (
   SELECT 'lsh' AS variant, query_id, neighbor_id FROM ({_LSH_TOPK_ORACLE}) c
   UNION ALL
   SELECT 'lsh_multiprobe' AS variant, query_id, neighbor_id FROM ({_LSH_MULTIPROBE_ORACLE}) d
+  UNION ALL
+  SELECT 'quantized_rerank' AS variant, query_id, neighbor_id FROM ({_QUANT_RERANK_ORACLE}) e
 ),
 hits AS (
   SELECT variant, count(*) AS hits
   FROM cand JOIN gt USING (query_id, neighbor_id) GROUP BY variant
 ),
 vlist AS (
-  SELECT unnest(['ivf_nprobe1', 'ivf_nprobe4', 'lsh', 'lsh_multiprobe']) AS variant
+  SELECT unnest(['ivf_nprobe1', 'ivf_nprobe4', 'lsh', 'lsh_multiprobe', 'quantized_rerank']) AS variant
 ),
 tot AS (SELECT count(*) AS total FROM gt)
 SELECT v.variant,
@@ -2074,5 +2116,82 @@ def _bias_rounds(sql: str) -> str:
         out.append(sql[last_comma:k])
         i = k
 
+
+
+# X65: interval-overlap join — sessions vs 15-min activity-peak windows.
+# Closed intervals at 1-second granularity, mirroring interval_join: the
+# Spark side floors timestamps to epoch seconds for bins, the residual
+# predicate AND overlap_sec, so the oracle compares the same integers.
+ORACLES["session_peak_overlap"] = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) // 1000000
+                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_id
+  FROM m
+),
+sess AS (
+  SELECT user_id, session_id,
+         epoch_us(min(ts)) // 1000000 AS ss,
+         epoch_us(max(ts)) // 1000000 AS se
+  FROM s GROUP BY 1, 2
+),
+b AS (
+  SELECT (epoch_us(ts) // 1000000) // 900 * 900 AS _b, count(*) AS peak_events
+  FROM events GROUP BY 1
+),
+thr AS (SELECT avg(peak_events) * 1.5 AS t FROM b),
+p AS (SELECT _b, peak_events FROM b, thr WHERE peak_events > t)
+SELECT sess.user_id, sess.session_id,
+       make_timestamp(p._b * 1000000) AS peak_start,
+       p.peak_events,
+       least(sess.se, p._b + 899) - greatest(sess.ss, p._b) AS overlap_sec
+FROM sess JOIN p ON sess.ss <= p._b + 899 AND p._b <= sess.se
+"""
+
+# X66: weighted PageRank, 3 unrolled power iterations, damping 0.85 — the
+# exact recurrence operators/graph.py:pagerank runs, spelled out per
+# iteration (no recursion: iteration count is part of the contract).
+_PR_ITER = """
+  SELECT nd.node,
+         (1.0 - 0.85::DOUBLE) / nn.n
+           + 0.85::DOUBLE * COALESCE(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (SELECT en.dst AS node, sum({prev}.rank * en.wn) AS s
+             FROM en JOIN {prev} ON en.src = {prev}.node
+             GROUP BY 1) c ON nd.node = c.node
+"""
+ORACLES["supplier_pagerank"] = f"""
+WITH rev AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+         sum(l_extendedprice * (1.0 - l_discount)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+e AS (SELECT src, dst, w FROM rev UNION ALL SELECT dst AS src, src AS dst, w FROM rev),
+outs AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+en AS (SELECT e.src, e.dst, e.w / outs.wout AS wn FROM e JOIN outs USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
+r1 AS ({_PR_ITER.format(prev='r0')}),
+r2 AS ({_PR_ITER.format(prev='r1')}),
+r3 AS ({_PR_ITER.format(prev='r2')})
+SELECT node, round(rank, 6) AS rank FROM r3
+"""
+
+# X67: int8-quantized shortlist (top-20 by approx cosine; per-vector scale
+# cancels in cosine, so the int array scores directly) + exact float rerank
+# to top-5. Same query set / output contract as cosine_topk.
+ORACLES["quantized_topk_rerank"] = _QUANT_RERANK_ORACLE
 
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

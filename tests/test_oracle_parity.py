@@ -26,6 +26,10 @@ def test_driver_window_composition():
     the window."""
     window = list(QUERIES)[:50]
     must_be_in = [
+        # round-5 wave-2 additions — never driver-checked
+        "session_peak_overlap",
+        "supplier_pagerank",
+        "quantized_topk_rerank",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",
