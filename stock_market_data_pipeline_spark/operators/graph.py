@@ -38,6 +38,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 3,
     pin_edges: bool = True,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank, ``n_iter`` unrolled power iterations.
 
@@ -51,6 +52,14 @@ def pagerank(
 
     Output: ``node, rank`` (rank rounded to 6 dp). Σrank ≈ 1 when no node
     dangles.
+
+    ``broadcast_ranks=True`` broadcasts the rank vector into each
+    iteration's join instead of shuffling the edge list on ``src``: with
+    map-side partial aggregation on ``dst``, an iteration then moves only
+    O(#nodes) bytes through the exchange — the right plan whenever the node
+    set fits an executor (millions), while edge lists are billions. For
+    billion-node graphs leave it False and co-partition edges and ranks on
+    the node key instead.
     """
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
@@ -61,16 +70,20 @@ def pagerank(
         e.join(out_strength, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_wout")).alias("_wn"))
     )
-    if pin_edges:
-        # Reused verbatim by every iteration — pin it so iteration k's plan
-        # doesn't re-derive normalization k times (curation.py pattern; at
-        # cluster scale persist(DISK_ONLY) or a staged table plays this role).
-        norm = norm.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
     )
+    if pin_edges:
+        # Both frames are reused verbatim by every iteration — pin them so
+        # iteration k's plan doesn't re-derive edge construction and
+        # normalization k times (curation.py pattern; at cluster scale
+        # persist(DISK_ONLY) or a staged table plays this role). Unpinned,
+        # the whole upstream edge derivation (e.g. a fact-table join) replays
+        # once per iteration per consumer.
+        norm = norm.localCheckpoint(eager=False)
+        nodes = nodes.localCheckpoint(eager=False)
     # N rides the plan as a 1-row broadcast, not a driver-side collect: the
     # operator stays a single lazy DataFrame program.
     n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -78,8 +91,9 @@ def pagerank(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
     )
     for _ in range(n_iter):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            norm.join(ranks, norm["_src"] == ranks["node"])
+            norm.join(rank_side, norm["_src"] == ranks["node"])
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("_wn")).alias("_in"))
         )

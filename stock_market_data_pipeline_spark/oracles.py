@@ -2171,8 +2171,8 @@ _PR_ITER = """
 """
 ORACLES["supplier_pagerank"] = f"""
 WITH rev AS (
-  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+  SELECT o_custkey * 2 AS src,
+         l_suppkey * 2 + 1 AS dst,
          sum(l_extendedprice * (1.0 - l_discount)) AS w
   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
   GROUP BY 1, 2
@@ -2186,12 +2186,70 @@ r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
 r1 AS ({_PR_ITER.format(prev='r0')}),
 r2 AS ({_PR_ITER.format(prev='r1')}),
 r3 AS ({_PR_ITER.format(prev='r2')})
-SELECT node, round(rank, 6) AS rank FROM r3
+SELECT (CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END) || CAST(node // 2 AS VARCHAR) AS node,
+       round(rank, 6) AS rank
+FROM r3
 """
 
 # X67: int8-quantized shortlist (top-20 by approx cosine; per-vector scale
 # cancels in cosine, so the int array scores directly) + exact float rerank
 # to top-5. Same query set / output contract as cosine_topk.
 ORACLES["quantized_topk_rerank"] = _QUANT_RERANK_ORACLE
+
+
+# Q8 shape: one conditional-aggregate pass; exact-decimal sums (uppercase
+# ROUND opts out of the bias rewrite — decimal rounding is exact on both
+# engines), ratio of the already-rounded doubles rounded 6dp (biased).
+ORACLES["national_market_share"] = """
+WITH cdim AS (
+  SELECT c_custkey FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+sdim AS (
+  SELECT s_suppkey, n_name AS s_nation FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+),
+base AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS rev,
+         (s_nation = 'NATION_5') AS is_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN cdim ON o_custkey = cdim.c_custkey
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN sdim ON l_suppkey = sdim.s_suppkey
+),
+agg AS (
+  SELECT o_year,
+         CAST(ROUND(sum(CAST(CASE WHEN is_nation THEN rev ELSE 0.0 END AS DECIMAL(25,10))), 2) AS DOUBLE) AS nation_revenue,
+         CAST(ROUND(sum(CAST(rev AS DECIMAL(25,10))), 2) AS DOUBLE) AS market_revenue
+  FROM base GROUP BY 1
+)
+SELECT CAST(o_year AS INTEGER) AS o_year, nation_revenue, market_revenue,
+       round(nation_revenue / market_revenue, 6) AS mkt_share
+FROM agg
+"""
+
+# Q10 shape: returnflag-filtered fact rollup on custkey, dims attach after.
+ORACLES["returned_item_customers"] = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
+         count(*) AS returned_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1
+)
+SELECT c_custkey, c_name, n_name,
+       round(c_acctbal, 2) AS c_acctbal,
+       revenue, returned_lines
+FROM rev
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
 
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

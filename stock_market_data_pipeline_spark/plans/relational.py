@@ -408,3 +408,132 @@ def large_volume_orders(
             round_det(F.col("total_qty"), 2).alias("total_qty"),
         )
     )
+
+
+def national_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    supp_nation: str = "NATION_5",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-flavored: one nation's suppliers' share of a regional market.
+
+    Market = revenue on ``p_type`` parts ordered by customers in ``region``;
+    share = the fraction supplied by ``supp_nation`` suppliers, per order
+    year. The interesting plan property is the conditional aggregate: ONE
+    pass over the joined fact rows computes numerator and denominator
+    (sum(CASE WHEN supplier-nation THEN rev END) / sum(rev)) — no second
+    scan, no self-join.
+
+    Scale shape: part (type-filtered) and the customer→nation→region dim are
+    broadcast; supplier⋈nation broadcast; the only fact shuffle is
+    lineitem ⋈ orders on orderkey, then a partial-aggregated rollup on the
+    handful of order years. Both sums are exact decimal (order-independent)
+    so the ratio is engine-deterministic.
+    """
+    region_t = read_table(spark, sf_dir, "region")
+    nation = read_table(spark, sf_dir, "nation")
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_type") == p_type)
+    supp = read_table(spark, sf_dir, "supplier")
+
+    cdim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region_t.filter(F.col("r_name") == region)),
+            nation.n_regionkey == region_t.r_regionkey,
+        )
+        .select("c_custkey")
+    )
+    sdim = (
+        supp.join(
+            F.broadcast(
+                nation.select("n_nationkey", F.col("n_name").alias("s_nation"))
+            ),
+            supp.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cdim), orders.o_custkey == cdim.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sdim), li.l_suppkey == sdim.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            (F.col("s_nation") == supp_nation).alias("is_nation"),
+        )
+    )
+    num = F.round(
+        F.sum(F.when(F.col("is_nation"), F.col("rev")).otherwise(F.lit(0.0)).cast("decimal(25,10)")),
+        2,
+    ).cast("double")
+    den = F.round(F.sum(F.col("rev").cast("decimal(25,10)")), 2).cast("double")
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            num.alias("nation_revenue"),
+            den.alias("market_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "market_revenue",
+            round_det(
+                F.col("nation_revenue") / F.col("market_revenue"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+def returned_item_customers(
+    spark: SparkSession, sf_dir: str, top_n: int = 20
+) -> DataFrame:
+    """TPC-H Q10-flavored: customers ranked by revenue lost to returns
+    (l_returnflag = 'R'), with nation detail — the classic "who is returning
+    merchandise" triage list.
+
+    Scale shape: the returnflag filter is pushed into the lineitem scan;
+    lineitem ⋈ orders on orderkey is the one fact shuffle; the revenue
+    rollup keys on custkey (map-side combined), and customer/nation attach
+    by broadcast AFTER the aggregate — dimension columns never ride the
+    fact-sized exchange. Top-N is a single global sort of the |customers|
+    rollup with a deterministic (revenue DESC, custkey) tie-break.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _exact_sum_dbl(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("returned_lines"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey"),
+            "c_name",
+            "n_name",
+            round_det(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "revenue",
+            "returned_lines",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(top_n)
+    )

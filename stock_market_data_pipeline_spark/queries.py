@@ -1445,15 +1445,40 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w")
         )
     )
+    # 8-byte node keys through every exchange (custkey*2 / suppkey*2+1);
+    # the readable 'c<id>'/'s<id>' labels attach only to the final
+    # #nodes-sized frame — strings never ride the edge-sized shuffles.
     e = rev.select(
-        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
         "w",
     )
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
-    return pagerank(edges, weight="w", damping=0.85, n_iter=3)
+    # ~16k nodes vs ~1.2M symmetrized edges at sf0.1: broadcast the rank
+    # vector so iterations never shuffle the edge list (see pagerank doc).
+    pr = pagerank(edges, weight="w", damping=0.85, n_iter=3, broadcast_ranks=True)
+    return pr.select(
+        F.concat(
+            F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+            F.floor(F.col("node") / 2).cast("string"),
+        ).alias("node"),
+        "rank",
+    )
+
+
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of the ASIA PROMO-part
+    market per order year — numerator and denominator from ONE conditional
+    aggregate pass (no self-join)."""
+    return relational.national_market_share(spark, sf_dir)
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-merchandise revenue;
+    dimensions broadcast-attach after the custkey rollup."""
+    return relational.returned_item_customers(spark, sf_dir)
 
 
 def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1481,6 +1506,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_peak_overlap": q_session_peak_overlap,
     "supplier_pagerank": q_supplier_pagerank,
     "quantized_topk_rerank": q_quantized_topk_rerank,
+    "national_market_share": q_national_market_share,
+    "returned_item_customers": q_returned_item_customers,
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,

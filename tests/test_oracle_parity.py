@@ -30,6 +30,8 @@ def test_driver_window_composition():
         "session_peak_overlap",
         "supplier_pagerank",
         "quantized_topk_rerank",
+        "national_market_share",
+        "returned_item_customers",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",

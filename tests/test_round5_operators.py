@@ -220,3 +220,31 @@ def test_quantized_rerank_slim_shortlist_no_vectors_through_topk(spark, sf_dir):
     # cosine is scalar — no qv/embedding identifier may appear on either.
     for ln in exchanges:
         assert "qv#" not in ln and "embedding#" not in ln, ln
+
+
+# ------------------------------------------------------- relational Q8 / Q10
+def test_market_share_single_conditional_agg_pass(spark, sf_dir):
+    """Numerator and denominator come from ONE aggregate over the joined
+    fact rows — no self-join, no second lineitem scan."""
+    df = QUERIES["national_market_share"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scans = [ln for ln in scans if "lineitem" in ln]
+    assert len(li_scans) == 1, li_scans
+    # the part-type filter is pushed into the part scan
+    part_scans = [ln for ln in scans if "/part.parquet" in ln]
+    assert part_scans and "PROMO" in part_scans[0], part_scans
+
+
+def test_returned_items_dims_attach_after_rollup(spark, sf_dir):
+    """The custkey rollup happens on (filtered) fact rows only; customer and
+    nation broadcast-join onto the aggregated frame, so dimension columns
+    never ride a fact-sized exchange. The returnflag filter reaches the
+    lineitem scan."""
+    df = QUERIES["returned_item_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = [ln for ln in scans if "lineitem" in ln][0]
+    assert "l_returnflag" in li_scan.split("PushedFilters")[1][:200], li_scan
+    # aggregation keyed on custkey exists and is partial (map-side combine)
+    assert "partial_" in plan
