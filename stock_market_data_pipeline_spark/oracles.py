@@ -2252,4 +2252,83 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
 
+
+# X70: the training-mix funnel — curation output composed with 8-gram
+# decontamination, alpha/temperature source mixing, and budgeted packing;
+# every stage count joins the stage id set to ONE token projection. sums of
+# BIGINT are cast back from HUGEINT (the sessionization lesson).
+ORACLES["training_mix_report"] = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+cur AS (SELECT doc_id FROM ({_CURATION_ORACLE}) c),
+tr AS (
+  SELECT d.doc_id, string_split(d.text, ' ') AS toks
+  FROM documents d JOIN cur USING (doc_id)
+),
+tr_sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+    FROM tr
+  )
+),
+ev_sh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % 20 = 0) e
+  )
+),
+contam AS (SELECT DISTINCT doc_id FROM tr_sh JOIN ev_sh USING (shingle)),
+decon AS (
+  SELECT cur.doc_id FROM cur LEFT JOIN contam USING (doc_id)
+  WHERE contam.doc_id IS NULL
+),
+d_tok AS (SELECT t.* FROM tok t JOIN decon USING (doc_id)),
+c2 AS (SELECT source, count(*) AS n FROM d_tok GROUP BY 1),
+r2 AS (
+  SELECT source,
+         least(1.0,
+               (sum(n) OVER () * 0.5 * pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()) / n
+         ) AS rate
+  FROM c2
+),
+t2 AS (SELECT source, CAST(floor(rate * {float(1 << 32)}) AS BIGINT) AS keep_below FROM r2),
+mixed AS (
+  SELECT d.doc_id, d.source, d.n_tokens
+  FROM d_tok d JOIN t2 USING (source)
+  WHERE ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT < keep_below
+),
+pb AS (
+  SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_offset
+  FROM mixed
+),
+pseq AS (SELECT DISTINCT shard, CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id FROM pb)
+SELECT 1 AS stage_ord, 'raw' AS stage,
+       (SELECT count(*) FROM tok) AS docs,
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM tok) AS tokens
+UNION ALL
+SELECT 2, 'curated',
+       (SELECT count(*) FROM tok JOIN cur USING (doc_id)),
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM tok JOIN cur USING (doc_id))
+UNION ALL
+SELECT 3, 'decontaminated',
+       (SELECT count(*) FROM d_tok),
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM d_tok)
+UNION ALL
+SELECT 4, 'mixed',
+       (SELECT count(*) FROM mixed),
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM mixed)
+UNION ALL
+SELECT 5, 'packed',
+       (SELECT count(*) FROM pseq),
+       (SELECT CAST(sum(n_tokens) AS BIGINT) FROM mixed)
+"""
+
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

@@ -1481,6 +1481,17 @@ def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.returned_item_customers(spark, sf_dir)
 
 
+def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline composition (X70): raw → curation → 8-gram
+    decontamination → temperature mix → sequence packing, reported as the
+    per-stage doc/token funnel (see plans/training_mix.py)."""
+    from stock_market_data_pipeline_spark.plans.training_mix import (
+        training_mix_report,
+    )
+
+    return training_mix_report(spark, sf_dir)
+
+
 def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8-quantized shortlist + exact float rerank (X67) — the
     memory-bandwidth ANN tier between brute force and LSH/IVF; same output
@@ -1508,6 +1519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk_rerank": q_quantized_topk_rerank,
     "national_market_share": q_national_market_share,
     "returned_item_customers": q_returned_item_customers,
+    "training_mix_report": q_training_mix_report,
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,

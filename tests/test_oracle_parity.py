@@ -32,6 +32,7 @@ def test_driver_window_composition():
         "quantized_topk_rerank",
         "national_market_share",
         "returned_item_customers",
+        "training_mix_report",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",

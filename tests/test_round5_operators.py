@@ -248,3 +248,23 @@ def test_returned_items_dims_attach_after_rollup(spark, sf_dir):
     assert "l_returnflag" in li_scan.split("PushedFilters")[1][:200], li_scan
     # aggregation keyed on custkey exists and is partial (map-side combine)
     assert "partial_" in plan
+
+
+# ------------------------------------------------------- training mix pipeline
+def test_training_mix_funnel_invariants(spark, sf_dir):
+    """Each stage can only shrink the corpus; the packed row preserves the
+    mixed token total exactly (packing assembles, never drops)."""
+    rows = {
+        r["stage"]: r
+        for r in QUERIES["training_mix_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"raw", "curated", "decontaminated", "mixed", "packed"}
+    assert (
+        rows["raw"]["docs"]
+        >= rows["curated"]["docs"]
+        >= rows["decontaminated"]["docs"]
+        >= rows["mixed"]["docs"]
+    )
+    assert rows["packed"]["tokens"] == rows["mixed"]["tokens"]
+    # sequences are budget-packed: at least tokens/budget of them
+    assert rows["packed"]["docs"] >= rows["mixed"]["tokens"] // 512
