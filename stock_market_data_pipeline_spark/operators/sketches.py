@@ -1,0 +1,72 @@
+"""Mergeable cardinality sketches (engine extension) — the pattern that
+makes 100 TB distinct-count dashboards cheap: compute an HLL sketch ONCE per
+fine grain (day, partition, shard), persist it, and answer any coarser-grain
+question by UNIONING sketches — no second scan of the raw data, ever.
+Spark 3.5+ ships Apache DataSketches HLL as first-class aggregates
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so the
+whole flow stays JVM-side and codegen-friendly.
+
+The registry query is the verification form: it carries exact distinct
+counts next to the sketch path and emits BOOLEAN verdicts (merge
+consistency, error envelope) — the approx_stats contract: estimates stay
+in-plan, the oracle checks exact values plus pinned-true verdicts, and any
+estimator drift flips a boolean and fails the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_cardinality_rollup(
+    df: DataFrame,
+    group_col: str,
+    grain_expr,
+    value_col: str,
+    rel_err: float = 0.05,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-``group_col``: distinct-``value_col`` cardinality via the sketch
+    path, verified against the exact path.
+
+    The sketch path: one HLL per (group, grain) — the frame you would
+    persist — then ``hll_union_agg`` rolls the fine-grain sketches up to the
+    group. The exact path: a plain distinct count (the thing you can no
+    longer afford at 100 TB — here it is the in-plan oracle).
+
+    Output per group: ``n_grains``, ``exact_distinct``,
+    ``merged_within_envelope`` (the union-of-fine-sketches estimate lands
+    within the error envelope of the true cardinality — the mergeability
+    property; NOTE exact estimate equality with a direct whole-group sketch
+    is deliberately NOT asserted: HLL union goes through sparse/dense mode
+    transitions a direct build may not, so the two sketches can disagree by
+    a few counts while both remain inside the advertised error) and
+    ``est_within_envelope`` (same check for the direct whole-group sketch).
+    """
+    fine = df.groupBy(F.col(group_col), grain_expr.alias("_grain")).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
+    )
+    rolled = fine.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_grains"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("_sk"), F.lit(True))).alias(
+            "_est_merged"
+        ),
+    )
+    direct = df.groupBy(group_col).agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col(value_col), F.lit(lg_k))
+        ).alias("_est_direct"),
+        F.count_distinct(F.col(value_col)).alias("exact_distinct"),
+    )
+    env = lambda est: (
+        F.abs(est - F.col("exact_distinct"))
+        <= F.lit(rel_err) * F.col("exact_distinct")
+    )
+    return rolled.join(direct, group_col).select(
+        group_col,
+        "n_grains",
+        "exact_distinct",
+        env(F.col("_est_merged")).alias("merged_within_envelope"),
+        env(F.col("_est_direct")).alias("est_within_envelope"),
+    )

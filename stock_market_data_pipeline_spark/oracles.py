@@ -2331,4 +2331,17 @@ SELECT 5, 'packed',
        (SELECT CAST(sum(n_tokens) AS BIGINT) FROM mixed)
 """
 
+
+# X72: HLL rollup — exact columns computed exactly; the sketch estimates
+# stay in-plan on the Spark side, surfaced as boolean verdicts pinned TRUE
+# (the approx_stats contract: estimator drift flips a boolean -> hash fail).
+ORACLES["hll_user_rollup"] = """
+SELECT event_type,
+       count(DISTINCT CAST(ts AS DATE)) AS n_grains,
+       count(DISTINCT user_id) AS exact_distinct,
+       TRUE AS merged_within_envelope,
+       TRUE AS est_within_envelope
+FROM events GROUP BY 1
+"""
+
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

@@ -1492,6 +1492,20 @@ def q_training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_mix_report(spark, sf_dir)
 
 
+def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality rollup (X72): distinct users per event
+    type via daily sketches unioned upward, verified in-plan against exact
+    counts (merge consistency + 5% error envelope as boolean verdicts)."""
+    from stock_market_data_pipeline_spark.operators.sketches import (
+        hll_cardinality_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    return hll_cardinality_rollup(
+        ev, "event_type", F.to_date("ts"), "user_id"
+    )
+
+
 def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8-quantized shortlist + exact float rerank (X67) — the
     memory-bandwidth ANN tier between brute force and LSH/IVF; same output
@@ -1520,6 +1534,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "national_market_share": q_national_market_share,
     "returned_item_customers": q_returned_item_customers,
     "training_mix_report": q_training_mix_report,
+    "hll_user_rollup": q_hll_user_rollup,
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,

@@ -356,3 +356,39 @@ def compact_small_files(
         "files_after": len(after),
         "bytes": total,
     }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Cluster-sorted lake write: range-partition on ``cluster_cols`` then
+    sort within each output file — the layout half of data skipping
+    (Delta/Iceberg call the 1-D case "sorted write"/OPTIMIZE ZORDER's
+    degenerate form).
+
+    Why it matters at 100 TB: parquet stores per-row-group min/max stats,
+    and readers (Spark's parquet pushdown, DuckDB, Trino) skip row groups
+    whose stats exclude the predicate. On an unsorted layout every row
+    group spans nearly the full value range, so nothing skips; after a
+    range-repartition + in-file sort, a selective filter touches only the
+    files/row-groups covering its range. Clustering is pure write-side
+    cost (one range shuffle) bought once, paid back on every subsequent
+    selective scan. Verified by measurement in
+    ``tests/test_round5_operators.py`` (scan-output rows drop on the
+    clustered layout for the same filter).
+
+    ``repartitionByRange`` samples the data to build balanced range bounds
+    (skew-resistant); ``sortWithinPartitions`` orders rows inside each
+    output file so row-group stats are tight.
+    """
+    cols = [F.col(c) for c in cluster_cols]
+    out = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    writer = out.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)

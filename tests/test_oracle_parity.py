@@ -33,6 +33,7 @@ def test_driver_window_composition():
         "national_market_share",
         "returned_item_customers",
         "training_mix_report",
+        "hll_user_rollup",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",

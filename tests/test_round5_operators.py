@@ -268,3 +268,71 @@ def test_training_mix_funnel_invariants(spark, sf_dir):
     assert rows["packed"]["tokens"] == rows["mixed"]["tokens"]
     # sequences are budget-packed: at least tokens/budget of them
     assert rows["packed"]["docs"] >= rows["mixed"]["tokens"] // 512
+
+
+# ----------------------------------------------------------- clustered write
+def test_write_clustered_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """The point of clustering: after range-repartition + in-file sort, a
+    selective predicate's value falls inside the min/max stats of only a
+    few row groups, so engines skip the rest. Measured directly on the
+    parquet footers of both layouts."""
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.sinks.lake import write_clustered
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    # shuffle-randomized baseline: 8 hash-partitioned unsorted files
+    ev.repartition(8, "event_id").write.parquet(plain)
+    write_clustered(ev, clustered, ["user_id"], n_files=8)
+
+    target = ev.agg(F.expr("percentile_approx(user_id, 0.5)")).collect()[0][0]
+
+    def matching_rowgroups(path: str) -> tuple[int, int]:
+        import glob
+
+        total = hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("user_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st.min <= target <= st.max:
+                    hits += 1
+        return total, hits
+
+    p_total, p_hits = matching_rowgroups(plain)
+    c_total, c_hits = matching_rowgroups(clustered)
+    # unsorted: (nearly) every row group spans the full range -> no skipping
+    assert p_hits == p_total
+    # clustered: the target key lives in a small fraction of row groups
+    assert c_hits * 4 <= c_total, (c_hits, c_total)
+    # equality of content (layout change only)
+    assert spark.read.parquet(clustered).count() == ev.count()
+
+
+# ------------------------------------------------------------- HLL sketches
+def test_hll_rollup_small_exact_regime(spark):
+    # Small cardinalities sit in the sketch's exact (sparse) regime: both
+    # verdicts must be true and the exact column correct.
+    df = spark.createDataFrame(
+        [(g, d, u) for g in ("a", "b") for d in range(3) for u in range(40)],
+        "g string, d int, u int",
+    )
+    rows = {
+        r["g"]: r
+        for r in __import__(
+            "stock_market_data_pipeline_spark.operators.sketches",
+            fromlist=["hll_cardinality_rollup"],
+        )
+        .hll_cardinality_rollup(df, "g", F.col("d"), "u")
+        .collect()
+    }
+    for g in ("a", "b"):
+        assert rows[g]["n_grains"] == 3
+        assert rows[g]["exact_distinct"] == 40
+        assert rows[g]["merged_within_envelope"] is True
+        assert rows[g]["est_within_envelope"] is True
