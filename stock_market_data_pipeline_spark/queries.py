@@ -1027,7 +1027,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantized_topk_rerank,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # Six consumers (GT + 5 variants) replan the parquet read + nano-ts
+    # conversion per use — pin the ~10 MB-per-sf0.1 corpus once so every
+    # scan after the first is an executor-local read (18 scans → 1).
+    emb = read_table(spark, sf_dir, "embeddings").localCheckpoint(eager=False)
     q = emb.filter(F.col("vec_id") % 50 == 0)
     # ground truth via the Arrow/numpy kernel: same output contract as the
     # JVM-fold cosine_topk (both hash-match the same oracle), ~2x cheaper —
