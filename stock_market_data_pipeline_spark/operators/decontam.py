@@ -164,3 +164,74 @@ def collect_eval_shingles(
             "that is corpus-sized; use ngram_decontaminate (broadcast join) instead"
         )
     return frozenset(r["shingle"] for r in rows)
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    _max_eval: int = 10_000,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus items whose max cosine
+    against ANY held-out benchmark embedding reaches ``threshold`` — the
+    paraphrase-leakage companion to verbatim n-gram decontamination
+    (:func:`ngram_decontaminate` catches exact overlap; this catches
+    reworded near-copies that share no 8-gram).
+
+    Scale shape: the benchmark matrix is driver-collected (guarded — eval
+    sets are small by definition), normalized once, and closed over; each
+    Arrow batch computes one ``C_norm @ E_norm.T`` matmul and reduces to a
+    per-row max — a SINGLE corpus pass with NO shuffle at all (the output
+    is row-aligned with the input). The O(corpus × eval) fold lives on the
+    BLAS path per the r5 kernel rule: expression-tree cosine folds at this
+    shape measured ~48× slower (PERF_NOTES, semantic_dedup).
+
+    Output: id, ``max_eval_cosine`` (6 dp; NULL for zero-norm rows),
+    ``contaminated`` (rounded max ≥ threshold — rounding first keeps the
+    flag boundary engine-deterministic).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev_rows = eval_set.select(id_col, vec_col).limit(_max_eval + 1).collect()
+    if len(ev_rows) > _max_eval:
+        raise ValueError(
+            f"semantic_decontaminate closes the eval matrix over every task; "
+            f"got >{_max_eval} eval rows — shard the eval set or use the "
+            f"LSH/IVF candidate path instead."
+        )
+    e_mat = np.array([r[1] for r in ev_rows], dtype=np.float64)
+    e_norms = np.linalg.norm(e_mat, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        e_norm = np.where(e_norms > 0, e_mat / e_norms, np.nan)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norms = np.linalg.norm(c, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c_norm = np.where(norms > 0, c / norms, np.nan)
+            sims = c_norm @ e_norm.T  # |batch| x |E|; nan where either norm 0
+            all_nan = np.isnan(sims).all(axis=1)
+            with np.errstate(invalid="ignore"):
+                mx = np.where(all_nan, np.nan, np.nanmax(sims, axis=1))
+            mx = np.round(mx + 1e-9, 6)  # utils.ROUND_BIAS, kernel-side
+            out = pd.DataFrame(
+                {
+                    id_col: ids,
+                    "max_eval_cosine": mx,
+                    "contaminated": np.where(
+                        np.isnan(mx), False, mx >= threshold
+                    ).astype(bool),
+                }
+            )
+            out.loc[np.isnan(mx), "max_eval_cosine"] = None
+            yield out
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score,
+        schema=f"{id_col} long, max_eval_cosine double, contaminated boolean",
+    )

@@ -2344,4 +2344,25 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+
+# X73: embedding-space decontamination — max cosine vs the benchmark split,
+# thresholded on the ROUNDED value (boundary engine-deterministic).
+ORACLES["semantic_decontaminate"] = f"""
+WITH ev AS (SELECT embedding AS e_vec FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id, embedding AS c_vec FROM embeddings WHERE vec_id % 25 <> 0),
+scored AS (
+  SELECT c.vec_id,
+         max(list_sum(list_transform(range(1, {_DIM + 1}),
+               i -> CAST(c_vec[i] AS DOUBLE) * CAST(e_vec[i] AS DOUBLE)))
+             / NULLIF(sqrt({_sq_list_sum('c_vec')}) * sqrt({_sq_list_sum('e_vec')}), 0.0)
+         ) AS raw_max
+  FROM c CROSS JOIN ev
+  GROUP BY c.vec_id
+)
+SELECT vec_id,
+       round(raw_max, 6) AS max_eval_cosine,
+       COALESCE(round(raw_max, 6) >= 0.8, FALSE) AS contaminated
+FROM scored
+"""
+
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

@@ -1509,6 +1509,20 @@ def q_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark-leakage scan (X73): vec_id % 25 == 0 plays
+    the held-out benchmark; every other vector gets its max cosine against
+    the benchmark matrix and a threshold flag — one shuffle-free BLAS pass."""
+    from stock_market_data_pipeline_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 25 != 0)
+    eval_set = emb.filter(F.col("vec_id") % 25 == 0)
+    return semantic_decontaminate(corpus, eval_set, threshold=0.8)
+
+
 def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via int8-quantized shortlist + exact float rerank (X67) — the
     memory-bandwidth ANN tier between brute force and LSH/IVF; same output
@@ -1528,7 +1542,11 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then the round-4 additions), followed by §2-core anchors up to 50.
 # Everything — in or out of the window — is still covered by the local
 # oracle-parity suite (tests/test_oracle_parity.py sweeps the whole dict).
-# NEXT ROUND: move the freshly-green block down, lead with round-5 work.
+# NEXT ROUND (6): once CORRECTNESS_r05 is green for the 7 round-5 leads and
+# the two r4-repaired rows (event_sessionization, quantize_embeddings),
+# rotate all nine down past 50 and lead with round-6 additions; backfill
+# the window tail with the §2 anchors (clean_cast_filter, sliding windows)
+# that rotated out this round so the parity core stays driver-visible.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new in round 5, wave 2 (never driver-checked)
     "session_peak_overlap": q_session_peak_overlap,
@@ -1538,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_item_customers": q_returned_item_customers,
     "training_mix_report": q_training_mix_report,
     "hll_user_rollup": q_hll_user_rollup,
+    "semantic_decontaminate": q_semantic_decontaminate,
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,

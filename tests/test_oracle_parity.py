@@ -34,6 +34,7 @@ def test_driver_window_composition():
         "returned_item_customers",
         "training_mix_report",
         "hll_user_rollup",
+        "semantic_decontaminate",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",

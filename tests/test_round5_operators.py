@@ -336,3 +336,31 @@ def test_hll_rollup_small_exact_regime(spark):
         assert rows[g]["exact_distinct"] == 40
         assert rows[g]["merged_within_envelope"] is True
         assert rows[g]["est_within_envelope"] is True
+
+
+# ------------------------------------------------- semantic decontamination
+def test_semantic_decontaminate_flags_and_nulls(spark):
+    from stock_market_data_pipeline_spark.operators.decontam import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # identical direction to eval -> cosine 1.0
+            (2, [0.0, 1.0]),   # orthogonal -> 0.0
+            (3, [0.0, 0.0]),   # zero vector -> NULL, not contaminated
+            (4, [0.9, 0.1]),   # close -> high cosine
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, [2.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in semantic_decontaminate(corpus, eval_set, threshold=0.8).collect()
+    }
+    assert rows[1]["contaminated"] and rows[1]["max_eval_cosine"] == 1.0
+    assert not rows[2]["contaminated"] and rows[2]["max_eval_cosine"] == 0.0
+    assert rows[3]["max_eval_cosine"] is None and not rows[3]["contaminated"]
+    assert rows[4]["contaminated"]  # 0.9/|v| ≈ 0.994
