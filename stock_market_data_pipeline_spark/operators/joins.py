@@ -50,9 +50,14 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join (finance extension, not in the reference — SURVEY §2.3):
-    for each left row, attach the latest right row with right_ts <= left_ts.
+    for each left row, attach the latest right row with right_ts <= left_ts
+    (``direction="backward"``, the default) or the EARLIEST right row with
+    right_ts >= left_ts (``direction="forward"`` — next-quote-after-trade
+    semantics). Both directions are the same single key-shuffle union +
+    carry-forward window; forward simply reverses the time ordering.
 
     Implemented as union + last-value window (single shuffle on key) rather
     than a range join: tag both sides, union by name, and carry the most
@@ -80,11 +85,14 @@ def as_of_join(
     )
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Right rows sort before left rows at equal ts (_is_left ascending) so a
-    # right row at exactly left_ts matches.
+    # right row at exactly left_ts matches — in either direction.
+    ts_ord = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts"), F.col("_is_left"))
+        .orderBy(ts_ord, F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
@@ -93,7 +101,10 @@ def as_of_join(
     unioned = unioned.withColumn("_rts", F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True).over(w))
     out = unioned.filter(F.col("_is_left") == 1)
     if tolerance is not None:
-        keep = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            keep = F.col("_rts") >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}")
+        else:
+            keep = F.col("_rts") <= F.col("_ts") + F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             "*", *[]
         ).withColumns({c: F.when(keep, F.col(c)) for c in rcols})

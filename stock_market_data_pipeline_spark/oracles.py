@@ -2365,4 +2365,21 @@ SELECT vec_id,
 FROM scored
 """
 
+
+# Forward as-of: DuckDB native ASOF with the inequality flipped — an
+# independent implementation of the semantics, same as the backward oracle.
+ORACLES["asof_join_forward"] = """
+WITH purchases AS (
+  SELECT user_id, ts AS pts, event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS cts, value AS next_click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.pts, p.event_id, p.purchase_value, c.next_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.pts <= c.cts
+"""
+
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

@@ -217,6 +217,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase picks up the EARLIEST subsequent
+    click value for the same user (next-quote-after-trade semantics) —
+    verified against DuckDB's native ASOF JOIN with the inequality flipped."""
+    from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("next_click_value")
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        direction="forward",
+    )
+
+
 def q_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style filter-aggregate; all four range predicates push down."""
     return relational.revenue_forecast(spark, sf_dir)
@@ -1557,6 +1583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_mix_report": q_training_mix_report,
     "hll_user_rollup": q_hll_user_rollup,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "asof_join_forward": q_asof_join_forward,
     # -- new in round 5 (never driver-checked — in-window per rotation policy)
     "incremental_dedup": q_incremental_dedup,
     "stream_batch_session_parity": q_stream_batch_session_parity,

@@ -35,6 +35,7 @@ def test_driver_window_composition():
         "training_mix_report",
         "hll_user_rollup",
         "semantic_decontaminate",
+        "asof_join_forward",
         # r4-repaired — keep in-window until green in a driver round
         "event_sessionization",
         "quantize_embeddings",

@@ -364,3 +364,39 @@ def test_semantic_decontaminate_flags_and_nulls(spark):
     assert not rows[2]["contaminated"] and rows[2]["max_eval_cosine"] == 0.0
     assert rows[3]["max_eval_cosine"] is None and not rows[3]["contaminated"]
     assert rows[4]["contaminated"]  # 0.9/|v| ≈ 0.994
+
+
+# ----------------------------------------------------------- forward as-of
+def test_asof_forward_picks_earliest_following(spark):
+    from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "t1")],
+        "k long, lts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:00"), 1.0),  # before -> must NOT match
+            (1, _ts("2024-01-01 10:05:00"), 2.0),  # earliest after -> match
+            (1, _ts("2024-01-01 11:00:00"), 3.0),
+        ],
+        "k long, rts timestamp, v double",
+    )
+    rows = as_of_join(
+        left, right, key="k", left_ts="lts", right_ts="rts", direction="forward"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["v"] == 2.0
+    # exact-timestamp right row matches in forward direction too
+    right2 = right.union(
+        spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"), 9.0)], right.schema)
+    )
+    rows2 = as_of_join(
+        left, right2, key="k", left_ts="lts", right_ts="rts", direction="forward"
+    ).collect()
+    assert rows2[0]["v"] == 9.0
+    # tolerance drops matches beyond the window
+    rows3 = as_of_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        direction="forward", tolerance="2 minutes",
+    ).collect()
+    assert rows3[0]["v"] is None
