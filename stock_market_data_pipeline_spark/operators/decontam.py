@@ -202,6 +202,14 @@ def semantic_decontaminate(
             f"got >{_max_eval} eval rows — shard the eval set or use the "
             f"LSH/IVF candidate path instead."
         )
+    if not ev_rows:
+        # An empty benchmark means nothing can be contaminated — but a bare
+        # np.array([]) is 1-D and norm(axis=1) would raise an opaque
+        # AxisError deep in the kernel. Fail with intent instead.
+        raise ValueError(
+            "semantic_decontaminate got an empty eval_set; nothing to "
+            "decontaminate against (pass a non-empty benchmark split)"
+        )
     e_mat = np.array([r[1] for r in ev_rows], dtype=np.float64)
     e_norms = np.linalg.norm(e_mat, axis=1, keepdims=True)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -209,7 +217,13 @@ def semantic_decontaminate(
 
     def score(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            raw_ids = pdf[id_col]
+            if raw_ids.isna().any():
+                raise ValueError(
+                    f"semantic_decontaminate: id column {id_col!r} contains "
+                    "nulls; ids must be non-null integers"
+                )
+            ids = raw_ids.to_numpy(dtype=np.int64)
             c = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(c, axis=1, keepdims=True)
             with np.errstate(invalid="ignore", divide="ignore"):

@@ -66,6 +66,13 @@ def as_of_join(
     O(n×m) range-join explosion — and is the standard Spark formulation.
 
     ``tolerance`` (e.g. "15 minutes") drops matches older than the interval.
+
+    Determinism: when multiple right rows share the same (key, right_ts),
+    the carried-value columns themselves are appended to the window ordering,
+    so the matched row is the one with the greatest value tuple — a stable
+    choice across runs and engines. (DuckDB's native ASOF JOIN picks an
+    arbitrary duplicate; oracle comparisons need right (key, ts) unique or
+    must reduce duplicates first.)
     """
     lcols = [c for c in left.columns if c not in (key, left_ts)]
     rcols = [c for c in right.columns if c not in (key, right_ts)]
@@ -90,9 +97,12 @@ def as_of_join(
     # Right rows sort before left rows at equal ts (_is_left ascending) so a
     # right row at exactly left_ts matches — in either direction.
     ts_ord = F.col("_ts") if direction == "backward" else F.col("_ts").desc()
+    # Tiebreak among right rows at equal (key, ts): order by the carried
+    # value columns so last() lands on a deterministic row, not whichever
+    # one the shuffle happened to deliver later.
     w = (
         Window.partitionBy("_k")
-        .orderBy(ts_ord, F.col("_is_left"))
+        .orderBy(ts_ord, F.col("_is_left"), *[F.col(c) for c in rcols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
@@ -218,6 +228,16 @@ def interval_join(
 
     keys = list(equi_keys or [])
     w = int(bin_seconds)
+    # The bin decomposition adds helper columns via withColumn; an input
+    # that already carries one of these names would be silently overwritten
+    # and join on garbage — fail loudly instead.
+    reserved = {"_bin", "_ls", "_le", "_rs", "_re"}
+    clashes = reserved & (set(left.columns) | set(right.columns))
+    if clashes:
+        raise ValueError(
+            f"interval_join reserves column names {sorted(reserved)}; "
+            f"rename input columns {sorted(clashes)} first"
+        )
 
     def binned(df: DataFrame, start: str, end: str, tag: str) -> DataFrame:
         s, e = to_epoch_seconds(start), to_epoch_seconds(end)

@@ -24,7 +24,7 @@ def hll_cardinality_rollup(
     group_col: str,
     grain_expr,
     value_col: str,
-    rel_err: float = 0.05,
+    rel_err: float | None = None,
     lg_k: int = 12,
 ) -> DataFrame:
     """Per-``group_col``: distinct-``value_col`` cardinality via the sketch
@@ -43,7 +43,16 @@ def hll_cardinality_rollup(
     transitions a direct build may not, so the two sketches can disagree by
     a few counts while both remain inside the advertised error) and
     ``est_within_envelope`` (same check for the direct whole-group sketch).
+
+    ``rel_err=None`` (default) derives the envelope from lg_k's advertised
+    accuracy: 6 × the HLL standard error ``1.04/sqrt(2^lg_k)`` (~9.8% at
+    lg_k=12). A 3-sigma bound flips the pinned-TRUE verdict on unlucky hash
+    distributions without any code regression; 6 sigma holds with margin
+    across scale factors while still catching real estimator breakage
+    (a broken merge is off by far more than 10%).
     """
+    if rel_err is None:
+        rel_err = 6.0 * 1.04 / (2.0 ** (lg_k / 2.0))
     fine = df.groupBy(F.col(group_col), grain_expr.alias("_grain")).agg(
         F.hll_sketch_agg(F.col(value_col), F.lit(lg_k)).alias("_sk")
     )

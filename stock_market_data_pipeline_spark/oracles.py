@@ -931,7 +931,7 @@ FROM b
     "curriculum_packing": """
 WITH a AS (
   SELECT doc_id, n_chars, doc_id % 8 AS shard,
-         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tokens
   FROM documents
 ), b AS (
   SELECT doc_id, shard, n_tokens,
