@@ -6,12 +6,14 @@ meta: struct)``. Content stays opaque to the relational layer — filtering,
 routing, dedup and joins use the metadata and content fingerprints; decoding
 happens only inside Arrow-batched ``mapInPandas`` operators at the edge.
 
-The heavy libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernels are STUBS behind ``_HAS_*`` guards with a deterministic fake
-path (clearly marked) — but everything Spark-side is real and tested: the
-schema contract, the binary plumbing, the Arrow batch shapes, partition
-behavior, and the UDF signatures. Swapping a real decoder in changes only
-the body of ``_decode_image_batch``.
+The decode kernels are REAL: a pure-numpy 24-bit BMP codec (encode + decode
++ nearest-neighbor resize) — BMP is an uncompressed container whose spec
+(BITMAPFILEHEADER/BITMAPINFOHEADER, bottom-up rows, 4-byte row padding,
+BGR byte order) needs no external library, so feature extraction computes
+statistics over ACTUAL decoded pixels end-to-end. Compressed formats
+(JPEG/PNG/MP4) would slot into the same kernels via PIL/ffmpeg, which are
+not in this container; the codec boundary is ``decode_image`` /
+``encode_bmp`` and nothing above it would change.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — peak executor
 memory is O(batch), not O(partition); cap raw asset size per batch via
@@ -22,33 +24,141 @@ Feature extraction keyed by content hash first (dedup before decode) is the
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-try:  # pragma: no cover - not present in this container
-    from PIL import Image  # noqa: F401
-
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
-
 # Output schema of the image-feature extractor (mapInPandas contract).
 IMAGE_FEATURES_SCHEMA = (
     "asset_id long, modality string, n_bytes long, "
-    "width int, height int, mode string, decode_ok boolean"
+    "width int, height int, mode string, decode_ok boolean, "
+    "mean_r double, mean_g double, mean_b double, "
+    "top_left_r int, top_left_g int, top_left_b int"
 )
+
+_BMP_HEADER_BYTES = 54  # 14 (file header) + 40 (BITMAPINFOHEADER)
+
+
+def bmp_row_stride(width: int) -> int:
+    """Bytes per stored row of a 24bpp BMP: 3·width rounded up to 4."""
+    return ((width * 3 + 3) // 4) * 4
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP.
+
+    Writes the canonical layout: positive height → rows stored bottom-up,
+    each row zero-padded to a 4-byte boundary, pixels in B,G,R byte order.
+    """
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError(f"encode_bmp wants (h, w, 3) RGB, got {rgb.shape}")
+    stride = bmp_row_stride(w)
+    size = _BMP_HEADER_BYTES + stride * h
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", size, 0, 0, _BMP_HEADER_BYTES,
+        40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # RGB -> BGR, top-down -> bottom-up
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    return header + rows.tobytes()
+
+
+def decode_image(data: bytes | None) -> np.ndarray | None:
+    """Decode 24-bit uncompressed BMP bytes to an (h, w, 3) uint8 RGB array
+    (top-down row order). Returns None for anything that is not a valid
+    24bpp/uncompressed BMP — a bad asset degrades, it never throws.
+    """
+    if data is None or len(data) < _BMP_HEADER_BYTES or data[:2] != b"BM":
+        return None
+    try:
+        pix_offset = struct.unpack_from("<I", data, 10)[0]
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        w, h_raw = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        compression = struct.unpack_from("<I", data, 30)[0]
+    except struct.error:
+        return None
+    if hdr_size < 40 or bpp != 24 or compression != 0 or w <= 0 or h_raw == 0:
+        return None
+    bottom_up = h_raw > 0
+    h = abs(h_raw)
+    stride = bmp_row_stride(w)
+    if len(data) < pix_offset + stride * h:
+        return None
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_offset
+    ).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    rgb = bgr[:, :, ::-1]
+    return rgb[::-1] if bottom_up else rgb
+
+
+def synthesize_bmp_assets(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture-lake adapter: a deterministic 24-bit BMP per document row.
+
+    Every geometric/color parameter is closed-form in the id, so a DuckDB
+    oracle can predict the decoded statistics without decoding anything —
+    which is exactly what makes the decode kernel oracle-gatable:
+
+    - ``width  = 4 + id % 13`` (4..16 — exercises all 4-byte paddings),
+      ``height = 3 + id % 7``
+    - pixel(x, y) = (rb + x, gb + y, bb + x + y) with
+      ``rb = id % 200, gb = 7·id % 200, bb = 13·id % 200``
+      (max channel value 199 + 15 + 8 = 222 — never wraps mod 256, so
+      channel means stay closed-form).
+
+    The gradient is direction-sensitive: a decoder that forgets the
+    bottom-up row order, swaps BGR, or mis-strides the padding produces
+    wrong top-left pixels / channel means and fails the oracle hash.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, blobs = [], []
+            for aid in pdf[id_col]:
+                d = int(aid)
+                w, h = 4 + d % 13, 3 + d % 7
+                rb, gb, bb = d % 200, (7 * d) % 200, (13 * d) % 200
+                x = np.arange(w, dtype=np.uint8)
+                y = np.arange(h, dtype=np.uint8)[:, None]
+                img = np.empty((h, w, 3), dtype=np.uint8)
+                img[:, :, 0] = rb + x
+                img[:, :, 1] = gb + y
+                img[:, :, 2] = bb + x + y
+                out_ids.append(d)
+                blobs.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_ids, dtype="int64"),
+                    "modality": pd.Series(
+                        ["image"] * len(out_ids), dtype="object"
+                    ),
+                    "content": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="asset_id long, modality string, content binary"
+    )
 
 
 def documents_as_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Test-lake adapter: wrap document text bytes as binary 'image' assets.
+    """Test-lake adapter: wrap document text bytes as binary assets.
 
     The lake ships no binary column; encoding text to UTF-8 bytes gives a
-    real BinaryType column exercising the exact same plumbing (binary
-    transport through Arrow, byte-length semantics) a real asset table has.
+    real BinaryType column exercising the binary plumbing (transport through
+    Arrow, byte-length semantics, content hashing) without a decode step —
+    used by the dedup/frame-sampling operators, which never decode.
     """
     return docs.select(
         F.col(id_col).alias("asset_id"),
@@ -61,24 +171,50 @@ def documents_as_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def _decode_image_batch(content: pd.Series) -> pd.DataFrame:
-    """Decode kernel. Real path requires PIL (absent here → stub).
+    """Decode kernel: real BMP parse + per-image pixel statistics.
 
-    STUB: deterministic fake geometry derived from byte length — keeps the
-    full pipeline runnable/testable; replace the body with ``Image.open``
-    when PIL is available.
+    Undecodable bytes → decode_ok False with NULL geometry/stats (the row
+    degrades; the batch survives). Channel means carry the +1e-9 biased
+    6 dp rounding from the engine determinism contract.
     """
-    n = content.str.len().astype("int64")
-    if _HAS_PIL:  # pragma: no cover - library absent in this container
-        raise NotImplementedError(
-            "real decode path intentionally unimplemented in this build"
-        )
+    n_bytes, widths, heights, modes, oks = [], [], [], [], []
+    means = {"r": [], "g": [], "b": []}
+    top_left = {"r": [], "g": [], "b": []}
+    for blob in content:
+        data = bytes(blob) if blob is not None else None
+        n_bytes.append(len(data) if data is not None else 0)
+        rgb = decode_image(data)
+        if rgb is None:
+            widths.append(None)
+            heights.append(None)
+            modes.append(None)
+            oks.append(False)
+            for ch in ("r", "g", "b"):
+                means[ch].append(None)
+                top_left[ch].append(None)
+            continue
+        h, w, _ = rgb.shape
+        widths.append(w)
+        heights.append(h)
+        modes.append("RGB")
+        oks.append(True)
+        ch_mean = rgb.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+        for i, ch in enumerate(("r", "g", "b")):
+            means[ch].append(round(float(ch_mean[i]) + 1e-9, 6))
+            top_left[ch].append(int(rgb[0, 0, i]))
     return pd.DataFrame(
         {
-            "n_bytes": n,
-            "width": (n % 640).astype("int32"),
-            "height": (n % 480).astype("int32"),
-            "mode": pd.Series(["RGB"] * len(n), dtype="object"),
-            "decode_ok": n > 0,
+            "n_bytes": pd.Series(n_bytes, dtype="int64"),
+            "width": pd.Series(widths, dtype="Int32"),
+            "height": pd.Series(heights, dtype="Int32"),
+            "mode": pd.Series(modes, dtype="object"),
+            "decode_ok": pd.Series(oks, dtype="bool"),
+            "mean_r": pd.Series(means["r"], dtype="float64"),
+            "mean_g": pd.Series(means["g"], dtype="float64"),
+            "mean_b": pd.Series(means["b"], dtype="float64"),
+            "top_left_r": pd.Series(top_left["r"], dtype="Int32"),
+            "top_left_g": pd.Series(top_left["g"], dtype="Int32"),
+            "top_left_b": pd.Series(top_left["b"], dtype="Int32"),
         }
     )
 
@@ -86,8 +222,8 @@ def _decode_image_batch(content: pd.Series) -> pd.DataFrame:
 def extract_image_features(assets: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary content (mapInPandas).
 
-    One pass, no shuffle; runs the decode kernel per Arrow batch on the
-    executors.
+    One pass, no shuffle; runs the real decode kernel per Arrow batch on
+    the executors.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -136,10 +272,10 @@ def sample_frames(
     contract every video-training pipeline needs before per-frame feature
     extraction.
 
-    Decode is the stubbed kernel (no ffmpeg in this container): the fake
-    "frame" is a deterministic byte slice at idx/n through the content, so
-    batch shapes, binary transport, and expansion factors are all real.
-    Swapping a real extractor changes only ``_extract``.
+    The "frame" is a deterministic byte slice at idx/n through the content
+    (a real container demuxer — ffmpeg, absent here — would replace only
+    the slicing line); batch shapes, binary transport, and expansion
+    factors are all real.
 
     Scale shape: ``mapInPandas`` row expansion — output rows = n_frames ×
     input rows, produced streaming per Arrow batch (no explode of
@@ -174,7 +310,9 @@ def sample_frames(
 
 RESIZE_SCHEMA = (
     "asset_id long, n_bytes long, target_w int, target_h int, "
-    "resized_bytes long, resize_ok boolean"
+    "resized_bytes long, resize_ok boolean, "
+    "mean_r double, mean_g double, mean_b double, "
+    "top_left_r int, top_left_g int, top_left_b int"
 )
 
 
@@ -183,27 +321,56 @@ def resize_images(
     target_w: int = 224,
     target_h: int = 224,
 ) -> DataFrame:
-    """Image resize plumbing (stub kernel — no PIL): emits per-asset resize
-    bookkeeping with a deterministic fake output size (capped proportional
-    model). The real kernel replaces ``_resize`` with ``Image.resize`` +
-    re-encode; everything else (Arrow batching, schema, QA columns) stands.
+    """Real image resize: decode BMP → nearest-neighbor resample → re-encode.
+
+    Nearest-neighbor uses the canonical floor mapping
+    ``src = floor(dst · src_dim / target_dim)`` (numpy fancy-indexing, one
+    gather per axis — no Python pixel loop). Output carries the re-encoded
+    byte size plus pixel statistics of the RESIZED image, so an oracle with
+    a closed-form source image can verify the resample indexing itself, not
+    just that bytes moved. Undecodable content → resize_ok False, NULLs.
     """
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # NULL content → length 0, resize_ok False — a bad row degrades,
-            # it must never kill the batch (.str.len() yields NaN for nulls,
-            # which a bare astype('int64') refuses).
-            n = pdf["content"].str.len().fillna(0).astype("int64")
-            est = (n * 3 // 4).clip(upper=target_w * target_h * 3)
+            n_in, n_out, oks = [], [], []
+            means = {"r": [], "g": [], "b": []}
+            top_left = {"r": [], "g": [], "b": []}
+            for blob in pdf["content"]:
+                data = bytes(blob) if blob is not None else None
+                n_in.append(len(data) if data is not None else 0)
+                rgb = decode_image(data)
+                if rgb is None:
+                    n_out.append(None)
+                    oks.append(False)
+                    for ch in ("r", "g", "b"):
+                        means[ch].append(None)
+                        top_left[ch].append(None)
+                    continue
+                h, w, _ = rgb.shape
+                ys = (np.arange(target_h) * h) // target_h
+                xs = (np.arange(target_w) * w) // target_w
+                resized = rgb[ys][:, xs]
+                n_out.append(len(encode_bmp(resized)))
+                oks.append(True)
+                ch_mean = resized.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+                for i, ch in enumerate(("r", "g", "b")):
+                    means[ch].append(round(float(ch_mean[i]) + 1e-9, 6))
+                    top_left[ch].append(int(resized[0, 0, i]))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].astype("int64"),
-                    "n_bytes": n,
-                    "target_w": pd.Series([target_w] * len(n), dtype="int32"),
-                    "target_h": pd.Series([target_h] * len(n), dtype="int32"),
-                    "resized_bytes": est,
-                    "resize_ok": n > 0,
+                    "n_bytes": pd.Series(n_in, dtype="int64"),
+                    "target_w": pd.Series([target_w] * len(n_in), dtype="int32"),
+                    "target_h": pd.Series([target_h] * len(n_in), dtype="int32"),
+                    "resized_bytes": pd.Series(n_out, dtype="Int64"),
+                    "resize_ok": pd.Series(oks, dtype="bool"),
+                    "mean_r": pd.Series(means["r"], dtype="float64"),
+                    "mean_g": pd.Series(means["g"], dtype="float64"),
+                    "mean_b": pd.Series(means["b"], dtype="float64"),
+                    "top_left_r": pd.Series(top_left["r"], dtype="Int32"),
+                    "top_left_g": pd.Series(top_left["g"], dtype="Int32"),
+                    "top_left_b": pd.Series(top_left["b"], dtype="Int32"),
                 }
             )
 

@@ -598,15 +598,68 @@ FROM x GROUP BY 1
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
     "lsh_cosine_topk_multiprobe": _LSH_MULTIPROBE_ORACLE,
     "ivf_cosine_topk_nprobe4": _IVF_TOPK_NPROBE4_ORACLE,
+    # The BMP fixture is closed-form in doc_id (synthesize_bmp_assets):
+    # w = 4 + id%13, h = 3 + id%7, gradient (rb+x, gb+y, bb+x+y) with
+    # rb=id%200, gb=7id%200, bb=13id%200 — so the oracle predicts the
+    # decoded geometry, byte size (54 + 4-byte-padded stride × h), channel
+    # means, and top-left pixel without decoding anything.
     "multimodal_image_features": """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13      AS w,
+         3 + doc_id % 7       AS h,
+         doc_id % 200         AS rb,
+         (7 * doc_id) % 200   AS gb,
+         (13 * doc_id) % 200  AS bb
+  FROM documents
+)
 SELECT doc_id AS asset_id,
        'image' AS modality,
-       CAST(octet_length(encode(text)) AS BIGINT)       AS n_bytes,
-       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
-       CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+       CAST(54 + (((w * 3 + 3) // 4) * 4) * h AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
        'RGB' AS mode,
-       octet_length(encode(text)) > 0 AS decode_ok
-FROM documents
+       TRUE AS decode_ok,
+       round(rb + (w - 1) / 2.0, 6) AS mean_r,
+       round(gb + (h - 1) / 2.0, 6) AS mean_g,
+       round(bb + (w - 1) / 2.0 + (h - 1) / 2.0, 6) AS mean_b,
+       CAST(rb AS INTEGER) AS top_left_r,
+       CAST(gb AS INTEGER) AS top_left_g,
+       CAST(bb AS INTEGER) AS top_left_b
+FROM p
+""",
+    # Nearest-neighbor resize to 7×5: dst (dx,dy) reads src pixel
+    # (floor(dx·w/7), floor(dy·h/5)), so resized channel means are the
+    # gradient bases plus the mean of the gathered source coordinates —
+    # computable as range() sums. resized_bytes = 54 + stride(7)·5 = 174.
+    "multimodal_resize": """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13      AS w,
+         3 + doc_id % 7       AS h,
+         doc_id % 200         AS rb,
+         (7 * doc_id) % 200   AS gb,
+         (13 * doc_id) % 200  AS bb
+  FROM documents
+), m AS (
+  SELECT *,
+         list_sum(list_transform(range(0, 7), dx -> (dx * w) // 7)) / 7.0 AS avg_x,
+         list_sum(list_transform(range(0, 5), dy -> (dy * h) // 5)) / 5.0 AS avg_y
+  FROM p
+)
+SELECT doc_id AS asset_id,
+       CAST(54 + (((w * 3 + 3) // 4) * 4) * h AS BIGINT) AS n_bytes,
+       CAST(7 AS INTEGER) AS target_w,
+       CAST(5 AS INTEGER) AS target_h,
+       CAST(174 AS BIGINT) AS resized_bytes,
+       TRUE AS resize_ok,
+       round(rb + avg_x, 6) AS mean_r,
+       round(gb + avg_y, 6) AS mean_g,
+       round(bb + avg_x + avg_y, 6) AS mean_b,
+       CAST(rb AS INTEGER) AS top_left_r,
+       CAST(gb AS INTEGER) AS top_left_g,
+       CAST(bb AS INTEGER) AS top_left_b
+FROM m
 """,
     "multimodal_content_dedup": """
 SELECT md5(text) AS content_hash,
@@ -831,6 +884,49 @@ SELECT b.doc_id, b.fingerprint,
 FROM batch b
 LEFT JOIN seed s USING (fingerprint)
 JOIN bmin m USING (fingerprint)
+""",
+    # Streaming incremental dedup: the oracle replays the two-micro-batch
+    # store evolution as CTE unions (store before batch 1 = seed ∪ batch-0
+    # fingerprints) and recomputes per-batch status counts; mismatch_rows
+    # (stream vs batch-twin symmetric difference) is pinned at 0.
+    "stream_incremental_dedup": """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+seed AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 = 0),
+a AS (SELECT * FROM fp WHERE doc_id % 3 = 1),
+b AS (SELECT * FROM fp WHERE doc_id % 3 = 2),
+amin AS (SELECT fingerprint, min(doc_id) AS bm FROM a GROUP BY 1),
+bmin AS (SELECT fingerprint, min(doc_id) AS bm FROM b GROUP BY 1),
+acls AS (
+  SELECT a.doc_id,
+         CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_store'
+              WHEN a.doc_id = m.bm THEN 'novel'
+              ELSE 'dup_in_batch' END AS status
+  FROM a LEFT JOIN seed s USING (fingerprint) JOIN amin m USING (fingerprint)
+),
+store1 AS (SELECT fingerprint FROM seed UNION SELECT fingerprint FROM a),
+bcls AS (
+  SELECT b.doc_id,
+         CASE WHEN s.fingerprint IS NOT NULL THEN 'dup_of_store'
+              WHEN b.doc_id = m.bm THEN 'novel'
+              ELSE 'dup_in_batch' END AS status
+  FROM b LEFT JOIN store1 s USING (fingerprint) JOIN bmin m USING (fingerprint)
+)
+SELECT CAST(0 AS BIGINT) AS ingest_batch, count(*) AS n_rows,
+       CAST(sum(CASE WHEN status = 'novel' THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_batch,
+       CAST(sum(CASE WHEN status = 'dup_of_store' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_of_store,
+       CAST(0 AS BIGINT) AS mismatch_rows
+FROM acls
+UNION ALL
+SELECT CAST(1 AS BIGINT), count(*),
+       CAST(sum(CASE WHEN status = 'novel' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN status = 'dup_of_store' THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM bcls
 """,
     # Data-quality expectations: one conditional-agg pass + uniqueness pass.
     "data_expectations": f"""

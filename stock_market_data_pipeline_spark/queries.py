@@ -969,15 +969,31 @@ def q_lsh_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal: binary-content feature extraction via Arrow mapInPandas
-    (decode kernel stubbed deterministically — no image libs in container)."""
+    """Multimodal: REAL pixel-feature extraction via Arrow mapInPandas — a
+    deterministic 24-bit BMP per document (closed-form gradient) decoded by
+    the pure-numpy BMP kernel; the oracle predicts widths/means/corners
+    arithmetically, so padding/row-order/BGR mistakes fail the hash."""
     from stock_market_data_pipeline_spark.operators.multimodal import (
-        documents_as_assets,
         extract_image_features,
+        synthesize_bmp_assets,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    return extract_image_features(documents_as_assets(docs))
+    return extract_image_features(synthesize_bmp_assets(docs))
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode → nearest-neighbor resize → re-encode, with
+    resized-pixel statistics the oracle reproduces via the floor-mapping
+    row/column sums (validates the resample indexing, not just byte
+    movement). Target 7×5 exercises non-trivial row padding (stride 24)."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        resize_images,
+        synthesize_bmp_assets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_images(synthesize_bmp_assets(docs), target_w=7, target_h=5)
 
 
 def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,6 +1207,100 @@ def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_batch_sessions long, n_must_emit long,"
         " stream_only_rows long, missed_finalized long",
     )
+
+
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest-time dedup parity as a registry query (r5 verdict
+    #5, mirroring the session-parity pattern): run the REAL availableNow
+    file-stream through ``stream_incremental_dedup`` — two micro-batches
+    classified against the persistent fingerprint store with a merge
+    between — and compare every classified row against the batch twin
+    running the same two-batch schedule.
+
+    Per-batch counts are recomputed independently by the DuckDB oracle
+    (store evolution expressed as CTE unions); ``mismatch_rows`` is the
+    symmetric difference vs the batch twin, pinned at 0 — any
+    checkpoint/replay/store-lineage bug in the streaming gate flips it.
+    """
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.operators.incremental import (
+        incremental_dedup_batch,
+        seed_fingerprint_store,
+    )
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_incremental_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_a = docs.filter(F.col("doc_id") % 3 == 1)
+    batch_b = docs.filter(F.col("doc_id") % 3 == 2)
+
+    root = tempfile.mkdtemp(prefix="smdp_stream_dedup_")
+    store, src = f"{root}/store", f"{root}/src"
+    out, ckpt = f"{root}/out", f"{root}/ckpt"
+    seed_fingerprint_store(spark, seed, store)
+    # One part-file per micro-batch; mtime gap keeps the file-source order
+    # (maxFilesPerTrigger=1 replays in modification-time order).
+    batch_a.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    batch_b.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_incremental_dedup(
+        stream, store, out, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    streamed = spark.read.parquet(out).select(
+        "doc_id", "fingerprint", "status", "ingest_batch"
+    ).localCheckpoint(eager=True)
+
+    # Batch twin: the same schedule against a fresh store.
+    store2 = f"{root}/store_twin"
+    seed_fingerprint_store(spark, seed, store2)
+    twin = (
+        incremental_dedup_batch(spark, batch_a, store2, batch_id=0)
+        .withColumn("ingest_batch", F.lit(0))
+        .unionByName(
+            incremental_dedup_batch(spark, batch_b, store2, batch_id=1)
+            .withColumn("ingest_batch", F.lit(1))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def mismatch(bid: int) -> int:
+        s = streamed.filter(F.col("ingest_batch") == bid).drop("ingest_batch")
+        t = twin.filter(F.col("ingest_batch") == bid).drop("ingest_batch")
+        return s.exceptAll(t).count() + t.exceptAll(s).count()
+
+    mm = {bid: mismatch(bid) for bid in (0, 1)}
+    counts = (
+        streamed.groupBy("ingest_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("status") == "novel").cast("long")).alias("n_novel"),
+            F.sum((F.col("status") == "dup_in_batch").cast("long")).alias(
+                "n_dup_in_batch"
+            ),
+            F.sum((F.col("status") == "dup_of_store").cast("long")).alias(
+                "n_dup_of_store"
+            ),
+        )
+        .withColumn(
+            "mismatch_rows",
+            F.when(F.col("ingest_batch") == 0, F.lit(mm[0]))
+            .otherwise(F.lit(mm[1]))
+            .cast("long"),
+        )
+        .withColumn("ingest_batch", F.col("ingest_batch").cast("long"))
+    )
+    return counts
 
 
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,4 +1801,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_content_dedup": q_multimodal_content_dedup,
+    "multimodal_resize": q_multimodal_resize,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
 }

@@ -156,7 +156,9 @@ def merge_upsert(
     Hadoop's FileSystem API, so the same code runs against file://, hdfs://,
     s3a://, or abfs:// paths. The rename swap is atomic on HDFS/POSIX but
     copy+delete on object stores — at scale on S3-like storage prefer
-    :func:`merge_upsert_bucketed`, whose publish rides Spark's committer.
+    :func:`merge_upsert_bucketed` (publish rides Spark's committer) or
+    :func:`merge_upsert_versioned` (marker-file commit, no rename at all,
+    no missing-directory instant).
     """
     fs = _HadoopFS(spark, path)
     exists = fs.is_dir(path) and any(
@@ -307,6 +309,12 @@ def compact_small_files(
     Returns {"files_before", "files_after", "bytes"} for observability.
     Refuses paths that don't look like a single-level data directory (no
     partition subdirectories) — partitioned lakes compact per leaf.
+
+    In-place compaction inherently has the two-rename swap window (readers
+    can observe a missing directory for an instant; a crash between the
+    renames needs the documented manual recovery). Tables that can adopt
+    the versioned layout should use :func:`compact_versioned`, which has
+    neither problem.
     """
     import math
 
@@ -350,6 +358,172 @@ def compact_small_files(
     hfs.delete(old)
     after = [
         n for n in hfs.child_names(path) if not n.startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(after),
+        "bytes": total,
+    }
+
+
+_COMMIT_SUFFIX = "._COMMITTED"
+
+
+def _version_name(n: int) -> str:
+    return f"v{n:08d}"
+
+
+def _list_versions(fs: _HadoopFS, root: str) -> tuple[list[int], list[int]]:
+    """(committed, all-known) version numbers under a versioned table root."""
+    if not fs.is_dir(root):
+        return [], []
+    names = fs.child_names(root)
+    committed, known = [], []
+    for n in names:
+        if n.startswith("v") and n[1:].isdigit():
+            known.append(int(n[1:]))
+        elif n.endswith(_COMMIT_SUFFIX):
+            stem = n[: -len(_COMMIT_SUFFIX)]
+            if stem.startswith("v") and stem[1:].isdigit():
+                committed.append(int(stem[1:]))
+    # A marker without its data dir means someone deleted data out-of-band;
+    # never resolve to it.
+    live = sorted(set(committed) & set(known))
+    return live, sorted(set(known) | set(committed))
+
+
+def resolve_version(spark: SparkSession, root: str) -> str | None:
+    """Path of the newest COMMITTED version of a versioned table, or None.
+
+    Readers call this (or :func:`read_versioned`) instead of hard-coding a
+    data path; an in-flight or crashed publish is invisible because its
+    version has no commit marker yet.
+    """
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_versions(fs, root)
+    if not committed:
+        return None
+    return f"{root.rstrip('/')}/{_version_name(committed[-1])}"
+
+
+def read_versioned(spark: SparkSession, root: str, fmt: str = "parquet") -> DataFrame:
+    v = resolve_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    return spark.read.format(fmt).load(v)
+
+
+def publish_version(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    keep_versions: int = 2,
+    repartition: int | None = None,
+) -> str:
+    """Publish ``df`` as the next version of a manifest-committed table.
+
+    The commit protocol that removes :func:`merge_upsert` /
+    :func:`compact_small_files`'s rename window entirely:
+
+    1. write the full dataset into a fresh ``vNNNNNNNN`` directory (never
+       touched by readers — it has no commit marker);
+    2. create the marker file ``vNNNNNNNN._COMMITTED`` — the single atomic
+       commit point (a file either exists or it doesn't; no rename, no
+       delete, no instant where the table resolves to nothing);
+    3. garbage-collect: committed versions older than ``keep_versions`` and
+       any UNCOMMITTED dirs older than the new version (crashed publishes —
+       recovery is automatic, no operator action).
+
+    A crash anywhere before (2) leaves the previous version live and a
+    harmless orphan dir the next publish GCs. A crash after (2) means the
+    new version IS live. Readers (:func:`resolve_version`) therefore always
+    see exactly one complete version. Works identically on object stores:
+    nothing here renames — only writes and deletes of distinct names.
+
+    Single-writer, like every sink in this module; concurrent writers need
+    a table format with a transactional log (Delta/Iceberg), whose
+    version-pointer design this mirrors in miniature.
+    """
+    fs = _HadoopFS(spark, root)
+    committed, known = _list_versions(fs, root)
+    nxt = (known[-1] + 1) if known else 1
+    vname = _version_name(nxt)
+    vpath = f"{root.rstrip('/')}/{vname}"
+    out = df.repartition(repartition) if repartition else df
+    out.write.mode("overwrite").format(fmt).save(vpath)
+    fs.write_text(f"{vpath}{_COMMIT_SUFFIX}", vname)
+    # GC: old committed versions beyond the retention window, and every
+    # uncommitted orphan older than the version just published.
+    for old_v in committed[: max(0, len(committed) - (keep_versions - 1))]:
+        base = f"{root.rstrip('/')}/{_version_name(old_v)}"
+        fs.delete(f"{base}{_COMMIT_SUFFIX}")
+        fs.delete(base)
+    for orphan in set(known) - set(committed):
+        if orphan < nxt:
+            fs.delete(f"{root.rstrip('/')}/{_version_name(orphan)}")
+    return vpath
+
+
+def merge_upsert_versioned(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    keep_versions: int = 2,
+) -> str:
+    """:func:`merge_upsert` semantics (last-writer-wins per key) on a
+    manifest-committed table: read the current committed version, merge,
+    publish the result as the next version. No rename window — a reader
+    racing the merge sees either the old or the new version, both complete;
+    a crashed merge is invisible and self-heals on the next run.
+    """
+    current_path = resolve_version(spark, root)
+    if current_path is not None:
+        current = spark.read.parquet(current_path)
+        merged = current.unionByName(incoming, allowMissingColumns=True)
+    else:
+        merged = incoming
+    deduped = dedup_keep_last(merged, keys=keys, order=[order_col])
+    return publish_version(spark, deduped, root, keep_versions=keep_versions)
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+    keep_versions: int = 2,
+) -> dict:
+    """:func:`compact_small_files` for a manifest-committed table: rewrite
+    the current version into ceil(bytes/target) files as the NEXT version.
+    Readers never lose the table for even an instant (the old version stays
+    committed until the new marker lands), and a crash mid-compaction needs
+    no manual recovery — the half-written version has no marker and the
+    next publish deletes it.
+    """
+    import math
+
+    fs = _HadoopFS(spark, root)
+    current_path = resolve_version(spark, root)
+    if current_path is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    statuses = fs.fs.listStatus(fs.path(current_path))
+    data_files = [
+        s
+        for s in statuses
+        if s.isFile() and not s.getPath().getName().startswith(("_", "."))
+    ]
+    total = sum(s.getLen() for s in data_files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(current_path)
+    publish_version(
+        spark, df, root, fmt=fmt, keep_versions=keep_versions, repartition=n_out
+    )
+    new_path = resolve_version(spark, root)
+    after = [
+        n for n in fs.child_names(new_path) if not n.startswith(("_", "."))
     ]
     return {
         "files_before": len(data_files),

@@ -45,17 +45,44 @@ from stock_market_data_pipeline_spark.operators.dedup import dedup_keep_last
 
 @dataclass(frozen=True)
 class Dialect:
-    """The three knobs warehouses actually differ on for this flow."""
+    """The knobs warehouses actually differ on for this flow."""
 
     name: str
     placeholder: str  # DB-API paramstyle token: "%s" (snowflake) or "?"
     supports_merge: bool
     supports_create_or_replace: bool = True
     supports_stage_like: bool = True  # CREATE TABLE ... LIKE target
+    # File-based bulk ingestion template ({stage}/{cols}/{path} placeholders)
+    # — the only staging pattern that survives at real volume: executors
+    # write parquet in parallel, the warehouse ingests files set-based, no
+    # row ever rides a Python loop or a single connection. None = dialect
+    # cannot ingest files (SQLite).
+    copy_from_parquet: str | None = None
 
 
-SNOWFLAKE = Dialect("snowflake", "%s", supports_merge=True)
-DUCKDB = Dialect("duckdb", "?", supports_merge=False, supports_stage_like=False)
+SNOWFLAKE = Dialect(
+    "snowflake",
+    "%s",
+    supports_merge=True,
+    # Public COPY INTO syntax: parquet files land on a stage (external or
+    # internal); MATCH_BY_COLUMN_NAME maps parquet columns to stage-table
+    # columns by name, the same by-name contract the DuckDB template uses.
+    copy_from_parquet=(
+        "COPY INTO {stage} FROM '{path}' "
+        "FILE_FORMAT = (TYPE = PARQUET) "
+        "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE"
+    ),
+)
+DUCKDB = Dialect(
+    "duckdb",
+    "?",
+    supports_merge=False,
+    supports_stage_like=False,
+    copy_from_parquet=(
+        "INSERT INTO {stage} ({cols}) "
+        "SELECT {cols} FROM read_parquet('{path}/*.parquet')"
+    ),
+)
 SQLITE = Dialect(
     "sqlite",
     "?",
@@ -102,6 +129,7 @@ class MergePlan:
     create_stage: tuple[str, ...]
     insert: str  # parameterized; executemany() with row tuples
     merge: tuple[str, ...]  # post-staging statements (incl. stage cleanup)
+    copy: tuple[str, ...] = ()  # file-based staging (COPY/read_parquet)
 
 
 def build_merge_plan(
@@ -111,6 +139,7 @@ def build_merge_plan(
     dialect: Dialect = SNOWFLAKE,
     stage_table: str | None = None,
     temp_stage: bool = True,
+    copy_path: str | None = None,
 ) -> MergePlan:
     """Generate the reference's stage+MERGE statements from a Spark schema.
 
@@ -188,6 +217,19 @@ def build_merge_plan(
     if not temp_stage:
         merge = merge + (f"DROP TABLE IF EXISTS {stage}",)
 
+    copy: tuple[str, ...] = ()
+    if copy_path is not None:
+        if dialect.copy_from_parquet is None:
+            raise ValueError(
+                f"dialect {dialect.name!r} has no file-ingestion statement; "
+                f"use stage_via='driver'/'executors' instead"
+            )
+        copy = (
+            dialect.copy_from_parquet.format(
+                stage=stage, cols=", ".join(cols), path=copy_path
+            ),
+        )
+
     return MergePlan(
         table=table,
         stage_table=stage,
@@ -197,6 +239,7 @@ def build_merge_plan(
         create_stage=create_stage,
         insert=insert,
         merge=merge,
+        copy=copy,
     )
 
 
@@ -219,7 +262,8 @@ def merge_to_warehouse(
     order_col: str | None = None,
     dialect: Dialect = SNOWFLAKE,
     batch_size: int = 10_000,
-    stage_via: str = "driver",
+    stage_via: str = "executors",
+    copy_path: str | None = None,
 ) -> MergePlan:
     """Upsert ``df`` into a warehouse table with MERGE semantics.
 
@@ -232,9 +276,30 @@ def merge_to_warehouse(
     duplicate keys in ``df`` raise — a MERGE against a multi-row-per-key
     stage is nondeterministic (Snowflake errors on it at runtime), and
     failing in the plan beats failing in the warehouse.
+
+    Staging modes, fastest first:
+
+    - ``"copy"`` — the bulk path: executors write ``df`` as parquet to
+      ``copy_path`` (required; a lake/stage URI the warehouse can read),
+      then ONE set-based file-ingestion statement
+      (Snowflake ``COPY INTO … TYPE = PARQUET``, DuckDB ``read_parquet``)
+      loads the stage table. No row ever crosses the driver or a DB-API
+      connection — the only pattern that survives at real volume.
+    - ``"executors"`` (default) — one DB-API connection per partition
+      (``foreachPartition``), parallel ``executemany`` batches; for
+      warehouses without file ingestion from where the data lives.
+    - ``"driver"`` — the reference's own shape
+      (``load_to_snowflake.py:210-231``): all rows stream through the
+      driver connection. Kept for parity and for non-picklable factories;
+      BASELINE.md calls it "the slowest plausible path" — never the
+      default.
     """
-    if stage_via not in ("driver", "executors"):
-        raise ValueError(f"stage_via must be driver|executors, got {stage_via!r}")
+    if stage_via not in ("driver", "executors", "copy"):
+        raise ValueError(
+            f"stage_via must be driver|executors|copy, got {stage_via!r}"
+        )
+    if stage_via == "copy" and copy_path is None:
+        raise ValueError("stage_via='copy' requires copy_path")
     pk = list(primary_key)
     if order_col is not None:
         df = dedup_keep_last(df, keys=pk, order=[order_col])
@@ -251,7 +316,11 @@ def merge_to_warehouse(
         df.schema,
         pk,
         dialect=dialect,
-        temp_stage=(stage_via == "driver"),
+        # The copy/DDL statements all run on the driver connection, so a
+        # TEMPORARY stage is visible to them; only executor staging inserts
+        # through OTHER connections and needs a permanent stage table.
+        temp_stage=(stage_via != "executors"),
+        copy_path=copy_path if stage_via == "copy" else None,
     )
 
     cur = cursor_factory()
@@ -261,7 +330,14 @@ def merge_to_warehouse(
     _commit(cur)
 
     df = df.select(*plan.columns)  # lock column order to the INSERT statement
-    if stage_via == "driver":
+    if stage_via == "copy":
+        # Executor-parallel parquet write, then one set-based ingestion
+        # statement warehouse-side — zero rows through Python or the driver.
+        df.write.mode("overwrite").parquet(copy_path)
+        for stmt in plan.copy:
+            cur.execute(stmt)
+        _commit(cur)
+    elif stage_via == "driver":
         # Reference shape: stream batches through the loader connection. The
         # toLocalIterator pulls one partition at a time — O(partition) driver
         # memory, not O(table).

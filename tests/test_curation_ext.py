@@ -292,8 +292,10 @@ def test_frame_sampling_covers_content_exactly(spark):
     assert len(a2) == 4 and all(
         not r["frame_ok"] and bytes(r["frame_bytes"]) == b"" for r in a2
     )
+    # Neither asset is a BMP: the real decoder refuses both (no fake path),
+    # and the row degrades instead of killing the batch.
     rz = {r["asset_id"]: r for r in resize_images(assets).collect()}
-    assert rz[1]["resize_ok"] and rz[1]["resized_bytes"] <= 224 * 224 * 3
+    assert not rz[1]["resize_ok"] and rz[1]["resized_bytes"] is None
     assert not rz[2]["resize_ok"]
 
 

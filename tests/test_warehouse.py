@@ -126,6 +126,7 @@ def test_duckdb_merge_matches_lake_merge_upsert(spark, tmp_path):
             ["symbol", "date"],
             order_col="last_updated",
             dialect=DUCKDB,
+            stage_via="driver",
         )
     warehouse = {
         (r[0], r[1]): r[2:4]
@@ -156,6 +157,7 @@ def test_duckdb_merge_idempotent(spark):
             ["symbol", "date"],
             order_col="last_updated",
             dialect=DUCKDB,
+            stage_via="driver",
         )
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 1
 
@@ -168,7 +170,12 @@ def test_duplicate_keys_without_order_col_raise(spark):
     con = duckdb.connect()
     with pytest.raises(ValueError, match="duplicate primary keys"):
         merge_to_warehouse(
-            df, lambda: _DuckCursor(con), "t", ["symbol", "date"], dialect=DUCKDB
+            df,
+            lambda: _DuckCursor(con),
+            "t",
+            ["symbol", "date"],
+            dialect=DUCKDB,
+            stage_via="driver",
         )
 
 
@@ -256,3 +263,112 @@ def test_merge_tolerates_duplicated_stage_rows(tmp_path):
     con.commit()
     rows = cur.execute("SELECT symbol, price FROM t").fetchall()
     assert rows == [("AAPL", 10.0)]
+
+
+def test_copy_mode_matches_executemany_mode(spark, tmp_path):
+    """The bulk path (parquet stage + read_parquet ingestion) must produce
+    byte-identical warehouse state to the row-wise executemany path across
+    an initial load + an upsert batch (the verdict's e2e contract)."""
+    batch1 = _daily(
+        spark,
+        [
+            ("AAPL", "2024-01-02", 1.0, 2.0, 0),
+            ("AAPL", "2024-01-03", 3.0, 4.0, 0),
+            ("MSFT", "2024-01-02", 5.0, 6.0, 0),
+        ],
+    )
+    batch2 = _daily(
+        spark,
+        [
+            ("AAPL", "2024-01-03", 3.5, 4.5, 1),  # update
+            ("GOOG", "2024-01-02", 7.0, 8.0, 1),  # insert
+            ("GOOG", "2024-01-02", 7.5, 8.5, 2),  # same-batch dup: keep-last
+        ],
+    )
+
+    def load(stage_via):
+        con = duckdb.connect()
+        for i, b in enumerate((batch1, batch2)):
+            kwargs = {"stage_via": stage_via}
+            if stage_via == "copy":
+                kwargs["copy_path"] = str(tmp_path / f"stage_{stage_via}_{i}")
+            merge_to_warehouse(
+                b,
+                lambda: _DuckCursor(con),
+                "daily_metrics",
+                ["symbol", "date"],
+                order_col="last_updated",
+                dialect=DUCKDB,
+                **kwargs,
+            )
+        return sorted(
+            con.execute(
+                "SELECT symbol, date, daily_open, daily_close FROM daily_metrics"
+            ).fetchall()
+        )
+
+    assert load("copy") == load("driver")
+    got = dict(((s, d), (o, c)) for s, d, o, c in load("copy"))
+    assert got[("AAPL", datetime.date(2024, 1, 3))] == (3.5, 4.5)
+    assert got[("GOOG", datetime.date(2024, 1, 2))] == (7.5, 8.5)
+
+
+def test_copy_mode_idempotent_rerun(spark, tmp_path):
+    con = duckdb.connect()
+    batch = _daily(spark, [("AAPL", "2024-01-02", 1.0, 2.0, 0)])
+    for _ in range(2):
+        merge_to_warehouse(
+            batch,
+            lambda: _DuckCursor(con),
+            "t",
+            ["symbol", "date"],
+            order_col="last_updated",
+            dialect=DUCKDB,
+            stage_via="copy",
+            copy_path=str(tmp_path / "stage"),
+        )
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 1
+
+
+def test_copy_plan_snowflake_statement_shape():
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    plan = build_merge_plan(
+        "t", schema, ["symbol"], dialect=SNOWFLAKE, copy_path="@my_stage/daily"
+    )
+    assert plan.copy == (
+        "COPY INTO t_STAGE FROM '@my_stage/daily' "
+        "FILE_FORMAT = (TYPE = PARQUET) "
+        "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE",
+    )
+
+
+def test_copy_mode_refused_without_file_ingestion(spark, tmp_path):
+    batch = _daily(spark, [("AAPL", "2024-01-02", 1.0, 2.0, 0)])
+    with pytest.raises(ValueError, match="no file-ingestion statement"):
+        merge_to_warehouse(
+            batch,
+            SqliteCursorFactory(str(tmp_path / "wh.db")),
+            "t",
+            ["symbol", "date"],
+            order_col="last_updated",
+            dialect=SQLITE,
+            stage_via="copy",
+            copy_path=str(tmp_path / "stage"),
+        )
+    with pytest.raises(ValueError, match="requires copy_path"):
+        merge_to_warehouse(
+            batch,
+            SqliteCursorFactory(str(tmp_path / "wh.db")),
+            "t",
+            ["symbol", "date"],
+            order_col="last_updated",
+            dialect=SQLITE,
+            stage_via="copy",
+        )
