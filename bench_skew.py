@@ -313,6 +313,159 @@ def main() -> None:
         "linear_ok": s10 <= s1 * 10 * 1.6,
     }
 
+    # 9. hot-node pagerank (round-6 probe): one node in 50% of all edges.
+    # Iterations shuffle contributions keyed by dst — the hot node's in-edges
+    # concentrate on one reducer, but each contribution row is ~16 bytes and
+    # the per-dst SUM partial-combines map-side, so the hot reducer receives
+    # O(#map-tasks) partial rows, not O(hot-degree) rows. Growth should stay
+    # ~linear; this measures that claim instead of asserting it.
+    from stock_market_data_pipeline_spark.operators.graph import pagerank
+
+    def synth_hot_edges(n_edges: int) -> DataFrame:
+        return spark.range(n_edges).select(
+            F.when(F.col("id") % 4 == 0, F.lit(0))  # hot as src: 25%
+            .otherwise(F.pmod(F.xxhash64("id"), 10_000))
+            .cast("long")
+            .alias("src"),
+            F.when(F.col("id") % 4 == 1, F.lit(0))  # hot as dst: 25%
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(7)), 10_000))
+            .cast("long")
+            .alias("dst"),
+        )
+
+    edges_1x = synth_hot_edges(200_000).localCheckpoint()
+    edges_10x = synth_hot_edges(2_000_000).localCheckpoint()
+    timed(pagerank(edges_1x, n_iter=3))  # warm
+    g1 = timed(pagerank(edges_1x, n_iter=3))
+    g10 = timed(pagerank(edges_10x, n_iter=3))
+    results["hot_node_pagerank"] = {
+        "edges_1x": 200_000,
+        "hot_share": 0.5,
+        "sec_1x": g1,
+        "sec_10x": g10,
+        "growth_ratio": round(g10 / g1, 2),
+        "linear_ok": g10 <= g1 * 10 * 1.6,
+    }
+
+    # 10. dense-overlap interval join (round-6 probe): 10% of left intervals
+    # span the WHOLE day, so they explode to every bin and every such row
+    # pairs with every right window — output itself is the quadratic term.
+    # Recorded: runtime, output rows, and output-normalized throughput; the
+    # scale guard is that cost tracks OUTPUT size (irreducible), not an
+    # all-pairs comparison count.
+    from stock_market_data_pipeline_spark.operators.joins import interval_join
+
+    def synth_intervals(n_left: int):
+        base = 1_704_067_200
+        left = spark.range(n_left).select(
+            F.col("id").alias("l_id"),
+            F.timestamp_seconds(
+                base + F.pmod(F.xxhash64("id"), 86_400)
+            ).alias("l_start"),
+            F.timestamp_seconds(
+                base
+                + F.pmod(F.xxhash64("id"), 86_400)
+                + F.when(F.col("id") % 10 == 0, 86_400)  # 10% day-spanners
+                .otherwise(F.pmod(F.xxhash64("id", F.lit(3)), 3_600))
+            ).alias("l_end"),
+        )
+        right = spark.range(96).select(
+            F.col("id").alias("r_id"),
+            F.timestamp_seconds(base + F.col("id") * 900).alias("r_start"),
+            F.timestamp_seconds(base + F.col("id") * 900 + 899).alias("r_end"),
+        )
+        return left, right
+
+    def _ij(n):
+        l, r = synth_intervals(n)
+        return interval_join(
+            l, r, "l_start", "l_end", "r_start", "r_end", bin_seconds=900
+        )
+
+    timed(_ij(20_000))  # warm
+    i1 = timed(_ij(20_000))
+    i10 = timed(_ij(200_000))
+    out_1x = _ij(20_000).count()
+    out_10x = _ij(200_000).count()
+    results["dense_interval_join"] = {
+        "left_1x": 20_000,
+        "out_rows_1x": out_1x,
+        "out_rows_10x": out_10x,
+        "sec_1x": i1,
+        "sec_10x": i10,
+        "growth_ratio": round(i10 / i1, 2),
+        "output_growth": round(out_10x / out_1x, 2),
+        "per_output_row_ok": (i10 / out_10x) <= (i1 / out_1x) * 1.6,
+    }
+
+    # 11. giant-cell semantic dedup (round-6 probe): every vector is a small
+    # perturbation of ONE direction, so IVF assignment puts ~everything in a
+    # single cell and the per-cell Gram is O(n²) — the documented worst case.
+    # 3× growth should show ~9× cost (quadratic), quantifying what breaks
+    # first and why the n_cells-scaling rule (and a per-cell size cap) is the
+    # operating requirement, not an optimization.
+    def synth_clustered(n_vecs: int, dim: int = 64) -> DataFrame:
+        return spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda j: (
+                    F.lit(1.0)
+                    + F.pmod(F.xxhash64(F.col("id") * 131 + j), 100) / 5000.0
+                ),
+            ).alias("embedding"),
+        )
+
+    giant_1x = synth_clustered(5_000).localCheckpoint()
+    giant_3x = synth_clustered(15_000).localCheckpoint()
+    timed(semantic_dedup(giant_1x, n_cells=64, tau=0.9))  # warm
+    c1 = timed(semantic_dedup(giant_1x, n_cells=64, tau=0.9))
+    c3 = timed(semantic_dedup(giant_3x, n_cells=64, tau=0.9))
+    results["giant_cell_semantic_dedup"] = {
+        "vecs_1x": 5_000,
+        "vecs_3x": 15_000,
+        "sec_1x": c1,
+        "sec_3x": c3,
+        "growth_ratio": round(c3 / c1, 2),
+        "note": "all vectors collapse to one IVF cell -> per-cell Gram is "
+        "O(n^2); quantifies the documented worst case the n_cells rule and "
+        "per-cell caps exist for",
+    }
+
+    # 12. quantized-rerank ANN at the 10× probe (r5 verdict #8): recall@5 vs
+    # exact ground truth must hold off the toy scale, and runtime should
+    # scale ~linearly in corpus size (bandwidth-bound shortlist scan).
+    from stock_market_data_pipeline_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        quantized_topk_rerank,
+    )
+
+    def ann_recall_at(n_vecs: int) -> tuple[float, float, float]:
+        corpus = synth_embeddings(spark, n_vecs).localCheckpoint()
+        qs = corpus.filter(F.col("vec_id") % (n_vecs // 100) == 0)
+        timed(quantized_topk_rerank(corpus, qs))  # warm
+        t_ann = timed(quantized_topk_rerank(corpus, qs))
+        gt = cosine_topk_vectorized(corpus, qs).select("query_id", "neighbor_id")
+        approx = quantized_topk_rerank(corpus, qs).select(
+            "query_id", "neighbor_id"
+        )
+        total = gt.count()
+        hits = approx.join(gt, ["query_id", "neighbor_id"]).count()
+        return round(hits / total, 4), t_ann, total
+
+    r30, t30, n30 = ann_recall_at(30_000)
+    r300, t300, n300 = ann_recall_at(300_000)
+    results["quantized_rerank_10x"] = {
+        "recall_at5_30k": r30,
+        "recall_at5_300k": r300,
+        "sec_30k": t30,
+        "sec_300k": t300,
+        "growth_ratio": round(t300 / t30, 2),
+        "gt_pairs_30k": n30,
+        "gt_pairs_300k": n300,
+        "recall_ok": r300 >= 0.9,
+    }
+
     print(json.dumps(results))
 
 

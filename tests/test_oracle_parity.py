@@ -20,26 +20,31 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-5
-    plan: every never-driver-checked round-5 query AND the two r4-repaired
-    queries (which must earn a green row before rotating out) sit inside
-    the window."""
+    (rotation contract, see the comment above QUERIES). Guard the round-6
+    plan: the new/changed round-6 rows and the never-driver-green
+    approx_stats LEAD the window; code-touched and once-green r5 rows stay
+    in for their second confirmation."""
     window = list(QUERIES)[:50]
+    # new/changed this round + the one never-driver-green query: the whole
+    # point of the round-6 rotation — they must be at the very front
+    assert window[:4] == [
+        "multimodal_resize",
+        "stream_incremental_dedup",
+        "multimodal_image_features",
+        "approx_stats",
+    ]
     must_be_in = [
-        # round-5 wave-2 additions — never driver-checked
+        # code changed in round 6 (HLL envelope, asof tiebreak) — re-confirm
+        "hll_user_rollup",
+        "asof_join_forward",
+        # once-green in r5 — need a second driver confirmation
         "session_peak_overlap",
         "supplier_pagerank",
         "quantized_topk_rerank",
         "national_market_share",
         "returned_item_customers",
         "training_mix_report",
-        "hll_user_rollup",
         "semantic_decontaminate",
-        "asof_join_forward",
-        # r4-repaired — keep in-window until green in a driver round
-        "event_sessionization",
-        "quantize_embeddings",
-        # round-5 additions — never driver-checked
         "incremental_dedup",
         "stream_batch_session_parity",
         "sequence_packing",
@@ -52,6 +57,9 @@ def test_driver_window_composition():
         "corpus_report",
         "price_histogram",
         "user_set_ops",
+        "data_expectations",
+        "event_sessionization",
+        "quantize_embeddings",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"

@@ -287,3 +287,24 @@ def test_approx_stats_no_expand(spark, sf_dir):
     plan = _plan(spark, sf_dir, "approx_stats")
     assert "Expand" not in plan, "multi-distinct Expand regressed"
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_price_band_join_is_equi_with_residual(spark, sf_dir):
+    """The band-join decomposition contract (r5 verdict #6): the range
+    predicate must ride an EQUI join on (symbol, date) as a residual
+    condition — a regression to BroadcastNestedLoopJoin/CartesianProduct
+    (O(|L|x|R|) comparisons) is the scale-killer this pins out."""
+    plan = _plan(spark, sf_dir, "price_band_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "SortMergeJoin" in ln or "BroadcastHashJoin" in ln
+        or "ShuffledHashJoin" in ln
+    ]
+    assert join_lines, plan
+    band = join_lines[0]
+    # equi prefix on both keys, band containment as the residual
+    assert "symbol" in band and "date" in band, band
+    assert "band_lo" in band and "band_hi" in band, band
