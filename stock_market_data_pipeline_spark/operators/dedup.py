@@ -67,3 +67,58 @@ def dedup_exact_text(
             F.count(F.lit(1)).alias("dup_count"),
         )
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "soft",
+) -> DataFrame:
+    """Soft (frequency-discounted) dedup: instead of dropping duplicates,
+    keep each non-canonical copy with probability ``1/sqrt(dup_count)`` —
+    the standard downweighting compromise when exact duplication carries
+    signal (boilerplate vs popular content) and hard dedup over-prunes.
+    Expected copies kept per group ≈ 1 + (n-1)/sqrt(n) ≈ sqrt(n): heavy
+    clusters shrink quadratically, small ones barely change.
+
+    Deterministic: the keep decision is the engine-portable
+    ``hash32(seed, id) < 2^32/sqrt(n)`` threshold (same md5-derived uniform
+    as the sampling operators), so re-runs and the DuckDB oracle reproduce
+    the identical survivor set. The canonical (min-id) row is always kept.
+
+    Scale shape: one shuffle, keyed by the 16-byte fingerprint, carrying
+    (fingerprint, id) only — text never rides the exchange; the window
+    computes per-group count and min in the same pass.
+    """
+    from pyspark.sql.window import Window
+
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        HASH_SPACE,
+        sample_hash32,
+    )
+
+    w = Window.partitionBy("fingerprint")
+    slim = df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint")
+    )
+    return (
+        slim.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "fingerprint",
+            "dup_count",
+            (F.col(id_col) == F.col("_min_id")).alias("is_canonical"),
+            (
+                (F.col(id_col) == F.col("_min_id"))
+                | (
+                    sample_hash32(F.col(id_col), seed)
+                    < F.floor(
+                        F.lit(float(HASH_SPACE))
+                        / F.sqrt(F.col("dup_count").cast("double"))
+                    )
+                )
+            ).alias("kept"),
+        )
+    )

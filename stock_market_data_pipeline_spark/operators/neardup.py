@@ -444,3 +444,61 @@ def connected_components(
             f"(pathological cluster diameter — raise max_iter)"
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int = 50,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: score |A∩B| / min(|A|, |B|) —
+    the asymmetric companion to :func:`ngram_jaccard_pairs` that catches a
+    SHORT document embedded in a much longer one (quote farms, boilerplate
+    wrappers, doc-in-doc scrapes), where Jaccard ≈ |A|/|B| → 0 hides the
+    copy entirely.
+
+    Same inverted-index candidate generation and ``max_doc_freq`` pair-
+    explosion guard as the Jaccard scorer: candidates come from a shingle
+    equi-join (never all-pairs), the intersection count and both set sizes
+    ride id-keyed aggregates, and text never crosses a shuffle.
+    """
+    sh = shingle_df(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keep = freq.filter(
+        (F.col("df") >= 2) & (F.col("df") <= max_doc_freq)
+    ).select("shingle")
+    sh_kept = sh.join(keep, "shingle")
+    a, b = sh_kept.alias("a"), sh_kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "n_a",
+            "n_b",
+            round_det(
+                F.col("inter") / F.least("n_a", "n_b").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

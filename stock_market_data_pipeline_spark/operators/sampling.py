@@ -163,3 +163,49 @@ def alpha_temperature_sample(
         .filter(sample_hash32(F.col(id_col), seed) < F.col("_keep_below"))
         .select(*df.columns)
     )
+
+
+def upsample_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "upsample",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic sampling WITH replacement: replicate group g's rows by
+    factor ``weights[g]`` (may exceed 1 — the epoch-style domain upweighting
+    every training mix needs for scarce high-quality sources; fractional
+    factors Bernoulli-round per row).
+
+    ``n_copies(row) = floor(w) + [hash32(seed, id) < frac(w)·2^32]`` — the
+    decision depends only on (seed, id), so re-runs and the DuckDB oracle
+    produce the identical multiset. Output adds ``copy_id`` (0..n-1) so
+    downstream shuffles/packing see distinct rows, not accidental dedup
+    fodder.
+
+    Scale shape: the weight table broadcasts; replication is a generate-
+    and-explode on the already-filtered rows — no shuffle at all; output
+    volume is exactly the mixed corpus size (the irreducible cost).
+    """
+    rows = [(g, float(w)) for g, w in weights.items()]
+    wdf = df.sparkSession.createDataFrame(
+        rows, schema=f"`{group_col}` string, `_w` double"
+    )
+    w = F.coalesce(F.col("_w"), F.lit(float(default_weight)))
+    frac_thresh = F.floor((w - F.floor(w)) * F.lit(float(HASH_SPACE)))
+    n_copies = (
+        F.floor(w)
+        + F.when(sample_hash32(F.col(id_col), seed) < frac_thresh, 1).otherwise(0)
+    ).cast("int")
+    return (
+        df.join(F.broadcast(wdf), group_col, "left")
+        .withColumn("_n_copies", n_copies)
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            *df.columns,
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n_copies") - 1)
+            ).alias("copy_id"),
+        )
+    )

@@ -2479,3 +2479,168 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.pts <= c.cts
 """
 
 ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}
+
+
+# X78: Q14-flavored promo share — one conditional aggregate; the pct is a
+# ratio of the two exact-decimal totals, biased-rounded on both engines.
+ORACLES["promo_revenue_pct"] = """
+WITH agg AS (
+  SELECT month(l_shipdate) AS ship_month,
+         CAST(ROUND(sum(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+               AS DECIMAL(25,10))), 2) AS DOUBLE) AS promo_revenue,
+         CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(25,10))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_pct
+FROM agg
+"""
+
+
+# X79: Q19-flavored OR-of-ANDs over (brand, size, quantity) branches.
+ORACLES["discounted_revenue"] = """
+SELECT CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1.0 AND 15.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 25.0 AND 50.0)
+"""
+
+
+# X80: Q16-flavored distinct-supplier census; the NOT IN list is the
+# deficit-supplier set (broadcast anti-join Spark-side).
+ORACLES["supplier_count_by_part_attrs"] = """
+WITH pairs AS (
+  SELECT DISTINCT p_brand,
+         CAST(floor((p_size - 1) / 10) * 10 + 1 AS INTEGER) AS size_band,
+         l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type <> 'ECONOMY'
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, size_band, count(*) AS supplier_cnt
+FROM pairs GROUP BY 1, 2
+"""
+
+
+# X81: Q7-flavored cross-border trade volume.
+ORACLES["nation_trade_volume"] = """
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(25,10))), 2) AS DOUBLE) AS revenue,
+       count(*) AS line_count
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+# X82: as-of with tolerance — DuckDB native ASOF, stale matches nulled by
+# the same 30-minute band.
+ORACLES["asof_join_tolerance"] = """
+WITH purchases AS (
+  SELECT user_id, ts AS pts, event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts AS cts, value AS last_click_value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.pts, p.event_id, p.purchase_value,
+       CASE WHEN c.cts >= p.pts - INTERVAL 30 MINUTE
+            THEN c.last_click_value END AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.pts >= c.cts
+"""
+
+
+# X83: soft dedup — same md5 fingerprint groups as dedup_exact; the keep
+# decision replays the engine-portable hash32 threshold.
+ORACLES["soft_dedup"] = f"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT doc_id, fingerprint,
+         count(*) OVER (PARTITION BY fingerprint) AS dup_count,
+         min(doc_id) OVER (PARTITION BY fingerprint) AS min_id
+  FROM fp
+)
+SELECT doc_id, fingerprint, dup_count,
+       doc_id = min_id AS is_canonical,
+       (doc_id = min_id)
+       OR (('0x' || substr(md5('soft:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           < floor({float(1 << 32)} / sqrt(CAST(dup_count AS DOUBLE)))) AS kept
+FROM g
+"""
+
+
+# X84: shingle containment (asymmetric near-dup) — same inverted index and
+# doc-freq cap as ngram_jaccard_pairs, scored |A∩B| / min(|A|,|B|).
+ORACLES["containment_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+freq AS (
+  SELECT shingle FROM shingles GROUP BY 1 HAVING count(*) BETWEEN 2 AND 50
+),
+kept AS (SELECT s.* FROM shingles s JOIN freq USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY 1)
+SELECT i.doc_a, i.doc_b, i.inter,
+       sa.n AS n_a, sb.n AS n_b,
+       round(i.inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6) AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.inter / CAST(least(sa.n, sb.n) AS DOUBLE), 6) >= 0.4
+"""
+
+
+# X85: deterministic upsampling with replacement — integer part replicates,
+# fractional part Bernoulli-rounds on the portable hash32.
+ORACLES["upsample_mix"] = f"""
+WITH w AS (
+  SELECT doc_id, lang, source, n_chars,
+         CASE lang WHEN 'zh' THEN 3.0 WHEN 'de' THEN 2.5
+                   WHEN 'es' THEN 1.5 WHEN 'fr' THEN 0.5
+                   ELSE 1.0 END AS wt
+  FROM documents
+),
+n AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(floor(wt) +
+              CASE WHEN ('0x' || substr(md5('upsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                        < floor((wt - floor(wt)) * {float(1 << 32)})
+                   THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+  FROM w
+)
+SELECT doc_id, lang, source, n_chars, unnest(range(0, n_copies)) AS copy_id
+FROM n WHERE n_copies > 0
+"""

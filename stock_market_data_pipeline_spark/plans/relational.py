@@ -537,3 +537,182 @@ def returned_item_customers(
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(top_n)
     )
+
+
+def promo_revenue_pct(
+    spark: SparkSession, sf_dir: str, year: int = 1996
+) -> DataFrame:
+    """TPC-H Q14-flavored: monthly share of revenue from PROMO-type parts.
+
+    Plan shape that scales: the part dimension broadcasts (only
+    p_partkey/p_type read), the date filter pushes into the lineitem scan,
+    and numerator + denominator come out of ONE conditional aggregate —
+    never a self-join of the fact table. The percentage divides two
+    exact-decimal totals (the cross-engine money-sum discipline of
+    ``_exact_sum_dbl``), so the rounded ratio is bit-stable.
+    """
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            _exact_sum_dbl(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+            ).alias("promo_revenue"),
+            _exact_sum_dbl(rev).alias("total_revenue"),
+        )
+        .select(
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            round_det(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-flavored: revenue from an OR of three (brand, size-range,
+    quantity-range) AND-groups — the disjunctive-predicate join every
+    BI tool generates.
+
+    Scale notes: the predicate splits into a part-only conjunct per branch
+    (brand + size — evaluated on the broadcast dim BEFORE the join, so the
+    build side is already filtered) and a lineitem residual (quantity
+    ranges). Catalyst pushes the common ``l_quantity`` bounds
+    (``least(lo) <= q <= greatest(hi)``) into the fact scan; the exact
+    branch pairing evaluates post-join. A naive OR-of-ANDs written as three
+    UNIONed joins would scan the fact table three times — this is one scan,
+    one broadcast join.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    branches = [
+        ("Brand#1", 1, 10, 1.0, 15.0),
+        ("Brand#2", 5, 25, 10.0, 30.0),
+        ("Brand#3", 20, 50, 25.0, 50.0),
+    ]
+    part_pred = None
+    pair_pred = None
+    for brand, slo, shi, qlo, qhi in branches:
+        pp = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") >= slo)
+            & (F.col("p_size") <= shi)
+        )
+        jp = pp & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+        part_pred = pp if part_pred is None else part_pred | pp
+        pair_pred = jp if pair_pred is None else pair_pred | jp
+    qmin = min(b[3] for b in branches)
+    qmax = max(b[4] for b in branches)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter((F.col("l_quantity") >= qmin) & (F.col("l_quantity") <= qmax))
+        .join(
+            F.broadcast(part.filter(part_pred)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(pair_pred)
+        .agg(
+            _exact_sum_dbl(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavored (partsupp expressed through lineitem, the lake's
+    supplier↔part link): distinct suppliers able to supply each
+    (brand, size-band), excluding ECONOMY parts and suppliers in deficit
+    (the complaint-list NOT IN, expressed as a broadcast anti-join).
+
+    Scale notes: the supplier exclusion list is tiny → broadcast LEFT ANTI
+    (never a shuffled NOT IN); the (part-attrs, suppkey) projection dedups
+    BEFORE the per-group distinct count so the shuffle carries unique pairs
+    only; part attributes ride a broadcast join.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    deficit = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    size_band = (F.floor((F.col("p_size") - 1) / 10) * 10 + 1).cast("int")
+    pairs = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") != "ECONOMY")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(
+            F.broadcast(deficit),
+            li.l_suppkey == deficit.s_suppkey,
+            "left_anti",
+        )
+        .select(
+            "p_brand", size_band.alias("size_band"), F.col("l_suppkey")
+        )
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "size_band").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+def nation_trade_volume(
+    spark: SparkSession, sf_dir: str, year_lo: int = 1996, year_hi: int = 1997
+) -> DataFrame:
+    """TPC-H Q7-flavored: cross-border revenue by (supplier nation,
+    customer nation, year) — supplier and customer in DIFFERENT nations.
+
+    Scale notes: both nation attachments are broadcast joins onto the two
+    fact keys (supplier via lineitem.l_suppkey, customer via
+    orders.o_custkey); the only big shuffle is the orders⋈lineitem
+    orderkey join; the ``s_nation != c_nation`` filter is a cheap residual
+    after the broadcasts, never a join condition that would break the
+    equi-join plan.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit(f"{year_lo}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{year_hi + 1}-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _exact_sum_dbl(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )

@@ -181,6 +181,30 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.order_priority_counts(spark, sf_dir)
 
 
+def q_promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-flavored monthly promo-revenue share: numerator and
+    denominator from ONE conditional aggregate over a single fact scan."""
+    return relational.promo_revenue_pct(spark, sf_dir)
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-flavored OR-of-ANDs: one fact scan + one broadcast join,
+    common quantity bounds pushed to the scan, branch pairing as residual."""
+    return relational.discounted_revenue(spark, sf_dir)
+
+
+def q_supplier_count_by_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-flavored distinct-supplier census per (brand, size band)
+    with a broadcast anti-join exclusion list."""
+    return relational.supplier_count_by_part_attrs(spark, sf_dir)
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-flavored cross-border trade: revenue by (supp_nation,
+    cust_nation, year) where the two nations differ."""
+    return relational.nation_trade_volume(spark, sf_dir)
+
+
 def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-flavored: scalar subquery (exact global avg balance) +
     anti-join (customers with no orders)."""
@@ -214,6 +238,65 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return as_of_join(
         purchases, clicks, key="user_id", left_ts="pts", right_ts="cts"
+    )
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance band: matches older than 30 minutes are
+    nulled out (stale-quote suppression). Same single key-shuffle plan as
+    the plain as-of; verified against DuckDB ASOF + interval null-out."""
+    from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("value").alias("last_click_value")
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="pts",
+        right_ts="cts",
+        tolerance="30 minutes",
+    )
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: keep non-canonical duplicates with probability
+    1/sqrt(dup_count) — deterministic hash-threshold, text never shuffles."""
+    from stock_market_data_pipeline_spark.operators.dedup import soft_dedup
+
+    return soft_dedup(read_table(spark, sf_dir, "documents"))
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (|A∩B|/min(|A|,|B|)) — catches a
+    short doc embedded in a long one, which Jaccard hides."""
+    from stock_market_data_pipeline_spark.operators.neardup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(_docs(spark, sf_dir), threshold=0.4)
+
+
+def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling WITH replacement: per-language replication
+    factors (epoch-style domain upweighting), Bernoulli-rounded fractions."""
+    from stock_market_data_pipeline_spark.operators.sampling import upsample_mix
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return upsample_mix(
+        docs,
+        weights={"zh": 3.0, "de": 2.5, "es": 1.5, "fr": 0.5},
+        group_col="lang",
     )
 
 
@@ -1694,6 +1777,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "multimodal_image_features": q_multimodal_image_features,
     "approx_stats": q_approx_stats,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "discounted_revenue": q_discounted_revenue,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "nation_trade_volume": q_nation_trade_volume,
+    "soft_dedup": q_soft_dedup,
+    "containment_pairs": q_containment_pairs,
+    "upsample_mix": q_upsample_mix,
+    "asof_join_tolerance": q_asof_join_tolerance,
     "hll_user_rollup": q_hll_user_rollup,
     "asof_join_forward": q_asof_join_forward,
     "session_peak_overlap": q_session_peak_overlap,
