@@ -1,0 +1,51 @@
+"""Changelog application (CDC apply): fold an insert/update/delete event
+stream into final table state — the lakehouse half of every CDC ingestion
+pipeline (Debezium → lake, warehouse streams, Delta CDF application).
+
+Semantics: per key, the operation with the greatest (seq, tiebreak) wins;
+a final ``delete`` removes the key entirely, anything else surfaces the
+winning row's values. This is exactly the keep-last MERGE discipline the
+warehouse/lake sinks implement, expressed as a pure operator so it can run
+ahead of any sink (or inside foreachBatch on a stream).
+
+Scale shape: ONE shuffle keyed by the primary key; the window computes the
+winner without a self-join; no driver participation. At 100 TB the input
+is naturally the recent changelog partition, not the whole history —
+compose with the bucketed MERGE sinks for the table-sized fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def apply_changelog(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Final state after applying ``changes`` in ``seq_col`` order per key.
+
+    Ties on (keys, seq) resolve by preferring the delete (a delete and an
+    upsert carrying the same sequence number is producer misbehavior; the
+    destructive op winning is the conservative, replay-stable choice), then
+    by the remaining value columns for full determinism. Output drops the
+    op/seq bookkeeping and keeps one row per surviving key.
+    """
+    others = [
+        c for c in changes.columns if c not in (*keys, seq_col, op_col)
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        (F.col(op_col) == delete_op).cast("int").desc(),
+        *[F.col(c).desc_nulls_last() for c in others],
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn", op_col)
+    )

@@ -1,0 +1,90 @@
+"""Distribution-drift monitoring (engine extension): Population Stability
+Index between a reference slice and a current slice of the same metric —
+the standard production check that a feature/metric distribution hasn't
+shifted (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 major; the credit-
+scoring convention).
+
+Scale shape: ONE tiny aggregate computes the reference [min, max]; both
+slices then bin with a pure projection and aggregate map-side-combined per
+bin (≤ n_bins rows ever cross a shuffle). Fixed-width bins from the
+reference range — not quantile edges — keep the whole computation
+deterministic and DuckDB-reproducible (exact cross-engine quantiles of
+doubles are not portable; fixed edges are plain IEEE arithmetic).
+Laplace-style smoothing (+0.5 per bin) keeps PSI finite when a bin is
+empty on one side — the drift signal itself, not an error.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.utils import round_det
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin PSI contributions + totals for ``value_col`` drift.
+
+    Output: one row per bin — ``bin`` (0..n_bins-1; out-of-reference-range
+    current values clamp into the edge bins), ``ref_count``, ``cur_count``,
+    ``ref_pct`` / ``cur_pct`` (smoothed, 6 dp), ``psi_term`` (6 dp) — plus
+    the scalar ``psi_total`` repeated per row so one frame carries both the
+    diagnosis (which bins moved) and the verdict.
+    """
+    bounds = ref.agg(
+        F.min(F.col(value_col).cast("double")).alias("_lo"),
+        F.max(F.col(value_col).cast("double")).alias("_hi"),
+    )
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        scaled = F.floor(
+            (F.col(value_col).cast("double") - F.col("_lo"))
+            / F.nullif(F.col("_hi") - F.col("_lo"), F.lit(0.0))
+            * n_bins
+        )
+        b = F.least(
+            F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            df.join(F.broadcast(bounds))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    r = binned(ref, "ref_count")
+    c = binned(cur, "cur_count")
+    joined = (
+        bins.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_count", F.lit(0)).alias("ref_count"),
+            F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("ref_count").alias("_rn"), F.sum("cur_count").alias("_cn")
+    )
+    smooth = F.lit(0.5)
+    denom_extra = F.lit(0.5 * n_bins)
+    out = joined.join(F.broadcast(tot))
+    p = (F.col("ref_count") + smooth) / (F.col("_rn") + denom_extra)
+    q = (F.col("cur_count") + smooth) / (F.col("_cn") + denom_extra)
+    term = (q - p) * F.log(q / p)
+    out = out.select(
+        "bin",
+        "ref_count",
+        "cur_count",
+        round_det(p).alias("ref_pct"),
+        round_det(q).alias("cur_pct"),
+        round_det(term).alias("psi_term"),
+    )
+    total = out.agg(round_det(F.sum("psi_term")).alias("psi_total"))
+    return out.join(F.broadcast(total)).orderBy("bin")

@@ -2644,3 +2644,88 @@ n AS (
 SELECT doc_id, lang, source, n_chars, unnest(range(0, n_copies)) AS copy_id
 FROM n WHERE n_copies > 0
 """
+
+
+# X86: Morton/Z-order codes — bit interleave mirrored as shift arithmetic
+# (disjoint bits, so sum == or); fixed-range binning over the exact global
+# min/max, clamped to the top bin.
+ORACLES["zorder_fingerprint"] = """
+WITH bounds AS (
+  SELECT CAST(min(l_partkey) AS DOUBLE) AS xlo, CAST(max(l_partkey) AS DOUBLE) AS xhi,
+         CAST(min(l_suppkey) AS DOUBLE) AS ylo, CAST(max(l_suppkey) AS DOUBLE) AS yhi
+  FROM lineitem
+),
+binned AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(least(greatest(COALESCE(CASE WHEN xhi = xlo THEN NULL
+              ELSE floor((CAST(l_partkey AS DOUBLE) - xlo) / (xhi - xlo) * 256) END, 0), 0), 255) AS BIGINT) AS bx,
+         CAST(least(greatest(COALESCE(CASE WHEN yhi = ylo THEN NULL
+              ELSE floor((CAST(l_suppkey AS DOUBLE) - ylo) / (yhi - ylo) * 256) END, 0), 0), 255) AS BIGINT) AS by
+  FROM lineitem CROSS JOIN bounds
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(list_sum(list_transform(range(0, 8),
+            i -> ((bx >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+               + ((by >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1)))) AS BIGINT) AS zval
+FROM binned
+"""
+
+
+# X87: PSI drift — fixed-width bins from the reference range, +0.5
+# smoothing, per-bin terms + repeated total (sum of the ROUNDED terms,
+# mirrored exactly).
+ORACLES["psi_drift"] = """
+WITH bounds AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+  FROM events WHERE event_type = 'view'
+),
+binify AS (
+  SELECT e.event_type,
+         CAST(least(greatest(COALESCE(CASE WHEN hi = lo THEN NULL
+              ELSE floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 10) END, 0), 0), 9) AS INTEGER) AS bin
+  FROM events e CROSS JOIN bounds
+  WHERE e.event_type IN ('view', 'purchase')
+),
+bins AS (SELECT unnest(range(0, 10)) AS bin),
+counts AS (
+  SELECT CAST(b.bin AS INTEGER) AS bin,
+         CAST(COALESCE(sum(CASE WHEN x.event_type = 'view' THEN 1 END), 0) AS BIGINT) AS ref_count,
+         CAST(COALESCE(sum(CASE WHEN x.event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS cur_count
+  FROM bins b LEFT JOIN binify x ON x.bin = b.bin
+  GROUP BY 1
+),
+tot AS (SELECT sum(ref_count) AS rn, sum(cur_count) AS cn FROM counts),
+terms AS (
+  SELECT bin, ref_count, cur_count,
+         round((ref_count + 0.5) / (rn + 5.0), 6) AS ref_pct,
+         round((cur_count + 0.5) / (cn + 5.0), 6) AS cur_pct,
+         round(((cur_count + 0.5) / (cn + 5.0) - (ref_count + 0.5) / (rn + 5.0))
+               * ln(((cur_count + 0.5) / (cn + 5.0)) / ((ref_count + 0.5) / (rn + 5.0))), 6) AS psi_term
+  FROM counts CROSS JOIN tot
+)
+SELECT bin, ref_count, cur_count, ref_pct, cur_pct, psi_term,
+       (SELECT round(sum(psi_term), 6) FROM terms) AS psi_total
+FROM terms
+"""
+
+
+# X88: CDC apply — greatest seq wins per key, deletes suppress the key;
+# tie preference: delete, then value desc (mirrors the Spark window).
+ORACLES["apply_changelog"] = """
+WITH chg AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value
+  FROM events
+),
+winner AS (
+  SELECT * FROM chg
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY event_id DESC,
+             CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+             value DESC NULLS LAST
+  ) = 1
+)
+SELECT user_id, event_id, value FROM winner WHERE op <> 'delete'
+"""

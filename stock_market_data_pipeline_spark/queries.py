@@ -300,6 +300,50 @@ def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes for (l_partkey, l_suppkey) at 8 bits/dim —
+    the clustering key behind write_zorder, emitted per row so the bit
+    interleave is oracle-verified exactly (DuckDB mirrors the shifts)."""
+    from stock_market_data_pipeline_spark.operators.zorder import with_zvalue
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    return with_zvalue(li, "l_partkey", "l_suppkey", bits=8).select(
+        "l_orderkey", "l_linenumber", "zval"
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution: view events as
+    the reference population, purchase events as the current one — per-bin
+    terms plus the repeated total verdict."""
+    from stock_market_data_pipeline_spark.operators.drift import psi_drift
+
+    ev = read_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        value_col="value",
+    )
+
+
+def q_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: fold the event log into final per-user state — 'error'
+    events act as deletes, everything else upserts; greatest seq wins."""
+    from stock_market_data_pipeline_spark.operators.cdc import apply_changelog
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    return apply_changelog(ev, keys=["user_id"], seq_col="event_id")
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of join: each purchase picks up the EARLIEST subsequent
     click value for the same user (next-quote-after-trade semantics) —
@@ -1785,6 +1829,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "containment_pairs": q_containment_pairs,
     "upsample_mix": q_upsample_mix,
     "asof_join_tolerance": q_asof_join_tolerance,
+    "zorder_fingerprint": q_zorder_fingerprint,
+    "psi_drift": q_psi_drift,
+    "apply_changelog": q_apply_changelog,
     "hll_user_rollup": q_hll_user_rollup,
     "asof_join_forward": q_asof_join_forward,
     "session_peak_overlap": q_session_peak_overlap,

@@ -34,6 +34,18 @@ def test_driver_window_composition():
         "approx_stats",
     ]
     must_be_in = [
+        # round-6 additions — never driver-checked
+        "promo_revenue_pct",
+        "discounted_revenue",
+        "supplier_count_by_part_attrs",
+        "nation_trade_volume",
+        "soft_dedup",
+        "containment_pairs",
+        "upsample_mix",
+        "asof_join_tolerance",
+        "zorder_fingerprint",
+        "psi_drift",
+        "apply_changelog",
         # code changed in round 6 (HLL envelope, asof tiebreak) — re-confirm
         "hll_user_rollup",
         "asof_join_forward",

@@ -118,3 +118,93 @@ def test_upsample_mix_copy_counts(spark):
     # copy ids are 0..n-1 per row (distinct rows downstream)
     ids = out.filter(F.col("doc_id") == 0).select("copy_id").collect()
     assert sorted(r["copy_id"] for r in ids) == list(range(got[0]))
+
+
+def test_zorder_skips_on_both_dimensions(spark, sf_dir, tmp_path):
+    """The point of Morton clustering vs a 1-D sort: row-group min/max
+    stats are selective on BOTH dimensions. Measured on the parquet
+    footers: the 1-D layout skips on its sort key but not the second
+    column; the z-order layout skips on each."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.operators.zorder import write_zorder
+    from stock_market_data_pipeline_spark.sinks.lake import write_clustered
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    oned, zed = str(tmp_path / "oned"), str(tmp_path / "zed")
+    write_clustered(li, oned, ["l_partkey"], n_files=8)
+    write_zorder(li, zed, ("l_partkey", "l_suppkey"), bits=8, n_files=8)
+
+    targets = {
+        "l_partkey": li.agg(F.expr("percentile_approx(l_partkey, 0.5)")).first()[0],
+        "l_suppkey": li.agg(F.expr("percentile_approx(l_suppkey, 0.5)")).first()[0],
+    }
+
+    def hit_fraction(path: str, col: str) -> float:
+        total = hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st.min <= targets[col] <= st.max:
+                    hits += 1
+        return hits / total
+
+    # 1-D: selective on the sort key, blind on the other column
+    assert hit_fraction(oned, "l_partkey") <= 0.3
+    assert hit_fraction(zed, "l_partkey") <= 0.75
+    assert hit_fraction(zed, "l_suppkey") <= 0.75
+    # z-order beats the 1-D layout on the non-sort dimension
+    assert hit_fraction(zed, "l_suppkey") < hit_fraction(oned, "l_suppkey")
+    assert spark.read.parquet(zed).count() == li.count()
+
+
+def test_apply_changelog_semantics(spark):
+    from stock_market_data_pipeline_spark.operators.cdc import apply_changelog
+
+    rows = [
+        # key 1: upsert then update -> final v=20
+        (1, 10, "upsert", 10.0),
+        (1, 11, "upsert", 20.0),
+        # key 2: upsert then delete -> gone
+        (2, 20, "upsert", 5.0),
+        (2, 21, "delete", None),
+        # key 3: delete then re-insert -> back with v=7
+        (3, 30, "delete", None),
+        (3, 31, "upsert", 7.0),
+        # key 4: tie on seq, delete wins over upsert
+        (4, 40, "upsert", 1.0),
+        (4, 40, "delete", None),
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(df, keys=["k"], seq_col="seq").collect()
+    }
+    assert got == {1: 20.0, 3: 7.0}
+
+
+def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.operators.drift import psi_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    shifted = spark.range(2000).select(
+        (F.col("id") % 100 * 0.3 + 70).cast("double").alias("v")
+    )
+    same = psi_drift(base, base, "v").first()["psi_total"]
+    moved = psi_drift(base, shifted, "v").first()["psi_total"]
+    assert abs(same) < 1e-6          # identical distribution -> PSI ~ 0
+    assert moved > 0.25              # concentration shift -> major drift
+    # out-of-range current values clamp into edge bins, never vanish
+    out = psi_drift(base, shifted, "v")
+    assert out.agg(F.sum("cur_count")).first()[0] == 2000
