@@ -21,6 +21,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def changelog_winners(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """One row per key: the operation that wins under (seq desc,
+    delete-first, value-columns desc) ordering — ``op_col`` retained so
+    callers folding into existing state can treat delete winners as
+    tombstones. The building block of :func:`apply_changelog` and the
+    streaming fold (``streaming/pipeline.py:stream_apply_changelog``).
+    """
+    others = [c for c in changes.columns if c not in (*keys, seq_col, op_col)]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        (F.col(op_col) == delete_op).cast("int").desc(),
+        *[F.col(c).desc_nulls_last() for c in others],
+    )
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def apply_changelog(
     changes: DataFrame,
     keys: list[str],
@@ -36,16 +62,7 @@ def apply_changelog(
     by the remaining value columns for full determinism. Output drops the
     op/seq bookkeeping and keeps one row per surviving key.
     """
-    others = [
-        c for c in changes.columns if c not in (*keys, seq_col, op_col)
-    ]
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(seq_col).desc(),
-        (F.col(op_col) == delete_op).cast("int").desc(),
-        *[F.col(c).desc_nulls_last() for c in others],
+    winners = changelog_winners(
+        changes, keys, seq_col, op_col=op_col, delete_op=delete_op
     )
-    return (
-        changes.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
-        .drop("_rn", op_col)
-    )
+    return winners.filter(F.col(op_col) != delete_op).drop(op_col)
