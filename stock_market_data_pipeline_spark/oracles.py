@@ -2729,3 +2729,41 @@ winner AS (
 )
 SELECT user_id, event_id, value FROM winner WHERE op <> 'delete'
 """
+
+
+# X90: Q17-flavored correlated-subquery decomposition.
+ORACLES["small_quantity_revenue"] = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+bl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN bp ON l_partkey = p_partkey
+),
+pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM bl GROUP BY 1)
+SELECT round(CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(25,10))), 2) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+       count(*) AS line_count
+FROM bl JOIN pa USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+# X91: LTV deciles — ntile(10) over the exact per-customer totals,
+# custkey tiebreak keeps the decile assignment engine-identical.
+ORACLES["customer_value_deciles"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(ROUND(sum(CAST(o_totalprice AS DECIMAL(25,10))), 2) AS DOUBLE) AS cust_value,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+d AS (
+  SELECT *, ntile(10) OVER (ORDER BY cust_value, o_custkey) AS decile
+  FROM per_cust
+)
+SELECT decile,
+       count(*) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       round(min(cust_value), 6) AS min_value,
+       round(max(cust_value), 6) AS max_value,
+       CAST(ROUND(sum(CAST(cust_value AS DECIMAL(25,10))), 2) AS DOUBLE) AS decile_value
+FROM d GROUP BY 1
+"""

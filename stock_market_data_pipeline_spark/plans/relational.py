@@ -716,3 +716,74 @@ def nation_trade_volume(
             F.count(F.lit(1)).alias("line_count"),
         )
     )
+
+
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#1", factor: float = 0.5
+) -> DataFrame:
+    """TPC-H Q17-flavored: average yearly revenue lost to small orders —
+    lineitems of one brand's parts whose quantity is below ``factor`` × that
+    part's average quantity.
+
+    The correlated subquery (per-part average) is decomposed the way the
+    optimizer would: ONE extra aggregate over the already-brand-filtered
+    lineitem slice, broadcast back and compared as a residual — the fact
+    table is scanned twice but both scans carry the brand's partkeys only
+    (bloom/semi-join prunable); no row ever compares against a global
+    aggregate. Quantities are integral doubles, so the per-part mean is
+    exact and the threshold comparison is engine-deterministic.
+    """
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == brand)
+        .select("p_partkey")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    per_part = brand_li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        brand_li.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(factor) * F.col("_avg_qty"))
+        .agg(
+            round_det(
+                _exact_sum_dbl(F.col("l_extendedprice")) / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles via ntile(10) over exact per-customer
+    revenue — the segmentation query every CRM rollup runs.
+
+    Scale notes: revenue per customer is one map-side-combined aggregate;
+    the ntile window is a single global sort of the CUSTOMER-cardinality
+    frame (not the fact table) — at 100 TB that frame is still millions of
+    rows, which one range-partitioned sort handles; ties are broken by
+    custkey so the decile assignment is engine-deterministic.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _exact_sum_dbl(F.col("o_totalprice")).alias("cust_value"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy(F.col("cust_value"), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            round_det(F.min("cust_value")).alias("min_value"),
+            round_det(F.max("cust_value")).alias("max_value"),
+            # cust_value is already 2-dp; re-summing through decimal keeps
+            # the per-decile total order-independent (the _exact_sum_dbl
+            # discipline), not a double fold whose last ulp drifts.
+            _exact_sum_dbl(F.col("cust_value")).alias("decile_value"),
+        )
+    )

@@ -205,6 +205,18 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.nation_trade_volume(spark, sf_dir)
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-flavored correlated-subquery decomposition: revenue from
+    below-half-of-part-average quantity lines, one brand."""
+    return relational.small_quantity_revenue(spark, sf_dir)
+
+
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer LTV deciles: ntile(10) over exact per-customer revenue,
+    tie-broken by key for cross-engine determinism."""
+    return relational.customer_value_deciles(spark, sf_dir)
+
+
 def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-flavored: scalar subquery (exact global avg balance) +
     anti-join (customers with no orders)."""
@@ -1832,6 +1844,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_fingerprint": q_zorder_fingerprint,
     "psi_drift": q_psi_drift,
     "apply_changelog": q_apply_changelog,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "customer_value_deciles": q_customer_value_deciles,
     "hll_user_rollup": q_hll_user_rollup,
     "asof_join_forward": q_asof_join_forward,
     "session_peak_overlap": q_session_peak_overlap,

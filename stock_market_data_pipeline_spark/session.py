@@ -26,6 +26,14 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Runtime row-level filtering: when a selective filter sits on the
+    # build side of a shuffle join, inject a bloom filter on the probe-side
+    # scan — at 100 TB this prunes fact-table rows before they ever ride
+    # the shuffle. Size gates (creationSideThreshold 10 MB / application-
+    # side scan threshold 10 GB) stay at Spark defaults so tiny local joins
+    # skip the overhead; tests pin the injection with the gates lowered
+    # (tests/test_plan_shapes.py::test_runtime_bloom_filter_injects).
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # Arrow for mapInPandas / pandas_udf operators (multimodal, ANN rerank).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",

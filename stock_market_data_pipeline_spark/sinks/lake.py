@@ -392,9 +392,14 @@ def _list_versions(fs: _HadoopFS, root: str) -> tuple[list[int], list[int]]:
     return live, sorted(set(known) | set(committed))
 
 
-def resolve_version(spark: SparkSession, root: str) -> str | None:
-    """Path of the newest COMMITTED version of a versioned table, or None.
+def resolve_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> str | None:
+    """Path of a COMMITTED version of a versioned table, or None.
 
+    ``version=None`` resolves the newest committed version; an explicit
+    number time-travels to that version (it must still be inside the GC
+    retention window — ``KeyError`` names the available versions if not).
     Readers call this (or :func:`read_versioned`) instead of hard-coding a
     data path; an in-flight or crashed publish is invisible because its
     version has no commit marker yet.
@@ -403,14 +408,50 @@ def resolve_version(spark: SparkSession, root: str) -> str | None:
     committed, _ = _list_versions(fs, root)
     if not committed:
         return None
-    return f"{root.rstrip('/')}/{_version_name(committed[-1])}"
+    if version is None:
+        n = committed[-1]
+    elif version in committed:
+        n = version
+    else:
+        raise KeyError(
+            f"version {version} not committed under {root}; "
+            f"available: {committed}"
+        )
+    return f"{root.rstrip('/')}/{_version_name(n)}"
 
 
-def read_versioned(spark: SparkSession, root: str, fmt: str = "parquet") -> DataFrame:
-    v = resolve_version(spark, root)
+def read_versioned(
+    spark: SparkSession,
+    root: str,
+    fmt: str = "parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """Read a versioned table — the latest committed version, or an
+    explicit ``version`` for time travel (within the retention window)."""
+    v = resolve_version(spark, root, version=version)
     if v is None:
         raise FileNotFoundError(f"no committed version under {root}")
     return spark.read.format(fmt).load(v)
+
+
+def committed_versions(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers currently readable (newest last) — what time travel
+    and rollback can reach; bounded by ``keep_versions`` at publish time."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_versions(fs, root)
+    return committed
+
+
+def rollback_version(spark: SparkSession, root: str, version: int) -> str:
+    """Roll the table back by RE-PUBLISHING an old version's data as the
+    next version (copy-forward, exactly how Delta/Iceberg restore works):
+    history stays linear and append-only, the bad version remains
+    inspectable until GC, and concurrent readers never see a pointer move
+    backwards — they just observe another commit.
+    """
+    src = resolve_version(spark, root, version=version)
+    df = spark.read.parquet(src)
+    return publish_version(spark, df, root)
 
 
 def publish_version(

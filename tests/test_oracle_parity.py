@@ -46,6 +46,8 @@ def test_driver_window_composition():
         "zorder_fingerprint",
         "psi_drift",
         "apply_changelog",
+        "small_quantity_revenue",
+        "customer_value_deciles",
         # code changed in round 6 (HLL envelope, asof tiebreak) — re-confirm
         "hll_user_rollup",
         "asof_join_forward",

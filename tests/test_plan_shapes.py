@@ -308,3 +308,42 @@ def test_price_band_join_is_equi_with_residual(spark, sf_dir):
     # equi prefix on both keys, band containment as the residual
     assert "symbol" in band and "date" in band, band
     assert "band_lo" in band and "band_hi" in band, band
+
+
+def test_runtime_bloom_filter_injects(spark, tmp_path):
+    """The 100 TB shuffle-pruning path: a selective dim filter injects a
+    bloom filter (might_contain) on the fact scan side of a shuffle join.
+    Size gates are lowered here because the local fixture is tiny; the
+    session factory keeps Spark's production thresholds."""
+    from pyspark.sql import functions as F
+
+    fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("v")
+    ).write.parquet(fact_p)
+    spark.range(50_000).select(
+        F.col("id").alias("k"), F.lit("x").alias("attr")
+    ).write.parquet(dim_p)
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("k") % 100 == 0)
+        plan = (
+            fact.join(dim, "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

@@ -143,3 +143,39 @@ def test_compact_versioned_no_missing_instant(spark, tmp_path):
 def test_compact_versioned_requires_committed_version(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         compact_versioned(spark, str(tmp_path / "missing"))
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        committed_versions,
+        rollback_version,
+    )
+
+    root = str(tmp_path / "t")
+    publish_version(spark, _kv(spark, [(1, 1.0, 0)]), root, keep_versions=3)
+    publish_version(
+        spark, _kv(spark, [(1, 2.0, 1), (2, 2.0, 1)]), root, keep_versions=3
+    )
+    publish_version(spark, _kv(spark, [(1, 3.0, 2)]), root, keep_versions=3)
+    assert committed_versions(spark, root) == [1, 2, 3]
+
+    # time travel: each committed version reads back its own state
+    assert read_versioned(spark, root, version=1).count() == 1
+    assert read_versioned(spark, root, version=2).count() == 2
+    assert {r.v for r in read_versioned(spark, root, version=3).collect()} == {3.0}
+    # latest (no version) is v3
+    assert {r.v for r in read_versioned(spark, root).collect()} == {3.0}
+
+    # GC'd / never-committed versions are unreachable with a clear error
+    with pytest.raises(KeyError, match="available"):
+        read_versioned(spark, root, version=9)
+
+    # rollback = copy-forward re-publish: history stays linear (v4), the
+    # restored state equals v2, and v3 remains inspectable
+    rollback_version(spark, root, 2)
+    assert committed_versions(spark, root)[-1] == 4
+    assert {(r.k, r.v) for r in read_versioned(spark, root).collect()} == {
+        (1, 2.0),
+        (2, 2.0),
+    }
+    assert read_versioned(spark, root, version=3).count() == 1
