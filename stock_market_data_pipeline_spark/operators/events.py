@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from stock_market_data_pipeline_spark.utils import round_det, to_epoch_seconds
+from stock_market_data_pipeline_spark.utils import (
+    round_det,
+    to_epoch_micros,
+    to_epoch_seconds,
+)
 
 
 def sessionize(
@@ -39,12 +43,19 @@ def sessionize(
     the cumulative-sum window is rows-unbounded-preceding, which Spark
     evaluates streamingly within each partition — no buffering of the whole
     key group beyond the sort.
+
+    The gap compares MICROsecond epochs: Spark's native ``session_window``
+    (the streaming twin, ``stream_session_stats``) is sub-second-precise,
+    and flooring to seconds splits a session the native window merges
+    whenever the true gap lands within 1 s below the threshold — a real
+    event pair at sf0.1 (gap 1799.337 s → floored 1800) caught exactly
+    this, so the precision is part of the parity contract, not pedantry.
     """
     w_ord = Window.partitionBy(key).orderBy(ts)
-    epoch = to_epoch_seconds(ts)  # NTZ-safe: bare cast("long") crashes on NTZ
-    gap_expr = epoch - F.lag(epoch).over(w_ord)
+    micros = to_epoch_micros(ts)  # NTZ-safe + sub-second (see utils)
+    gap_expr = micros - F.lag(micros).over(w_ord)
     new_session = F.when(
-        gap_expr.isNull() | (gap_expr >= gap_minutes * 60), F.lit(1)
+        gap_expr.isNull() | (gap_expr >= gap_minutes * 60_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",

@@ -1753,8 +1753,7 @@ FROM vlist v LEFT JOIN hits h USING (variant) CROSS JOIN tot t
 WITH m AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) // 1000000
-                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -1780,8 +1779,7 @@ FROM s GROUP BY 1, 2
 WITH m AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) // 1000000
-                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -2222,8 +2220,7 @@ ORACLES["session_peak_overlap"] = """
 WITH m AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) // 1000000
-                   - epoch_us(lag(ts) OVER w) // 1000000 >= 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -1818,15 +1818,21 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-core anchors up to 50. Everything — in or out of the window — is still
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # sweeps the whole dict).
-# ROUND-6 WINDOW: 3 new/changed round-6 rows (multimodal_resize,
+# ROUND-6 WINDOW (leads, in order): 3 new/changed rows (multimodal_resize,
 # stream_incremental_dedup, multimodal_image_features — the BMP contract
-# replaced the stub contract) + approx_stats (the one never-driver-green
-# query) + hll_user_rollup/asof_join_forward (code touched this round) +
-# the 22 once-green r5 rows + §2 anchors.
+# replaced the stub contract), approx_stats (the one never-driver-green
+# query), then the 13 later round-6 additions (promo_revenue_pct ..
+# customer_value_deciles), hll_user_rollup/asof_join_forward (code touched
+# this round), the 22 once-green r5 rows, and §2 anchors to 50. The
+# twice-green anchors that fell past 50 this round (dedup_keep_last ..
+# session_windows) are intentional casualties of the never-checked-first
+# rule.
 # NEXT ROUND (7): once CORRECTNESS_r06 is green, rotate the confirmed
 # twice-green rows down past 50, lead with round-7 additions, and pull the
-# r4-twice-green block (event_funnel .. lsh_cosine_topk_multiprobe, below
-# position 50 now) back through the tail as slots free up; update
+# displaced anchors (dedup_keep_last, asof_join, null_fill_defaults,
+# dedup_exact, pricing_summary, …) plus the r4-twice-green block
+# (event_funnel .. lsh_cosine_topk_multiprobe) back through the tail as
+# slots free up; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize": q_multimodal_resize,

@@ -37,6 +37,21 @@ def to_epoch_seconds(col: Column | str) -> Column:
     return c.cast("timestamp").cast("long")
 
 
+def to_epoch_micros(col: Column | str) -> Column:
+    """Epoch MICROseconds from a timestamp of either flavor (LTZ or NTZ).
+
+    The sub-second-precise sibling of :func:`to_epoch_seconds` — required
+    wherever a comparison must agree with Spark's native event-time
+    machinery (session_window, watermarks), which works at microsecond
+    precision. Flooring to seconds first moves gap comparisons by up to
+    ~1 s, which is exactly the boundary bug the r6 sf0.1 mirror caught in
+    ``sessionize`` (a 1799.34 s gap truncated to 1800 and split a session
+    the native session_window merges).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def round_doubles(df: DataFrame, scale: int = 6, exclude: tuple[str, ...] = ()) -> DataFrame:
     """Round every DoubleType column to ``scale`` decimals (biased — see
     ROUND_BIAS).
