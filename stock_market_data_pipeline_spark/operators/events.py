@@ -39,7 +39,11 @@ def sessionize(
     """Assign a per-key ordinal ``session_id`` using the idle-gap rule.
 
     A new session starts when the gap to the previous event of the same key
-    is >= ``gap_minutes``. One shuffle (hash on ``key``) + one per-key sort;
+    is STRICTLY greater than ``gap_minutes``; a gap of exactly the
+    threshold stays in the session, matching Spark's native
+    ``session_window`` (whose merge test is inclusive: an event landing
+    exactly at ``last + gap`` extends the session — pinned by
+    tests/test_stream_merge.py::test_subsecond_gap_boundary_batch_stream_agree). One shuffle (hash on ``key``) + one per-key sort;
     the cumulative-sum window is rows-unbounded-preceding, which Spark
     evaluates streamingly within each partition — no buffering of the whole
     key group beyond the sort.
@@ -55,7 +59,7 @@ def sessionize(
     micros = to_epoch_micros(ts)  # NTZ-safe + sub-second (see utils)
     gap_expr = micros - F.lag(micros).over(w_ord)
     new_session = F.when(
-        gap_expr.isNull() | (gap_expr >= gap_minutes * 60_000_000), F.lit(1)
+        gap_expr.isNull() | (gap_expr > gap_minutes * 60_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     return df.withColumn(
         "session_id",

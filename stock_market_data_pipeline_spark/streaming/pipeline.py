@@ -82,10 +82,12 @@ def stream_session_stats(
     formulation that survives an unbounded stream; the batch lag/cumsum
     formulation needs the whole key history and is the backfill path.
 
-    Gap-boundary semantics match batch ``sessionize`` exactly: the session
-    window is ``[first, last + gap)`` with an exclusive end, so an event at
-    precisely ``last + gap`` starts a NEW session — the batch rule's
-    ``gap >= gap_minutes * 60``. (``session_start``/``session_end`` here are
+    Gap-boundary semantics match batch ``sessionize`` exactly, at
+    MICROsecond precision: the native merge test is inclusive, so an event
+    at precisely ``last + gap`` EXTENDS the session — the batch rule's
+    strict ``gap > gap_minutes`` (measured, not assumed: the boundary test
+    in test_stream_merge.py pins 1799.9 s/1800.0 s/1800.1 s gaps to
+    merge/merge/split on both formulations). (``session_start``/``session_end`` here are
     the observed event bounds, same as the batch rollup, not the padded
     window end.)
 

@@ -57,3 +57,43 @@ def test_stream_merge_upsert_idempotent(spark, sf_dir, tmp_path):
     # second run with same checkpoint: no new data → table unchanged
     run()
     assert spark.read.parquet(table).count() == n1
+
+
+def test_subsecond_gap_boundary_batch_stream_agree(spark):
+    """r6 sf0.1 mirror catch: a gap of 1799.9 s (just under the 30-min
+    threshold) and a gap of exactly 1800.0 s must MERGE in both the batch
+    lag/cumsum sessionizer and the native session_window (whose merge test
+    is inclusive); 1800.1 s must SPLIT in both. Floored-seconds comparison
+    gets the first wrong; a >= batch rule gets the second wrong."""
+    import datetime
+
+    from stock_market_data_pipeline_spark.operators.events import session_stats
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_session_stats,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 1799.9 s gap -> one session
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(seconds=1799, microseconds=900_000), 1.0),
+        # user 2: 1800.1 s gap -> two sessions
+        (2, t0, 1.0),
+        (2, t0 + datetime.timedelta(seconds=1800, microseconds=100_000), 1.0),
+        # user 3: exactly 1800.0 s -> ONE session (native merge is inclusive)
+        (3, t0, 1.0),
+        (3, t0 + datetime.timedelta(seconds=1800), 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    batch = session_stats(ev, key="user_id", ts="ts", value="value")
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # stream_session_stats runs the same plan on a batch frame (its parity mode)
+    native = stream_session_stats(ev)
+    native_counts = {
+        r["user_id"]: r["n"]
+        for r in native.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert batch_counts == native_counts == {1: 1, 2: 2, 3: 1}
