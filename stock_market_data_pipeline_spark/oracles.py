@@ -2764,3 +2764,33 @@ SELECT decile,
        CAST(ROUND(sum(CAST(cust_value AS DECIMAL(25,10))), 2) AS DOUBLE) AS decile_value
 FROM d GROUP BY 1
 """
+
+
+# X94: Q9-flavored profit rollup (modeled supply cost — no partsupp).
+ORACLES["product_profit"] = """
+SELECT sn.n_name AS supp_nation,
+       year(o_orderdate) AS o_year,
+       CAST(ROUND(sum(CAST(l_extendedprice * (1 - l_discount)
+             - 0.6 * p_retailprice * l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE) AS profit,
+       count(*) AS line_count
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# X95: Q13-flavored count-of-counts including the zero bucket.
+ORACLES["customer_order_distribution"] = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n
+  FROM orders WHERE o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT COALESCE(n, 0) AS order_count,
+       count(*) AS n_customers
+FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""

@@ -787,3 +787,75 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             _exact_sum_dbl(F.col("cust_value")).alias("decile_value"),
         )
     )
+
+
+def product_profit(spark: SparkSession, sf_dir: str, name_like: str = "widget") -> DataFrame:
+    """TPC-H Q9-flavored: profit by (supplier nation, order year) for one
+    product family — revenue minus a modeled supply cost (0.6 × retail ×
+    qty; the lake ships no partsupp.ps_supplycost, so the cost model is a
+    deterministic function of part attributes, documented rather than
+    hidden).
+
+    Scale shape: the part family filter broadcasts (name predicate
+    evaluated dim-side before the join), supplier→nation broadcast-
+    attaches, and the one fact-fact shuffle is lineitem⋈orders on
+    orderkey — identical to the Q7 plan discipline.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(name_like))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _exact_sum_dbl(profit).alias("profit"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+def customer_order_distribution(
+    spark: SparkSession, sf_dir: str, exclude_priority: str = "1-URGENT"
+) -> DataFrame:
+    """TPC-H Q13-flavored count-of-counts: how many customers placed
+    exactly N qualifying orders — INCLUDING the zero bucket, which forces
+    the left outer join a naive inner-join rollup silently drops.
+
+    Scale shape: per-customer counts come from one aggregate on the orders
+    side; customers LEFT-join that small result (broadcast); the final
+    count-of-counts groups the customer-cardinality frame by a tiny key.
+    """
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != exclude_priority)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        cust.join(
+            F.broadcast(per_cust), cust.c_custkey == per_cust.o_custkey, "left"
+        )
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("order_count"))
+        .groupBy("order_count")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

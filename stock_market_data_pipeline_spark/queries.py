@@ -217,6 +217,18 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.customer_value_deciles(spark, sf_dir)
 
 
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-flavored profit by (supplier nation, year) for one product
+    family, modeled supply cost (no partsupp in the lake)."""
+    return relational.product_profit(spark, sf_dir)
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-flavored count-of-counts with the zero bucket (left outer
+    join against the per-customer order counts)."""
+    return relational.customer_order_distribution(spark, sf_dir)
+
+
 def q_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-flavored: scalar subquery (exact global avg balance) +
     anti-join (customers with no orders)."""
@@ -1852,6 +1864,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "apply_changelog": q_apply_changelog,
     "small_quantity_revenue": q_small_quantity_revenue,
     "customer_value_deciles": q_customer_value_deciles,
+    "product_profit": q_product_profit,
+    "customer_order_distribution": q_customer_order_distribution,
     "hll_user_rollup": q_hll_user_rollup,
     "asof_join_forward": q_asof_join_forward,
     "session_peak_overlap": q_session_peak_overlap,

@@ -48,6 +48,8 @@ def test_driver_window_composition():
         "apply_changelog",
         "small_quantity_revenue",
         "customer_value_deciles",
+        "product_profit",
+        "customer_order_distribution",
         # code changed in round 6 (HLL envelope, asof tiebreak) — re-confirm
         "hll_user_rollup",
         "asof_join_forward",
