@@ -10,8 +10,13 @@ bin (≤ n_bins rows ever cross a shuffle). Fixed-width bins from the
 reference range — not quantile edges — keep the whole computation
 deterministic and DuckDB-reproducible (exact cross-engine quantiles of
 doubles are not portable; fixed edges are plain IEEE arithmetic).
-Laplace-style smoothing (+0.5 per bin) keeps PSI finite when a bin is
-empty on one side — the drift signal itself, not an error.
+Bin proportions are plain ``count/N`` clamped to an epsilon floor before
+the log — additive (Laplace) smoothing looks tempting but biases PSI > 0
+for IDENTICAL distributions whenever the two samples differ in size (the
+smoothed masses get different denominators); the epsilon clamp keeps
+identical-distribution PSI exactly 0 at any size ratio while still
+keeping empty-on-one-side bins finite (and loud — an empty bin against
+real mass is the drift signal itself, not an error).
 """
 
 from __future__ import annotations
@@ -72,11 +77,10 @@ def psi_drift(
     tot = joined.agg(
         F.sum("ref_count").alias("_rn"), F.sum("cur_count").alias("_cn")
     )
-    smooth = F.lit(0.5)
-    denom_extra = F.lit(0.5 * n_bins)
+    eps = F.lit(1e-6)
     out = joined.join(F.broadcast(tot))
-    p = (F.col("ref_count") + smooth) / (F.col("_rn") + denom_extra)
-    q = (F.col("cur_count") + smooth) / (F.col("_cn") + denom_extra)
+    p = F.greatest(F.col("ref_count") / F.col("_rn"), eps)
+    q = F.greatest(F.col("cur_count") / F.col("_cn"), eps)
     term = (q - p) * F.log(q / p)
     out = out.select(
         "bin",

@@ -2694,10 +2694,12 @@ counts AS (
 tot AS (SELECT sum(ref_count) AS rn, sum(cur_count) AS cn FROM counts),
 terms AS (
   SELECT bin, ref_count, cur_count,
-         round((ref_count + 0.5) / (rn + 5.0), 6) AS ref_pct,
-         round((cur_count + 0.5) / (cn + 5.0), 6) AS cur_pct,
-         round(((cur_count + 0.5) / (cn + 5.0) - (ref_count + 0.5) / (rn + 5.0))
-               * ln(((cur_count + 0.5) / (cn + 5.0)) / ((ref_count + 0.5) / (rn + 5.0))), 6) AS psi_term
+         round(greatest(ref_count / CAST(rn AS DOUBLE), 1e-6), 6) AS ref_pct,
+         round(greatest(cur_count / CAST(cn AS DOUBLE), 1e-6), 6) AS cur_pct,
+         round((greatest(cur_count / CAST(cn AS DOUBLE), 1e-6)
+                - greatest(ref_count / CAST(rn AS DOUBLE), 1e-6))
+               * ln(greatest(cur_count / CAST(cn AS DOUBLE), 1e-6)
+                    / greatest(ref_count / CAST(rn AS DOUBLE), 1e-6)), 6) AS psi_term
   FROM counts CROSS JOIN tot
 )
 SELECT bin, ref_count, cur_count, ref_pct, cur_pct, psi_term,

@@ -208,3 +208,63 @@ def test_psi_drift_detects_shift_and_is_zero_on_identity(spark):
     # out-of-range current values clamp into edge bins, never vanish
     out = psi_drift(base, shifted, "v")
     assert out.agg(F.sum("cur_count")).first()[0] == 2000
+
+
+def test_zorder_degenerate_and_null_dimensions(spark):
+    from stock_market_data_pipeline_spark.operators.zorder import with_zvalue
+
+    # constant y (degenerate range) -> y-bin 0 everywhere; z reduces to the
+    # x interleave. NULL x -> bin 0 (degrades, never errors).
+    df = spark.createDataFrame(
+        [(1, 0, 7), (2, 255, 7), (3, None, 7)],
+        "id long, x int, y int",
+    )
+    got = {r["id"]: r["zval"] for r in with_zvalue(df, "x", "y", bits=8).collect()}
+    assert got[1] == 0
+    # x=255 -> all 8 even bits set = 0b0101010101010101 = 21845
+    assert got[2] == 0x5555
+    assert got[3] == 0
+
+
+def test_upsample_mix_defaults_and_empty_weights(spark):
+    from stock_market_data_pipeline_spark.operators.sampling import upsample_mix
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, grp string"
+    )
+    # unlisted groups keep default weight 1.0 -> exactly one copy each
+    out = upsample_mix(df, {}, group_col="grp").collect()
+    assert sorted((r["doc_id"], r["copy_id"]) for r in out) == [(1, 0), (2, 0)]
+    # default_weight=0 drops unlisted groups
+    out = upsample_mix(df, {"a": 2.0}, group_col="grp", default_weight=0.0)
+    got = sorted((r["doc_id"], r["copy_id"]) for r in out.collect())
+    assert got == [(1, 0), (1, 1)]
+
+
+def test_soft_dedup_null_and_whitespace_fingerprints(spark):
+    from stock_market_data_pipeline_spark.operators.dedup import soft_dedup
+
+    df = spark.createDataFrame(
+        [(1, "  hello   world "), (2, "hello world"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in soft_dedup(df).collect()}
+    # whitespace-normalized texts share a fingerprint; min id is canonical
+    assert got[1]["fingerprint"] == got[2]["fingerprint"]
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
+    # NULL text -> NULL fingerprint group of one, kept as its own canonical
+    assert got[3]["fingerprint"] is None and got[3]["kept"]
+
+
+def test_psi_drift_degenerate_reference_range(spark):
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.operators.drift import psi_drift
+
+    # constant reference -> hi == lo -> everything bins to 0 on both sides;
+    # PSI must be ~0 (identical concentration), never a divide-by-zero
+    ref = spark.range(100).select(F.lit(5.0).alias("v"))
+    cur = spark.range(50).select(F.lit(5.0).alias("v"))
+    out = psi_drift(ref, cur, "v")
+    assert abs(out.first()["psi_total"]) < 1e-6
+    assert out.filter(F.col("bin") == 0).first()["ref_count"] == 100
