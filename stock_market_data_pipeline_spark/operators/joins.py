@@ -106,9 +106,22 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
-    for c in rcols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    unioned = unioned.withColumn("_rts", F.last(F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True).over(w))
+    # ONE select computes every carried column against the ORIGINAL frame.
+    # A sequential withColumn loop would rebind each rcol in place while the
+    # shared window still orders by those very names, so later columns would
+    # be carried under a different (already-carried) tie ordering than the
+    # first — on ties that can stitch values from different right rows into
+    # a combination that exists on no input row (round-6 review catch).
+    unioned = unioned.select(
+        "_k",
+        "_ts",
+        "_is_left",
+        *[F.col(c) for c in lcols],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(
+            F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
+        ).over(w).alias("_rts"),
+    )
     out = unioned.filter(F.col("_is_left") == 1)
     if tolerance is not None:
         if direction == "backward":

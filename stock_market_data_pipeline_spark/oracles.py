@@ -836,8 +836,11 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 ),
 clicks AS (
-  SELECT user_id, ts AS cts, value AS last_click_value
-  FROM events WHERE event_type = 'click'
+  -- collapse duplicate (user, ts) clicks to the max value: DuckDB ASOF
+  -- picks an arbitrary duplicate, Spark's tiebreak picks the greatest
+  -- value tuple — this reduction makes both deterministic AND identical
+  SELECT user_id, ts AS cts, max(value) AS last_click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
 )
 SELECT p.user_id, p.pts, p.event_id, p.purchase_value, c.last_click_value
 FROM purchases p
@@ -2467,15 +2470,21 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 ),
 clicks AS (
-  SELECT user_id, ts AS cts, value AS next_click_value
-  FROM events WHERE event_type = 'click'
+  -- max-value reduction per (user, ts): same determinism rationale as the
+  -- backward oracle (Spark tiebreak == greatest value tuple at equal ts)
+  SELECT user_id, ts AS cts, max(value) AS next_click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
 )
 SELECT p.user_id, p.pts, p.event_id, p.purchase_value, c.next_click_value
 FROM purchases p
 ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.pts <= c.cts
 """
 
-ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}
+# (the _bias_rounds rebind lives at the very END of this module so that
+# every oracle — including ones registered below this point — receives the
+# same +1e-9 rounding bias the Spark side applies via utils.round_det;
+# round 6 review caught 18 oracles registered after a mid-file rebind that
+# silently never got biased)
 
 
 # X78: Q14-flavored promo share — one conditional aggregate; the pct is a
@@ -2561,8 +2570,9 @@ WITH purchases AS (
   FROM events WHERE event_type = 'purchase'
 ),
 clicks AS (
-  SELECT user_id, ts AS cts, value AS last_click_value
-  FROM events WHERE event_type = 'click'
+  -- max-value reduction per (user, ts): see the asof_join oracle
+  SELECT user_id, ts AS cts, max(value) AS last_click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
 )
 SELECT p.user_id, p.pts, p.event_id, p.purchase_value,
        CASE WHEN c.cts >= p.pts - INTERVAL 30 MINUTE
@@ -2668,9 +2678,11 @@ FROM binned
 """
 
 
-# X87: PSI drift — fixed-width bins from the reference range, +0.5
-# smoothing, per-bin terms + repeated total (sum of the ROUNDED terms,
-# mirrored exactly).
+# X87: PSI drift — fixed-width bins from the reference range; proportions
+# are plain count/N clamped to the 1e-6 floor (NOT Laplace smoothing,
+# which biases PSI > 0 for identical distributions of different sizes —
+# removed in round 6); per-bin terms + repeated total (sum of the ROUNDED
+# terms, mirrored exactly).
 ORACLES["psi_drift"] = """
 WITH bounds AS (
   SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
@@ -2796,3 +2808,9 @@ SELECT COALESCE(n, 0) AS order_count,
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
 GROUP BY 1
 """
+
+
+# Apply the cross-engine rounding bias to EVERY registered oracle (see
+# _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
+# stay the last statement in the module.
+ORACLES = {name: _bias_rounds(sql) for name, sql in ORACLES.items()}

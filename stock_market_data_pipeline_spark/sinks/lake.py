@@ -442,16 +442,23 @@ def committed_versions(spark: SparkSession, root: str) -> list[int]:
     return committed
 
 
-def rollback_version(spark: SparkSession, root: str, version: int) -> str:
+def rollback_version(
+    spark: SparkSession, root: str, version: int, fmt: str = "parquet"
+) -> str:
     """Roll the table back by RE-PUBLISHING an old version's data as the
     next version (copy-forward, exactly how Delta/Iceberg restore works):
     history stays linear and append-only, the bad version remains
     inspectable until GC, and concurrent readers never see a pointer move
-    backwards — they just observe another commit.
+    backwards — they just observe another commit. ``fmt`` must match the
+    format the table was published with.
     """
     src = resolve_version(spark, root, version=version)
-    df = spark.read.parquet(src)
-    return publish_version(spark, df, root)
+    if src is None:
+        raise FileNotFoundError(
+            f"no committed version under {root}; nothing to roll back to"
+        )
+    df = spark.read.format(fmt).load(src)
+    return publish_version(spark, df, root, fmt=fmt)
 
 
 def publish_version(
@@ -502,7 +509,12 @@ def publish_version(
         fs.delete(base)
     for orphan in set(known) - set(committed):
         if orphan < nxt:
-            fs.delete(f"{root.rstrip('/')}/{_version_name(orphan)}")
+            base = f"{root.rstrip('/')}/{_version_name(orphan)}"
+            fs.delete(base)
+            # A marker whose data dir vanished out-of-band is also an
+            # orphan (never resolvable — _list_versions requires both);
+            # delete the marker too or it survives every publish forever.
+            fs.delete(f"{base}{_COMMIT_SUFFIX}")
     return vpath
 
 

@@ -345,6 +345,22 @@ def merge_to_warehouse(
             cur.executemany(plan.insert, batch)
         _commit(cur)
     else:
+        # Executor staging ships the factory to the workers — fail HERE with
+        # an actionable message instead of a PicklingError deep inside a
+        # Spark task (the default changed from 'driver' in round 6; driver-
+        # local closures are the expected migration casualty).
+        import pickle
+
+        try:
+            pickle.dumps(cursor_factory)
+        except Exception as e:
+            raise ValueError(
+                "stage_via='executors' (the default) requires a picklable "
+                "cursor_factory — each partition opens its own connection "
+                "on a worker. Pass a factory object (e.g. "
+                "SqliteCursorFactory) or use stage_via='driver' for a "
+                f"driver-local connection. Pickle error: {e}"
+            ) from None
         insert_sql, size = plan.insert, batch_size
 
         def load_partition(rows):
@@ -354,11 +370,38 @@ def merge_to_warehouse(
             _commit(c)
 
         df.foreachPartition(load_partition)
+        # Guard against a factory whose connections don't share storage with
+        # the driver's (e.g. per-process in-memory DBs): the rows would land
+        # in executor-local limbo and the MERGE would 'succeed' on an empty
+        # stage — silent data loss. An empty stage for a non-empty frame is
+        # always that misconfiguration.
+        staged = cur.execute(f"SELECT count(*) FROM {plan.stage_table}")
+        n_staged = _scalar(staged, cur)
+        if n_staged == 0 and df.limit(1).count() > 0:
+            raise RuntimeError(
+                "executor staging wrote rows, but the driver connection "
+                f"sees an EMPTY stage table {plan.stage_table!r} — the "
+                "cursor_factory's connections do not share storage with "
+                "the driver's (per-process in-memory database?). Use a "
+                "file/network-backed warehouse or stage_via='driver'."
+            )
 
     for stmt in plan.merge:
         cur.execute(stmt)
     _commit(cur)
     return plan
+
+
+def _scalar(execute_result, cur):
+    """First column of the first row from a DB-API execute, tolerating
+    cursors whose execute() returns None (sqlite3 returns the cursor,
+    DuckDB connections return a relation, adapters may return nothing)."""
+    source = execute_result if execute_result is not None else cur
+    fetch = getattr(source, "fetchone", None)
+    if not callable(fetch):  # pragma: no cover - exotic adapters
+        return None
+    row = fetch()
+    return None if row is None else row[0]
 
 
 def _commit(cur) -> None:

@@ -268,3 +268,28 @@ def test_psi_drift_degenerate_reference_range(spark):
     out = psi_drift(ref, cur, "v")
     assert abs(out.first()["psi_total"]) < 1e-6
     assert out.filter(F.col("bin") == 0).first()["ref_count"] == 100
+
+
+def test_asof_tiebreak_never_stitches_rows(spark):
+    """Tied right rows where the greatest-tuple row has a NULL column: the
+    carried columns must all come from a consistent window ordering (the
+    round-6 review caught a sequential withColumn loop that re-ordered
+    later columns by already-carried values)."""
+    import datetime
+
+    from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0 + datetime.timedelta(minutes=5), 100.0)],
+        "k long, lts timestamp, lv double",
+    )
+    # two right rows tied on (k, ts)
+    right = spark.createDataFrame(
+        [(1, t0, 1.0, 10.0), (1, t0, 2.0, 5.0)],
+        "k long, rts timestamp, a double, b double",
+    )
+    r = as_of_join(left, right, key="k", left_ts="lts", right_ts="rts").first()
+    # deterministic pick: the greatest (a, b) tuple = (2.0, 5.0) — never a
+    # cross-row mix like (2.0, 10.0)
+    assert (r["a"], r["b"]) == (2.0, 5.0)

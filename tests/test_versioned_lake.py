@@ -179,3 +179,20 @@ def test_time_travel_and_rollback(spark, tmp_path):
         (2, 2.0),
     }
     assert read_versioned(spark, root, version=3).count() == 1
+
+
+def test_stale_marker_without_dir_is_gcd_and_rollback_errors_cleanly(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.lake import rollback_version
+
+    root = str(tmp_path / "t")
+    publish_version(spark, _kv(spark, [(1, 1.0, 0)]), root)
+    fs = _HadoopFS(spark, root)
+    # out-of-band incident: marker survives, data dir deleted
+    fs.write_text(f"{root}/v00000002._COMMITTED", "v00000002")
+    assert resolve_version(spark, root).endswith("/v00000001")  # never resolves to it
+    publish_version(spark, _kv(spark, [(1, 2.0, 1)]), root)
+    # the stale marker is gone after one publish (self-healing holds)
+    assert not fs.exists(f"{root}/v00000002._COMMITTED")
+    # rollback on an empty root errors with intent, not a Py4J crash
+    with pytest.raises(FileNotFoundError, match="nothing to roll back"):
+        rollback_version(spark, str(tmp_path / "empty"), 1)

@@ -372,3 +372,18 @@ def test_copy_mode_refused_without_file_ingestion(spark, tmp_path):
             dialect=SQLITE,
             stage_via="copy",
         )
+
+
+def test_executor_staging_rejects_unpicklable_factory(spark):
+    con = duckdb.connect()
+    batch = _daily(spark, [("AAPL", "2024-01-02", 1.0, 2.0, 0)])
+    with pytest.raises(ValueError, match="picklable cursor_factory"):
+        merge_to_warehouse(
+            batch,
+            lambda: _DuckCursor(con),  # closure over a live connection
+            "t",
+            ["symbol", "date"],
+            order_col="last_updated",
+            dialect=DUCKDB,
+            # default stage_via='executors'
+        )
