@@ -66,3 +66,32 @@ def apply_changelog(
         changes, keys, seq_col, op_col=op_col, delete_op=delete_op
     )
     return winners.filter(F.col(op_col) != delete_op).drop(op_col)
+
+
+def read_cdc_state(
+    spark,
+    table_root: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Live rows of a table materialized by
+    ``streaming/pipeline.py:stream_apply_changelog`` (either mode).
+
+    The stored table keeps ``op_col``/``seq_col`` bookkeeping so folds stay
+    seq-aware across micro-batches (tombstones persist as rows); this
+    reader hides that: resolve the latest committed version when the root
+    is a versioned table (else read the bucketed layout directly), drop
+    tombstone rows, and strip the op / bucket bookkeeping columns. The
+    sequence column stays — it is real data (the row's version).
+    """
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        BUCKET_COL,
+        resolve_version,
+    )
+
+    path = resolve_version(spark, table_root)
+    df = spark.read.parquet(path if path is not None else table_root)
+    live = df.filter(F.col(op_col) != delete_op).drop(op_col)
+    if BUCKET_COL in live.columns:
+        live = live.drop(BUCKET_COL)
+    return live

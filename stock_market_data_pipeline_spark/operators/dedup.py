@@ -122,3 +122,67 @@ def soft_dedup(
             ).alias("kept"),
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 5,
+) -> DataFrame:
+    """Line-level boilerplate removal (C4-style, X96): strip LINES that
+    repeat across many documents (headers, footers, nav chrome) while the
+    document-level dedup family handles whole-duplicate docs.
+
+    Pipeline: posexplode lines → fingerprint the trimmed line (md5, so the
+    doc-frequency shuffle carries 16-byte keys, not line text) → count
+    distinct docs per fingerprint → flag lines present in ≥ ``min_docs``
+    docs → reassemble each doc's surviving lines in original order.
+    Whitespace-only lines never count as boilerplate (dropping them by
+    frequency would strip paragraph structure from every document).
+
+    Output: one row per input document — ``text_clean`` (surviving lines
+    joined by newline; empty string when everything was boilerplate),
+    ``n_lines`` (total), ``n_removed``.
+
+    Scale shape: the inverted-index build is the same as the MinHash/LSH
+    band join (``neardup.py``) — one distinct + map-side-combined count on
+    the fingerprint, one fingerprint equi-join back (never all-pairs), one
+    groupBy on the doc id for reassembly. Line text crosses the reassembly
+    shuffle once, which any reassembling formulation pays.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    fp = F.md5(F.trim(F.col("line")))
+    freq = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .select(fp.alias("fp"), id_col)
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = freq.filter(F.col("n_docs") >= min_docs).select(
+        "fp", F.lit(1).alias("_boiler")
+    )
+    marked = lines.withColumn("fp", fp).join(boiler, "fp", "left")
+    keep = F.col("_boiler").isNull() | (F.trim(F.col("line")) == "")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~keep).cast("long")).alias("n_removed"),
+        )
+    )

@@ -38,8 +38,15 @@ def psi_drift(
     Output: one row per bin — ``bin`` (0..n_bins-1; out-of-reference-range
     current values clamp into the edge bins), ``ref_count``, ``cur_count``,
     ``ref_pct`` / ``cur_pct`` (smoothed, 6 dp), ``psi_term`` (6 dp) — plus
-    the scalar ``psi_total`` repeated per row so one frame carries both the
-    diagnosis (which bins moved) and the verdict.
+    the scalars ``psi_total``, ``ref_null_count`` and ``cur_null_count``
+    repeated per row so one frame carries the diagnosis (which bins
+    moved), the verdict, and the missingness signal.
+
+    NULL values are excluded from the bins and surfaced in the
+    ``*_null_count`` columns instead: folding them into bin 0 (the old
+    behavior) made a rising NULL rate masquerade as distribution mass at
+    the range minimum — missingness drift is its own signal, not bin-0
+    drift (round-6 ADVICE).
     """
     bounds = ref.agg(
         F.min(F.col(value_col).cast("double")).alias("_lo"),
@@ -47,15 +54,21 @@ def psi_drift(
     )
 
     def binned(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
         scaled = F.floor(
-            (F.col(value_col).cast("double") - F.col("_lo"))
+            (v - F.col("_lo"))
             / F.nullif(F.col("_hi") - F.col("_lo"), F.lit(0.0))
             * n_bins
         )
-        b = F.least(
-            F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)),
-            F.lit(n_bins - 1),
-        ).cast("int")
+        # NULL value -> NULL bin (split out below); non-NULL value with a
+        # degenerate reference range (hi == lo) -> bin 0 via the coalesce.
+        b = F.when(
+            v.isNotNull(),
+            F.least(
+                F.greatest(F.coalesce(scaled, F.lit(0)), F.lit(0)),
+                F.lit(n_bins - 1),
+            ).cast("int"),
+        )
         return (
             df.join(F.broadcast(bounds))
             .groupBy(b.alias("bin"))
@@ -65,6 +78,19 @@ def psi_drift(
     bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     r = binned(ref, "ref_count")
     c = binned(cur, "cur_count")
+    # The NULL-bin rows (≤ 1 per side of an already-aggregated ≤ n_bins+1
+    # frame) become the global missingness counters.
+    nulls = (
+        r.filter(F.col("bin").isNull())
+        .agg(F.coalesce(F.sum("ref_count"), F.lit(0)).alias("ref_null_count"))
+        .join(
+            c.filter(F.col("bin").isNull()).agg(
+                F.coalesce(F.sum("cur_count"), F.lit(0)).alias("cur_null_count")
+            )
+        )
+    )
+    r = r.filter(F.col("bin").isNotNull())
+    c = c.filter(F.col("bin").isNotNull())
     joined = (
         bins.join(r, "bin", "left")
         .join(c, "bin", "left")
@@ -79,8 +105,11 @@ def psi_drift(
     )
     eps = F.lit(1e-6)
     out = joined.join(F.broadcast(tot))
-    p = F.greatest(F.col("ref_count") / F.col("_rn"), eps)
-    q = F.greatest(F.col("cur_count") / F.col("_cn"), eps)
+    # nullif guards an all-NULL (or empty) side: 0-total division would
+    # throw under ANSI; greatest() skips the NULL and lands on the epsilon
+    # floor, so an empty side reads as uniform-epsilon mass (loud drift).
+    p = F.greatest(F.col("ref_count") / F.nullif(F.col("_rn"), F.lit(0)), eps)
+    q = F.greatest(F.col("cur_count") / F.nullif(F.col("_cn"), F.lit(0)), eps)
     term = (q - p) * F.log(q / p)
     out = out.select(
         "bin",
@@ -91,4 +120,8 @@ def psi_drift(
         round_det(term).alias("psi_term"),
     )
     total = out.agg(round_det(F.sum("psi_term")).alias("psi_total"))
-    return out.join(F.broadcast(total)).orderBy("bin")
+    return (
+        out.join(F.broadcast(total))
+        .join(F.broadcast(nulls))
+        .orderBy("bin")
+    )

@@ -106,18 +106,28 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = lt.unionByName(rt)
-    # ONE select computes every carried column against the ORIGINAL frame.
-    # A sequential withColumn loop would rebind each rcol in place while the
-    # shared window still orders by those very names, so later columns would
-    # be carried under a different (already-carried) tie ordering than the
-    # first — on ties that can stitch values from different right rows into
-    # a combination that exists on no input row (round-6 review catch).
+    # ALL carried columns come from ONE right row: the window carries a
+    # single struct of every rcol (non-null for every right row, even when
+    # individual fields are NULL) and unpacks it after. Per-column
+    # last(ignorenulls=True) — the previous form — skipped PAST the winning
+    # right row whenever it held NULL in one of several value columns,
+    # stitching that column from an older row into a combination that
+    # exists on no input row (round-6 review + round-7 ADVICE catch).
+    # A when(_is_left == 0, ...) guard keeps left rows out of the carry:
+    # their struct is NULL, so ignorenulls walks back to the latest right
+    # row only.
+    rstruct = F.last(
+        F.when(
+            F.col("_is_left") == 0, F.struct(*[F.col(c) for c in rcols])
+        ),
+        ignorenulls=True,
+    ).over(w)
     unioned = unioned.select(
         "_k",
         "_ts",
         "_is_left",
         *[F.col(c) for c in lcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
+        *[rstruct.getField(c).alias(c) for c in rcols],
         F.last(
             F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
         ).over(w).alias("_rts"),

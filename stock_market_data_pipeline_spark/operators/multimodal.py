@@ -375,3 +375,178 @@ def resize_images(
             )
 
     return assets.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: pure-numpy PCM WAV codec (RIFF header + int16 samples —
+# public spec, same no-external-library pattern as the BMP codec above).
+# Compressed audio (MP3/FLAC/Opus) would slot in via ffmpeg at the
+# encode_wav/decode_audio boundary; nothing above it changes.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, n_bytes long, decode_ok boolean, "
+    "sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double, peak int, clipping_ratio double"
+)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 PCM samples ((n,) mono or (n, channels)) as a RIFF/WAVE
+    file: 44-byte canonical header (fmt chunk: PCM, 16-bit, little-endian)
+    followed by interleaved frames."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_frames, n_ch = s.shape
+    data = s.tobytes()
+    block_align = n_ch * 2
+    header = struct.pack(
+        "<4sI4s" "4sIHHIIHH" "4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, n_ch, sample_rate,
+        sample_rate * block_align, block_align, 16,
+        b"data", len(data),
+    )
+    return header + data
+
+
+def decode_audio(data: bytes | None) -> tuple[np.ndarray, int] | None:
+    """Decode 16-bit PCM RIFF/WAVE bytes to ((n_frames, n_channels) int16,
+    sample_rate). Walks the chunk list (fmt may not be first; extra chunks
+    like LIST are skipped, as the spec allows). Returns None for anything
+    that is not 16-bit uncompressed PCM — a bad asset degrades, it never
+    throws."""
+    if data is None or len(data) < 44:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, end = 12, len(data)
+    rate = n_ch = None
+    raw = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            return None
+        if cid == b"fmt ":
+            if size < 16:
+                return None
+            fmt_code, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", data, body
+            )
+            if fmt_code != 1 or bits != 16 or n_ch < 1:
+                return None
+        elif cid == b"data":
+            raw = data[body : body + size]
+        pos = body + size + (size & 1)  # chunks are word-aligned
+    if rate is None or raw is None:
+        return None
+    frame_bytes = n_ch * 2
+    n_frames = len(raw) // frame_bytes
+    if n_frames == 0:
+        return None
+    samples = np.frombuffer(
+        raw, dtype="<i2", count=n_frames * n_ch
+    ).reshape(n_frames, n_ch)
+    return samples, rate
+
+
+def synthesize_wav_assets(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture-lake adapter: a deterministic mono PCM clip per document row,
+    pure integer arithmetic so a DuckDB oracle can recompute every decoded
+    statistic exactly (the audio twin of ``synthesize_bmp_assets``):
+
+    - ``n  = 800 + (id % 101) * 4`` samples, ``rate = 8000 + (id % 3) * 4000``
+    - ``raw(i) = ((i * step + id) % 90001) - 45000`` with
+      ``step = id % 23 + 2`` — a deterministic overdriven sawtooth whose
+      range (±45000) exceeds int16, so ``clamp(raw, -32768, 32767)``
+      produces REAL full-scale clipping for the clipping-ratio stat.
+
+    Sums of squares stay inside int64 (≤ 1200 · 32768² ≈ 1.3e12), so RMS
+    is bit-identical across engines before the shared 6 dp rounding.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, blobs = [], []
+            for aid in pdf[id_col]:
+                d = int(aid)
+                n = 800 + (d % 101) * 4
+                rate = 8000 + (d % 3) * 4000
+                step = d % 23 + 2
+                i = np.arange(n, dtype=np.int64)
+                raw = (i * step + d) % 90001 - 45000
+                s = np.clip(raw, -32768, 32767).astype(np.int16)
+                out_ids.append(d)
+                blobs.append(encode_wav(s, rate))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(out_ids, dtype="int64"),
+                    "modality": pd.Series(
+                        ["audio"] * len(out_ids), dtype="object"
+                    ),
+                    "content": pd.Series(blobs, dtype="object"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="asset_id long, modality string, content binary"
+    )
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction: real RIFF parse per batch on
+    the executors — duration, RMS, peak, full-scale clipping ratio over the
+    ACTUAL decoded samples. Undecodable bytes → decode_ok False with NULL
+    stats. One pass, no shuffle; dedup by content hash first
+    (``dedup_assets_by_content``) so identical clips never decode twice.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, oks = [], []
+            rates, chans, counts = [], [], []
+            durs, rmss, peaks, clips = [], [], [], []
+            for blob in pdf["content"]:
+                data = bytes(blob) if blob is not None else None
+                n_bytes.append(len(data) if data is not None else 0)
+                decoded = decode_audio(data)
+                if decoded is None:
+                    oks.append(False)
+                    for lst in (rates, chans, counts, durs, rmss, peaks, clips):
+                        lst.append(None)
+                    continue
+                samples, rate = decoded
+                n_frames, n_ch = samples.shape
+                flat = samples.astype(np.int64).ravel()
+                oks.append(True)
+                rates.append(rate)
+                chans.append(n_ch)
+                counts.append(n_frames)
+                durs.append(round(n_frames / rate + 1e-9, 6))
+                rmss.append(
+                    round(float(np.sqrt((flat * flat).sum() / flat.size)) + 1e-9, 6)
+                )
+                peaks.append(int(np.abs(flat).max()))
+                n_clip = int(((flat == 32767) | (flat == -32768)).sum())
+                clips.append(round(n_clip / flat.size + 1e-9, 6))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "decode_ok": pd.Series(oks, dtype="bool"),
+                    "sample_rate": pd.Series(rates, dtype="Int32"),
+                    "n_channels": pd.Series(chans, dtype="Int32"),
+                    "n_samples": pd.Series(counts, dtype="Int64"),
+                    "duration_s": pd.Series(durs, dtype="float64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="Int32"),
+                    "clipping_ratio": pd.Series(clips, dtype="float64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

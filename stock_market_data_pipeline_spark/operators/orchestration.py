@@ -7,6 +7,12 @@ them as plain functions so any scheduler (or none) can drive a pipeline:
   exist (``stock_market_stream_dag.py:10-44``, ``check_minio_file.py:47-88``).
 * O4 — post-run lake summary: file/row/partition counts per layer
   (``stock_market_stream_dag.py:190-247``).
+
+All listing goes through the Hadoop FileSystem API (``sinks/lake._HadoopFS``)
+like the rest of the lake layer, so the sensors see s3a://, hdfs:// and
+file:// URIs identically — the round-6 ``os.walk`` form silently saw
+NOTHING on an object store. A pure-local ``os.walk`` fallback remains only
+for the no-SparkSession case (a sensor polling before the session exists).
 """
 
 from __future__ import annotations
@@ -17,15 +23,27 @@ import time
 from pyspark.sql import SparkSession
 
 
-def _data_files(path: str) -> list[str]:
-    found: list[str] = []
+def _data_files(path: str, spark: SparkSession | None = None) -> list[tuple[str, int]]:
+    """(path, size) of non-empty data files under ``path`` (recursive,
+    ``_``/``.``-prefixed basenames skipped)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+        return [
+            (p, sz)
+            for p, sz in _HadoopFS(spark, path).list_data_files(path)
+            if sz > 0
+        ]
+    found: list[tuple[str, int]] = []
     for root, _dirs, files in os.walk(path):
         for f in files:
             if f.startswith(("_", ".")):
                 continue
             full = os.path.join(root, f)
-            if os.path.getsize(full) > 0:
-                found.append(full)
+            sz = os.path.getsize(full)
+            if sz > 0:
+                found.append((full, sz))
     return found
 
 
@@ -34,13 +52,16 @@ def wait_for_path(
     min_files: int = 1,
     timeout_s: float = 180.0,
     poll_s: float = 15.0,
+    spark: SparkSession | None = None,
 ) -> bool:
     """O1/O2: block until ``path`` holds ≥ ``min_files`` non-empty data
     files, or time out (False). Mirrors the reference sensor's 15 s poke /
-    180 s timeout defaults."""
+    180 s timeout defaults. Uses the active SparkSession's Hadoop FS when
+    one exists (so s3a/hdfs paths work); pass ``spark`` explicitly to pin
+    a session."""
     deadline = time.monotonic() + timeout_s
     while True:
-        if os.path.isdir(path) and len(_data_files(path)) >= min_files:
+        if len(_data_files(path, spark)) >= min_files:
             return True
         if time.monotonic() >= deadline:
             return False
@@ -49,13 +70,17 @@ def wait_for_path(
 
 def describe_lake(spark: SparkSession, root: str, fmt: str = "parquet") -> dict:
     """O4: diagnostic summary of a lake layer — file count, bytes, row count,
-    partition directories."""
-    files = _data_files(root) if os.path.isdir(root) else []
+    partition directories (any ``key=value`` directory that directly holds
+    data files)."""
+    files = _data_files(root, spark)
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root_plain = _HadoopFS(spark, root)._jpath.toUri().getPath() or root
     partitions = sorted(
         {
-            os.path.relpath(r, root)
-            for r, _d, fs in os.walk(root)
-            if fs and "=" in os.path.basename(r)
+            os.path.relpath(parent, root_plain)
+            for parent in {os.path.dirname(p) for p, _sz in files}
+            if "=" in os.path.basename(parent)
         }
     )
     rows = 0
@@ -64,7 +89,7 @@ def describe_lake(spark: SparkSession, root: str, fmt: str = "parquet") -> dict:
     return {
         "path": root,
         "n_files": len(files),
-        "total_bytes": sum(os.path.getsize(f) for f in files),
+        "total_bytes": sum(sz for _p, sz in files),
         "n_rows": rows,
         "partitions": partitions,
     }

@@ -39,20 +39,69 @@ def normalize_to_bins(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     ).cast("long")
 
 
-def interleave_bits(x: Column, y: Column, bits: int) -> Column:
-    """Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1.
+def interleave_bits_n(cols: list[Column], bits: int) -> Column:
+    """k-dimensional Morton code: bit i of ``cols[j]`` → bit ``i·k + j``
+    (round-robin bit interleave — the 2-D z-curve generalized).
 
-    Unrolled shift/mask/or expression tree (2·bits terms) — stays inside
-    whole-stage codegen; at bits=16 the z-value spans 32 bits.
+    Unrolled shift/mask/or expression tree (k·bits terms) — stays inside
+    whole-stage codegen. ``k·bits`` must fit a signed long (≤ 63).
     """
+    k = len(cols)
+    if k < 1:
+        raise ValueError("interleave_bits_n needs at least one column")
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} cols × {bits} bits = {k * bits} interleaved bits "
+            f"overflows a signed long (max 63); lower bits"
+        )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
     return z
+
+
+def interleave_bits(x: Column, y: Column, bits: int) -> Column:
+    """2-D Morton code: bit i of x → bit 2i, bit i of y → bit 2i+1
+    (the ``k=2`` case of :func:`interleave_bits_n`, kept as the
+    oracle-gated public name)."""
+    return interleave_bits_n([x, y], bits)
+
+
+def with_zvalue_n(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    out_col: str = "zval",
+) -> DataFrame:
+    """Append the k-dimensional Morton code of ``cols``, each normalized to
+    ``bits`` bins over its exact global [min, max].
+
+    The min/max pass is ONE tiny aggregate over all k columns broadcast
+    back as a scalar frame — at 100 TB that is a single extra scan-light
+    job (or, better, supplied from table-level stats); the z-value
+    computation itself is a pure projection.
+    """
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_lo{i}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_hi{i}"))
+    bounds = df.agg(*aggs)
+    withb = df.join(F.broadcast(bounds))
+    bins = [
+        normalize_to_bins(F.col(c), F.col(f"_lo{i}"), F.col(f"_hi{i}"), bits)
+        for i, c in enumerate(cols)
+    ]
+    helper = [f"_lo{i}" for i in range(len(cols))] + [
+        f"_hi{i}" for i in range(len(cols))
+    ]
+    return withb.withColumn(out_col, interleave_bits_n(bins, bits)).drop(
+        *helper
+    )
 
 
 def with_zvalue(
@@ -62,44 +111,27 @@ def with_zvalue(
     bits: int = 8,
     out_col: str = "zval",
 ) -> DataFrame:
-    """Append the Morton code of (col_x, col_y), normalized to ``bits`` bins
-    per dimension over each column's exact global [min, max].
-
-    The min/max pass is one tiny aggregate broadcast back as a scalar
-    frame — at 100 TB that is a single extra scan-light job (or, better,
-    supplied from table-level stats); the z-value computation itself is a
-    pure projection.
-    """
-    bounds = df.agg(
-        F.min(F.col(col_x).cast("double")).alias("_xlo"),
-        F.max(F.col(col_x).cast("double")).alias("_xhi"),
-        F.min(F.col(col_y).cast("double")).alias("_ylo"),
-        F.max(F.col(col_y).cast("double")).alias("_yhi"),
-    )
-    withb = df.join(F.broadcast(bounds))
-    bx = normalize_to_bins(F.col(col_x), F.col("_xlo"), F.col("_xhi"), bits)
-    by = normalize_to_bins(F.col(col_y), F.col("_ylo"), F.col("_yhi"), bits)
-    return withb.withColumn(out_col, interleave_bits(bx, by, bits)).drop(
-        "_xlo", "_xhi", "_ylo", "_yhi"
-    )
+    """2-D convenience wrapper over :func:`with_zvalue_n` (the oracle-gated
+    registry query binds this name)."""
+    return with_zvalue_n(df, [col_x, col_y], bits=bits, out_col=out_col)
 
 
 def write_zorder(
     df: DataFrame,
     path: str,
-    cols: tuple[str, str],
+    cols: tuple[str, ...],
     bits: int = 8,
     n_files: int = 8,
     mode: str = "overwrite",
     fmt: str = "parquet",
 ) -> None:
     """Z-order-clustered lake write: range-partition + sort by the Morton
-    code of two columns, then drop the helper column. Same write-side cost
-    as the 1-D ``write_clustered`` (one range shuffle, one in-file sort) —
-    but row-group stats are tight on BOTH dimensions, verified by the
-    parquet-footer audit in tests.
+    code of k ≥ 2 columns, then drop the helper column. Same write-side
+    cost as the 1-D ``write_clustered`` (one range shuffle, one in-file
+    sort) — but row-group stats are tight on EVERY clustered dimension,
+    verified by the parquet-footer audit in tests (2-D and 3-D).
     """
-    z = with_zvalue(df, cols[0], cols[1], bits=bits)
+    z = with_zvalue_n(df, list(cols), bits=bits)
     out = z.repartitionByRange(n_files, F.col("zval")).sortWithinPartitions(
         "zval"
     ).drop("zval")

@@ -2693,7 +2693,12 @@ binify AS (
          CAST(least(greatest(COALESCE(CASE WHEN hi = lo THEN NULL
               ELSE floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 10) END, 0), 0), 9) AS INTEGER) AS bin
   FROM events e CROSS JOIN bounds
-  WHERE e.event_type IN ('view', 'purchase')
+  WHERE e.event_type IN ('view', 'purchase') AND value IS NOT NULL
+),
+nullcounts AS (
+  SELECT CAST(COALESCE(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS ref_null_count,
+         CAST(COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS cur_null_count
+  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NULL
 ),
 bins AS (SELECT unnest(range(0, 10)) AS bin),
 counts AS (
@@ -2715,8 +2720,9 @@ terms AS (
   FROM counts CROSS JOIN tot
 )
 SELECT bin, ref_count, cur_count, ref_pct, cur_pct, psi_term,
-       (SELECT round(sum(psi_term), 6) FROM terms) AS psi_total
-FROM terms
+       (SELECT round(sum(psi_term), 6) FROM terms) AS psi_total,
+       ref_null_count, cur_null_count
+FROM terms CROSS JOIN nullcounts
 """
 
 
@@ -2806,6 +2812,72 @@ WITH per_cust AS (
 SELECT COALESCE(n, 0) AS order_count,
        count(*) AS n_customers
 FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+
+# X97: audio decode features — recompute the synthetic clip's decoded
+# statistics from the same integer formula (n_bytes = 44-byte canonical
+# header + 2 bytes/sample; sums of squares exact in int64/hugeint).
+ORACLES["multimodal_audio_features"] = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 101) * 4  AS n,
+         8000 + (doc_id % 3) * 4000 AS rate,
+         doc_id % 23 + 2            AS step
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, rate,
+         least(greatest((t.i * step + doc_id) % 90001 - 45000, -32768), 32767) AS v
+  FROM p, UNNEST(range(0, n)) AS t(i)
+)
+SELECT doc_id AS asset_id,
+       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+       TRUE AS decode_ok,
+       CAST(rate AS INTEGER) AS sample_rate,
+       1 AS n_channels,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n / CAST(rate AS DOUBLE), 6) AS duration_s,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / n), 6) AS rms,
+       CAST(max(abs(v)) AS INTEGER) AS peak,
+       round(sum(CASE WHEN v = 32767 OR v = -32768 THEN 1 ELSE 0 END)
+             / CAST(n AS DOUBLE), 6) AS clipping_ratio
+FROM s
+GROUP BY doc_id, n, rate
+"""
+
+
+# X96: line-level boilerplate dedup (C4-style) — synthesize 3-word lines
+# with the same regex chunking the Spark query uses, doc-freq count per
+# trimmed-line fingerprint, drop lines in >= 3 docs, reassemble in order.
+ORACLES["line_dedup"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(text, '((?:\S+\s+){2}\S+)\s+', '\1' || chr(10), 'g') AS t
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+lines AS (
+  SELECT doc_id, CAST(p.pos AS INTEGER) - 1 AS pos,
+         parts[CAST(p.pos AS INTEGER)] AS line
+  FROM sp, UNNEST(range(1, len(parts) + 1)) AS p(pos)
+),
+freq AS (
+  SELECT md5(trim(line)) AS fp, count(DISTINCT doc_id) AS n_docs
+  FROM lines WHERE trim(line) <> '' GROUP BY 1
+),
+marked AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (trim(l.line) <> '' AND COALESCE(f.n_docs, 0) >= 3) AS dropped
+  FROM lines l LEFT JOIN freq f ON md5(trim(l.line)) = f.fp
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE NOT dropped), '') AS text_clean,
+       count(*) AS n_lines,
+       CAST(COALESCE(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT) AS n_removed
+FROM marked
 GROUP BY 1
 """
 

@@ -796,21 +796,29 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_fingerprint_store,
     )
 
+    import shutil
+
     docs = _docs(spark, sf_dir)
     store = tempfile.mkdtemp(prefix="smdp_fp_store_")
-    seed_fingerprint_store(spark, docs.filter(F.col("doc_id") % 3 == 0), store)
-    classified = incremental_dedup_batch(
-        spark, docs.filter(F.col("doc_id") % 3 != 0), store
-    )
-    after = spark.read.parquet(store).select(
-        STORE_KEY, F.lit(1).alias("_after")
-    )
-    return classified.join(after, STORE_KEY, "left").select(
-        "doc_id",
-        STORE_KEY,
-        "status",
-        F.col("_after").isNotNull().cast("int").alias("in_store_after_merge"),
-    )
+    try:
+        seed_fingerprint_store(spark, docs.filter(F.col("doc_id") % 3 == 0), store)
+        classified = incremental_dedup_batch(
+            spark, docs.filter(F.col("doc_id") % 3 != 0), store
+        )
+        after = spark.read.parquet(store).select(
+            STORE_KEY, F.lit(1).alias("_after")
+        )
+        # Materialize before the finally deletes the store the plan reads
+        # from (registry queries run repeatedly per round — /tmp must not
+        # grow without bound; round-6 ADVICE).
+        return classified.join(after, STORE_KEY, "left").select(
+            "doc_id",
+            STORE_KEY,
+            "status",
+            F.col("_after").isNotNull().cast("int").alias("in_store_after_merge"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1373,7 +1381,28 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetric difference vs the batch twin, pinned at 0 — any
     checkpoint/replay/store-lineage bug in the streaming gate flips it.
     """
+    import shutil
     import tempfile
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    batch_a = docs.filter(F.col("doc_id") % 3 == 1)
+    batch_b = docs.filter(F.col("doc_id") % 3 == 2)
+
+    root = tempfile.mkdtemp(prefix="smdp_stream_dedup_")
+    try:
+        return _stream_incremental_dedup_run(
+            spark, root, seed, batch_a, batch_b
+        )
+    finally:
+        # Scratch parquet + checkpoints + stores are per-run; registry
+        # queries execute repeatedly per bench/parity round, so leaving
+        # them grows /tmp without bound (round-6 ADVICE). Everything the
+        # returned frame needs is localCheckpointed before this runs.
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
     import time
 
     from stock_market_data_pipeline_spark.operators.incremental import (
@@ -1384,12 +1413,6 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_incremental_dedup,
     )
 
-    docs = _docs(spark, sf_dir)
-    seed = docs.filter(F.col("doc_id") % 3 == 0)
-    batch_a = docs.filter(F.col("doc_id") % 3 == 1)
-    batch_b = docs.filter(F.col("doc_id") % 3 == 2)
-
-    root = tempfile.mkdtemp(prefix="smdp_stream_dedup_")
     store, src = f"{root}/store", f"{root}/src"
     out, ckpt = f"{root}/out", f"{root}/ckpt"
     seed_fingerprint_store(spark, seed, store)
@@ -1822,6 +1845,39 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio: REAL RIFF/PCM decode via Arrow mapInPandas — a
+    deterministic overdriven-sawtooth WAV per document (pure integer
+    arithmetic, genuine full-scale clipping) decoded by the pure-numpy WAV
+    kernel; the oracle recomputes duration/RMS/peak/clipping from the same
+    closed-form samples, so header/endianness/clamp mistakes fail the
+    hash."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav_assets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_audio_features(synthesize_wav_assets(docs))
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate strip (C4-style, X96): the corpus has no
+    newlines, so first synthesize a line structure (every 3 words becomes
+    a line — same regex chunking in the oracle), then drop lines that
+    appear in ≥ 3 distinct documents and reassemble the survivors in
+    order. Output: per-doc cleaned text + kept/removed line counts."""
+    from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){2}\S+)\s+", "$1\n"
+        ),
+    )
+    return line_dedup(docs, min_docs=3)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r05 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
@@ -1847,6 +1903,8 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slots free up; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "line_dedup": q_line_dedup,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_resize": q_multimodal_resize,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "multimodal_image_features": q_multimodal_image_features,

@@ -29,6 +29,7 @@ Reference parity:
 from __future__ import annotations
 
 import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -93,6 +94,26 @@ class _HadoopFS:
             out.write(bytearray(content, "utf-8"))
         finally:
             out.close()
+
+    def list_data_files(self, p: str) -> list[tuple[str, int]]:
+        """Recursive (path, size) listing of data files under ``p`` —
+        skips ``_``/``.``-prefixed basenames (markers, checksums,
+        checkpoints). Paths come back scheme-stripped (URI path component)
+        so callers can do relative-path math; works identically on
+        file://, hdfs:// and s3a:// — this is what lets the orchestration
+        sensors see object stores (round-6 verdict)."""
+        jp = self.path(p)
+        if not self.fs.exists(jp):
+            return []
+        out: list[tuple[str, int]] = []
+        it = self.fs.listFiles(jp, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            out.append((st.getPath().toUri().getPath(), int(st.getLen())))
+        return out
 
 
 def write_partitioned(
@@ -200,6 +221,7 @@ def merge_upsert_bucketed(
     keys: list[str],
     order_col: str,
     n_buckets: int = 64,
+    reducer: "Callable[[DataFrame], DataFrame] | None" = None,
 ) -> list[int]:
     """MERGE-semantics upsert that rewrites only the key buckets the incoming
     batch touches — the scale-safe form of :func:`merge_upsert` without a
@@ -225,6 +247,13 @@ def merge_upsert_bucketed(
     The production path with concurrent writers/readers is still Delta or
     Iceberg ``MERGE INTO`` (snapshot isolation); this keeps the
     single-writer contract of the reference's loader.
+
+    ``reducer`` replaces the default keep-last-by-``order_col`` winner rule
+    with a custom per-key fold over union(current-touched, incoming) — e.g.
+    the streaming CDC sink passes ``changelog_winners`` so delete
+    tombstones and seq-tie preference apply inside the bucket merge. The
+    reducer must preserve the ``key_bucket`` column (any one-row-per-key
+    window/filter does: the bucket is a pure function of the keys).
 
     Returns the sorted list of bucket ids rewritten (for tests/observability).
 
@@ -270,7 +299,11 @@ def merge_upsert_bucketed(
     else:
         merged = bucketed_in
 
-    deduped = dedup_keep_last(merged, keys=keys, order=[order_col])
+    deduped = (
+        reducer(merged)
+        if reducer is not None
+        else dedup_keep_last(merged, keys=keys, order=[order_col])
+    )
     (
         deduped.repartition(F.col(BUCKET_COL))  # one task → one file per bucket
         .write.mode("overwrite")

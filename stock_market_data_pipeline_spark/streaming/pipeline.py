@@ -353,49 +353,79 @@ def stream_apply_changelog(
     op_col: str = "op",
     delete_op: str = "delete",
     trigger: dict | None = None,
+    mode: str = "versioned",
+    n_buckets: int = 64,
 ) -> StreamingQuery:
     """Continuous CDC materialization: each micro-batch of changelog events
-    folds into a manifest-committed versioned table
-    (:func:`..sinks.lake.publish_version`) — the streaming form of
+    folds into a lake table — the streaming form of
     :func:`..operators.cdc.apply_changelog`, i.e. what a Debezium→lake
-    consumer actually runs.
+    consumer actually runs. Read the live rows back with
+    :func:`..operators.cdc.read_cdc_state`.
 
-    Per batch: reduce the batch to per-key winners (delete winners kept as
-    tombstones), drop every touched key from the current committed version
-    (anti-join), union the surviving upserts, publish as the next version.
-    Readers resolve complete versions only — there is no instant where the
-    table is half-applied, and a crash between publish and checkpoint
-    commit replays the batch idempotently (re-applying winners over a
-    state that already contains them changes nothing: same keys, same
-    winning rows; tombstoned keys stay absent).
+    The stored table RETAINS ``seq_col`` and ``op_col`` — delete winners
+    persist as tombstone rows. Every fold is therefore seq-aware across
+    batches: the new state is ``changelog_winners(current ∪ batch)``, so a
+    late or redelivered event whose seq is LOWER than what the table
+    already holds loses to the stored row (the round-6 fold anti-joined
+    touched keys away unconditionally, which let a stale redelivery
+    regress a key), and a late upsert arriving after a higher-seq delete
+    cannot resurrect the key (the tombstone out-ranks it). Replay after a
+    lost checkpoint is idempotent for the same reason: re-folding events
+    the table has already absorbed picks the same winners.
 
-    Scale posture: per-batch cost is O(batch ∪ current) here because the
-    versioned demo table rewrites fully; the production form at table
-    scale swaps ``publish_version`` for the bucketed merge
-    (:func:`..sinks.lake.merge_upsert_bucketed` plus a tombstone column)
-    so a batch rewrites only its touched buckets — the fold logic above it
-    is unchanged. State lives in the table, not the state store: an
-    arbitrarily long stream holds no growing streaming state.
+    ``mode`` picks the persistence layout:
+
+    * ``"versioned"`` — manifest-committed versioned table
+      (:func:`..sinks.lake.publish_version`): readers only ever resolve
+      complete versions; time travel works. Per-batch cost is
+      O(batch ∪ current) — the whole table republishes — so this is the
+      small-table / demo form.
+    * ``"bucketed"`` — the 100 TB form: winners fold through
+      :func:`..sinks.lake.merge_upsert_bucketed` with ``changelog_winners``
+      as the reducer, so a micro-batch rewrites ONLY the key buckets it
+      touches (dynamic partition overwrite; a 10-key batch against a
+      4096-bucket table rewrites ≈ 0.2 % of it). Tombstones live in their
+      key's bucket; compact them away on a retention schedule with a
+      filtered rewrite of the affected buckets.
+
+    State lives in the table, not the state store: an arbitrarily long
+    stream holds no growing streaming state.
     """
     from stock_market_data_pipeline_spark.operators.cdc import changelog_winners
     from stock_market_data_pipeline_spark.sinks.lake import (
+        merge_upsert_bucketed,
         publish_version,
         resolve_version,
     )
 
+    if mode not in ("versioned", "bucketed"):
+        raise ValueError(f"mode must be versioned|bucketed, got {mode!r}")
+
+    def _winners(df: DataFrame) -> DataFrame:
+        return changelog_winners(
+            df, keys, seq_col, op_col=op_col, delete_op=delete_op
+        )
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        winners = changelog_winners(
-            batch_df, keys, seq_col, op_col=op_col, delete_op=delete_op
-        ).localCheckpoint(eager=True)  # read before the version we rewrite
-        upserts = winners.filter(F.col(op_col) != delete_op).drop(op_col)
+        winners = _winners(batch_df).localCheckpoint(eager=True)
+        if mode == "bucketed":
+            merge_upsert_bucketed(
+                spark,
+                winners,
+                table_root,
+                keys=keys,
+                order_col=seq_col,
+                n_buckets=n_buckets,
+                reducer=_winners,
+            )
+            return
         current_path = resolve_version(spark, table_root)
         if current_path is not None:
             current = spark.read.parquet(current_path)
-            kept = current.join(winners.select(*keys), keys, "left_anti")
-            new_state = kept.unionByName(upserts)
+            new_state = _winners(current.unionByName(winners))
         else:
-            new_state = upserts
+            new_state = winners
         publish_version(spark, new_state, table_root)
 
     writer = (

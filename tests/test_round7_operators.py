@@ -1,0 +1,283 @@
+"""Round-7 operator regressions: as-of struct carry (all columns from ONE
+right row, even when the winning row holds NULLs), PSI drift NULL
+accounting (missingness is its own signal, not bin-0 mass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.operators.drift import psi_drift
+from stock_market_data_pipeline_spark.operators.joins import as_of_join
+
+
+def test_asof_null_in_winning_row_stays_null(spark):
+    """Backward as-of: the most recent right row wins wholesale. A NULL in
+    its value column must surface as NULL — the old per-column
+    last(ignorenulls=True) skipped back to an older row's value,
+    fabricating a match that exists on no input row."""
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, 7.0), ("a", 8, None)], "k string, rt long, v double"
+    )
+    row = as_of_join(left, right, key="k", left_ts="t", right_ts="rt").first()
+    assert row["v"] is None  # from the t=8 row, NOT 7.0 from t=5
+
+
+def test_asof_tied_right_rows_carry_one_row(spark):
+    """Two right rows tie on (key, ts); the winner is the greatest value
+    tuple — and EVERY carried column must come from that single row, so a
+    NULL field in the winner stays NULL instead of stitching the other
+    tied row's field in."""
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 5, 2.0, "b"), ("a", 5, 3.0, None)],
+        "k string, rt long, v1 double, v2 string",
+    )
+    row = as_of_join(left, right, key="k", left_ts="t", right_ts="rt").first()
+    assert row["v1"] == 3.0 and row["v2"] is None  # (3.0, None) is one row
+
+
+def test_asof_forward_null_winner(spark):
+    left = spark.createDataFrame([("a", 10)], "k string, t long")
+    right = spark.createDataFrame(
+        [("a", 12, None), ("a", 15, 9.0)], "k string, rt long, v double"
+    )
+    row = as_of_join(
+        left, right, key="k", left_ts="t", right_ts="rt", direction="forward"
+    ).first()
+    assert row["v"] is None  # earliest row at/after t=10 is t=12 (NULL)
+
+
+def _psi_rows(spark, ref_rows, cur_rows, n_bins=4):
+    ref = spark.createDataFrame([(v,) for v in ref_rows], "x double")
+    cur = spark.createDataFrame([(v,) for v in cur_rows], "x double")
+    return psi_drift(ref, cur, "x", n_bins=n_bins).collect()
+
+
+def test_psi_nulls_reported_separately_not_bin0(spark):
+    vals = [1.0, 2.0, 3.0, 4.0]
+    rows = _psi_rows(spark, vals, vals + [None, None])
+    # identical non-null distributions -> PSI exactly 0 even with NULLs on
+    # one side; the old coalesce-to-bin-0 made the NULLs look like drift
+    assert all(r["psi_total"] == 0.0 for r in rows)
+    assert all(r["ref_null_count"] == 0 for r in rows)
+    assert all(r["cur_null_count"] == 2 for r in rows)
+    # bin 0 holds only the real 1.0 values
+    b0 = next(r for r in rows if r["bin"] == 0)
+    assert b0["ref_count"] == 1 and b0["cur_count"] == 1
+
+
+def test_psi_all_null_reference_is_loud_not_silent(spark):
+    rows = _psi_rows(spark, [None, None], [1.0, 2.0])
+    assert all(r["ref_null_count"] == 2 for r in rows)
+    assert sum(r["ref_count"] for r in rows) == 0
+    # non-null current mass against an empty reference shows as drift
+    assert rows[0]["psi_total"] > 0
+
+
+def test_line_dedup_strips_boilerplate_keeps_blank_lines(spark):
+    from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+    footer = "(c) 2026 example corp"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{footer}"),
+            (2, f"beta two\n{footer}"),
+            (3, f"gamma three\n{footer}"),
+            (4, footer),  # all-boilerplate doc -> empty text, row kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["text_clean"] == "alpha one\n"  # blank line survives
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text_clean"] == "beta two"
+    assert out[4]["text_clean"] == "" and out[4]["n_removed"] == 1
+    assert len(out) == 4
+
+
+def test_line_dedup_below_threshold_untouched(spark):
+    from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nc")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert out[1]["text_clean"] == "a\nb" and out[1]["n_removed"] == 0
+    assert out[2]["text_clean"] == "a\nc"
+
+
+def test_wav_roundtrip_and_stats():
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    # ramp fixture: closed-form stats
+    ramp = np.arange(-100, 100, dtype=np.int16)
+    blob = encode_wav(ramp, 8000)
+    assert len(blob) == 44 + 2 * 200  # canonical header + samples
+    samples, rate = decode_audio(blob)
+    assert rate == 8000 and samples.shape == (200, 1)
+    assert (samples[:, 0] == ramp).all()
+
+    # sine fixture: decoded stats equal numpy-side truth
+    t = np.arange(1000)
+    sine = (np.sin(2 * np.pi * t / 100) * 30000).astype(np.int16)
+    s2, r2 = decode_audio(encode_wav(sine, 16000))
+    assert r2 == 16000
+    assert (s2[:, 0] == sine).all()
+
+    # stereo interleave survives the round trip
+    stereo = np.stack([ramp, ramp[::-1]], axis=1)
+    s3, _ = decode_audio(encode_wav(stereo, 44100))
+    assert s3.shape == (200, 2)
+    assert (s3 == stereo).all()
+
+
+def test_wav_decode_rejects_garbage_and_skips_extra_chunks():
+    import struct as _struct
+
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav,
+    )
+
+    assert decode_audio(None) is None
+    assert decode_audio(b"not a wav at all, definitely too short") is None
+    blob = bytearray(encode_wav(np.arange(10, dtype=np.int16), 8000))
+    blob[20] = 3  # fmt_code = IEEE float -> not PCM16
+    assert decode_audio(bytes(blob)) is None
+
+    # LIST chunk between fmt and data is skipped per the RIFF spec
+    good = encode_wav(np.arange(10, dtype=np.int16), 8000)
+    header, fmt, data = good[:12], good[12:36], good[36:]
+    listchunk = b"LIST" + _struct.pack("<I", 4) + b"INFO"
+    riff = bytearray(header + fmt + listchunk + data)
+    riff[4:8] = _struct.pack("<I", len(riff) - 8)
+    out = decode_audio(bytes(riff))
+    assert out is not None and out[0].shape == (10, 1)
+
+
+def test_audio_features_on_clipped_fixture(spark):
+    import numpy as np
+
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_wav,
+        extract_audio_features,
+    )
+
+    # half the samples pinned at full scale -> clipping_ratio 0.5 exactly
+    s = np.array([32767, -32768] * 50 + [0] * 100, dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_wav(s, 8000))), (2, "audio", bytearray(b"junk"))],
+        "asset_id long, modality string, content binary",
+    )
+    rows = {r["asset_id"]: r for r in extract_audio_features(df).collect()}
+    r1 = rows[1]
+    assert r1["decode_ok"] and r1["n_samples"] == 200 and r1["peak"] == 32768
+    assert r1["clipping_ratio"] == 0.5
+    assert r1["duration_s"] == round(200 / 8000 + 1e-9, 6)
+    truth = float(np.sqrt((s.astype(np.int64) ** 2).mean()))
+    assert abs(r1["rms"] - truth) < 1e-6
+    assert rows[2]["decode_ok"] is False and rows[2]["rms"] is None
+
+
+def test_orchestration_through_hadoop_fs_file_scheme(spark, tmp_path):
+    """O1/O2/O4 ride the Hadoop FileSystem API now — an explicit
+    file:-scheme URI must behave exactly like a plain local path (the
+    os.walk form could not resolve URIs at all)."""
+    from stock_market_data_pipeline_spark.operators.orchestration import (
+        describe_lake,
+        wait_for_path,
+    )
+
+    root = tmp_path / "lake"
+    uri = f"file:{root}"
+    assert wait_for_path(uri, timeout_s=0.2, poll_s=0.05, spark=spark) is False
+    df = spark.range(10).withColumn("part", (F.col("id") % 2).cast("int"))
+    df.write.partitionBy("part").mode("overwrite").parquet(str(root))
+    assert wait_for_path(uri, min_files=1, timeout_s=10, poll_s=0.1, spark=spark)
+    summary = describe_lake(spark, uri)
+    assert summary["n_rows"] == 10 and summary["n_files"] >= 2
+    assert summary["partitions"] == ["part=0", "part=1"]
+    assert summary["total_bytes"] > 0
+
+
+def test_zorder_3d_skips_on_all_three_dimensions(spark, sf_dir, tmp_path):
+    """k-dim generalization (round-7): a 3-column Morton layout keeps
+    row-group min/max stats selective on EVERY clustered dimension, and
+    the 2-D bit order is unchanged (col0 -> even bits, col1 -> odd)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.operators.zorder import write_zorder
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zed = str(tmp_path / "zed3")
+    write_zorder(
+        li, zed, ("l_partkey", "l_suppkey", "l_orderkey"), bits=8, n_files=16
+    )
+
+    # 16 files split the top 4 z-bits; with 3 dims each gets 1-2 high bits,
+    # so an off-median (0.2-quantile) probe must skip roughly half the
+    # groups on EVERY dimension (measured 0.44-0.56 at this layout).
+    cols = ("l_partkey", "l_suppkey", "l_orderkey")
+    targets = {
+        c: li.agg(F.expr(f"percentile_approx({c}, 0.2)")).first()[0]
+        for c in cols
+    }
+
+    def hit_fraction(path, col):
+        total = hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st.min <= targets[col] <= st.max:
+                    hits += 1
+        return hits / total
+
+    for c in cols:
+        assert hit_fraction(zed, c) <= 0.7, c
+    assert spark.read.parquet(zed).count() == li.count()
+
+
+def test_interleave_bits_n_guards_and_2d_equivalence(spark):
+    from stock_market_data_pipeline_spark.operators.zorder import (
+        interleave_bits,
+        interleave_bits_n,
+    )
+
+    df = spark.createDataFrame([(5, 3, 6)], "x long, y long, w long")
+    two = df.select(
+        interleave_bits(F.col("x"), F.col("y"), 4).alias("a"),
+        interleave_bits_n([F.col("x"), F.col("y")], 4).alias("b"),
+    ).first()
+    assert two["a"] == two["b"]
+    # x=0b101 -> bits at z-pos 0,4 ; y=0b011 -> bits at z-pos 1,3 => 0b011011
+    assert two["a"] == 0b011011
+
+    # 3-col round-robin: bit i of col j -> bit 3i + j
+    three = df.select(
+        interleave_bits_n([F.col("x"), F.col("y"), F.col("w")], 2).alias("z")
+    ).first()["z"]
+    # bits 0..1 of each: x(1,0)->pos 0 ; y(1,1)->pos 1,4 ; w(0,1)->pos 5
+    assert three == (1 << 0) + (1 << 1) + (1 << 4) + (1 << 5)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interleave_bits_n([F.col("x")] * 4, 16)  # 64 bits > 63

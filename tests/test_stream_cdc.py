@@ -1,22 +1,31 @@
 """Streaming CDC materialization (stream_apply_changelog): micro-batch
-folds into the versioned table equal the one-shot batch apply, deletes
-tombstone across batches, replay after a lost checkpoint is idempotent,
-and readers only ever resolve complete versions.
+folds equal the one-shot batch apply in BOTH persistence modes
+(versioned table / bucketed table), deletes tombstone across batches,
+late or redelivered lower-seq events never regress state (the table
+retains seq + tombstones, so every fold is seq-aware), replay after a
+lost checkpoint is idempotent, and a 1-key micro-batch against the
+bucketed layout rewrites exactly one bucket directory.
 """
 
 from __future__ import annotations
 
+import os
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
-from stock_market_data_pipeline_spark.operators.cdc import apply_changelog
-from stock_market_data_pipeline_spark.sinks.lake import read_versioned
+from stock_market_data_pipeline_spark.operators.cdc import (
+    apply_changelog,
+    read_cdc_state,
+)
 from stock_market_data_pipeline_spark.streaming.pipeline import (
     stream_apply_changelog,
 )
 
 SCHEMA = "k long, seq long, op string, v double"
+
+MODES = ("versioned", "bucketed")
 
 
 def _chg(spark, rows):
@@ -34,9 +43,16 @@ B1 = [
     (4, 22, "upsert", 4.0),    # new key
     (4, 23, "upsert", 4.5),    # in-batch update, greater seq wins
 ]
+# Batch arriving AFTER B1 but carrying OLDER seqs (redelivery / late
+# partition): nothing here may change the table — key 1 already at seq 20,
+# key 2 tombstoned at seq 21.
+B2_LATE = [
+    (1, 15, "upsert", 99.0),   # stale update: loses to stored seq 20
+    (2, 15, "upsert", 88.0),   # stale resurrect attempt: loses to tombstone 21
+]
 
 
-def _run(spark, src, root, ckpt):
+def _run(spark, src, root, ckpt, mode):
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -45,6 +61,7 @@ def _run(spark, src, root, ckpt):
     q = stream_apply_changelog(
         stream, root, keys=["k"], seq_col="seq",
         checkpoint_path=ckpt, trigger={"availableNow": True},
+        mode=mode, n_buckets=8,
     )
     q.awaitTermination(120)
 
@@ -52,16 +69,22 @@ def _run(spark, src, root, ckpt):
 def _state(spark, root):
     return {
         r["k"]: (r["seq"], r["v"])
-        for r in read_versioned(spark, root).collect()
+        for r in read_cdc_state(spark, root).collect()
     }
 
 
-def test_stream_fold_matches_batch_apply(spark, tmp_path):
+def _write_batches(spark, src, *batches):
+    for i, rows in enumerate(batches):
+        if i:
+            time.sleep(1.1)  # mtime order -> ordered micro-batches
+        _chg(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_stream_fold_matches_batch_apply(spark, tmp_path, mode):
     src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
-    _chg(spark, B0).coalesce(1).write.mode("append").parquet(src)
-    time.sleep(1.1)  # mtime order -> two micro-batches
-    _chg(spark, B1).coalesce(1).write.mode("append").parquet(src)
-    _run(spark, src, root, ckpt)
+    _write_batches(spark, src, B0, B1)
+    _run(spark, src, root, ckpt, mode)
 
     got = _state(spark, root)
     want = {
@@ -73,16 +96,37 @@ def test_stream_fold_matches_batch_apply(spark, tmp_path):
     assert got == want == {1: (20, 10.0), 3: (12, 3.0), 4: (23, 4.5)}
 
 
-def test_replay_after_lost_checkpoint_is_idempotent(spark, tmp_path):
+@pytest.mark.parametrize("mode", MODES)
+def test_late_lower_seq_events_do_not_regress_state(spark, tmp_path, mode):
+    """The round-6 ADVICE bug: a redelivered/late event with a LOWER seq in
+    a later micro-batch must lose to the seq already in the table — both
+    for live rows and for tombstoned keys (no resurrection)."""
     src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
-    _chg(spark, B0).coalesce(1).write.mode("append").parquet(src)
-    time.sleep(1.1)
-    _chg(spark, B1).coalesce(1).write.mode("append").parquet(src)
-    _run(spark, src, root, ckpt)
+    _write_batches(spark, src, B0, B1, B2_LATE)
+    _run(spark, src, root, ckpt, mode)
+
+    got = _state(spark, root)
+    # identical to folding the full log in one batch apply (seq order,
+    # not arrival order, decides)
+    want = {
+        r["k"]: (r["seq"], r["v"])
+        for r in apply_changelog(
+            _chg(spark, B0 + B1 + B2_LATE), keys=["k"], seq_col="seq"
+        ).collect()
+    }
+    assert got == want == {1: (20, 10.0), 3: (12, 3.0), 4: (23, 4.5)}
+    assert 2 not in got  # tombstone out-ranks the stale upsert
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_replay_after_lost_checkpoint_is_idempotent(spark, tmp_path, mode):
+    src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
+    _write_batches(spark, src, B0, B1)
+    _run(spark, src, root, ckpt, mode)
     first = _state(spark, root)
 
     # checkpoint wiped -> the whole log replays onto the existing table
-    _run(spark, src, root, str(tmp_path / "ckpt2"))
+    _run(spark, src, root, str(tmp_path / "ckpt2"), mode)
     assert _state(spark, root) == first
     # tombstoned key stays absent through the replay
     assert 2 not in _state(spark, root)
@@ -91,13 +135,51 @@ def test_replay_after_lost_checkpoint_is_idempotent(spark, tmp_path):
 def test_reader_never_sees_partial_state(spark, tmp_path):
     src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
     _chg(spark, B0).coalesce(1).write.mode("append").parquet(src)
-    _run(spark, src, root, ckpt)
+    _run(spark, src, root, ckpt, "versioned")
     # after batch 0 the table is a complete committed version
     assert _state(spark, root) == {1: (10, 1.0), 2: (11, 2.0), 3: (12, 3.0)}
     time.sleep(1.1)
     _chg(spark, B1).coalesce(1).write.mode("append").parquet(src)
-    _run(spark, src, root, str(tmp_path / "ckpt_b"))
-    df = read_versioned(spark, root)
+    _run(spark, src, root, str(tmp_path / "ckpt_b"), "versioned")
+    df = read_cdc_state(spark, root)
     # one row per surviving key, never a mix of versions
     assert df.groupBy("k").count().filter(F.col("count") > 1).count() == 0
     assert _state(spark, root) == {1: (20, 10.0), 3: (12, 3.0), 4: (23, 4.5)}
+
+
+def _bucket_mtimes(root):
+    out = {}
+    for d in os.listdir(root):
+        if not d.startswith("key_bucket="):
+            continue
+        full = os.path.join(root, d)
+        out[d] = max(
+            os.path.getmtime(os.path.join(full, f))
+            for f in os.listdir(full)
+            if not f.startswith((".", "_"))
+        )
+    return out
+
+
+def test_bucketed_one_key_batch_rewrites_one_bucket(spark, tmp_path):
+    """File-level audit (zorder-footer style): after the table exists, a
+    micro-batch touching ONE key overwrites exactly one bucket partition
+    directory — the scale contract that clears the full-table-rewrite
+    weakness of the round-6 fold."""
+    src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
+    # seed with keys spread over several of the 8 buckets
+    seed = [(k, 10 + k, "upsert", float(k)) for k in range(1, 9)]
+    _write_batches(spark, src, seed)
+    _run(spark, src, root, ckpt, "bucketed")
+    before = _bucket_mtimes(root)
+    assert len(before) > 1  # the audit is vacuous on a 1-bucket table
+
+    time.sleep(1.05)  # mtime resolution guard
+    src2, ckpt2 = str(tmp_path / "src2"), str(tmp_path / "ckpt2")
+    _write_batches(spark, src2, [(1, 99, "upsert", 42.0)])
+    _run(spark, src2, root, ckpt2, "bucketed")
+    after = _bucket_mtimes(root)
+
+    changed = {d for d in after if after[d] > before.get(d, 0.0)}
+    assert len(changed) == 1
+    assert _state(spark, root)[1] == (99, 42.0)
