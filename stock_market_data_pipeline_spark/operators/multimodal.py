@@ -550,3 +550,61 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = (
+    "asset_id long, win_idx int, n_in_win long, rms double, peak int"
+)
+
+
+def audio_window_features(
+    assets: DataFrame, window_samples: int = 256
+) -> DataFrame:
+    """Windowed audio analytics: decode once, then emit one row per
+    fixed-size sample window (frame) with per-window RMS and peak — the
+    framing step in front of VAD / silence trimming / segment-level
+    quality filters. The audio twin of video ``sample_frames``.
+
+    Row expansion happens streaming per Arrow batch (like
+    ``sample_frames``): output rows = ceil(n_samples / window) × clips,
+    peak memory O(batch). Channels fold together per window (frame-level
+    energy, the VAD convention). Undecodable clips emit nothing — route
+    them via ``extract_audio_features.decode_ok`` instead.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, counts, rmss, peaks = [], [], [], [], []
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                decoded = decode_audio(
+                    bytes(blob) if blob is not None else None
+                )
+                if decoded is None:
+                    continue
+                samples, _rate = decoded
+                flat = samples.astype(np.int64).ravel()
+                per_win = window_samples * samples.shape[1]
+                for w in range(0, (len(flat) + per_win - 1) // per_win):
+                    seg = flat[w * per_win : (w + 1) * per_win]
+                    ids.append(int(aid))
+                    idxs.append(w)
+                    counts.append(len(seg))
+                    rmss.append(
+                        round(
+                            float(np.sqrt((seg * seg).sum() / len(seg)))
+                            + 1e-9,
+                            6,
+                        )
+                    )
+                    peaks.append(int(np.abs(seg).max()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int32"),
+                    "n_in_win": pd.Series(counts, dtype="int64"),
+                    "rms": pd.Series(rmss, dtype="float64"),
+                    "peak": pd.Series(peaks, dtype="Int32"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_WINDOWS_SCHEMA)

@@ -2816,6 +2816,47 @@ GROUP BY 1
 """
 
 
+# X98: dead-letter rollup — the corruption rule (event_id % 13 == 0) is
+# the ground truth the permissive parse must rediscover byte-for-byte.
+ORACLES["dead_letter_stats"] = """
+SELECT 'events' AS topic,
+       CAST(user_id % 4 AS INTEGER) AS partition,
+       count(*) AS n_rows,
+       CAST(COALESCE(sum(CASE WHEN event_id % 13 = 0 THEN 1 END), 0) AS BIGINT) AS n_dead,
+       round(COALESCE(sum(CASE WHEN event_id % 13 = 0 THEN 1 END), 0)
+             / CAST(count(*) AS DOUBLE), 6) AS dead_rate,
+       min(CASE WHEN event_id % 13 = 0 THEN event_id END) AS first_dead_offset,
+       max(CASE WHEN event_id % 13 = 0 THEN event_id END) AS last_dead_offset
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# X89 (driver-visible): streaming CDC final state ≡ one-shot batch fold.
+# The Spark side runs a REAL two-micro-batch availableNow stream with
+# seqs interleaved across batches; the oracle folds the whole changelog
+# at once — equality proves the stored-seq comparison, not arrival order,
+# decides every key.
+ORACLES["stream_cdc_parity"] = """
+WITH chg AS (
+  SELECT user_id, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value
+  FROM events
+),
+winner AS (
+  SELECT * FROM chg
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id
+    ORDER BY seq DESC,
+             CASE WHEN op = 'delete' THEN 1 ELSE 0 END DESC,
+             value DESC NULLS LAST
+  ) = 1
+)
+SELECT user_id, seq, value FROM winner WHERE op <> 'delete'
+"""
+
+
 # X97: audio decode features — recompute the synthetic clip's decoded
 # statistics from the same integer formula (n_bytes = 44-byte canonical
 # header + 2 bytes/sample; sums of squares exact in int64/hugeint).
@@ -2845,6 +2886,29 @@ SELECT doc_id AS asset_id,
              / CAST(n AS DOUBLE), 6) AS clipping_ratio
 FROM s
 GROUP BY doc_id, n, rate
+"""
+
+
+# X97 (windows): per-256-sample-frame energy — same integer samples,
+# regrouped by i // 256; partial tail windows carry their true length.
+ORACLES["multimodal_audio_windows"] = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 101) * 4  AS n,
+         doc_id % 23 + 2            AS step
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(t.i // 256 AS INTEGER) AS win_idx,
+         least(greatest((t.i * step + doc_id) % 90001 - 45000, -32768), 32767) AS v
+  FROM p, UNNEST(range(0, n)) AS t(i)
+)
+SELECT doc_id AS asset_id, win_idx,
+       count(*) AS n_in_win,
+       round(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)), 6) AS rms,
+       CAST(max(abs(v)) AS INTEGER) AS peak
+FROM s
+GROUP BY 1, 2
 """
 
 

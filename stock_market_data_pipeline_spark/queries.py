@@ -1845,6 +1845,112 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 observability: simulate the Kafka wire (key/value binary + topic/
+    partition/offset lineage) from the event log, corrupt every 13th
+    payload, run the REAL permissive envelope parse, and roll the poison
+    pills up per partition — counts, rate, and first/last dead offsets
+    (the replay bounds). The oracle recomputes the rollup from the
+    corruption rule directly."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stock_market_data_pipeline_spark.streaming.sources import (
+        dead_letter_stats,
+        parse_kafka_envelope,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    payload = F.to_json(F.struct("event_id", "event_type", "value"))
+    wire = ev.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(
+            F.when(
+                F.col("event_id") % 13 == 0,
+                F.concat(F.lit("corrupt"), F.col("event_id").cast("string")),
+            ).otherwise(payload),
+            "UTF-8",
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("user_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    parsed = parse_kafka_envelope(wire, schema=schema)
+    return dead_letter_stats(parsed)
+
+
+def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC (bucketed mode) as a driver-visible parity query: the
+    event changelog splits into two micro-batches by ``event_id % 2`` — so
+    sequence numbers INTERLEAVE across batches, i.e. every batch delivers
+    events "late" relative to the other — and the final live state after
+    the availableNow stream must still equal the one-shot batch fold (the
+    oracle recomputes it with one QUALIFY window). Any fold that compares
+    arrival order instead of stored seq (the round-6 bug) diverges here.
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.operators.cdc import read_cdc_state
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_apply_changelog,
+    )
+
+    chg = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+    )
+    root = tempfile.mkdtemp(prefix="smdp_stream_cdc_")
+    try:
+        src, table, ckpt = f"{root}/src", f"{root}/table", f"{root}/ckpt"
+        chg.filter(F.col("seq") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # mtime order -> second micro-batch
+        chg.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "user_id long, seq long, op string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_apply_changelog(
+            stream,
+            table,
+            keys=["user_id"],
+            seq_col="seq",
+            checkpoint_path=ckpt,
+            trigger={"availableNow": True},
+            mode="bucketed",
+            n_buckets=16,
+        )
+        q.awaitTermination(300)
+        return read_cdc_state(spark, table).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: REAL RIFF/PCM decode via Arrow mapInPandas — a
     deterministic overdriven-sawtooth WAV per document (pure integer
@@ -1859,6 +1965,21 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return extract_audio_features(synthesize_wav_assets(docs))
+
+
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio framing: the synthetic clips decode once and expand
+    to one row per 256-sample window with per-window RMS/peak (VAD-style
+    framing). The oracle regroups the same closed-form samples by
+    ``i // 256`` — window boundaries, partial tails, and per-window
+    energy all recomputed independently."""
+    from stock_market_data_pipeline_spark.operators.multimodal import (
+        audio_window_features,
+        synthesize_wav_assets,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return audio_window_features(synthesize_wav_assets(docs), window_samples=256)
 
 
 def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1886,82 +2007,37 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-core anchors up to 50. Everything — in or out of the window — is still
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # sweeps the whole dict).
-# ROUND-6 WINDOW (leads, in order): 3 new/changed rows (multimodal_resize,
-# stream_incremental_dedup, multimodal_image_features — the BMP contract
-# replaced the stub contract), approx_stats (the one never-driver-green
-# query), then the 13 later round-6 additions (promo_revenue_pct ..
-# customer_value_deciles), hll_user_rollup/asof_join_forward (code touched
-# this round), the 22 once-green r5 rows, and §2 anchors to 50. The
-# twice-green anchors that fell past 50 this round (dedup_keep_last ..
-# session_windows) are intentional casualties of the never-checked-first
-# rule.
-# NEXT ROUND (7): once CORRECTNESS_r06 is green, rotate the confirmed
-# twice-green rows down past 50, lead with round-7 additions, and pull the
-# displaced anchors (dedup_keep_last, asof_join, null_fill_defaults,
-# dedup_exact, pricing_summary, …) plus the r4-twice-green block
-# (event_funnel .. lsh_cosine_topk_multiprobe) back through the tail as
-# slots free up; update
+# ROUND-7 WINDOW (leads, in order): the 5 round-7 additions (line_dedup,
+# multimodal_audio_features, stream_cdc_parity, dead_letter_stats,
+# multimodal_audio_windows — never driver-checked), then the 8 rows whose
+# code changed since their last
+# driver row (psi_drift null-count contract; the three as-of variants
+# after the struct-carry fix; apply_changelog/incremental_dedup/
+# stream_incremental_dedup after the cdc/scratch-cleanup edits;
+# zorder_fingerprint after the k-dim generalization), then the ENTIRE
+# r3-latest-green block (34 rows, dedup_exact .. multimodal_content_dedup
+# — the oldest standing driver confirmations, including the
+# session_windows/asof_join rotation-hygiene rows the r6 verdict named),
+# and the 3 oldest r4 rows (rolling_frames, ewma, daily_ohlcv) to fill 50. Past the window the tail is ordered oldest-green-first
+# (r4 remainder → r5 → r6) so future rotations pull from the front of it.
+# NEXT ROUND (8): rotate the confirmed rows down, lead with round-8
+# additions/code-touched rows, then the r4 remainder (dedup_keep_last ..
+# chunk_dedup_stats) and the r5 block; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "multimodal_audio_features": q_multimodal_audio_features,
-    "multimodal_resize": q_multimodal_resize,
-    "stream_incremental_dedup": q_stream_incremental_dedup,
-    "multimodal_image_features": q_multimodal_image_features,
-    "approx_stats": q_approx_stats,
-    "promo_revenue_pct": q_promo_revenue_pct,
-    "discounted_revenue": q_discounted_revenue,
-    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
-    "nation_trade_volume": q_nation_trade_volume,
-    "soft_dedup": q_soft_dedup,
-    "containment_pairs": q_containment_pairs,
-    "upsample_mix": q_upsample_mix,
-    "asof_join_tolerance": q_asof_join_tolerance,
-    "zorder_fingerprint": q_zorder_fingerprint,
+    "stream_cdc_parity": q_stream_cdc_parity,
+    "dead_letter_stats": q_dead_letter_stats,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
     "psi_drift": q_psi_drift,
-    "apply_changelog": q_apply_changelog,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "customer_value_deciles": q_customer_value_deciles,
-    "product_profit": q_product_profit,
-    "customer_order_distribution": q_customer_order_distribution,
-    "hll_user_rollup": q_hll_user_rollup,
-    "asof_join_forward": q_asof_join_forward,
-    "session_peak_overlap": q_session_peak_overlap,
-    "supplier_pagerank": q_supplier_pagerank,
-    "quantized_topk_rerank": q_quantized_topk_rerank,
-    "national_market_share": q_national_market_share,
-    "returned_item_customers": q_returned_item_customers,
-    "training_mix_report": q_training_mix_report,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "incremental_dedup": q_incremental_dedup,
-    "stream_batch_session_parity": q_stream_batch_session_parity,
-    "sequence_packing": q_sequence_packing,
-    "packed_sequence_stats": q_packed_sequence_stats,
-    "wealthy_inactive_customers": q_wealthy_inactive_customers,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "large_volume_orders": q_large_volume_orders,
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_report": q_corpus_report,
-    "price_histogram": q_price_histogram,
-    "user_set_ops": q_user_set_ops,
-    "curriculum_packing": q_curriculum_packing,
-    "data_expectations": q_data_expectations,
-    "event_sessionization": q_event_sessionization,
-    "quantize_embeddings": q_quantize_embeddings,
-    "clean_cast_filter": q_clean_cast_filter,
-    "sliding_window_15m": q_sliding_window_15m,
-    "sliding_window_1h": q_sliding_window_1h,
-    "windowed_analytics": q_windowed_analytics,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "trading_signals": q_trading_signals,
-    "rolling_frames": q_rolling_frames,
-    "ewma": q_ewma,
-    "daily_ohlcv": q_daily_ohlcv,
-    "daily_change_close_over_close": q_daily_change_close_over_close,
-    "dedup_keep_last": q_dedup_keep_last,
     "asof_join": q_asof_join,
-    "null_fill_defaults": q_null_fill_defaults,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_tolerance": q_asof_join_tolerance,
+    "apply_changelog": q_apply_changelog,
+    "incremental_dedup": q_incremental_dedup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
+    "zorder_fingerprint": q_zorder_fingerprint,
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
     "top_revenue_orders": q_top_revenue_orders,
@@ -1970,41 +2046,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "customer_order_ranks": q_customer_order_ranks,
     "session_windows": q_session_windows,
-    # ---- driver window (first 50) ends here ----
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "event_json_stats": q_event_json_stats,
-    "macd_signal": q_macd_signal,
-    "pii_redaction": q_pii_redaction,
-    "ann_recall": q_ann_recall,
-    "stratified_sample": q_stratified_sample,
-    "gapfill_15m": q_gapfill_15m,
-    "repetition_signals": q_repetition_signals,
-    "doc_chunks": q_doc_chunks,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "price_band_join": q_price_band_join,
-    "quota_sample": q_quota_sample,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "technical_indicators": q_technical_indicators,
-    "salted_symbol_volume": q_salted_symbol_volume,
-    "macd": q_macd,
-    "corpus_curation_transitive": q_corpus_curation_transitive,
-    "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
-    "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "unigram_logprob": q_unigram_logprob,
-    "return_correlation": q_return_correlation,
-    "kmeans_iteration": q_kmeans_iteration,
-    "last_touch_attribution": q_last_touch_attribution,
-    "scd2_history": q_scd2_history,
-    "event_transitions": q_event_transitions,
-    "winsorize_prices": q_winsorize_prices,
-    "event_funnel_windowed": q_event_funnel_windowed,
-    "alpha_sample": q_alpha_sample,
-    "market_beta": q_market_beta,
-    "risk_metrics": q_risk_metrics,
-    "daily_vwap": q_daily_vwap,
-    "chunk_dedup_stats": q_chunk_dedup_stats,
     "corpus_curation": q_corpus_curation,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2031,4 +2072,88 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_content_dedup": q_multimodal_content_dedup,
+    "rolling_frames": q_rolling_frames,
+    "ewma": q_ewma,
+    "daily_ohlcv": q_daily_ohlcv,
+    "daily_change_close_over_close": q_daily_change_close_over_close,
+    # ---- driver window (first 50) ends here ----
+    "dedup_keep_last": q_dedup_keep_last,
+    "null_fill_defaults": q_null_fill_defaults,
+    "event_transitions": q_event_transitions,
+    "winsorize_prices": q_winsorize_prices,
+    "event_funnel_windowed": q_event_funnel_windowed,
+    "alpha_sample": q_alpha_sample,
+    "market_beta": q_market_beta,
+    "risk_metrics": q_risk_metrics,
+    "daily_vwap": q_daily_vwap,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "event_json_stats": q_event_json_stats,
+    "macd_signal": q_macd_signal,
+    "pii_redaction": q_pii_redaction,
+    "ann_recall": q_ann_recall,
+    "stratified_sample": q_stratified_sample,
+    "gapfill_15m": q_gapfill_15m,
+    "repetition_signals": q_repetition_signals,
+    "doc_chunks": q_doc_chunks,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "technical_indicators": q_technical_indicators,
+    "salted_symbol_volume": q_salted_symbol_volume,
+    "macd": q_macd,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
+    "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
+    "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
+    "return_correlation": q_return_correlation,
+    "kmeans_iteration": q_kmeans_iteration,
+    "last_touch_attribution": q_last_touch_attribution,
+    "scd2_history": q_scd2_history,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_image_features": q_multimodal_image_features,
+    "approx_stats": q_approx_stats,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "discounted_revenue": q_discounted_revenue,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "nation_trade_volume": q_nation_trade_volume,
+    "soft_dedup": q_soft_dedup,
+    "containment_pairs": q_containment_pairs,
+    "upsample_mix": q_upsample_mix,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "customer_value_deciles": q_customer_value_deciles,
+    "product_profit": q_product_profit,
+    "customer_order_distribution": q_customer_order_distribution,
+    "hll_user_rollup": q_hll_user_rollup,
+    "session_peak_overlap": q_session_peak_overlap,
+    "supplier_pagerank": q_supplier_pagerank,
+    "quantized_topk_rerank": q_quantized_topk_rerank,
+    "national_market_share": q_national_market_share,
+    "returned_item_customers": q_returned_item_customers,
+    "training_mix_report": q_training_mix_report,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
+    "sequence_packing": q_sequence_packing,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "semantic_dedup": q_semantic_dedup,
+    "corpus_report": q_corpus_report,
+    "price_histogram": q_price_histogram,
+    "user_set_ops": q_user_set_ops,
+    "curriculum_packing": q_curriculum_packing,
+    "data_expectations": q_data_expectations,
+    "event_sessionization": q_event_sessionization,
+    "quantize_embeddings": q_quantize_embeddings,
+    "clean_cast_filter": q_clean_cast_filter,
+    "sliding_window_15m": q_sliding_window_15m,
+    "sliding_window_1h": q_sliding_window_1h,
+    "windowed_analytics": q_windowed_analytics,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "trading_signals": q_trading_signals,
 }

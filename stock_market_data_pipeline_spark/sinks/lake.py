@@ -318,6 +318,63 @@ def merge_upsert_bucketed(
     return touched
 
 
+def compact_cdc_tombstones(
+    spark: SparkSession,
+    path: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    seq_col: str | None = None,
+    before_seq: int | None = None,
+) -> list[int]:
+    """Retention maintenance for a bucketed CDC table
+    (``streaming/pipeline.py:stream_apply_changelog`` mode="bucketed"):
+    physically drop tombstone rows, rewriting ONLY the buckets that hold
+    any.
+
+    ``before_seq`` (with ``seq_col``) keeps recent tombstones: dropping a
+    tombstone re-opens its key to late lower-seq upserts, so the cutoff is
+    the CDC analogue of Cassandra's gc_grace — set it below the oldest
+    sequence number still in flight. ``before_seq=None`` drops them all
+    (safe once the upstream log is fully drained).
+
+    Buckets whose every row was a tombstone end up empty; dynamic
+    partition overwrite never touches a partition it has no rows for, so
+    those directories are deleted explicitly. Run inside the table's
+    single-writer window (same contract as the merge itself).
+
+    Returns the sorted bucket ids rewritten or removed.
+    """
+    df = spark.read.parquet(path)
+    cond = F.col(op_col) == delete_op
+    if before_seq is not None:
+        if seq_col is None:
+            raise ValueError("before_seq needs seq_col")
+        cond = cond & (F.col(seq_col) < before_seq)
+    touched = sorted(
+        r[0] for r in df.filter(cond).select(BUCKET_COL).distinct().collect()
+    )
+    if not touched:
+        return []
+    kept = df.filter(F.col(BUCKET_COL).isin(touched)).filter(~cond)
+    survivors = {
+        r[0]
+        for r in kept.select(BUCKET_COL).distinct().collect()
+    }
+    if survivors:
+        (
+            kept.repartition(F.col(BUCKET_COL))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(path)
+        )
+    fs = _HadoopFS(spark, path)
+    for b in touched:
+        if b not in survivors:
+            fs.delete(f"{path.rstrip('/')}/{BUCKET_COL}={b}")
+    return touched
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

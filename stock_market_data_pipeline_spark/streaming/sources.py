@@ -153,3 +153,31 @@ def rate_ticks(
         (1000 + (F.abs(F.xxhash64(F.col("value"), F.lit(seed + 2))) % 99001)).alias("volume"),
         F.col("timestamp"),
     )
+
+
+def dead_letter_stats(
+    parsed: DataFrame, ok_col: str = "_value_ok"
+) -> DataFrame:
+    """Per-(topic, partition) poison-pill rollup over a parsed envelope
+    frame (the observability half of S4 — the reference consumer only
+    LOGS parse failures, ``realtime_data_consumer.py:96-100``; this makes
+    them a queryable metric the dead-letter topic/alerting can ride).
+
+    Output: ``n_rows``, ``n_dead``, ``dead_rate`` (6 dp), and the
+    first/last dead offsets — the replay bounds an operator needs to
+    re-consume a poisoned window. Map-side-combined aggregate: ≤ one row
+    per (topic, partition) ever crosses the shuffle; works identically on
+    a batch frame or inside ``foreachBatch``.
+    """
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    dead = ~F.col(ok_col)
+    return parsed.groupBy("topic", "partition").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dead.cast("long")).alias("n_dead"),
+        round_det(
+            F.sum(dead.cast("long")) / F.count(F.lit(1))
+        ).alias("dead_rate"),
+        F.min(F.when(dead, F.col("offset"))).alias("first_dead_offset"),
+        F.max(F.when(dead, F.col("offset"))).alias("last_dead_offset"),
+    )

@@ -20,62 +20,54 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-6
-    plan: the new/changed round-6 rows and the never-driver-green
-    approx_stats LEAD the window; code-touched and once-green r5 rows stay
-    in for their second confirmation."""
+    (rotation contract, see the comment above QUERIES). Guard the round-7
+    plan: never-driver-checked round-7 additions lead, followed by every
+    row whose code changed since its last driver row, then the full
+    r3-latest-green block (oldest standing confirmations) and the oldest
+    r4 rows."""
     window = list(QUERIES)[:50]
-    # new/changed this round + the one never-driver-green query: the whole
-    # point of the round-6 rotation — they must be at the very front
-    assert window[:4] == [
-        "multimodal_resize",
+    # round-7 additions — never driver-checked — at the very front
+    assert window[:5] == [
+        "line_dedup",
+        "multimodal_audio_features",
+        "stream_cdc_parity",
+        "dead_letter_stats",
+        "multimodal_audio_windows",
+    ]
+    # code touched since last driver check (round-7 edits)
+    assert window[5:13] == [
+        "psi_drift",
+        "asof_join",
+        "asof_join_forward",
+        "asof_join_tolerance",
+        "apply_changelog",
+        "incremental_dedup",
         "stream_incremental_dedup",
-        "multimodal_image_features",
-        "approx_stats",
+        "zorder_fingerprint",
     ]
     must_be_in = [
-        # round-6 additions — never driver-checked
-        "promo_revenue_pct",
-        "discounted_revenue",
-        "supplier_count_by_part_attrs",
-        "nation_trade_volume",
-        "soft_dedup",
-        "containment_pairs",
-        "upsample_mix",
-        "asof_join_tolerance",
-        "zorder_fingerprint",
-        "psi_drift",
-        "apply_changelog",
-        "small_quantity_revenue",
-        "customer_value_deciles",
-        "product_profit",
-        "customer_order_distribution",
-        # code changed in round 6 (HLL envelope, asof tiebreak) — re-confirm
-        "hll_user_rollup",
-        "asof_join_forward",
-        # once-green in r5 — need a second driver confirmation
-        "session_peak_overlap",
-        "supplier_pagerank",
-        "quantized_topk_rerank",
-        "national_market_share",
-        "returned_item_customers",
-        "training_mix_report",
-        "semantic_decontaminate",
-        "incremental_dedup",
-        "stream_batch_session_parity",
-        "sequence_packing",
-        "packed_sequence_stats",
-        "curriculum_packing",
-        "wealthy_inactive_customers",
-        "top_supplier_revenue",
-        "large_volume_orders",
-        "semantic_dedup",
-        "corpus_report",
-        "price_histogram",
-        "user_set_ops",
-        "data_expectations",
-        "event_sessionization",
-        "quantize_embeddings",
+        # r3-latest-green block: oldest standing driver confirmations,
+        # including the session_windows/asof_join hygiene rows the round-6
+        # verdict called out (asof_join asserted above)
+        "dedup_exact",
+        "pricing_summary",
+        "session_windows",
+        "corpus_curation",
+        "minhash_signatures",
+        "neardup_clusters",
+        "cosine_topk",
+        "linestatus_pivot",
+        "token_counts",
+        "text_quality",
+        "lang_id",
+        "simhash16",
+        "lsh_cosine_topk",
+        "ivf_cosine_topk",
+        "multimodal_content_dedup",
+        # oldest r4 rows fill the remaining slots
+        "rolling_frames",
+        "ewma",
+        "daily_ohlcv",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"

@@ -281,3 +281,37 @@ def test_interleave_bits_n_guards_and_2d_equivalence(spark):
 
     with _pytest.raises(ValueError):
         interleave_bits_n([F.col("x")] * 4, 16)  # 64 bits > 63
+
+
+def test_dead_letter_stats_mixed_validity(spark):
+    from stock_market_data_pipeline_spark.streaming.sources import (
+        dead_letter_stats,
+        parse_kafka_envelope,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = [
+        (b"k", b'{"id": 1}', "t", 0, 10, None),
+        (b"k", b"not json", "t", 0, 11, None),
+        (b"k", b'{"id": 3}', "t", 0, 12, None),
+        (b"k", b"junk", "t", 0, 13, None),
+        (b"k", b'{"id": 5}', "t", 1, 20, None),  # clean partition
+    ]
+    wire = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    parsed = parse_kafka_envelope(
+        wire, schema=StructType([StructField("id", LongType())])
+    )
+    out = {
+        (r["topic"], r["partition"]): r
+        for r in dead_letter_stats(parsed).collect()
+    }
+    p0 = out[("t", 0)]
+    assert p0["n_rows"] == 4 and p0["n_dead"] == 2
+    assert p0["dead_rate"] == 0.5
+    assert (p0["first_dead_offset"], p0["last_dead_offset"]) == (11, 13)
+    p1 = out[("t", 1)]
+    assert p1["n_dead"] == 0 and p1["first_dead_offset"] is None

@@ -183,3 +183,46 @@ def test_bucketed_one_key_batch_rewrites_one_bucket(spark, tmp_path):
     changed = {d for d in after if after[d] > before.get(d, 0.0)}
     assert len(changed) == 1
     assert _state(spark, root)[1] == (99, 42.0)
+
+
+def test_compact_cdc_tombstones(spark, tmp_path):
+    """Retention pass drops tombstone rows bucket-locally: only
+    tombstone-bearing buckets rewrite, live state is unchanged, an
+    all-tombstone bucket's directory disappears, and a before_seq cutoff
+    keeps the recent tombstones that still guard against late upserts."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        compact_cdc_tombstones,
+    )
+
+    src, root, ckpt = (str(tmp_path / d) for d in ("src", "table", "ckpt"))
+    live = [(k, 10 + k, "upsert", float(k)) for k in range(1, 9)]
+    dels = [(100, 50, "delete", None), (200, 60, "delete", None)]
+    _write_batches(spark, src, live + dels)
+    _run(spark, src, root, ckpt, "bucketed")
+    before_state = _state(spark, root)
+    before_m = _bucket_mtimes(root)
+    n_buckets_before = len(before_m)
+
+    time.sleep(1.05)
+    # cutoff keeps the seq-60 tombstone
+    touched = compact_cdc_tombstones(
+        spark, root, seq_col="seq", before_seq=55
+    )
+    df = spark.read.parquet(root)
+    remaining = {
+        r["k"] for r in df.filter(F.col("op") == "delete").collect()
+    }
+    assert remaining == {200}
+    assert _state(spark, root) == before_state  # live rows untouched
+    after_m = _bucket_mtimes(root)
+    changed = {d for d in after_m if after_m[d] > before_m.get(d, 0.0)}
+    removed = set(before_m) - set(after_m)
+    assert len(changed | removed) == len(touched)
+
+    # drop the rest: the seq-60 tombstone's bucket directory may vanish
+    # entirely if it held nothing else
+    compact_cdc_tombstones(spark, root)
+    df2 = spark.read.parquet(root)
+    assert df2.filter(F.col("op") == "delete").count() == 0
+    assert _state(spark, root) == before_state
+    assert len(_bucket_mtimes(root)) <= n_buckets_before
