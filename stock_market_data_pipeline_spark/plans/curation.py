@@ -28,12 +28,27 @@ def curate_corpus(
     min_quality: float = 0.5,
     min_tokens: int = 10,
     neardup_threshold: float = 0.75,
+    boilerplate_min_docs: int | None = None,
 ) -> DataFrame:
     """Curated corpus: per-doc features + all three filters applied.
+
+    ``boilerplate_min_docs`` switches on the line-level boilerplate strip
+    (:func:`..operators.dedup.line_dedup`) BEFORE the quality gate — the
+    C4-style composition point: repeated header/footer/nav lines inflate
+    token counts and quality scores, so they must go before any per-doc
+    feature is trusted. Default off (the oracle-gated corpus_curation
+    contract is the unstripped pipeline).
 
     Output: doc_id, lang_pred, n_tokens, quality_score (rounded upstream by
     the caller) for every surviving document.
     """
+    if boilerplate_min_docs is not None:
+        from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+        cleaned = line_dedup(docs, min_docs=boilerplate_min_docs).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        docs = docs.drop("text").join(cleaned, "doc_id")
     feats = with_lang_id(with_quality(docs))
     gated = feats.filter(
         (F.col("quality_score") >= min_quality) & (F.col("n_tokens") >= min_tokens)

@@ -436,3 +436,50 @@ def stream_apply_changelog(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_with_dead_letter(
+    parsed: DataFrame,
+    output_path: str,
+    dead_letter_path: str,
+    checkpoint_path: str,
+    ok_col: str = "_value_ok",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Envelope-gated ingest with a REAL dead-letter lane: each micro-batch
+    of a parsed Kafka envelope stream (:func:`..streaming.sources.
+    parse_kafka_envelope`) splits on ``ok_col`` — clean rows append to the
+    main lake path, poison rows append (with their full lineage: topic/
+    partition/offset) to the dead-letter path for replay/inspection, and
+    both sides roll up through :func:`..streaming.sources.
+    dead_letter_stats` semantics downstream.
+
+    One localCheckpoint per batch keeps the split from re-reading the
+    source twice; both sides land as parquet partitioned by
+    ``ingest_batch`` via partition-scoped dynamic overwrite, so a crash
+    between the two writes replays the batch into the same partition
+    idempotently (append mode would double the rows).
+    """
+
+    def _gate(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = batch_df.localCheckpoint(eager=True)
+        for side, path in (
+            (pinned.filter(F.col(ok_col)), output_path),
+            (pinned.filter(~F.col(ok_col)), dead_letter_path),
+        ):
+            (
+                side.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch")
+                .parquet(path)
+            )
+
+    writer = (
+        parsed.writeStream.foreachBatch(_gate)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -315,3 +315,105 @@ def test_dead_letter_stats_mixed_validity(spark):
     assert (p0["first_dead_offset"], p0["last_dead_offset"]) == (11, 13)
     p1 = out[("t", 1)]
     assert p1["n_dead"] == 0 and p1["first_dead_offset"] is None
+
+
+def test_stream_dead_letter_lane(spark, tmp_path):
+    """Poison rows land in the dead-letter path WITH lineage; clean rows in
+    the main path; counts close (no row lost, none duplicated); replay
+    after a lost checkpoint stays idempotent."""
+    import time
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_with_dead_letter,
+    )
+    from stock_market_data_pipeline_spark.streaming.sources import (
+        parse_kafka_envelope,
+    )
+
+    src, out, dl, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "dead", "ckpt")
+    )
+    rows1 = [
+        (b"k", b'{"id": 1}', "t", 0, 10, None),
+        (b"k", b"poison", "t", 0, 11, None),
+    ]
+    rows2 = [
+        (b"k", b'{"id": 3}', "t", 1, 20, None),
+        (b"k", b"junk", "t", 1, 21, None),
+        (b"k", b'{"id": 5}', "t", 1, 22, None),
+    ]
+    wire_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp"
+    )
+    spark.createDataFrame(rows1, wire_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, wire_schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(wire_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        parsed = parse_kafka_envelope(
+            stream, schema=StructType([StructField("id", LongType())])
+        )
+        q = stream_with_dead_letter(
+            parsed, out, dl, ck, trigger={"availableNow": True}
+        )
+        q.awaitTermination(120)
+
+    run(ckpt)
+    good = spark.read.parquet(out)
+    dead = spark.read.parquet(dl)
+    assert good.count() == 3 and dead.count() == 2
+    assert {r["id"] for r in good.collect()} == {1, 3, 5}
+    # lineage preserved on the dead lane — the replay bounds
+    assert {(r["partition"], r["offset"]) for r in dead.collect()} == {
+        (0, 11),
+        (1, 21),
+    }
+    # micro-batch provenance recorded
+    assert {r["ingest_batch"] for r in dead.collect()} == {0, 1}
+
+    run(str(tmp_path / "ckpt2"))  # lost checkpoint -> full replay
+    assert spark.read.parquet(out).count() == 3
+    assert spark.read.parquet(dl).count() == 2
+
+
+def test_curation_boilerplate_composition(spark):
+    """The C4 composition point: with boilerplate_min_docs set, repeated
+    footer lines are stripped BEFORE the quality gate, so token counts
+    shrink; with it off (the oracle-gated default) the text is untouched."""
+    from stock_market_data_pipeline_spark.plans.curation import curate_corpus
+
+    footer = "subscribe to our newsletter today please"
+    bodies = [
+        "aurora borealis shimmered across the polar sky in ribbons of green",
+        "the harbor crane unloaded forty containers before the morning fog",
+        "quantum annealing finds low energy states by tunneling through barriers",
+        "sourdough starter needs flour water and patience over several days",
+        "marathon runners pace themselves through the hills of the old city",
+        "volcanic soil grows exceptional coffee at high equatorial altitudes",
+    ]
+    docs = spark.createDataFrame(
+        [(i, f"{b}\n{footer}") for i, b in enumerate(bodies)],
+        "doc_id long, text string",
+    )
+    plain = curate_corpus(docs, min_quality=0.0, min_tokens=1)
+    stripped = curate_corpus(
+        docs, min_quality=0.0, min_tokens=1, boilerplate_min_docs=3
+    )
+    # unique bodies all survive either way; only the shared footer differs
+    n_plain = {r["doc_id"]: r["n_tokens"] for r in plain.collect()}
+    n_stripped = {r["doc_id"]: r["n_tokens"] for r in stripped.collect()}
+    assert set(n_plain) == set(n_stripped) == set(range(6))
+    for i in range(6):
+        assert n_stripped[i] == n_plain[i] - len(footer.split())
