@@ -466,6 +466,106 @@ def main() -> None:
         "recall_ok": r300 >= 0.9,
     }
 
+    # ---- round-7 probe: line_dedup with a universal boilerplate line ----
+    # EVERY doc carries the same footer line (the hottest possible
+    # fingerprint: doc-freq = n_docs) plus unique 3-word lines. The freq
+    # table above threshold stays tiny (one hot row + noise), so Spark
+    # broadcasts the boilerplate set and the hot fingerprint never skews a
+    # shuffle — growth must track corpus size, not the hot line.
+    from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+    def synth_boiler_docs(n_docs: int) -> DataFrame:
+        uniq = F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda j: F.concat(
+                    F.lit("u"), F.pmod(F.xxhash64(F.col("id") * 37 + j), 1 << 40),
+                    F.lit(" mid tail"),
+                ),
+            ),
+        )
+        return spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat(uniq, F.lit("\n(c) corp all rights reserved")).alias("text"),
+        )
+
+    def _ld(n: int) -> tuple[float, int]:
+        docs = synth_boiler_docs(n).localCheckpoint()
+        timed(line_dedup(docs, min_docs=5))  # warm
+        t = timed(line_dedup(docs, min_docs=5))
+        removed = (
+            line_dedup(docs, min_docs=5)
+            .agg(F.sum("n_removed").alias("s"))
+            .first()["s"]
+        )
+        return t, int(removed)
+
+    t30, rem30 = _ld(BASE_DOCS)
+    t300, rem300 = _ld(BASE_DOCS * 10)
+    results["line_dedup_hot_fingerprint_10x"] = {
+        "sec_30k": t30,
+        "sec_300k": t300,
+        "growth_ratio": round(t300 / t30, 2),
+        "removed_30k": rem30,
+        "removed_300k": rem300,
+        "every_doc_hit": rem300 >= BASE_DOCS * 10,  # footer stripped everywhere
+        "growth_ok": t300 / t30 <= 10 * 2.0,
+    }
+
+    # ---- round-7 probe: bucketed CDC fold cost is O(touched buckets) ----
+    # A constant 5-key batch merges into a 256-bucket table at 1x and 10x
+    # rows. If the fold were O(table) the 10x merge would cost ~10x; with
+    # partition-pruned touched-bucket reads it must stay near-flat (the
+    # streaming weakness the round-7 rework removed).
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from stock_market_data_pipeline_spark.operators.cdc import changelog_winners
+    from stock_market_data_pipeline_spark.sinks.lake import merge_upsert_bucketed
+
+    def _cdc_fold_sec(n_rows: int) -> float:
+        root = _tempfile.mkdtemp(prefix="smdp_skew_cdc_")
+        try:
+            seed = spark.range(n_rows).select(
+                F.col("id").alias("k"),
+                F.col("id").alias("seq"),
+                F.lit("upsert").alias("op"),
+                (F.col("id") % 997).cast("double").alias("v"),
+            )
+            reducer = lambda df: changelog_winners(  # noqa: E731
+                df, ["k"], "seq", op_col="op", delete_op="delete"
+            )
+            merge_upsert_bucketed(
+                spark, seed, root, keys=["k"], order_col="seq",
+                n_buckets=256, reducer=reducer,
+            )
+            batch = spark.range(5).select(
+                (F.col("id") * 31).alias("k"),
+                F.lit(10_000_000_000).alias("seq"),
+                F.lit("upsert").alias("op"),
+                F.lit(1.5).alias("v"),
+            )
+            t0 = time.perf_counter()
+            touched = merge_upsert_bucketed(
+                spark, batch, root, keys=["k"], order_col="seq",
+                n_buckets=256, reducer=reducer,
+            )
+            t = round(time.perf_counter() - t0, 3)
+            assert len(touched) <= 5
+            return t
+        finally:
+            _shutil.rmtree(root, ignore_errors=True)
+
+    c1 = _cdc_fold_sec(BASE_TICKS)
+    c10 = _cdc_fold_sec(BASE_TICKS * 10)
+    results["bucketed_cdc_fold_10x"] = {
+        "sec_1x_table": c1,
+        "sec_10x_table": c10,
+        "growth_ratio": round(c10 / c1, 2),
+        "flat_ok": c10 / c1 <= 3.0,  # near-flat, far from the 10x of O(table)
+    }
+
     print(json.dumps(results))
 
 

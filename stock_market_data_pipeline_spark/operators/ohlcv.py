@@ -150,3 +150,94 @@ def daily_vwap(
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+def ohlcv_partial(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    volume: str = "volume",
+) -> DataFrame:
+    """Mergeable per-(key, day) OHLCV partial state — the algebraic form of
+    :func:`daily_ohlcv` that incremental view maintenance needs: carrying
+    ``first_ts``/``last_ts`` makes open/close COMBINABLE (open of a merged
+    state = open of the partial with the earliest first_ts), where the
+    plain rollup's open/close are not."""
+    return df.groupBy(F.col(key), F.to_date(F.col(ts)).alias("date")).agg(
+        F.min(ts).alias("first_ts"),
+        F.max(ts).alias("last_ts"),
+        F.min_by(price, ts).alias("daily_open"),
+        F.max(price).alias("daily_high"),
+        F.min(price).alias("daily_low"),
+        F.max_by(price, ts).alias("daily_close"),
+        F.sum(volume).alias("daily_volume"),
+        F.count(F.lit(1)).alias("tick_count"),
+    )
+
+
+def combine_ohlcv_partials(
+    parts: DataFrame,
+    key: str = "symbol",
+    extra_group: tuple[str, ...] = (),
+) -> DataFrame:
+    """Reduce any number of overlapping partial states to one row per
+    (key, date): min/max/sum fold trivially; open/close pick the partial
+    at the extreme timestamp. Associative + commutative, so increments can
+    arrive in ANY order (late days, backfills, replays)."""
+    return parts.groupBy(*extra_group, key, "date").agg(
+        F.min("first_ts").alias("first_ts"),
+        F.max("last_ts").alias("last_ts"),
+        F.min_by("daily_open", "first_ts").alias("daily_open"),
+        F.max("daily_high").alias("daily_high"),
+        F.min("daily_low").alias("daily_low"),
+        F.max_by("daily_close", "last_ts").alias("daily_close"),
+        F.sum("daily_volume").alias("daily_volume"),
+        F.sum("tick_count").alias("tick_count"),
+    )
+
+
+def merge_daily_ohlcv(
+    spark,
+    ticks: DataFrame,
+    store_path: str,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    volume: str = "volume",
+    n_buckets: int = 64,
+) -> list[int]:
+    """Incremental materialized-rollup maintenance (X99): fold a tick
+    increment into a persistent bucketed daily-OHLCV store WITHOUT
+    re-reading history — the warehouse-rollup refresh the reference's
+    daily contract implies, as a pure lake operation.
+
+    Each refresh aggregates ONLY the increment (map-side combined to
+    |symbols|×|days| partial rows), then merges through
+    :func:`..sinks.lake.merge_upsert_bucketed` with
+    :func:`combine_ohlcv_partials` as the reducer — so a refresh rewrites
+    only the (symbol, date) buckets the increment touches, and the merge
+    combines overlapping days instead of overwriting them. At 100 TB/day
+    the refresh cost is O(increment + touched buckets), never O(history).
+
+    Returns the rewritten bucket ids. Read the store with a plain parquet
+    scan; finalize ``daily_change`` downstream (intraday or
+    close-over-close — both are projections over the tiny state table).
+    """
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        BUCKET_COL,
+        merge_upsert_bucketed,
+    )
+
+    parts = ohlcv_partial(ticks, key=key, ts=ts, price=price, volume=volume)
+    return merge_upsert_bucketed(
+        spark,
+        parts,
+        store_path,
+        keys=[key, "date"],
+        order_col="last_ts",
+        n_buckets=n_buckets,
+        reducer=lambda df: combine_ohlcv_partials(
+            df, key=key, extra_group=(BUCKET_COL,)
+        ),
+    )

@@ -2816,6 +2816,41 @@ GROUP BY 1
 """
 
 
+# X100: manifest-pruned versioned read — the oracle answers the same
+# key-range rollup off the raw table; equality proves the file prune is
+# lossless (the skip itself is audited by pytest via inputFiles()).
+ORACLES["pruned_scan_revenue"] = """
+WITH cut AS (SELECT CAST(max(l_orderkey) // 5 AS BIGINT) AS c FROM lineitem)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem, cut
+WHERE l_orderkey <= c
+GROUP BY 1
+"""
+
+
+# X99: incremental materialized OHLCV — the oracle is the ONE-SHOT full
+# rollup; equality proves the two-increment algebraic fold is exact.
+ORACLES["incremental_ohlcv"] = f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST("timestamp" AS DATE)        AS date,
+       min("timestamp")                 AS first_ts,
+       max("timestamp")                 AS last_ts,
+       arg_min(price, "timestamp")      AS daily_open,
+       max(price)                       AS daily_high,
+       min(price)                       AS daily_low,
+       arg_max(price, "timestamp")      AS daily_close,
+       CAST(sum(volume) AS BIGINT)      AS daily_volume,
+       count(*)                         AS tick_count,
+       round(arg_max(price, "timestamp") - arg_min(price, "timestamp"), 6) AS daily_change
+FROM ticks
+GROUP BY 1, 2
+"""
+
+
 # X98: dead-letter rollup — the corruption rule (event_id % 13 == 0) is
 # the ground truth the permissive parse must rediscover byte-for-byte.
 ORACLES["dead_letter_stats"] = """

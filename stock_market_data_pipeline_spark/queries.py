@@ -1845,6 +1845,88 @@ def q_quantized_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantized_topk_rerank(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
+def q_pruned_scan_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file-stats pruning (X100): publish lineitem as a versioned
+    table range-binned on l_orderkey with a per-file min/max manifest,
+    then answer a key-range rollup through the file-skipping reader. The
+    oracle computes the same rollup straight off the raw table — equality
+    proves the prune is lossless; the pytest audit proves files were
+    actually skipped."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        publish_version,
+        read_versioned_pruned,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    hi_key = li.agg(F.max("l_orderkey")).first()[0]
+    cut = hi_key // 5
+    # deterministic range bins -> tight per-file key ranges (hash-partition
+    # ON the bin id, so the file<-bin mapping is fixed, never sampled)
+    bin_id = F.least(
+        (F.col("l_orderkey") * 8 / (hi_key + 1)).cast("int"), F.lit(7)
+    )
+    binned = li.repartition(8, bin_id)
+    root = tempfile.mkdtemp(prefix="smdp_pruned_scan_")
+    try:
+        publish_version(spark, binned, root, stats_cols=["l_orderkey"])
+        pruned = read_versioned_pruned(
+            spark, root, "l_orderkey", lo=None, hi=cut
+        )
+        out = pruned.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").cast("bigint").alias("key_sum"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_incremental_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized OHLCV (X99): the tick stream splits into
+    two increments by ``volume % 2`` — every trading day is split ACROSS
+    both increments, so each refresh must merge partial days, not
+    overwrite them — folded one after the other into a bucketed store.
+    The final store state must equal the one-shot full rollup (the
+    oracle), proving the algebraic combine (first_ts/last_ts-keyed
+    open/close, min/max/sum folds) is exact under out-of-order refresh."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.ohlcv import (
+        merge_daily_ohlcv,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import BUCKET_COL
+
+    t = ticks_from_events(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="smdp_inc_ohlcv_")
+    try:
+        merge_daily_ohlcv(spark, t.filter(F.col("volume") % 2 == 0), root)
+        merge_daily_ohlcv(spark, t.filter(F.col("volume") % 2 == 1), root)
+        state = spark.read.parquet(root).drop(BUCKET_COL)
+        out = state.select(
+            "symbol",
+            "date",
+            "first_ts",
+            "last_ts",
+            "daily_open",
+            "daily_high",
+            "daily_low",
+            "daily_close",
+            "daily_volume",
+            "tick_count",
+            (F.col("daily_close") - F.col("daily_open")).alias("daily_change"),
+        )
+        return round_doubles(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 observability: simulate the Kafka wire (key/value binary + topic/
     partition/offset lineage) from the event log, corrupt every 13th
@@ -2007,10 +2089,10 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-core anchors up to 50. Everything — in or out of the window — is still
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # sweeps the whole dict).
-# ROUND-7 WINDOW (leads, in order): the 5 round-7 additions (line_dedup,
+# ROUND-7 WINDOW (leads, in order): the 7 round-7 additions (line_dedup,
 # multimodal_audio_features, stream_cdc_parity, dead_letter_stats,
-# multimodal_audio_windows — never driver-checked), then the 8 rows whose
-# code changed since their last
+# multimodal_audio_windows, incremental_ohlcv, pruned_scan_revenue —
+# never driver-checked), then the 8 rows whose code changed since their last
 # driver row (psi_drift null-count contract; the three as-of variants
 # after the struct-carry fix; apply_changelog/incremental_dedup/
 # stream_incremental_dedup after the cdc/scratch-cleanup edits;
@@ -2018,7 +2100,7 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r3-latest-green block (34 rows, dedup_exact .. multimodal_content_dedup
 # — the oldest standing driver confirmations, including the
 # session_windows/asof_join rotation-hygiene rows the r6 verdict named),
-# and the 3 oldest r4 rows (rolling_frames, ewma, daily_ohlcv) to fill 50. Past the window the tail is ordered oldest-green-first
+# and the oldest r4 row (rolling_frames) to fill 50. Past the window the tail is ordered oldest-green-first
 # (r4 remainder → r5 → r6) so future rotations pull from the front of it.
 # NEXT ROUND (8): rotate the confirmed rows down, lead with round-8
 # additions/code-touched rows, then the r4 remainder (dedup_keep_last ..
@@ -2030,6 +2112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc_parity": q_stream_cdc_parity,
     "dead_letter_stats": q_dead_letter_stats,
     "multimodal_audio_windows": q_multimodal_audio_windows,
+    "incremental_ohlcv": q_incremental_ohlcv,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
     "psi_drift": q_psi_drift,
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
@@ -2073,10 +2157,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_content_dedup": q_multimodal_content_dedup,
     "rolling_frames": q_rolling_frames,
+    # ---- driver window (first 50) ends here ----
     "ewma": q_ewma,
     "daily_ohlcv": q_daily_ohlcv,
     "daily_change_close_over_close": q_daily_change_close_over_close,
-    # ---- driver window (first 50) ends here ----
     "dedup_keep_last": q_dedup_keep_last,
     "null_fill_defaults": q_null_fill_defaults,
     "event_transitions": q_event_transitions,

@@ -457,6 +457,7 @@ def compact_small_files(
 
 
 _COMMIT_SUFFIX = "._COMMITTED"
+_STATS_SUFFIX = "._STATS"
 
 
 def _version_name(n: int) -> str:
@@ -558,6 +559,7 @@ def publish_version(
     fmt: str = "parquet",
     keep_versions: int = 2,
     repartition: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> str:
     """Publish ``df`` as the next version of a manifest-committed table.
 
@@ -590,12 +592,15 @@ def publish_version(
     vpath = f"{root.rstrip('/')}/{vname}"
     out = df.repartition(repartition) if repartition else df
     out.write.mode("overwrite").format(fmt).save(vpath)
+    if stats_cols:
+        _write_file_stats(spark, fs, vpath, fmt, stats_cols)
     fs.write_text(f"{vpath}{_COMMIT_SUFFIX}", vname)
     # GC: old committed versions beyond the retention window, and every
     # uncommitted orphan older than the version just published.
     for old_v in committed[: max(0, len(committed) - (keep_versions - 1))]:
         base = f"{root.rstrip('/')}/{_version_name(old_v)}"
         fs.delete(f"{base}{_COMMIT_SUFFIX}")
+        fs.delete(f"{base}{_STATS_SUFFIX}")
         fs.delete(base)
     for orphan in set(known) - set(committed):
         if orphan < nxt:
@@ -605,7 +610,110 @@ def publish_version(
             # orphan (never resolvable — _list_versions requires both);
             # delete the marker too or it survives every publish forever.
             fs.delete(f"{base}{_COMMIT_SUFFIX}")
+            fs.delete(f"{base}{_STATS_SUFFIX}")
     return vpath
+
+
+def _write_file_stats(
+    spark: SparkSession,
+    fs: _HadoopFS,
+    vpath: str,
+    fmt: str,
+    stats_cols: list[str],
+) -> None:
+    """Per-file min/max manifest for a freshly written version directory —
+    the miniature of Iceberg's manifest file stats. Computed as ONE
+    distributed aggregate grouped by input_file_name() (never a driver-side
+    footer walk, so it works on object stores and any fmt), collected
+    bounded by the file count, and written as a sidecar BEFORE the commit
+    marker — stats are part of the version payload, never half-published.
+    """
+    import json as _json
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    rows = (
+        spark.read.format(fmt).load(vpath)
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    files = {}
+    for r in rows:
+        fname = r["__f"].rsplit("/", 1)[-1]
+        files[fname] = {
+            c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+        }
+    fs.write_text(
+        f"{vpath}{_STATS_SUFFIX}",
+        _json.dumps({"cols": stats_cols, "files": files}, default=str),
+    )
+
+
+def read_versioned_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo=None,
+    hi=None,
+    fmt: str = "parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """File-skipping versioned read: consult the version's per-file min/max
+    manifest (``publish_version(stats_cols=...)``) and read ONLY the files
+    whose ``col`` range overlaps [lo, hi] — Spark never even opens the
+    skipped files, which on a 100 TB table is the difference between a
+    manifest lookup and a full listing+footer pass. The exact predicate is
+    re-applied after the file prune, so the result is identical to
+    ``read_versioned().filter(...)`` by construction (the oracle-gated
+    registry query pins this).
+
+    Files with NULL or non-numeric stats are conservatively read. No
+    manifest (or an unindexed column) falls back to the full filtered
+    read. Compose with a range-clustered or z-ordered publish so file
+    ranges are actually tight.
+    """
+    import json as _json
+
+    vdir = resolve_version(spark, root, version=version)
+    if vdir is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    c = F.col(col)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    full = spark.read.format(fmt).load(vdir)
+    fs = _HadoopFS(spark, root)
+    stats_path = f"{vdir}{_STATS_SUFFIX}"
+    if not fs.is_file(stats_path):
+        return full.filter(cond)
+    meta = _json.loads(fs.read_text(stats_path))
+    if col not in meta.get("cols", []):
+        return full.filter(cond)
+    keep = []
+    for fname, st in meta["files"].items():
+        mn, mx = st[col]
+        numeric = isinstance(mn, (int, float)) and isinstance(mx, (int, float))
+        if not numeric:
+            keep.append(fname)  # unknown stats -> must read
+            continue
+        if lo is not None and mx < lo:
+            continue
+        if hi is not None and mn > hi:
+            continue
+        keep.append(fname)
+    if not keep:
+        return full.filter(F.lit(False))
+    pruned = (
+        spark.read.format(fmt)
+        .schema(full.schema)
+        .load([f"{vdir}/{f}" for f in keep])
+    )
+    return pruned.filter(cond)
 
 
 def merge_upsert_versioned(

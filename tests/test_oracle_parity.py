@@ -27,15 +27,17 @@ def test_driver_window_composition():
     r4 rows."""
     window = list(QUERIES)[:50]
     # round-7 additions — never driver-checked — at the very front
-    assert window[:5] == [
+    assert window[:7] == [
         "line_dedup",
         "multimodal_audio_features",
         "stream_cdc_parity",
         "dead_letter_stats",
         "multimodal_audio_windows",
+        "incremental_ohlcv",
+        "pruned_scan_revenue",
     ]
     # code touched since last driver check (round-7 edits)
-    assert window[5:13] == [
+    assert window[7:15] == [
         "psi_drift",
         "asof_join",
         "asof_join_forward",
@@ -64,10 +66,8 @@ def test_driver_window_composition():
         "lsh_cosine_topk",
         "ivf_cosine_topk",
         "multimodal_content_dedup",
-        # oldest r4 rows fill the remaining slots
+        # oldest r4 row fills the remaining slot
         "rolling_frames",
-        "ewma",
-        "daily_ohlcv",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"

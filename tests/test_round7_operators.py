@@ -417,3 +417,99 @@ def test_curation_boilerplate_composition(spark):
     assert set(n_plain) == set(n_stripped) == set(range(6))
     for i in range(6):
         assert n_stripped[i] == n_plain[i] - len(footer.split())
+
+
+def test_incremental_ohlcv_merge_any_order(spark, tmp_path):
+    """The algebraic fold is order-independent: folding (late increment
+    first, early second) gives the same store as one-shot, and open/close
+    pick the true day-edge ticks across increments."""
+    from stock_market_data_pipeline_spark.operators.ohlcv import (
+        daily_ohlcv,
+        merge_daily_ohlcv,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import BUCKET_COL
+
+    rows = [
+        # one symbol, one day, ticks deliberately split so the OPEN tick is
+        # in the SECOND increment folded
+        ("A", "2026-01-05 09:30:00", 10.0, 100),  # open (inc B)
+        ("A", "2026-01-05 12:00:00", 15.0, 200),  # high (inc A)
+        ("A", "2026-01-05 13:00:00", 8.0, 300),   # low  (inc B)
+        ("A", "2026-01-05 16:00:00", 12.0, 400),  # close (inc A)
+        ("B", "2026-01-05 10:00:00", 5.0, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, ts string, price double, volume long"
+    ).select(
+        "symbol",
+        F.col("ts").cast("timestamp").alias("timestamp"),
+        "price",
+        "volume",
+    )
+    inc_a = df.filter(F.col("volume") % 200 == 0)
+    inc_b = df.subtract(inc_a)
+
+    store = str(tmp_path / "ohlcv")
+    merge_daily_ohlcv(spark, inc_a, store, n_buckets=8)  # late-edge first
+    merge_daily_ohlcv(spark, inc_b, store, n_buckets=8)
+    state = {
+        r["symbol"]: r
+        for r in spark.read.parquet(store).drop(BUCKET_COL).collect()
+    }
+    a = state["A"]
+    assert (a["daily_open"], a["daily_high"], a["daily_low"], a["daily_close"]) == (
+        10.0, 15.0, 8.0, 12.0,
+    )
+    assert a["daily_volume"] == 1000 and a["tick_count"] == 4
+    full = {r["symbol"]: r for r in daily_ohlcv(df).collect()}
+    for s in ("A", "B"):
+        for c in ("daily_open", "daily_high", "daily_low", "daily_close",
+                  "daily_volume", "tick_count"):
+            assert state[s][c] == full[s][c], (s, c)
+
+
+def test_versioned_stats_pruning_skips_files(spark, sf_dir, tmp_path):
+    """The manifest prune must (a) actually skip files — audited via
+    inputFiles() — and (b) return exactly the full-read-plus-filter rows;
+    a version published WITHOUT stats falls back to the full read."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        publish_version,
+        read_versioned_pruned,
+        read_versioned,
+    )
+    from stock_market_data_pipeline_spark.sources.batch import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    bin_id = F.least((F.col("l_orderkey") * 8 / (hi + 1)).cast("int"), F.lit(7))
+    root = str(tmp_path / "vt")
+    publish_version(
+        spark, li.repartition(8, bin_id), root, stats_cols=["l_orderkey"]
+    )
+
+    cut = hi // 5
+    pruned = read_versioned_pruned(spark, root, "l_orderkey", hi=cut)
+    full = read_versioned(spark, root)
+    n_total = len(full.inputFiles())
+    n_read = len(pruned.inputFiles())
+    assert n_read < n_total, (n_read, n_total)  # files actually skipped
+    want = full.filter(F.col("l_orderkey") <= cut)
+    assert pruned.exceptAll(want).count() == 0
+    assert want.exceptAll(pruned).count() == 0
+
+    # two-sided range + empty range
+    mid = read_versioned_pruned(spark, root, "l_orderkey", lo=cut, hi=cut * 2)
+    wmid = full.filter((F.col("l_orderkey") >= cut) & (F.col("l_orderkey") <= cut * 2))
+    assert mid.count() == wmid.count()
+    assert read_versioned_pruned(spark, root, "l_orderkey", lo=hi + 10).count() == 0
+
+    # no stats -> full read fallback, same rows
+    root2 = str(tmp_path / "vt2")
+    publish_version(spark, li, root2)
+    fb = read_versioned_pruned(spark, root2, "l_orderkey", hi=cut)
+    assert fb.count() == want.count()
+    # unindexed column -> fallback too
+    fb2 = read_versioned_pruned(spark, root, "l_quantity", hi=10)
+    assert fb2.count() == full.filter(F.col("l_quantity") <= 10).count()
