@@ -104,3 +104,72 @@ def test_silence_monitor_times_out_quiet_keys(spark, tmp_path):
     assert ("A", "stale", t0) not in out
     # A stayed active through both batches
     assert sum(1 for s, st, _ in out if s == "A" and st == "active") >= 1
+
+
+def test_heavy_hitters_guarantee_and_bounds(spark, tmp_path):
+    """Misra-Gries invariants across micro-batches: every item with true
+    frequency > n/(k+1) appears in the final summary; per-item bounds
+    est <= true <= max hold; state stays O(k)."""
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    # skewed stream: item h0 dominates, then a zipf-ish tail over 50 items
+    def batch_rows(seed, n):
+        rows = []
+        for i in range(n):
+            r = (i * 2654435761 + seed) % 100
+            if r < 40:
+                item = "h0"
+            elif r < 55:
+                item = "h1"
+            else:
+                item = f"t{r % 50}"
+            rows.append(("g", item))
+        return rows
+
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame(batch_rows(1, 600), "group string, item string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch_rows(2, 600), "group string, item string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("group string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    k = 8
+    out = stream_heavy_hitters(stream, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hh_stream")
+    final_n = got.agg(F.max("n_seen")).first()[0]
+    assert final_n == 1200  # both batches folded in
+    final = {r["item"]: r for r in got.filter(F.col("n_seen") == final_n).collect()}
+    assert len(final) <= k  # state bounded
+
+    exact = {
+        r["item"]: r["cnt"]
+        for r in spark.createDataFrame(
+            batch_rows(1, 600) + batch_rows(2, 600), "group string, item string"
+        ).groupBy("item").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # guarantee: true freq > n/(k+1) -> present
+    for item, cnt in exact.items():
+        if cnt > final_n / (k + 1):
+            assert item in final, (item, cnt)
+    # bounds: est <= true <= max
+    for item, row in final.items():
+        assert row["est_count"] <= exact[item] <= row["max_count"], item
+    # the dominant item is ranked by estimate
+    assert max(final.values(), key=lambda r: r["est_count"])["item"] == "h0"
