@@ -151,9 +151,12 @@ def line_dedup(
     groupBy on the doc id for reassembly. Line text crosses the reassembly
     shuffle once, which any reassembling formulation pays.
     """
+    # posexplode_OUTER: a NULL-text document still yields one (NULL, NULL)
+    # line row, so it keeps its output row (text_clean='', n_lines=0)
+    # instead of silently vanishing from the corpus (round-7 review).
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     fp = F.md5(F.trim(F.col("line")))
     freq = (
@@ -182,7 +185,7 @@ def line_dedup(
                 ),
                 "\n",
             ).alias("text_clean"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.col("line")).alias("n_lines"),  # NULL-text doc -> 0
             F.sum((~keep).cast("long")).alias("n_removed"),
         )
     )

@@ -76,8 +76,13 @@ def psi_drift(
         )
 
     bins = ref.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
-    r = binned(ref, "ref_count")
-    c = binned(cur, "cur_count")
+    # Pin the two aggregated frames (≤ n_bins+1 rows each): both feed TWO
+    # consumers (the bin join and the null-counter extraction below), and
+    # without pinning Spark re-runs the full ref/cur scan+aggregate per
+    # consumer — double the data passes for a frame this tiny (round-7
+    # review; lazy localCheckpoint materializes once at the first action).
+    r = binned(ref, "ref_count").localCheckpoint(eager=False)
+    c = binned(cur, "cur_count").localCheckpoint(eager=False)
     # The NULL-bin rows (≤ 1 per side of an already-aggregated ≤ n_bins+1
     # frame) become the global missingness counters.
     nulls = (

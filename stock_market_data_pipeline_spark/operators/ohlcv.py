@@ -185,13 +185,22 @@ def combine_ohlcv_partials(
     (key, date): min/max/sum fold trivially; open/close pick the partial
     at the extreme timestamp. Associative + commutative, so increments can
     arrive in ANY order (late days, backfills, replays)."""
+    # Struct orderings break first_ts/last_ts TIES deterministically (two
+    # partials can share the day-edge timestamp when ticks at the exact
+    # boundary land in different increments): open resolves to the LOWEST
+    # price among tied-earliest partials, close to the HIGHEST among
+    # tied-latest — stable across runs and engines (round-7 review).
     return parts.groupBy(*extra_group, key, "date").agg(
         F.min("first_ts").alias("first_ts"),
         F.max("last_ts").alias("last_ts"),
-        F.min_by("daily_open", "first_ts").alias("daily_open"),
+        F.min_by(
+            "daily_open", F.struct("first_ts", "daily_open")
+        ).alias("daily_open"),
         F.max("daily_high").alias("daily_high"),
         F.min("daily_low").alias("daily_low"),
-        F.max_by("daily_close", "last_ts").alias("daily_close"),
+        F.max_by(
+            "daily_close", F.struct("last_ts", "daily_close")
+        ).alias("daily_close"),
         F.sum("daily_volume").alias("daily_volume"),
         F.sum("tick_count").alias("tick_count"),
     )

@@ -8,11 +8,12 @@ them as plain functions so any scheduler (or none) can drive a pipeline:
 * O4 — post-run lake summary: file/row/partition counts per layer
   (``stock_market_stream_dag.py:190-247``).
 
-All listing goes through the Hadoop FileSystem API (``sinks/lake._HadoopFS``)
-like the rest of the lake layer, so the sensors see s3a://, hdfs:// and
-file:// URIs identically — the round-6 ``os.walk`` form silently saw
-NOTHING on an object store. A pure-local ``os.walk`` fallback remains only
-for the no-SparkSession case (a sensor polling before the session exists).
+URI paths (s3a://, hdfs://, file:) go through the Hadoop FileSystem API
+(``sinks/lake._HadoopFS``) like the rest of the lake layer — the round-6
+``os.walk`` form silently saw NOTHING on an object store. Scheme-LESS
+paths keep the reference sensors' local-disk semantics (resolving them
+against ``fs.defaultFS`` would silently re-point a local drop directory
+at HDFS on a real cluster); they also work with no SparkSession at all.
 """
 
 from __future__ import annotations
@@ -25,9 +26,18 @@ from pyspark.sql import SparkSession
 
 def _data_files(path: str, spark: SparkSession | None = None) -> list[tuple[str, int]]:
     """(path, size) of non-empty data files under ``path`` (recursive,
-    ``_``/``.``-prefixed basenames skipped)."""
+    ``_``/``.``-prefixed basenames skipped).
+
+    Scheme-LESS paths always mean the LOCAL disk (the pre-round-7 os.walk
+    semantics the reference sensors had) — resolving them against the
+    session's ``fs.defaultFS`` would silently re-point a local-drop sensor
+    at HDFS on a cluster (round-7 review). Object stores are explicit:
+    pass ``s3a://…``/``hdfs://…``/``file:…`` and the Hadoop FS API is
+    used.
+    """
+    has_scheme = ":" in path.split("/", 1)[0] if "/" in path else ":" in path
     spark = spark or SparkSession.getActiveSession()
-    if spark is not None:
+    if has_scheme and spark is not None:
         from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
 
         return [
@@ -56,9 +66,9 @@ def wait_for_path(
 ) -> bool:
     """O1/O2: block until ``path`` holds ≥ ``min_files`` non-empty data
     files, or time out (False). Mirrors the reference sensor's 15 s poke /
-    180 s timeout defaults. Uses the active SparkSession's Hadoop FS when
-    one exists (so s3a/hdfs paths work); pass ``spark`` explicitly to pin
-    a session."""
+    180 s timeout defaults. Scheme-less paths poll the local disk; URI
+    paths (s3a://, hdfs://, file:) go through the Hadoop FS of the active
+    (or explicitly passed) SparkSession."""
     deadline = time.monotonic() + timeout_s
     while True:
         if len(_data_files(path, spark)) >= min_files:

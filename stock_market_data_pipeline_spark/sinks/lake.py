@@ -349,7 +349,12 @@ def compact_cdc_tombstones(
     if before_seq is not None:
         if seq_col is None:
             raise ValueError("before_seq needs seq_col")
-        cond = cond & (F.col(seq_col) < before_seq)
+        # coalesce: a NULL seq must read as "not old enough" (keep), not
+        # NULL — a bare < would exclude the row from BOTH cond and ~cond,
+        # silently losing the tombstone in the rewrite (round-7 review).
+        cond = cond & F.coalesce(
+            F.col(seq_col) < before_seq, F.lit(False)
+        )
     touched = sorted(
         r[0] for r in df.filter(cond).select(BUCKET_COL).distinct().collect()
     )

@@ -455,10 +455,14 @@ def stream_with_dead_letter(
     dead_letter_stats` semantics downstream.
 
     One localCheckpoint per batch keeps the split from re-reading the
-    source twice; both sides land as parquet partitioned by
-    ``ingest_batch`` via partition-scoped dynamic overwrite, so a crash
-    between the two writes replays the batch into the same partition
-    idempotently (append mode would double the rows).
+    source twice; each side lands in an explicit ``ingest_batch=N``
+    subdirectory (Hive layout by path — readers of the root recover the
+    batch id as a partition column), overwritten whole on replay, so a
+    crash between the two writes replays the batch idempotently. An EMPTY
+    side still writes one schema-bearing file (``coalesce(1)`` — a
+    dynamic-partition overwrite of zero rows writes nothing at all,
+    leaving the directory unreadable for the healthy-stream /
+    all-poison-batch cases).
     """
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
@@ -467,12 +471,9 @@ def stream_with_dead_letter(
             (pinned.filter(F.col(ok_col)), output_path),
             (pinned.filter(~F.col(ok_col)), dead_letter_path),
         ):
-            (
-                side.withColumn("ingest_batch", F.lit(batch_id))
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch")
-                .parquet(path)
+            out = side.coalesce(1) if side.isEmpty() else side
+            out.write.mode("overwrite").parquet(
+                f"{path.rstrip('/')}/ingest_batch={batch_id}"
             )
 
     writer = (

@@ -214,7 +214,12 @@ def make_heavy_hitters_fn(k: int):
             summary, offset, n_seen = {}, 0, 0
         c = Counter(summary)
         for pdf in pdfs:
-            vals = pdf["item"].astype(str).tolist()
+            # dropna BEFORE astype: astype(str) renders None as the literal
+            # string "None", which would manufacture a phantom heavy hitter
+            # out of missing data (round-7 review). NULL items are simply
+            # not counted; surface missingness via dead_letter_stats-style
+            # gates upstream.
+            vals = pdf["item"].dropna().astype(str).tolist()
             n_seen += len(vals)
             c.update(vals)
         if len(c) > k:

@@ -513,3 +513,149 @@ def test_versioned_stats_pruning_skips_files(spark, sf_dir, tmp_path):
     # unindexed column -> fallback too
     fb2 = read_versioned_pruned(spark, root, "l_quantity", hi=10)
     assert fb2.count() == full.filter(F.col("l_quantity") <= 10).count()
+
+
+def test_line_dedup_null_text_doc_keeps_row(spark):
+    """A NULL-text document must keep its output row (round-7 review: the
+    inner posexplode silently dropped it from the corpus)."""
+    from stock_market_data_pipeline_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["text_clean"] == "" and out[2]["n_lines"] == 0
+    assert out[2]["n_removed"] == 0
+    assert out[1]["n_lines"] == 2
+
+
+def test_heavy_hitters_ignores_null_items(spark, tmp_path):
+    """NULL items must not be counted at all — astype(str) would have
+    minted a phantom 'None' hitter (round-7 review)."""
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    rows = [("g", "x")] * 5 + [("g", None)] * 20 + [("g", "y")] * 3
+    src = str(tmp_path / "hh_null_src")
+    spark.createDataFrame(rows, "group string, item string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("group string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream_heavy_hitters(stream, k=4)
+        .writeStream.format("memory")
+        .queryName("hh_null")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["item"]: r for r in spark.table("hh_null").collect()}
+    assert "None" not in got and None not in got
+    assert got["x"]["est_count"] == 5 and got["y"]["est_count"] == 3
+    assert got["x"]["n_seen"] == 8  # nulls not counted toward n
+
+
+def test_dead_letter_empty_sides_stay_readable(spark, tmp_path):
+    """A healthy batch (no poison) must leave the dead-letter path
+    readable, and an all-poison batch the main path — zero-row partition
+    writes previously left no parquet footer (round-7 review)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_with_dead_letter,
+    )
+    from stock_market_data_pipeline_spark.streaming.sources import (
+        parse_kafka_envelope,
+    )
+
+    wire_schema = (
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp"
+    )
+    src, out, dl, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "dead", "ckpt")
+    )
+    # single batch, ALL rows clean
+    spark.createDataFrame(
+        [(b"k", b'{"id": 1}', "t", 0, 10, None)], wire_schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    parsed = parse_kafka_envelope(
+        stream, schema=StructType([StructField("id", LongType())])
+    )
+    q = stream_with_dead_letter(
+        parsed, out, dl, ckpt, trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.parquet(dl).count() == 0  # readable, empty
+
+
+def test_compact_tombstones_null_seq_kept(spark, tmp_path):
+    """A tombstone whose seq is NULL must survive a before_seq compaction
+    — the bare < comparison dropped it from BOTH sides of the rewrite
+    (round-7 review)."""
+    from stock_market_data_pipeline_spark.operators.cdc import changelog_winners
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        compact_cdc_tombstones,
+        merge_upsert_bucketed,
+    )
+
+    rows = [
+        (1, 10, "upsert", 1.0),
+        (2, 5, "delete", None),     # old tombstone -> dropped by cutoff
+        (3, None, "delete", None),  # NULL seq -> must be KEPT
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, op string, v double")
+    root = str(tmp_path / "t")
+    reducer = lambda d: changelog_winners(d, ["k"], "seq")  # noqa: E731
+    merge_upsert_bucketed(
+        spark, df, root, keys=["k"], order_col="seq", n_buckets=4,
+        reducer=reducer,
+    )
+    compact_cdc_tombstones(spark, root, seq_col="seq", before_seq=50)
+    left = {r["k"]: r["op"] for r in spark.read.parquet(root).collect()}
+    assert left == {1: "upsert", 3: "delete"}  # 2 gone, 3 KEPT
+
+
+def test_ohlcv_combine_tie_is_deterministic(spark):
+    """Two partials tying on first_ts/last_ts resolve to min-open /
+    max-close — stable across runs (round-7 review)."""
+    from stock_market_data_pipeline_spark.operators.ohlcv import (
+        combine_ohlcv_partials,
+    )
+
+    ts = "2026-01-05 09:30:00"
+    parts = spark.createDataFrame(
+        [
+            ("A", "2026-01-05", ts, ts, 11.0, 11.0, 11.0, 11.0, 10, 1),
+            ("A", "2026-01-05", ts, ts, 9.0, 9.0, 9.0, 9.0, 10, 1),
+        ],
+        "symbol string, date string, first_ts string, last_ts string, "
+        "daily_open double, daily_high double, daily_low double, "
+        "daily_close double, daily_volume long, tick_count long",
+    ).select(
+        "symbol",
+        F.col("date").cast("date").alias("date"),
+        F.col("first_ts").cast("timestamp").alias("first_ts"),
+        F.col("last_ts").cast("timestamp").alias("last_ts"),
+        "daily_open", "daily_high", "daily_low", "daily_close",
+        "daily_volume", "tick_count",
+    )
+    row = combine_ohlcv_partials(parts).first()
+    assert row["daily_open"] == 9.0   # lowest among tied-earliest
+    assert row["daily_close"] == 11.0  # highest among tied-latest
+    assert row["daily_volume"] == 20 and row["tick_count"] == 2
