@@ -164,13 +164,19 @@ def ohlcv_partial(
     ``first_ts``/``last_ts`` makes open/close COMBINABLE (open of a merged
     state = open of the partial with the earliest first_ts), where the
     plain rollup's open/close are not."""
+    # Struct ordering keys apply the SAME tie rule as combine_ohlcv_partials
+    # (lowest price among tied-earliest ticks opens; highest among
+    # tied-latest closes): a bare min_by(price, ts) picks an arbitrary row
+    # when two ticks of one symbol share a timestamp WITHIN one increment,
+    # so the determinism would hold across partials but not inside one
+    # (round-7 ADVICE).
     return df.groupBy(F.col(key), F.to_date(F.col(ts)).alias("date")).agg(
         F.min(ts).alias("first_ts"),
         F.max(ts).alias("last_ts"),
-        F.min_by(price, ts).alias("daily_open"),
+        F.min_by(price, F.struct(F.col(ts), F.col(price))).alias("daily_open"),
         F.max(price).alias("daily_high"),
         F.min(price).alias("daily_low"),
-        F.max_by(price, ts).alias("daily_close"),
+        F.max_by(price, F.struct(F.col(ts), F.col(price))).alias("daily_close"),
         F.sum(volume).alias("daily_volume"),
         F.count(F.lit(1)).alias("tick_count"),
     )

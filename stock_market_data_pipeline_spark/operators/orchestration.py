@@ -37,7 +37,16 @@ def _data_files(path: str, spark: SparkSession | None = None) -> list[tuple[str,
     """
     has_scheme = ":" in path.split("/", 1)[0] if "/" in path else ":" in path
     spark = spark or SparkSession.getActiveSession()
-    if has_scheme and spark is not None:
+    if has_scheme:
+        if spark is None:
+            # Falling back to os.walk here would silently see NOTHING on
+            # s3a://… and burn the sensor's full timeout as if the files
+            # never arrived — a configuration error masquerading as an
+            # empty directory (round-7 ADVICE). Fail loudly instead.
+            raise RuntimeError(
+                f"{path} has a filesystem scheme but no SparkSession is "
+                "active/passed; a URI sensor needs the Hadoop FS API"
+            )
         from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
 
         return [

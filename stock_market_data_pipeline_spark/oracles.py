@@ -2970,14 +2970,26 @@ marked AS (
   SELECT l.doc_id, l.pos, l.line,
          (trim(l.line) <> '' AND COALESCE(f.n_docs, 0) >= 3) AS dropped
   FROM lines l LEFT JOIN freq f ON md5(trim(l.line)) = f.fp
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                  FILTER (WHERE NOT dropped), '') AS text_clean,
+         count(*) AS n_lines,
+         CAST(COALESCE(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT) AS n_removed
+  FROM marked
+  GROUP BY 1
 )
-SELECT doc_id,
-       COALESCE(string_agg(line, chr(10) ORDER BY pos)
-                FILTER (WHERE NOT dropped), '') AS text_clean,
-       count(*) AS n_lines,
-       CAST(COALESCE(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT) AS n_removed
-FROM marked
-GROUP BY 1
+-- LEFT JOIN back onto documents: string_split(NULL) yields no rows, but
+-- the Spark operator keeps NULL-text docs via posexplode_outer with
+-- text_clean=''/n_lines=0 (round-7 ADVICE — parity must not depend on the
+-- fixtures having no NULL text).
+SELECT d0.doc_id,
+       COALESCE(a.text_clean, '') AS text_clean,
+       CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d0
+LEFT JOIN agg a ON d0.doc_id = a.doc_id
 """
 
 

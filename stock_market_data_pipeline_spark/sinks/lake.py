@@ -28,6 +28,7 @@ Reference parity:
 
 from __future__ import annotations
 
+import re
 import uuid
 from typing import Callable
 
@@ -345,7 +346,11 @@ def compact_cdc_tombstones(
     Returns the sorted bucket ids rewritten or removed.
     """
     df = spark.read.parquet(path)
-    cond = F.col(op_col) == delete_op
+    # coalesce: a NULL op must read as "not a tombstone" (keep), not NULL —
+    # a bare == would exclude the row from BOTH cond and ~cond, silently
+    # dropping it from the rewrite of any touched bucket (round-7 ADVICE,
+    # the op-column twin of the NULL-seq fix below).
+    cond = F.coalesce(F.col(op_col) == delete_op, F.lit(False))
     if before_seq is not None:
         if seq_col is None:
             raise ValueError("before_seq needs seq_col")
@@ -657,6 +662,40 @@ def _write_file_stats(
     )
 
 
+_ISO_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def _stat_key(v) -> tuple[str, object] | None:
+    """(kind, comparable) for a manifest stat or a prune bound; None when
+    the value can't be range-compared safely. Kinds only compare within
+    themselves — a date-shaped stat never prunes against a timestamp bound
+    (a date file-stat at day granularity can't answer a sub-day question
+    conservatively in both directions), and plain strings / Decimals are
+    excluded ('9' > '10' lexicographically)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return ("num", float(v))
+    if isinstance(v, _dt.datetime):  # datetime IS a date — check it first
+        return ("ts", f"{v:%Y-%m-%d %H:%M:%S.%f}")
+    if isinstance(v, _dt.date):
+        return ("date", str(v))
+    if isinstance(v, str):
+        if _ISO_DATE_RE.match(v):
+            return ("date", v)
+        if _ISO_TS_RE.match(v):
+            # ISO timestamps compare lexicographically in range order once
+            # the fraction is padded ('..00:00:00' is a prefix of
+            # '..00:00:00.500000' and sorts first, which is already
+            # correct; padding makes it exact).
+            base, _, frac = v.replace("T", " ").partition(".")
+            return ("ts", f"{base}.{frac.ljust(6, '0')}")
+    return None
+
+
 def read_versioned_pruned(
     spark: SparkSession,
     root: str,
@@ -675,10 +714,16 @@ def read_versioned_pruned(
     ``read_versioned().filter(...)`` by construction (the oracle-gated
     registry query pins this).
 
-    Files with NULL or non-numeric stats are conservatively read. No
-    manifest (or an unindexed column) falls back to the full filtered
-    read. Compose with a range-clustered or z-ordered publish so file
-    ranges are actually tight.
+    Stats prune on numeric columns AND on dates/timestamps: the manifest
+    serializes those via ``str()`` (ISO ``YYYY-MM-DD[ HH:MM:SS[.ffffff]]``),
+    which compares lexicographically in range order, so date-partitioned
+    time travel skips files too (round-7 ADVICE — previously only numerics
+    engaged and the full scan was paid silently). Files with NULL,
+    non-orderable (plain string / Decimal), or shape-mismatched stats
+    (date stat vs timestamp bound) are conservatively read. No manifest
+    (or an unindexed column) falls back to the full filtered read. Compose
+    with a range-clustered or z-ordered publish so file ranges are
+    actually tight.
     """
     import json as _json
 
@@ -699,16 +744,17 @@ def read_versioned_pruned(
     meta = _json.loads(fs.read_text(stats_path))
     if col not in meta.get("cols", []):
         return full.filter(cond)
+    klo = _stat_key(lo) if lo is not None else None
+    khi = _stat_key(hi) if hi is not None else None
     keep = []
     for fname, st in meta["files"].items():
-        mn, mx = st[col]
-        numeric = isinstance(mn, (int, float)) and isinstance(mx, (int, float))
-        if not numeric:
-            keep.append(fname)  # unknown stats -> must read
+        kmn, kmx = _stat_key(st[col][0]), _stat_key(st[col][1])
+        if kmn is None or kmx is None:
+            keep.append(fname)  # unknown/non-orderable stats -> must read
             continue
-        if lo is not None and mx < lo:
+        if klo is not None and kmx[0] == klo[0] and kmx[1] < klo[1]:
             continue
-        if hi is not None and mn > hi:
+        if khi is not None and kmn[0] == khi[0] and kmn[1] > khi[1]:
             continue
         keep.append(fname)
     if not keep:
