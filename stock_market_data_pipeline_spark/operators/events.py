@@ -325,3 +325,47 @@ def event_transition_matrix(
             6,
         ).alias("p_transition"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key: str = "user_id",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key into disjoint coverage
+    segments — the classic sweep-line union (uptime stitching, ad-exposure
+    coverage, maintenance-window consolidation). Segments are maximal runs
+    where each interval starts at or before the running max end of its
+    predecessors; adjacent intervals (start == previous end) merge.
+
+    Output: one row per (key, segment) — ``seg_start``, ``seg_end``,
+    ``n_merged`` (intervals folded into the segment).
+
+    Plan: ONE shuffle on the key, two window passes over the same sort
+    (running max end → segment id via a conditional running count), one
+    groupBy on (key, seg_id). No self-join — the naive "overlapping pairs"
+    formulation is O(n²) per key; the sweep is O(n log n) and scales to
+    billions of intervals as long as single keys fit a partition (the same
+    envelope sessionize already documents).
+    """
+    w = Window.partitionBy(key).orderBy(start, end)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_seg = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+    ).otherwise(0)
+    seg_id = F.sum(new_seg).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("_seg", seg_id)
+        .groupBy(key, "_seg")
+        .agg(
+            F.min(start).alias("seg_start"),
+            F.max(end).alias("seg_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_seg")
+    )

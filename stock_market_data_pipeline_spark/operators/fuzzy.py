@@ -1,0 +1,71 @@
+"""Blocked fuzzy string matching — edit-distance candidate pairs without the
+all-pairs cross join.
+
+Record linkage / entity resolution at corpus scale cannot evaluate
+``levenshtein`` over N² pairs; the standard answer is *blocking*: derive a
+cheap deterministic key (a token, a phonetic code, a length band) so only
+rows sharing a block ever meet, then score inside blocks. The same inverted-
+index discipline as the MinHash/LSH band join (``neardup.py``): candidate
+generation is ALWAYS an equi-join.
+
+A second scale lever used here: match the *dictionary*, not the fact table.
+Distinct name strings are typically orders of magnitude fewer than rows
+(2k parts share ~hundreds of names; 100 TB of order lines share millions of
+customer name strings, not trillions) — so pairs are computed over the
+deduplicated dictionary carrying per-name row counts, and callers fan the
+verdicts back with a broadcast join if row-level linkage is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def blocked_levenshtein_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Candidate near-identical name pairs within edit distance
+    ``max_dist``, blocked by ``block_col`` (a Column expression — e.g. the
+    head noun of a product name, a soundex code, a normalized prefix).
+
+    Output: one row per unordered pair — ``name_a`` < ``name_b`` (so each
+    pair appears exactly once), ``dist``, and the per-name row counts
+    ``n_a``/``n_b`` from the input.
+
+    Plan: dictionary build (one map-side-combined count on the name), then
+    a self equi-join ON THE BLOCK KEY — the quadratic work is confined to
+    each block, so skewed/huge blocks are the thing to watch (pick a block
+    key with bounded fan-in; a degenerate constant block re-creates the
+    cross join). ``levenshtein`` runs JVM-side inside codegen, and only
+    after the free length-band guard ``abs(len_a - len_b) <= max_dist`` —
+    a necessary condition for the distance bound that prunes pairs before
+    the O(m·n) distance is computed.
+    """
+    dic = (
+        df.select(F.col(name_col).alias("name"), block_col.alias("_blk"))
+        .groupBy("name", "_blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = dic.select(
+        F.col("_blk"),
+        F.col("name").alias("name_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = dic.select(
+        F.col("_blk"),
+        F.col("name").alias("name_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+    )
+    return (
+        pairs.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

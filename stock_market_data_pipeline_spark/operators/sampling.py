@@ -209,3 +209,39 @@ def upsample_mix(
             ).alias("copy_id"),
         )
     )
+
+
+def with_split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    fracs: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs pinned BEFORE any shuffling/packing, so that re-runs,
+    backfills, and engines all agree on membership and eval documents can
+    never leak into train.
+
+    ``fracs`` maps split name → fraction (must sum to ≤ 1; any remainder
+    lands in the LAST split listed). Assignment thresholds the same
+    portable md5-derived hash as the samplers (``sample_hash32 % 10_000``),
+    cut at cumulative-fraction boundaries in dict order — a pure
+    zero-shuffle projection, reproducible across runs, partitionings, and
+    engines, and stable under corpus growth (a doc's split never changes
+    when other docs arrive, which resampling-based splits can't promise).
+    """
+    fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}
+    h = sample_hash32(F.col(id_col), seed) % 10_000
+    names = list(fracs)
+    expr = None
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fracs[name]
+        cond = h < int(round(acc * 10_000))
+        expr = (
+            F.when(cond, name) if expr is None else expr.when(cond, name)
+        )
+    split = (
+        expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+    )
+    return df.withColumn("split", split)

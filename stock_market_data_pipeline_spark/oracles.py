@@ -2993,6 +2993,205 @@ LEFT JOIN agg a ON d0.doc_id = a.doc_id
 """
 
 
+# X101: interval union per user — sweep-line merge of 15-minute event
+# exposure intervals (running max end over the (s, e) sort; a new segment
+# opens when s exceeds every prior end), then per-user coverage stats in
+# exact epoch microseconds.
+ORACLES["interval_merge"] = """
+WITH iv AS (
+  SELECT user_id, ts AS s, ts + INTERVAL 900 SECOND AS e FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS ns
+  FROM m
+),
+seg AS (
+  SELECT user_id, s, e,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+  FROM g
+),
+a AS (
+  SELECT user_id, seg_id, min(s) AS ss, max(e) AS se, count(*) AS n
+  FROM seg GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(epoch_us(se) - epoch_us(ss)) AS BIGINT) AS coverage_us,
+       CAST(max(epoch_us(se) - epoch_us(ss)) AS BIGINT) AS max_seg_us,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM a GROUP BY 1
+"""
+
+
+# X102: blocked levenshtein pairs over the deduplicated part-name
+# dictionary; block = head noun, plus the free length-band guard.
+ORACLES["fuzzy_name_pairs"] = """
+WITH dic AS (
+  SELECT p_name AS name, regexp_extract(p_name, '([a-z]+)$', 1) AS blk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM dic a JOIN dic b ON a.blk = b.blk AND a.name < b.name
+WHERE abs(length(a.name) - length(b.name)) <= 4
+  AND levenshtein(a.name, b.name) <= 4
+"""
+
+
+# X103: Okapi BM25 (k1=1.2, b=0.75, smoothed idf) for the fixed query bag
+# {merge, vector, stream}; N/avgdl computed over docs with >= 1 token
+# (mirrors the Spark dl aggregate); ranking on the ROUNDED score + doc_id.
+ORACLES["bm25_topk"] = r"""
+WITH n0 AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+terms AS (SELECT doc_id, unnest(words) AS term FROM n0),
+t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+st AS (
+  SELECT CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         CAST(count(*) AS DOUBLE) AS n_docs
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM t WHERE term IN ('merge', 'vector', 'stream') GROUP BY 1, 2
+),
+df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, dl.dl,
+         round(sum(
+           ln(1.0 + (st.n_docs - df.df_t + 0.5) / (df.df_t + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (st.sum_dl / st.n_docs)))
+         ), 6) AS score,
+         CAST(count(*) AS BIGINT) AS n_hits
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+  GROUP BY 1, 2
+)
+SELECT doc_id, dl, score, n_hits
+FROM sc ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+# X104: time-travel diff — the registry query publishes v1 = orders sans
+# %7 keys and v2 = orders sans %5 keys with %3 priorities restated, then
+# diffs the two lake versions; the oracle recomputes the changelog from
+# the slice definitions alone.
+ORACLES["version_diff"] = """
+WITH base AS (
+  SELECT o_orderkey,
+         o_orderkey % 7 AS m7, o_orderkey % 5 AS m5, o_orderkey % 3 AS m3
+  FROM orders
+)
+SELECT o_orderkey, 'removed' AS change_type FROM base WHERE m7 <> 0 AND m5 = 0
+UNION ALL
+SELECT o_orderkey, 'added' AS change_type FROM base WHERE m7 = 0 AND m5 <> 0
+UNION ALL
+SELECT o_orderkey, 'changed' AS change_type
+FROM base WHERE m7 <> 0 AND m5 <> 0 AND m3 = 0
+"""
+
+
+# X105: deterministic 80/10/10 split assignment via the portable md5 hash
+# (same expression family as the samplers), rolled up per (lang, split).
+ORACLES["split_assign"] = """
+WITH s AS (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 10000 AS h
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN h < 8000 THEN 'train'
+            WHEN h < 9000 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+# X106: BPE counting step — adjacent char-pair totals as
+# sum over distinct words of (word freq x in-word occurrences), top 30
+# with the (total desc, pair) tiebreak.
+ORACLES["bpe_merge_candidates"] = r"""
+WITH n0 AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents
+),
+w AS (SELECT unnest(words) AS word FROM n0),
+f AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM w WHERE word <> '' GROUP BY 1
+),
+p AS (
+  SELECT substr(word, CAST(t.i AS INTEGER), 2) AS pair, freq
+  FROM f, UNNEST(range(1, length(word))) AS t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS total
+FROM p GROUP BY 1 ORDER BY total DESC, pair LIMIT 30
+"""
+
+
+# X107: merkle-style bucket fingerprints — order-independent sum of
+# portable 32-bit row hashes per key bucket, full-outer-compared between
+# copy A (orders) and copy B (sans %97 keys, %89 priorities tampered);
+# only disagreeing buckets survive.
+ORACLES["bucket_fingerprint_diff"] = """
+WITH a0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+),
+b0 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN 'TAMPERED'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+fa AS (
+  SELECT ('0x' || substr(md5('fp:b:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows_a,
+         CAST(sum(('0x' || substr(md5('fp:' || concat_ws(chr(31),
+              COALESCE(CAST(o_orderkey AS VARCHAR), chr(30) || 'N'),
+              COALESCE(CAST(o_custkey AS VARCHAR), chr(30) || 'N'),
+              COALESCE(o_orderstatus, chr(30) || 'N'),
+              COALESCE(o_orderpriority, chr(30) || 'N'))), 1, 8))::BIGINT)
+           AS BIGINT) AS fp_a
+  FROM a0 GROUP BY 1
+),
+fb AS (
+  SELECT ('0x' || substr(md5('fp:b:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           % 64 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_rows_b,
+         CAST(sum(('0x' || substr(md5('fp:' || concat_ws(chr(31),
+              COALESCE(CAST(o_orderkey AS VARCHAR), chr(30) || 'N'),
+              COALESCE(CAST(o_custkey AS VARCHAR), chr(30) || 'N'),
+              COALESCE(o_orderstatus, chr(30) || 'N'),
+              COALESCE(o_orderpriority, chr(30) || 'N'))), 1, 8))::BIGINT)
+           AS BIGINT) AS fp_b
+  FROM b0 GROUP BY 1
+)
+SELECT COALESCE(fa.bucket, fb.bucket) AS bucket, n_rows_a, n_rows_b,
+       (fp_a IS NOT DISTINCT FROM fp_b) AS fp_match
+FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+WHERE (fp_a IS DISTINCT FROM fp_b) OR (n_rows_a IS DISTINCT FROM n_rows_b)
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

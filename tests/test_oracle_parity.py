@@ -20,54 +20,51 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-7
-    plan: never-driver-checked round-7 additions lead, followed by every
-    row whose code changed since its last driver row, then the full
-    r3-latest-green block (oldest standing confirmations) and the oldest
-    r4 rows."""
+    (rotation contract, see the comment above QUERIES). Guard the round-8
+    plan: never-driver-checked round-8 additions lead, followed by the
+    rows whose code changed since their r7 driver row, then the 40
+    oldest-green rows from the tail front (the r4 remainder the r7 plan
+    earmarked)."""
     window = list(QUERIES)[:50]
-    # round-7 additions — never driver-checked — at the very front
+    # round-8 additions - never driver-checked - at the very front
     assert window[:7] == [
-        "line_dedup",
-        "multimodal_audio_features",
-        "stream_cdc_parity",
-        "dead_letter_stats",
-        "multimodal_audio_windows",
-        "incremental_ohlcv",
-        "pruned_scan_revenue",
+        "interval_merge",
+        "fuzzy_name_pairs",
+        "bm25_topk",
+        "version_diff",
+        "split_assign",
+        "bpe_merge_candidates",
+        "bucket_fingerprint_diff",
     ]
-    # code touched since last driver check (round-7 edits)
-    assert window[7:15] == [
-        "psi_drift",
-        "asof_join",
-        "asof_join_forward",
-        "asof_join_tolerance",
-        "apply_changelog",
-        "incremental_dedup",
-        "stream_incremental_dedup",
-        "zorder_fingerprint",
+    # code touched since the r7 driver check (round-8 ADVICE fixes)
+    assert window[7:10] == [
+        "line_dedup",         # oracle NULL-text LEFT JOIN fix
+        "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
+        "pruned_scan_revenue",  # date-stats prune extension
     ]
     must_be_in = [
-        # r3-latest-green block: oldest standing driver confirmations,
-        # including the session_windows/asof_join hygiene rows the round-6
-        # verdict called out (asof_join asserted above)
-        "dedup_exact",
-        "pricing_summary",
-        "session_windows",
-        "corpus_curation",
-        "minhash_signatures",
-        "neardup_clusters",
-        "cosine_topk",
-        "linestatus_pivot",
-        "token_counts",
-        "text_quality",
-        "lang_id",
-        "simhash16",
-        "lsh_cosine_topk",
-        "ivf_cosine_topk",
-        "multimodal_content_dedup",
-        # oldest r4 row fills the remaining slot
-        "rolling_frames",
+        # the r4-remainder oldest-green block now rotating through
+        "ewma",
+        "daily_ohlcv",
+        "daily_change_close_over_close",
+        "dedup_keep_last",
+        "null_fill_defaults",
+        "event_transitions",
+        "winsorize_prices",
+        "alpha_sample",
+        "market_beta",
+        "daily_vwap",
+        "chunk_dedup_stats",
+        "retention_cohorts",
+        "macd_signal",
+        "pii_redaction",
+        "ann_recall",
+        "gapfill_15m",
+        "tfidf_top_terms",
+        "price_band_join",
+        "technical_indicators",
+        "scd2_history",
+        "multimodal_resize",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"

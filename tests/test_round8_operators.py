@@ -185,3 +185,184 @@ def test_pruned_read_engages_on_date_stats(spark, sf_dir, tmp_path):
     )
     assert pruned.exceptAll(want).count() == 0
     assert want.exceptAll(pruned).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-8 operators
+# ---------------------------------------------------------------------------
+
+
+def test_merge_intervals_semantics(spark):
+    """Overlap merges, touching endpoints merge, gaps split; n_merged
+    counts folded intervals."""
+    from stock_market_data_pipeline_spark.operators.events import (
+        merge_intervals,
+    )
+
+    rows = [
+        # key A: [0,10] + [5,12] overlap; [12,20] touches; [30,40] apart
+        ("A", 0, 10), ("A", 5, 12), ("A", 12, 20), ("A", 30, 40),
+        # key B: contained interval [2,3] inside [0,10]
+        ("B", 0, 10), ("B", 2, 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {
+        (r["k"], r["seg_start"]): (r["seg_end"], r["n_merged"])
+        for r in merge_intervals(df, key="k", start="s", end="e").collect()
+    }
+    assert out == {
+        ("A", 0): (20, 3),
+        ("A", 30): (40, 1),
+        ("B", 0): (10, 2),
+    }
+
+
+def test_blocked_levenshtein_pairs_blocking_and_guard(spark):
+    """Pairs only form within a block; the length-band guard and the
+    name_a < name_b canonical order hold."""
+    from stock_market_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+
+    rows = [
+        (1, "red widget"), (2, "blue widget"), (3, "rad widget"),
+        (4, "red bolt"),          # different block despite small distance
+        (5, "crimson widget"),    # same block, distance > 4 from "red widget"
+        (6, "red widget"),        # duplicate name -> counted, not paired
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = blocked_levenshtein_pairs(
+        df,
+        name_col="name",
+        block_col=F.regexp_extract("name", "([a-z]+)$", 1),
+        max_dist=4,
+    ).collect()
+    pairs = {(r["name_a"], r["name_b"]): (r["dist"], r["n_a"], r["n_b"]) for r in out}
+    assert ("blue widget", "red widget") in pairs
+    assert pairs[("blue widget", "red widget")] == (4, 1, 2)  # dup counted
+    assert ("rad widget", "red widget") in pairs
+    assert pairs[("rad widget", "red widget")][0] == 1
+    assert all(a < b for a, b in pairs)  # canonical order
+    # cross-block and over-distance pairs excluded
+    assert not any("bolt" in a or "bolt" in b for a, b in pairs)
+    assert not any("crimson widget" in (a, b) for a, b in pairs)
+
+
+def test_bm25_topk_formula_and_ranking(spark):
+    """Scores match a hand-computed Okapi BM25; docs without query terms
+    never appear; ranking is (rounded score desc, id)."""
+    import math
+
+    from stock_market_data_pipeline_spark.operators.tfidf import bm25_topk
+
+    rows = [
+        (1, "cat dog cat"),       # tf(cat)=2, dl=3
+        (2, "cat bird"),          # tf(cat)=1, dl=2
+        (3, "fish fish fish"),    # no query term
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(df, ["cat"], top_k=10).collect()}
+    assert set(out) == {1, 2}
+    n, avgdl = 3.0, (3 + 2 + 3) / 3.0
+    idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[1]["score"] - round(score(2, 3), 6)) < 2e-6
+    assert abs(out[2]["score"] - round(score(1, 2), 6)) < 2e-6
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["n_hits"] == 1 and out[1]["dl"] == 3
+
+
+def test_version_diff_types_and_null_safety(spark, tmp_path):
+    """added/removed/changed classification, NULL-safe value compare, and
+    include_unchanged."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        publish_version,
+        version_diff,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    v2 = spark.createDataFrame(
+        [(2, "b"), (3, None), (4, "DD"), (5, "e")], "k long, v string"
+    )
+    root = str(tmp_path / "vd")
+    publish_version(spark, v1, root, keep_versions=3)
+    publish_version(spark, v2, root, keep_versions=3)
+    out = {
+        r["k"]: r["change_type"]
+        for r in version_diff(spark, root, 1, 2, keys=["k"]).collect()
+    }
+    # 3 has NULL == NULL -> unchanged (excluded); 1 removed; 5 added; 4 changed
+    assert out == {1: "removed", 4: "changed", 5: "added"}
+    full = {
+        r["k"]: r["change_type"]
+        for r in version_diff(
+            spark, root, 1, 2, keys=["k"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged" and full[3] == "unchanged"
+
+
+def test_with_split_assign_deterministic_and_exhaustive(spark):
+    """Every row gets a split; assignment is id-deterministic (stable under
+    re-partitioning and corpus growth); fractions land near targets."""
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        with_split_assign,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = with_split_assign(df).collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    assert set(by_id.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in by_id.values() if v == s) for s in ("train", "val", "test")}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # growth-stable: the same ids in a smaller corpus get the same split
+    small = with_split_assign(
+        df.filter(F.col("doc_id") < 100).repartition(7)
+    ).collect()
+    assert all(by_id[r["doc_id"]] == r["split"] for r in small)
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    """Pair totals = sum over distinct words of freq x in-word occurrences;
+    1-char words contribute nothing."""
+    from stock_market_data_pipeline_spark.operators.vocab import (
+        bpe_pair_counts,
+    )
+
+    # "aba" x2 (pairs ab, ba), "ab" x1 (ab), "a" x1 (none)
+    df = spark.createDataFrame(
+        [(1, "aba ab"), (2, "aba a")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["total"] for r in bpe_pair_counts(df).collect()}
+    assert out == {"ab": 3, "ba": 2}
+
+
+def test_fingerprint_diff_catches_duplicates_and_equality(spark):
+    """Equal tables produce an EMPTY diff; a duplicated row IS caught (the
+    sum fold, unlike xor, does not cancel pairwise); a NULL value differs
+    from the literal sentinel-less string."""
+    from stock_market_data_pipeline_spark.operators.fingerprint import (
+        fingerprint_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(200)], "k long, v string"
+    )
+    assert fingerprint_diff(a, a, "k", ["k", "v"], n_buckets=8).count() == 0
+    # duplicate one row in b -> exactly that key's bucket differs
+    dup = a.filter(F.col("k") == 7)
+    b = a.unionAll(dup)
+    d = fingerprint_diff(a, b, "k", ["k", "v"], n_buckets=8).collect()
+    assert len(d) == 1
+    assert d[0]["n_rows_a"] + 1 == d[0]["n_rows_b"]
+    # NULL vs value difference is visible
+    c = a.withColumn(
+        "v", F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("v"))
+    )
+    assert fingerprint_diff(a, c, "k", ["k", "v"], n_buckets=8).count() == 1
