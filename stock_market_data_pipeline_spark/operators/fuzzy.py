@@ -49,6 +49,12 @@ def blocked_levenshtein_pairs(
         .groupBy("name", "_blk")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Materialize the dictionary once: a plain self-join re-derives the
+    # aggregate on BOTH sides (no exchange reuse), i.e. the corpus-sized
+    # scan+count would run twice. The dictionary is small by contract, so
+    # a local checkpoint (lazy — computed at first action) trades a
+    # dictionary-sized cache for halving the dominant stage.
+    dic = dic.localCheckpoint(eager=False)
     a = dic.select(
         F.col("_blk"),
         F.col("name").alias("name_a"),

@@ -245,3 +245,39 @@ def with_split_assign(
         expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
     )
     return df.withColumn("split", split)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "wsamp",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): rank every row by ``ln(u) / w`` where
+    ``u`` derives from the portable md5 hash of (seed, id), keep the top
+    ``n``. Items with weight w are selected with the exact A-ES
+    probabilities, the selection is a pure function of (seed, ids,
+    weights) — reproducible across runs, engines, and partitionings — and
+    the global top-n is a TakeOrderedAndProject (per-partition heaps, no
+    full sort), so the shuffle carries n rows per partition at most.
+
+    The ranking key is ROUNDED (9 dp) before ordering with an id
+    tiebreak: ``ln`` is not correctly-rounded across libm implementations,
+    and an unrounded boundary between rank n and n+1 could flip between
+    engines. Non-positive weights are excluded (they have no A-ES key).
+
+    Output: the sampled rows plus ``wkey`` (the rounded ranking key).
+    """
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    h = sample_hash32(F.col(id_col), seed)
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    key = round_det(F.log(u) / F.col(weight_col), 9)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("wkey", key)
+        .orderBy(F.col("wkey").desc(), F.col(id_col))
+        .limit(n)
+    )

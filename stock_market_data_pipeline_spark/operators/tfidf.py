@@ -92,62 +92,65 @@ def bm25_topk(
 
     Output: id, score (6 dp), dl, n_hits (query terms present).
 
-    Plan shape: the query bag is a BROADCAST literal array — term filtering
-    happens in the exploded scan before the only data-sized aggregate, so
-    the (doc, term) state is |docs| × |query| at most, never the corpus
-    vocabulary. Document lengths come from the same single scan (explode →
-    two-level agg), N/avgdl/df are single-row/|query|-row aggregates
-    broadcast into the score join. Ranking uses the ROUNDED score + id
+    Plan shape: ONE corpus scan. The exploded token stream aggregates once
+    per doc with the query-term tfs as |query| conditional-count columns
+    alongside the document length — the same single-pass conditional-agg
+    discipline as the expectations gate — so there is exactly one
+    data-sized shuffle (on the doc id) and the per-doc state is
+    query-bounded, never vocabulary-sized. N, avgdl, and per-term dfs then
+    come from ONE single-row aggregate over the per-doc frame, broadcast
+    into the (columnwise, codegen'd) score projection; a term absent from
+    a doc contributes exactly +0.0. Ranking uses the ROUNDED score + id
     tiebreak for the same cross-libm reproducibility reason as
-    ``tfidf_top_terms``; the global top-k is a TakeOrderedAndProject, not a
-    full sort.
+    ``tfidf_top_terms``; the global top-k is a TakeOrderedAndProject, not
+    a full sort.
     """
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    # per-doc length over ALL terms (needed before the query filter)
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(
+    q = [t.lower() for t in query_terms]
+    per_doc = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(
+                F.when(F.col("term") == t, 1).otherwise(0)
+            ).alias(f"_tf{i}")
+            for i, t in enumerate(q)
+        ],
+    )
+    stats = per_doc.agg(
         F.sum("dl").cast("double").alias("_sum_dl"),
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int"))
+            .cast("double")
+            .alias(f"_df{i}")
+            for i in range(len(q))
+        ],
     )
-    q = [t.lower() for t in query_terms]
-    hits = terms.filter(F.col("term").isin(q))
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("double").alias("df_t")
-    )
+    avgdl = F.col("_sum_dl") / F.col("_n_docs")
+    score = F.lit(0.0)
+    n_hits = F.lit(0)
+    for i in range(len(q)):
+        tf = F.col(f"_tf{i}")
+        df_t = F.col(f"_df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("_n_docs") - df_t + 0.5) / (df_t + 0.5)
+        )
+        score = score + idf * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / avgdl)
+        )
+        n_hits = n_hits + (tf > 0).cast("int")
     scored = (
-        tf.join(F.broadcast(docfreq), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "_idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("_n_docs") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5)
-            ),
-        )
-        .withColumn(
-            "_part",
-            F.col("_idf")
-            * (F.col("tf") * (k1 + 1))
-            / (
-                F.col("tf")
-                + k1
-                * (
-                    1
-                    - b
-                    + b * F.col("dl") / (F.col("_sum_dl") / F.col("_n_docs"))
-                )
-            ),
-        )
-        .groupBy(id_col, "dl")
-        .agg(
-            round_det(F.sum("_part"), 6).alias("score"),
-            F.count(F.lit(1)).alias("n_hits"),
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("n_hits", n_hits)
+        .filter(F.col("n_hits") > 0)
+        .select(
+            F.col(id_col),
+            F.col("dl"),
+            round_det(score, 6).alias("score"),
+            F.col("n_hits").cast("long").alias("n_hits"),
         )
     )
     return scored.orderBy(

@@ -3192,6 +3192,54 @@ WHERE (fp_a IS DISTINCT FROM fp_b) OR (n_rows_a IS DISTINCT FROM n_rows_b)
 """
 
 
+# X108: entity resolution — the fuzzy pair list from X102 becomes an
+# undirected graph; min-label reachability labels each component, then the
+# name dictionary (with row counts) re-attaches singletons by left join.
+ORACLES["entity_clusters"] = """
+WITH RECURSIVE dic AS (
+  SELECT p_name AS name, regexp_extract(p_name, '([a-z]+)$', 1) AS blk,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM dic a JOIN dic b ON a.blk = b.blk AND a.name < b.name
+  WHERE abs(length(a.name) - length(b.name)) <= 4
+    AND levenshtein(a.name, b.name) <= 4
+),
+edges AS (
+  SELECT name_a AS src, name_b AS dst FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+),
+reach(node, rid) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.rid
+),
+lbl AS (SELECT node, min(rid) AS cluster_id FROM reach GROUP BY node)
+SELECT COALESCE(l.cluster_id, d.name) AS entity_id,
+       CAST(count(*) AS BIGINT) AS n_names,
+       CAST(sum(d.n) AS BIGINT) AS n_parts
+FROM dic d LEFT JOIN lbl l ON l.node = d.name
+GROUP BY 1
+"""
+
+
+# X109: Efraimidis-Spirakis A-ES weighted sampling — rank by the rounded
+# ln(u)/w key (u from the portable md5 hash), top 64 with id tiebreak.
+ORACLES["weighted_sample"] = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars,
+       round(ln((hv + 1) / 4294967296.0) / n_chars, 9) AS wkey
+FROM h ORDER BY wkey DESC, doc_id LIMIT 64
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2226,6 +2226,52 @@ def q_bucket_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (X108): blocked fuzzy pairs →
+    connected components → one row per resolved entity (canonical = min
+    name in the component; singletons re-attached by left join), with the
+    dictionary row counts folded in. The full record-linkage composition:
+    blocking confines the quadratic work, min-label propagation runs over
+    edge endpoints only."""
+    from stock_market_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+    from stock_market_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    pairs = blocked_levenshtein_pairs(
+        part,
+        name_col="p_name",
+        block_col=F.regexp_extract("p_name", "([a-z]+)$", 1),
+        max_dist=4,
+    )
+    cc = connected_components(pairs, a_col="name_a", b_col="name_b")
+    dic = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ent = dic.join(cc, dic["name"] == cc["node"], "left").select(
+        F.coalesce("cluster_id", "name").alias("entity_id"), "n"
+    )
+    return ent.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_names"),
+        F.sum("n").cast("bigint").alias("n_parts"),
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling (X109): top-64 documents by
+    the deterministic ln(u)/weight key with n_chars as the weight —
+    length-biased corpus subsampling, reproducible across engines."""
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", n=64)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r05 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
@@ -2257,6 +2303,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "bpe_merge_candidates": q_bpe_merge_candidates,
     "bucket_fingerprint_diff": q_bucket_fingerprint_diff,
+    "entity_clusters": q_entity_clusters,
+    "weighted_sample": q_weighted_sample,
     "line_dedup": q_line_dedup,
     "incremental_ohlcv": q_incremental_ohlcv,
     "pruned_scan_revenue": q_pruned_scan_revenue,

@@ -484,3 +484,83 @@ def stream_with_dead_letter(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_dim_enrich(
+    stream_df: DataFrame,
+    dim_root: str,
+    keys: list[str],
+    output_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+):
+    """Stream-static enrichment against a VERSIONED dimension: every
+    micro-batch re-resolves the currently-committed version of the
+    dimension table (``sinks/lake.py:publish_version`` manifest) and
+    broadcast-joins it onto the batch — the slowly-changing-dimension
+    pattern for streams. A plain static DataFrame in a stream-static join
+    pins the file listing at query start, so dimension updates published
+    mid-stream are invisible; resolving INSIDE ``foreachBatch`` picks up
+    each new version at the next batch boundary, and the manifest commit
+    guarantees a batch never reads a half-published dimension.
+
+    Left join: facts with no dimension row pass through with NULLs (the
+    standard late-dimension posture — downstream can reprocess from the
+    idempotent ``batch_id=N`` partitions once the dimension lands).
+
+    Scale: the dimension is broadcast per batch — correct for dims that
+    fit an executor (the usual SCD case); a fact-sized dimension should
+    use :func:`stream_merge_upsert_sink` materialization plus a batch
+    join instead. Output is exactly-once by the same idempotent
+    dynamic-overwrite contract as ``stream_windowed_analytics``.
+    """
+    from stock_market_data_pipeline_spark.sinks.lake import read_versioned
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        dim = read_versioned(spark, dim_root)
+        out = batch_df.join(F.broadcast(dim), keys, "left").withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def streaming_progress_stats(query) -> list[dict]:
+    """Per-batch observability rollup from a streaming query's progress
+    history: input rows, processed-rows/sec, and the watermark-dropped row
+    count per state operator — the metric that tells you whether the
+    configured lateness bound is silently discarding data (the streaming
+    twin of the batch expectations gate). Works on a live or finished
+    query; returns one dict per progress event in order.
+    """
+    out = []
+    for p in query.recentProgress:
+        if p is None:
+            continue
+        dropped = sum(
+            int(getattr(s, "numRowsDroppedByWatermark", 0) or 0)
+            for s in (p.stateOperators or [])
+        )
+        out.append(
+            {
+                "batch_id": p.batchId,
+                "input_rows": int(p.numInputRows or 0),
+                "dropped_by_watermark": dropped,
+                "watermark": (p.eventTime or {}).get("watermark"),
+            }
+        )
+    return out

@@ -27,7 +27,7 @@ def test_driver_window_composition():
     earmarked)."""
     window = list(QUERIES)[:50]
     # round-8 additions - never driver-checked - at the very front
-    assert window[:7] == [
+    assert window[:9] == [
         "interval_merge",
         "fuzzy_name_pairs",
         "bm25_topk",
@@ -35,9 +35,11 @@ def test_driver_window_composition():
         "split_assign",
         "bpe_merge_candidates",
         "bucket_fingerprint_diff",
+        "entity_clusters",
+        "weighted_sample",
     ]
     # code touched since the r7 driver check (round-8 ADVICE fixes)
-    assert window[7:10] == [
+    assert window[9:12] == [
         "line_dedup",         # oracle NULL-text LEFT JOIN fix
         "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
         "pruned_scan_revenue",  # date-stats prune extension
@@ -63,8 +65,6 @@ def test_driver_window_composition():
         "tfidf_top_terms",
         "price_band_join",
         "technical_indicators",
-        "scd2_history",
-        "multimodal_resize",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"

@@ -366,3 +366,68 @@ def test_fingerprint_diff_catches_duplicates_and_equality(spark):
         "v", F.when(F.col("k") == 3, F.lit(None)).otherwise(F.col("v"))
     )
     assert fingerprint_diff(a, c, "k", ["k", "v"], n_buckets=8).count() == 1
+
+
+def test_weighted_sample_matches_reference_computation(spark):
+    """The A-ES selection is a pure function of (seed, ids, weights):
+    recompute the exact top-n in plain Python (hashlib md5) and require
+    identical membership and order keys; non-positive weights excluded;
+    result stable under repartitioning."""
+    import hashlib
+    import math
+
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, (i % 37) + 1) for i in range(500)] + [(900, 0), (901, -5)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+
+    def key(i, w):
+        h = int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 1) / 4294967296.0
+        return round(math.log(u) / w + 1e-9, 9)
+
+    want = sorted(
+        ((key(i, w), i) for i, w in rows if w > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    got = weighted_sample(df.repartition(7), "w", 50, id_col="doc_id").collect()
+    assert [(r["wkey"], r["doc_id"]) for r in got] == [
+        (pytest.approx(k), i) for k, i in want
+    ]
+    assert not {900, 901} & {r["doc_id"] for r in got}
+
+
+def test_entity_clusters_composition(spark):
+    """Fuzzy pairs -> connected components -> canonical entity; singleton
+    blocks survive; counts fold across merged names."""
+    from stock_market_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+    )
+    from stock_market_data_pipeline_spark.operators.neardup import (
+        connected_components,
+    )
+
+    rows = [
+        (1, "red widget"), (2, "rad widget"), (3, "blue widget"),
+        (4, "red widget"),  # duplicate row folds into the count
+        (5, "red bolt"),    # singleton block
+    ]
+    df = spark.createDataFrame(rows, "id long, p_name string")
+    pairs = blocked_levenshtein_pairs(
+        df, "p_name", F.regexp_extract("p_name", "([a-z]+)$", 1), max_dist=4
+    )
+    cc = connected_components(pairs, a_col="name_a", b_col="name_b")
+    dic = df.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ent = (
+        dic.join(cc, dic["name"] == cc["node"], "left")
+        .select(F.coalesce("cluster_id", "name").alias("entity_id"), "n")
+        .groupBy("entity_id")
+        .agg(F.count(F.lit(1)).alias("n_names"), F.sum("n").alias("n_parts"))
+    )
+    out = {r["entity_id"]: (r["n_names"], r["n_parts"]) for r in ent.collect()}
+    # widget block chains into ONE entity under min-name "blue widget"
+    assert out == {"blue widget": (3, 4), "red bolt": (1, 1)}
