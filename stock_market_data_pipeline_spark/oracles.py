@@ -3240,6 +3240,20 @@ FROM h ORDER BY wkey DESC, doc_id LIMIT 64
 """
 
 
+# X112: manifest-format retention delete — the registry query expires
+# rows before 1998-01-01 through the file-list manifest (zero-IO drops +
+# carries, boundary rewrite); the oracle is the plain filtered rollup.
+ORACLES["retention_revenue"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -1,0 +1,367 @@
+"""Manifest-file-list table format — Iceberg/Delta's core trick in
+miniature: a version is a JSON *list of immutable data files*, not a
+directory, so successive versions SHARE unchanged files and every
+maintenance operation costs O(changed files), never O(table).
+
+The directory-per-version layout (``lake.py:publish_version``) rewrites
+the whole dataset on every publish — fine for full-replace semantics, but
+at 100 TB retention deletes, compaction, and small upserts each touch a
+sliver of the table and must not pay a full rewrite. Here:
+
+* ``retention_delete`` — files entirely inside the retention window are
+  CARRIED into the new manifest by reference (zero IO), files entirely
+  outside are DROPPED from it (zero IO); only straddling files are
+  rewritten. The per-file min/max stats decide membership, so the IO is
+  proportional to the boundary, exactly like Iceberg's delete-by-filter.
+* ``compact_manifest`` — bin-packs only the small files; files already at
+  target size are carried by reference.
+* ``vacuum_manifest`` — deletes data files no retained manifest
+  references (the GC that reference-sharing makes necessary).
+
+Commit protocol (same two-step as ``publish_version``): write the
+manifest JSON, then create its ``._COMMITTED`` marker — the single atomic
+commit point. A crash anywhere earlier leaves orphan data files that the
+next ``vacuum_manifest`` collects; readers only ever resolve complete
+committed manifests. Single-writer, like every sink in this package —
+concurrent writers need a transactional log service, which is the one
+piece of Iceberg/Delta deliberately out of scope.
+
+Layout::
+
+    root/data/<uuid>-<part>.parquet   immutable data files (shared)
+    root/mf/v00000001.json            {"fmt", "files": [{name, bytes, stats}]}
+    root/mf/v00000001._COMMITTED      commit marker
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS, _stat_key
+
+_MF_RE = re.compile(r"^v(\d{8})\.json$")
+_COMMIT_SUFFIX = "._COMMITTED"
+
+
+def _mf_dir(root: str) -> str:
+    return f"{root.rstrip('/')}/mf"
+
+
+def _data_dir(root: str) -> str:
+    return f"{root.rstrip('/')}/data"
+
+
+def _mf_name(v: int) -> str:
+    return f"v{v:08d}.json"
+
+
+def _list_manifests(fs: _HadoopFS, root: str) -> tuple[list[int], list[int]]:
+    """(committed, known) manifest version numbers, ascending."""
+    mdir = _mf_dir(root)
+    if not fs.is_dir(mdir):
+        return [], []
+    names = set(fs.child_names(mdir))
+    known = sorted(
+        int(m.group(1)) for n in names if (m := _MF_RE.match(n))
+    )
+    committed = [
+        v for v in known if f"{_mf_name(v)}{_COMMIT_SUFFIX}" in names
+    ]
+    return committed, known
+
+
+def _resolve_manifest(
+    fs: _HadoopFS, root: str, version: int | None = None
+) -> tuple[int, dict]:
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    if version is None:
+        version = committed[-1]
+    elif version not in committed:
+        raise FileNotFoundError(
+            f"manifest v{version} not committed under {root} "
+            f"(have {committed})"
+        )
+    meta = _json.loads(
+        fs.read_text(f"{_mf_dir(root)}/{_mf_name(version)}")
+    )
+    return version, meta
+
+
+def _stage_files(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fmt: str,
+    stats_cols: list[str] | None,
+) -> list[dict[str, Any]]:
+    """Write ``df`` to a staging dir, move each part file into the shared
+    data dir under a fresh uuid prefix, and return manifest entries
+    (name, bytes, per-file min/max stats). Stats come from ONE
+    distributed aggregate over ``input_file_name()`` — no driver footer
+    walk, object-store-safe."""
+    fs = _HadoopFS(spark, root)
+    stage = f"{_data_dir(root)}/stage-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").format(fmt).save(stage)
+    stats_by_file: dict[str, dict] = {}
+    nulls_by_file: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            # NULLs are invisible to min/max; retention needs to know a
+            # file is null-free before dropping it by range alone
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).alias(f"__nulls_{c}")
+            )
+        rows = (
+            spark.read.format(fmt).load(stage)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            base = r["__f"].rsplit("/", 1)[-1]
+            stats_by_file[base] = {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+            }
+            nulls_by_file[base] = {
+                c: int(r[f"__nulls_{c}"] or 0) for c in stats_cols
+            }
+    prefix = uuid.uuid4().hex[:12]
+    entries: list[dict[str, Any]] = []
+    for p, sz in fs.list_data_files(stage):
+        base = p.rsplit("/", 1)[-1]
+        new_name = f"{prefix}-{base}"
+        fs.rename(f"{stage}/{base}", f"{_data_dir(root)}/{new_name}")
+        entries.append(
+            {
+                "name": new_name,
+                "bytes": sz,
+                "stats": stats_by_file.get(base, {}),
+                "nulls": nulls_by_file.get(base, {}),
+            }
+        )
+    fs.delete(stage)
+    return entries
+
+
+def _commit(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict[str, Any]],
+    fmt: str,
+) -> int:
+    fs = _HadoopFS(spark, root)
+    _, known = _list_manifests(fs, root)
+    nxt = (known[-1] + 1) if known else 1
+    mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
+    fs.write_text(
+        mpath,
+        _json.dumps({"fmt": fmt, "files": entries}, default=str),
+    )
+    fs.write_text(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
+    return nxt
+
+
+def publish_files(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Publish ``df`` as the next manifest version (full-replace
+    semantics: the new manifest lists only the new files; prior versions
+    keep referencing theirs until vacuumed). Returns the version number.
+    """
+    entries = _stage_files(spark, df, root, fmt, stats_cols)
+    return _commit(spark, root, entries, fmt)
+
+
+def read_manifest(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a committed manifest version — loads exactly the listed files
+    (time travel by reference; a file shared by many versions is read the
+    same way from each)."""
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    paths = [f"{_data_dir(root)}/{e['name']}" for e in meta["files"]]
+    if not paths:
+        raise FileNotFoundError(f"manifest under {root} lists no files")
+    return spark.read.format(meta.get("fmt", "parquet")).load(paths)
+
+
+def manifest_files(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[dict[str, Any]]:
+    """The raw file entries of a committed manifest (for audits/tests)."""
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    return meta["files"]
+
+
+def retention_delete(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    cutoff,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Delete every row with ``col < cutoff`` as a NEW manifest version,
+    touching only the files the boundary crosses:
+
+    * per-file stats ``min >= cutoff``  → carried by reference (zero IO);
+    * ``max < cutoff``                  → dropped from the manifest (zero IO);
+    * straddling / missing stats       → rewritten filtered.
+
+    This is the GDPR/retention sweep a 100 TB table runs nightly: with a
+    time-clustered layout the rewrite set is one boundary file per
+    partition, and everything else is a manifest edit. Comparisons go
+    through the same kind-matched ``_stat_key`` as the pruned reader, so
+    timestamp/date stats participate and incomparable stats fall back to
+    a (safe) rewrite.
+
+    NULL ``col`` rows are NEVER expired (their age is unknowable): the
+    rewrite filter keeps them, and a file qualifies for the zero-IO drop
+    only when its recorded null count for ``col`` is zero — a file whose
+    range is entirely expired but that holds NULL rows is rewritten down
+    to just those rows instead. Returns
+    ``{"carried", "dropped", "rewritten"}``.
+    """
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, None)
+    kcut = _stat_key(cutoff)
+    carried, to_rewrite = [], []
+    dropped = 0
+    for e in meta["files"]:
+        st = e.get("stats", {}).get(col)
+        nulls = e.get("nulls", {}).get(col)
+        kmn = _stat_key(st[0]) if st else None
+        kmx = _stat_key(st[1]) if st else None
+        if (
+            kcut is not None
+            and kmn is not None
+            and kmn[0] == kcut[0]
+            and kmn[1] >= kcut[1]
+        ):
+            carried.append(e)  # NULL rows (if any) are kept with the file
+        elif (
+            kcut is not None
+            and kmx is not None
+            and kmx[0] == kcut[0]
+            and kmx[1] < kcut[1]
+            and nulls == 0
+        ):
+            dropped += 1
+        else:
+            to_rewrite.append(e)
+    new_entries = list(carried)
+    if to_rewrite:
+        paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
+        filtered = (
+            spark.read.format(meta.get("fmt", fmt))
+            .load(paths)
+            .filter(
+                F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
+            )
+        )
+        new_entries.extend(
+            _stage_files(
+                spark,
+                filtered,
+                root,
+                fmt,
+                stats_cols if stats_cols is not None else [col],
+            )
+        )
+    _commit(spark, root, new_entries, meta.get("fmt", fmt))
+    return {
+        "carried": len(carried),
+        "dropped": dropped,
+        "rewritten": len(to_rewrite),
+    }
+
+
+def compact_manifest(
+    spark: SparkSession,
+    root: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict[str, int]:
+    """Bin-pack ONLY the undersized files (< half the target) into
+    target-sized files; right-sized files are carried by reference. The
+    streaming/micro-batch accretion problem solved at O(small files) cost
+    — the Iceberg ``rewrite_data_files`` shape. Returns
+    ``{"carried", "compacted", "files_written"}``."""
+    import math
+
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, None)
+    small = [e for e in meta["files"] if e["bytes"] < target_file_bytes // 2]
+    carried = [e for e in meta["files"] if e["bytes"] >= target_file_bytes // 2]
+    if len(small) <= 1:
+        return {"carried": len(meta["files"]), "compacted": 0, "files_written": 0}
+    total = sum(e["bytes"] for e in small)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
+    packed = spark.read.format(meta.get("fmt", fmt)).load(paths).repartition(n_out)
+    new_entries = carried + _stage_files(spark, packed, root, fmt, None)
+    _commit(spark, root, new_entries, meta.get("fmt", fmt))
+    return {
+        "carried": len(carried),
+        "compacted": len(small),
+        "files_written": len(new_entries) - len(carried),
+    }
+
+
+def vacuum_manifest(
+    spark: SparkSession,
+    root: str,
+    keep_versions: int = 2,
+) -> dict[str, int]:
+    """Garbage-collect: drop committed manifests beyond the last
+    ``keep_versions``, uncommitted manifest orphans, and every data file
+    no retained manifest references (including crashed-publish strays).
+    Deletion order is manifests first, then files — a crash mid-vacuum
+    leaves only unreferenced files, which the next vacuum collects; it
+    can never break a retained version. Returns
+    ``{"manifests_deleted", "files_deleted"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, known = _list_manifests(fs, root)
+    if not committed:
+        return {"manifests_deleted": 0, "files_deleted": 0}
+    retained = committed[-keep_versions:]
+    mdel = 0
+    for v in known:
+        if v in retained:
+            continue
+        mpath = f"{_mf_dir(root)}/{_mf_name(v)}"
+        fs.delete(f"{mpath}{_COMMIT_SUFFIX}")
+        fs.delete(mpath)
+        mdel += 1
+    referenced: set[str] = set()
+    for v in retained:
+        _, meta = _resolve_manifest(fs, root, v)
+        referenced |= {e["name"] for e in meta["files"]}
+    fdel = 0
+    ddir = _data_dir(root)
+    if fs.is_dir(ddir):
+        for name in fs.child_names(ddir):
+            if name in referenced:
+                continue
+            fs.delete(f"{ddir}/{name}")
+            fdel += 1
+    return {"manifests_deleted": mdel, "files_deleted": fdel}

@@ -1,0 +1,156 @@
+"""Manifest-file-list table format (sinks/manifest_lake.py): versions
+share unchanged files, retention/compaction touch only the boundary, and
+vacuum never breaks a retained version.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+    _COMMIT_SUFFIX,
+    _data_dir,
+    _mf_dir,
+    compact_manifest,
+    manifest_files,
+    publish_files,
+    read_manifest,
+    retention_delete,
+    vacuum_manifest,
+)
+
+
+def _ts_df(spark, lo_day, hi_day, n_per_day=10):
+    days = []
+    for d in range(lo_day, hi_day):
+        days += [(d * 1000 + i, f"2026-01-{d:02d} 12:00:00") for i in range(n_per_day)]
+    return spark.createDataFrame(days, "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+
+def test_publish_read_roundtrip_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df1 = _ts_df(spark, 1, 5)
+    v1 = publish_files(spark, df1.repartitionByRange(4, "ts"), root, stats_cols=["ts"])
+    assert v1 == 1
+    assert read_manifest(spark, root).count() == df1.count()
+    df2 = _ts_df(spark, 1, 3)
+    v2 = publish_files(spark, df2, root)
+    assert v2 == 2
+    assert read_manifest(spark, root).count() == df2.count()
+    # time travel by reference: v1 still fully readable
+    assert read_manifest(spark, root, version=v1).count() == df1.count()
+
+
+def test_retention_carries_drops_and_rewrites(spark, tmp_path):
+    """Files entirely inside the window carry BY REFERENCE (identical
+    physical names), entirely-expired null-free files drop with zero IO,
+    only the straddler is rewritten; row contents equal the plain
+    filter."""
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 9)  # days 1..8
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"]
+    )
+    before = {e["name"] for e in manifest_files(spark, root)}
+    cutoff = dt.datetime(2026, 1, 4)  # days 1-3 expire; day 4+ kept
+    res = retention_delete(spark, root, "ts", cutoff)
+    after = manifest_files(spark, root)
+    after_names = {e["name"] for e in after}
+    assert res["dropped"] >= 2          # whole-day files vanish zero-IO
+    assert res["carried"] >= 3
+    assert res["rewritten"] <= 2        # at most the boundary file(s)
+    # carried = same physical file names as v1 (shared, not copied)
+    assert len(after_names & before) == res["carried"]
+    got = read_manifest(spark, root)
+    want = df.filter(F.col("ts") >= F.lit(cutoff))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_retention_never_expires_null_rows(spark, tmp_path):
+    """A file whose range is entirely expired but that holds NULL-ts rows
+    is rewritten down to the NULL rows, never dropped whole."""
+    root = str(tmp_path / "t")
+    rows = [(1, "2026-01-01 00:00:00"), (2, None), (3, "2026-03-01 00:00:00")]
+    df = spark.createDataFrame(rows, "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    publish_files(spark, df.coalesce(1), root, stats_cols=["ts"])
+    res = retention_delete(spark, root, "ts", dt.datetime(2026, 2, 1))
+    assert res["dropped"] == 0 and res["rewritten"] == 1
+    left = {r["k"] for r in read_manifest(spark, root).collect()}
+    assert left == {2, 3}  # expired row 1 gone, NULL row 2 KEPT
+
+
+def test_compact_packs_only_small_files(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 5)
+    publish_files(spark, df.repartition(6), root)
+    sizes = [e["bytes"] for e in manifest_files(spark, root)]
+    target = sum(sizes) * 4  # everything small; packs into ONE file
+    res = compact_manifest(spark, root, target_file_bytes=target)
+    assert res["compacted"] == 6 and res["files_written"] == 1
+    assert read_manifest(spark, root).count() == df.count()
+    # already-compacted table is a no-op (<= 1 small file)
+    res2 = compact_manifest(spark, root, target_file_bytes=target)
+    assert res2["compacted"] == 0
+
+
+def test_vacuum_keeps_referenced_files_and_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    d1, d2, d3 = _ts_df(spark, 1, 3), _ts_df(spark, 3, 5), _ts_df(spark, 5, 7)
+    publish_files(spark, d1, root)
+    publish_files(spark, d2, root)
+    publish_files(spark, d3, root)
+    res = vacuum_manifest(spark, root, keep_versions=2)
+    assert res["manifests_deleted"] == 1
+    assert res["files_deleted"] >= 1  # v1's unshared files collected
+    # both retained versions still fully readable
+    assert read_manifest(spark, root, version=2).count() == d2.count()
+    assert read_manifest(spark, root, version=3).count() == d3.count()
+    with pytest.raises(FileNotFoundError):
+        read_manifest(spark, root, version=1)
+
+
+def test_vacuum_preserves_shared_files_after_retention(spark, tmp_path):
+    """Carried files are referenced by BOTH the pre- and post-retention
+    manifests; vacuum with both retained must not delete them."""
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 9)
+    publish_files(spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"])
+    retention_delete(spark, root, "ts", dt.datetime(2026, 1, 4))
+    n_rows = read_manifest(spark, root).count()
+    res = vacuum_manifest(spark, root, keep_versions=2)
+    assert res["files_deleted"] == 0  # everything still referenced somewhere
+    assert read_manifest(spark, root).count() == n_rows
+    assert read_manifest(spark, root, version=1).count() == df.count()
+    # drop v1 -> its unshared (expired + pre-rewrite) files become garbage
+    res2 = vacuum_manifest(spark, root, keep_versions=1)
+    assert res2["files_deleted"] >= 2
+    assert read_manifest(spark, root).count() == n_rows
+
+
+def test_uncommitted_manifest_is_invisible_and_crash_heals(spark, tmp_path):
+    """A manifest without its marker never resolves; stray staged files
+    are collected by vacuum."""
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 3)
+    publish_files(spark, df, root)
+    fs = _HadoopFS(spark, root)
+    # simulate a crash: v2 manifest written, marker never created
+    fs.write_text(f"{_mf_dir(root)}/v00000002.json", '{"fmt":"parquet","files":[]}')
+    assert read_manifest(spark, root).count() == df.count()  # still v1
+    # simulate crashed stage: orphan data file never referenced
+    fs.write_text(f"{_data_dir(root)}/orphan-file.parquet", "junk")
+    res = vacuum_manifest(spark, root, keep_versions=2)
+    assert res["files_deleted"] >= 1
+    names = set(fs.child_names(_data_dir(root)))
+    assert "orphan-file.parquet" not in names
+    assert read_manifest(spark, root).count() == df.count()

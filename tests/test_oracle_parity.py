@@ -27,7 +27,7 @@ def test_driver_window_composition():
     earmarked)."""
     window = list(QUERIES)[:50]
     # round-8 additions - never driver-checked - at the very front
-    assert window[:9] == [
+    assert window[:10] == [
         "interval_merge",
         "fuzzy_name_pairs",
         "bm25_topk",
@@ -37,9 +37,10 @@ def test_driver_window_composition():
         "bucket_fingerprint_diff",
         "entity_clusters",
         "weighted_sample",
+        "retention_revenue",
     ]
     # code touched since the r7 driver check (round-8 ADVICE fixes)
-    assert window[9:12] == [
+    assert window[10:13] == [
         "line_dedup",         # oracle NULL-text LEFT JOIN fix
         "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
         "pruned_scan_revenue",  # date-stats prune extension
