@@ -159,6 +159,7 @@ def _commit(
     root: str,
     entries: list[dict[str, Any]],
     fmt: str,
+    txns: dict[str, int] | None = None,
 ) -> int:
     fs = _HadoopFS(spark, root)
     _, known = _list_manifests(fs, root)
@@ -166,7 +167,10 @@ def _commit(
     mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
     fs.write_text(
         mpath,
-        _json.dumps({"fmt": fmt, "files": entries}, default=str),
+        _json.dumps(
+            {"fmt": fmt, "files": entries, "txns": txns or {}},
+            default=str,
+        ),
     )
     fs.write_text(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
     return nxt
@@ -181,10 +185,18 @@ def publish_files(
 ) -> int:
     """Publish ``df`` as the next manifest version (full-replace
     semantics: the new manifest lists only the new files; prior versions
-    keep referencing theirs until vacuumed). Returns the version number.
+    keep referencing theirs until vacuumed). The txn watermarks of the
+    replaced version are carried forward so idempotent appends stay
+    replay-safe across a replace. Returns the version number.
     """
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    txns: dict[str, int] = {}
+    if committed:
+        _, meta = _resolve_manifest(fs, root, None)
+        txns = dict(meta.get("txns") or {})
     entries = _stage_files(spark, df, root, fmt, stats_cols)
-    return _commit(spark, root, entries, fmt)
+    return _commit(spark, root, entries, fmt, txns=txns)
 
 
 def read_manifest(
@@ -365,3 +377,43 @@ def vacuum_manifest(
             fs.delete(f"{ddir}/{name}")
             fdel += 1
     return {"manifests_deleted": mdel, "files_deleted": fdel}
+
+
+def append_files(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
+    txn_id: tuple[str, int] | None = None,
+) -> int:
+    """APPEND ``df`` as the next manifest version: new manifest = previous
+    file list + the newly staged files (previous files shared by
+    reference, zero IO) — the natural ingestion commit for micro-batch
+    streams, with ``compact_manifest`` as the maintenance pass.
+
+    ``txn_id = (app_id, n)`` makes the append IDEMPOTENT per application
+    (Delta's txn/appId protocol in miniature): each manifest carries the
+    highest ``n`` committed per ``app_id``, and an append whose ``n`` is
+    not greater is a NO-OP — checked BEFORE any staging IO. An
+    at-least-once caller (foreachBatch replaying after a crash between
+    the manifest commit and the checkpoint commit) therefore yields
+    exactly-once table contents. Returns the (possibly pre-existing)
+    current version number.
+    """
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    prev_entries: list[dict[str, Any]] = []
+    txns: dict[str, int] = {}
+    if committed:
+        _, meta = _resolve_manifest(fs, root, None)
+        prev_entries = meta["files"]
+        txns = dict(meta.get("txns") or {})
+        fmt = meta.get("fmt", fmt)
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return committed[-1]  # already committed: replay no-op
+        txns[app] = n
+    new_entries = _stage_files(spark, df, root, fmt, stats_cols)
+    return _commit(spark, root, prev_entries + new_entries, fmt, txns=txns)

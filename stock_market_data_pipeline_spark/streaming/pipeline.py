@@ -564,3 +564,52 @@ def streaming_progress_stats(query) -> list[dict]:
             }
         )
     return out
+
+
+def stream_append_manifest(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_path: str,
+    stats_cols: list[str] | None = None,
+    trigger: dict | None = None,
+    app_id: str = "stream-append",
+    post_commit_hook=None,
+):
+    """Exactly-once streaming ingestion into a manifest-file-list table
+    (``sinks/manifest_lake.py``): each micro-batch appends its files as a
+    new manifest version under the idempotent ``(app_id, batch_id)`` txn —
+    a crash between the manifest commit and the checkpoint commit replays
+    the batch, and the replayed append is a manifest-level NO-OP, so the
+    at-least-once ``foreachBatch`` contract yields exactly-once table
+    contents (Delta's txn appId/version protocol in miniature, but
+    file-native).
+
+    Pair with ``compact_manifest`` as the maintenance pass (micro-batch
+    appends accrete small files by construction) and ``vacuum_manifest``
+    to collect pre-compaction garbage. ``post_commit_hook(batch_id)``
+    runs after the manifest commit and before the checkpoint commit —
+    tests inject crashes there to prove the replay contract.
+    """
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        append_files(
+            batch_df.sparkSession,
+            batch_df,
+            root,
+            stats_cols=stats_cols,
+            txn_id=(app_id, batch_id),
+        )
+        if post_commit_hook is not None:
+            post_commit_hook(batch_id)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -154,3 +154,90 @@ def test_uncommitted_manifest_is_invisible_and_crash_heals(spark, tmp_path):
     names = set(fs.child_names(_data_dir(root)))
     assert "orphan-file.parquet" not in names
     assert read_manifest(spark, root).count() == df.count()
+
+
+def test_append_files_shares_history_and_txn_idempotence(spark, tmp_path):
+    """Appends accumulate by reference; a replayed (app, n) txn is a
+    manifest-level no-op checked before any staging IO."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    d1, d2 = _ts_df(spark, 1, 3), _ts_df(spark, 3, 5)
+    v1 = append_files(spark, d1, root, txn_id=("app", 0))
+    v2 = append_files(spark, d2, root, txn_id=("app", 1))
+    assert (v1, v2) == (1, 2)
+    n_all = d1.count() + d2.count()
+    assert read_manifest(spark, root).count() == n_all
+    # v2 shares v1's files by reference
+    f1 = {e["name"] for e in manifest_files(spark, root, version=1)}
+    f2 = {e["name"] for e in manifest_files(spark, root, version=2)}
+    assert f1 < f2
+    # replay of txn 1 -> no new version, no new rows
+    v_again = append_files(spark, d2, root, txn_id=("app", 1))
+    assert v_again == 2
+    assert read_manifest(spark, root).count() == n_all
+    # a DIFFERENT app id is independent
+    append_files(spark, _ts_df(spark, 5, 6), root, txn_id=("other", 0))
+    assert read_manifest(spark, root).count() > n_all
+
+
+def test_stream_append_manifest_exactly_once_across_crash(spark, tmp_path):
+    """Crash AFTER the manifest commit but BEFORE the checkpoint commit:
+    the restarted stream replays the batch, and the idempotent txn makes
+    the replayed append a no-op — table contents stay exactly-once."""
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_append_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, x long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(3, 30)], "k long, x long").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    boom = {"armed": True}
+
+    def crash_after_commit(batch_id):
+        if batch_id == 1 and boom["armed"]:
+            raise RuntimeError("injected crash after manifest commit")
+
+    stream = (
+        spark.readStream.schema("k long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_append_manifest(
+        stream, root, ckpt,
+        trigger={"availableNow": True},
+        post_commit_hook=crash_after_commit,
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass
+    assert not q.isActive
+    # batch 1's manifest committed even though its checkpoint didn't
+    assert read_manifest(spark, root).count() == 3
+
+    boom["armed"] = False  # restart replays batch 1 -> append must no-op
+    stream2 = (
+        spark.readStream.schema("k long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = stream_append_manifest(
+        stream2, root, ckpt, trigger={"availableNow": True}
+    )
+    q2.awaitTermination(120)
+    out = read_manifest(spark, root)
+    assert out.count() == 3  # no duplicate batch-1 rows
+    assert {r["k"] for r in out.collect()} == {1, 2, 3}
