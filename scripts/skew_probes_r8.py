@@ -106,11 +106,15 @@ def main():
     )
 
     def ts_table(n):
+        # spread evenly over the full 10-day range at ANY scale, so the
+        # cutoff always lands mid-table (the 1x probe otherwise never
+        # exercises the carry path)
+        secs = (F.col("id") * F.lit(864000.0 / n)).cast("double")
         return spark.range(n).select(
             F.col("id").alias("k"),
             (
                 F.lit("2026-01-01 00:00:00").cast("timestamp")
-                + F.make_interval(secs=(F.col("id") % 864000).cast("double"))
+                + F.make_interval(secs=secs)
             ).alias("ts"),
             F.md5(F.col("id").cast("string")).alias("payload"),
         )

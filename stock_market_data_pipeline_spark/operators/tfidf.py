@@ -119,6 +119,11 @@ def bm25_topk(
             for i, t in enumerate(q)
         ],
     )
+    # The corpus stats derive from per_doc AND join back onto it; without
+    # materialization both references re-run the exploded corpus scan.
+    # per_doc is |docs| narrow rows — checkpointing it (lazily) makes the
+    # token-stream explode happen exactly once.
+    per_doc = per_doc.localCheckpoint(eager=False)
     stats = per_doc.agg(
         F.sum("dl").cast("double").alias("_sum_dl"),
         F.count(F.lit(1)).cast("double").alias("_n_docs"),
