@@ -3254,6 +3254,57 @@ GROUP BY 1
 """
 
 
+# X112e: manifest-format keyed MERGE — keep-last-per-key over the two
+# seq-stamped batch definitions the registry query folds through
+# merge_upsert_manifest.
+ORACLES["merge_manifest_state"] = """
+WITH b0 AS (
+  SELECT o_orderkey AS k, 1 AS seq, o_totalprice AS val
+  FROM orders WHERE o_orderkey % 3 <> 2
+),
+b1 AS (
+  SELECT o_orderkey AS k, 2 AS seq, o_totalprice + 100 AS val
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+u AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+w AS (
+  SELECT k, seq, val,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM u
+)
+SELECT k, CAST(seq AS INTEGER) AS seq, val FROM w WHERE rn = 1
+"""
+
+
+# X113: referential-integrity expectations — orphan + matched-parent
+# counts per foreign-key edge of the star schema.
+ORACLES["fk_integrity"] = """
+SELECT 'orders->customer' AS relationship,
+       count(*) AS child_rows,
+       CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphans,
+       CAST(count(DISTINCT CASE WHEN c.c_custkey IS NOT NULL THEN o.o_custkey END) AS BIGINT) AS matched_parents
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem->orders',
+       count(*),
+       CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN p.o_orderkey IS NOT NULL THEN l.l_orderkey END) AS BIGINT)
+FROM lineitem l LEFT JOIN orders p ON l.l_orderkey = p.o_orderkey
+UNION ALL
+SELECT 'lineitem->supplier',
+       count(*),
+       CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NOT NULL THEN l.l_suppkey END) AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'lineitem->part',
+       count(*),
+       CAST(sum(CASE WHEN pa.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CASE WHEN pa.p_partkey IS NOT NULL THEN l.l_partkey END) AS BIGINT)
+FROM lineitem l LEFT JOIN part pa ON l.l_partkey = pa.p_partkey
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2316,6 +2316,86 @@ def q_retention_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_merge_manifest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-format keyed MERGE (X112e): fold two seq-stamped batches
+    of orders updates through ``merge_upsert_manifest`` (bucket-tagged
+    files; only touched buckets rewrite, the rest carry by reference) and
+    read the final state back. The oracle recomputes keep-last-per-key
+    over the two batch definitions in SQL; equality proves the bucketed
+    fold is lossless. The pytest audit proves the file accounting."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+        read_manifest,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    b0 = orders.filter(F.col("o_orderkey") % 3 != 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("val"),
+    )
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        (F.col("o_totalprice") + 100).alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="smdp_mf_merge_")
+    try:
+        merge_upsert_manifest(
+            spark, b0, root, keys=["k"], order_col="seq", n_buckets=16
+        )
+        merge_upsert_manifest(
+            spark, b1, root, keys=["k"], order_col="seq", n_buckets=16
+        )
+        return read_manifest(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity expectations (X113): orphan counts for every
+    foreign-key edge of the star schema in one left-join + conditional
+    aggregate per relationship — the cross-TABLE data-quality gate the
+    row-level expectations operator (X64) doesn't cover. Parents are
+    broadcast (dimension-sized); each fact scans once."""
+    rels = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ]
+    outs = []
+    for name, child_t, fk, parent_t, pk in rels:
+        child = read_table(spark, sf_dir, child_t).select(
+            F.col(fk).alias("_fk")
+        )
+        parent = read_table(spark, sf_dir, parent_t).select(
+            F.col(pk).alias("_pk")
+        )
+        j = child.join(
+            F.broadcast(parent), child["_fk"] == parent["_pk"], "left"
+        )
+        outs.append(
+            j.agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("child_rows"),
+                F.sum(F.col("_pk").isNull().cast("int"))
+                .cast("bigint")
+                .alias("orphans"),
+                F.count_distinct(
+                    F.when(F.col("_pk").isNotNull(), F.col("_fk"))
+                ).alias("matched_parents"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r05 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
@@ -2350,6 +2430,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_clusters": q_entity_clusters,
     "weighted_sample": q_weighted_sample,
     "retention_revenue": q_retention_revenue,
+    "merge_manifest_state": q_merge_manifest_state,
+    "fk_integrity": q_fk_integrity,
     "line_dedup": q_line_dedup,
     "incremental_ohlcv": q_incremental_ohlcv,
     "pruned_scan_revenue": q_pruned_scan_revenue,

@@ -417,3 +417,134 @@ def append_files(
         txns[app] = n
     new_entries = _stage_files(spark, df, root, fmt, stats_cols)
     return _commit(spark, root, prev_entries + new_entries, fmt, txns=txns)
+
+
+_BUCKET = "__mf_bucket"
+
+
+def _bucket_expr(keys: list[str], n_buckets: int):
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        sample_hash32,
+    )
+
+    key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys])
+    return sample_hash32(key, seed="mfb") % n_buckets
+
+
+def _stage_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    fmt: str,
+    keys: list[str],
+    n_buckets: int,
+) -> list[dict[str, Any]]:
+    """Stage ``df`` with one sub-directory per key bucket (Hive
+    partitionBy on the derived bucket id), then move each file into the
+    shared data dir carrying its bucket tag in the manifest entry — the
+    file↔bucket mapping a keyed MERGE needs to rewrite only touched
+    buckets."""
+    fs = _HadoopFS(spark, root)
+    stage = f"{_data_dir(root)}/stage-{uuid.uuid4().hex}"
+    (
+        df.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+        .repartition(F.col(_BUCKET))
+        .write.mode("overwrite")
+        .partitionBy(_BUCKET)
+        .format(fmt)
+        .save(stage)
+    )
+    prefix = uuid.uuid4().hex[:12]
+    entries: list[dict[str, Any]] = []
+    for p, sz in fs.list_data_files(stage):
+        rel = p.split(f"stage-", 1)[-1].split("/", 1)[-1]
+        bucket = int(rel.split(f"{_BUCKET}=", 1)[1].split("/", 1)[0])
+        base = rel.rsplit("/", 1)[-1]
+        new_name = f"{prefix}-b{bucket:05d}-{base}"
+        fs.rename(
+            f"{stage}/{_BUCKET}={bucket}/{base}",
+            f"{_data_dir(root)}/{new_name}",
+        )
+        entries.append({"name": new_name, "bytes": sz, "bucket": bucket})
+    fs.delete(stage)
+    return entries
+
+
+def merge_upsert_manifest(
+    spark: SparkSession,
+    incoming: DataFrame,
+    root: str,
+    keys: list[str],
+    order_col: str,
+    n_buckets: int = 64,
+    fmt: str = "parquet",
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Keyed MERGE (last-writer-wins per key by ``order_col``) on the
+    manifest format at O(touched buckets): files are tagged with a
+    portable-hash key bucket; a batch touching k buckets reads and
+    rewrites ONLY those buckets' files, and every other file is carried
+    into the new manifest by reference — the upsert analogue of
+    ``retention_delete``'s boundary discipline, and the piece that makes
+    the format a full CRUD table (append ✓ replace ✓ retention ✓
+    compaction ✓ upsert ✓).
+
+    The first merge into an empty/unbucketed table rewrites it bucketed
+    (entries without a bucket tag — e.g. from ``publish_files`` — count
+    as touched once, then stay bucketed). ``txn_id`` gives the same
+    replay idempotence as ``append_files``. ``n_buckets`` must stay
+    constant per table (bucket membership is hash-derived); at 100 TB
+    size it so a bucket's files fit an executor comfortably — the merge
+    reads whole buckets.
+
+    Returns ``{"touched_buckets", "carried_files", "rewritten_files"}``.
+    """
+    from stock_market_data_pipeline_spark.operators.dedup import (
+        dedup_keep_last,
+    )
+
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    prev_entries: list[dict[str, Any]] = []
+    txns: dict[str, int] = {}
+    if committed:
+        _, meta = _resolve_manifest(fs, root, None)
+        prev_entries = meta["files"]
+        txns = dict(meta.get("txns") or {})
+        fmt = meta.get("fmt", fmt)
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "touched_buckets": 0,
+                "carried_files": len(prev_entries),
+                "rewritten_files": 0,
+            }
+        txns[app] = n
+    inc = incoming.withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+    touched = {
+        r[0] for r in inc.select(_BUCKET).distinct().collect()
+    }
+    carried = [
+        e
+        for e in prev_entries
+        if e.get("bucket") is not None and e["bucket"] not in touched
+    ]
+    old_touched = [e for e in prev_entries if e not in carried]
+    parts = [inc.drop(_BUCKET)]
+    if old_touched:
+        paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
+        parts.append(spark.read.format(fmt).load(paths))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p, allowMissingColumns=True)
+    winners = dedup_keep_last(merged, keys=keys, order=[order_col])
+    new_entries = _stage_bucketed(
+        spark, winners, root, fmt, keys, n_buckets
+    )
+    _commit(spark, root, carried + new_entries, fmt, txns=txns)
+    return {
+        "touched_buckets": len(touched),
+        "carried_files": len(carried),
+        "rewritten_files": len(new_entries),
+    }

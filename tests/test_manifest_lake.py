@@ -241,3 +241,86 @@ def test_stream_append_manifest_exactly_once_across_crash(spark, tmp_path):
     out = read_manifest(spark, root)
     assert out.count() == 3  # no duplicate batch-1 rows
     assert {r["k"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_merge_upsert_manifest_touches_only_hit_buckets(spark, tmp_path):
+    """A 1-key batch rewrites exactly its bucket's files; every other
+    file carries by reference (physical-name identity); state equals the
+    keep-last fold; a replayed txn is a no-op."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(500)], "k long, seq int, val double"
+    )
+    r0 = merge_upsert_manifest(
+        spark, base, root, keys=["k"], order_col="seq", n_buckets=8,
+        txn_id=("m", 0),
+    )
+    assert r0["touched_buckets"] == 8  # first merge buckets everything
+    before = {e["name"] for e in manifest_files(spark, root)}
+    assert all(e.get("bucket") is not None for e in manifest_files(spark, root))
+
+    one = spark.createDataFrame(
+        [(7, 2, 777.0)], "k long, seq int, val double"
+    )
+    r1 = merge_upsert_manifest(
+        spark, one, root, keys=["k"], order_col="seq", n_buckets=8,
+        txn_id=("m", 1),
+    )
+    after = manifest_files(spark, root)
+    after_names = {e["name"] for e in after}
+    assert r1["touched_buckets"] == 1
+    assert r1["carried_files"] == len(after_names & before)
+    # exactly the files of ONE bucket were replaced
+    replaced = before - after_names
+    buckets_replaced = {
+        e["bucket"]
+        for e in manifest_files(spark, root, version=1)
+        if e["name"] in replaced
+    }
+    assert len(buckets_replaced) == 1
+
+    state = {r["k"]: (r["seq"], r["val"]) for r in read_manifest(spark, root).collect()}
+    assert len(state) == 500
+    assert state[7] == (2, 777.0)
+    assert state[8] == (1, 8.0)
+
+    # replay txn 1 -> untouched
+    r2 = merge_upsert_manifest(
+        spark, one, root, keys=["k"], order_col="seq", n_buckets=8,
+        txn_id=("m", 1),
+    )
+    assert r2["touched_buckets"] == 0
+    assert {e["name"] for e in manifest_files(spark, root)} == after_names
+
+
+def test_merge_upsert_manifest_rebuckets_plain_table(spark, tmp_path):
+    """Merging into a table published via publish_files (no bucket tags)
+    rewrites it bucketed once, then stays incremental."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(100)], "k long, seq int, val double"
+    )
+    publish_files(spark, base, root)
+    r = merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(5, 2, -5.0)], "k long, seq int, val double"),
+        root, keys=["k"], order_col="seq", n_buckets=4,
+    )
+    assert r["carried_files"] == 0  # untagged files all counted touched
+    assert all(e.get("bucket") is not None for e in manifest_files(spark, root))
+    state = {r_["k"]: r_["val"] for r_ in read_manifest(spark, root).collect()}
+    assert len(state) == 100 and state[5] == -5.0
+    r2 = merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(6, 3, -6.0)], "k long, seq int, val double"),
+        root, keys=["k"], order_col="seq", n_buckets=4,
+    )
+    assert r2["touched_buckets"] == 1 and r2["carried_files"] >= 1

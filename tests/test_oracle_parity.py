@@ -27,7 +27,7 @@ def test_driver_window_composition():
     earmarked)."""
     window = list(QUERIES)[:50]
     # round-8 additions - never driver-checked - at the very front
-    assert window[:10] == [
+    assert window[:12] == [
         "interval_merge",
         "fuzzy_name_pairs",
         "bm25_topk",
@@ -38,9 +38,11 @@ def test_driver_window_composition():
         "entity_clusters",
         "weighted_sample",
         "retention_revenue",
+        "merge_manifest_state",
+        "fk_integrity",
     ]
     # code touched since the r7 driver check (round-8 ADVICE fixes)
-    assert window[10:13] == [
+    assert window[12:15] == [
         "line_dedup",         # oracle NULL-text LEFT JOIN fix
         "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
         "pruned_scan_revenue",  # date-stats prune extension
