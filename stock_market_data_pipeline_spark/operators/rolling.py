@@ -362,3 +362,41 @@ def market_beta(
         ).alias("beta"),
         round_det(F.avg("ret") * 252.0, 4).alias("annualized_return"),
     )
+
+
+def with_time_range_metrics(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    seconds: int = 900,
+) -> DataFrame:
+    """Trailing TIME-range rolling metrics: mean/min/max/count of
+    ``price`` over the last ``seconds`` of EVENT time per key — the
+    range-frame twin of the row-frame rollers (``with_rolling_metrics``).
+    Row frames answer "last N ticks"; at irregular tick spacing the
+    questions diverge, and SLAs are phrased in time ("15-minute trailing
+    average"), so both belong in the library.
+
+    Implementation: a window with ``rangeBetween(-seconds·10⁶, 0)`` over
+    the epoch-MICROseconds order key — Spark evaluates the frame with a
+    sliding range over ONE per-key sort, same single-shuffle shape as
+    every roller here. Micros, not floored seconds: truncating the order
+    key moves frame boundaries by up to ~1 s, the exact boundary-bug
+    class the r6 mirror caught in sessionize. Ties on the order key
+    share a frame by definition of RANGE (both engines agree, which is
+    what makes the oracle exact).
+    """
+    from stock_market_data_pipeline_spark.utils import to_epoch_micros
+
+    w = (
+        Window.partitionBy(key)
+        .orderBy(to_epoch_micros(ts))
+        .rangeBetween(-seconds * 1_000_000, 0)
+    )
+    return (
+        df.withColumn("trail_n", F.count(F.lit(1)).over(w))
+        .withColumn("trail_avg", round_det(F.avg(price).over(w), 6))
+        .withColumn("trail_min", F.min(price).over(w))
+        .withColumn("trail_max", F.max(price).over(w))
+    )

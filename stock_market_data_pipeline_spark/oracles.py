@@ -3305,6 +3305,24 @@ FROM lineitem l LEFT JOIN part pa ON l.l_partkey = pa.p_partkey
 """
 
 
+# X114: trailing time-range rolling metrics — RANGE frame over epoch
+# seconds, 900-second trailing window per symbol; RANGE ties share a
+# frame identically in both engines.
+ORACLES["time_range_rolling"] = f"""
+WITH {TICKS_CTE}
+SELECT symbol, event_id, price,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       round(avg(price) OVER w, 6) AS trail_avg,
+       min(price) OVER w AS trail_min,
+       max(price) OVER w AS trail_max
+FROM ticks
+WINDOW w AS (
+  PARTITION BY symbol ORDER BY epoch_us("timestamp")
+  RANGE BETWEEN 900000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2396,6 +2396,20 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE rolling metrics (X114): 15 minutes of EVENT
+    time per symbol via rangeBetween over epoch seconds — the range-frame
+    twin of the row-frame rollers; one per-key sort, one shuffle."""
+    from stock_market_data_pipeline_spark.operators.rolling import (
+        with_time_range_metrics,
+    )
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "symbol", "event_id", "timestamp", "price"
+    )
+    return with_time_range_metrics(t, seconds=900).drop("timestamp")
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r05 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
@@ -2432,6 +2446,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_revenue": q_retention_revenue,
     "merge_manifest_state": q_merge_manifest_state,
     "fk_integrity": q_fk_integrity,
+    "time_range_rolling": q_time_range_rolling,
     "line_dedup": q_line_dedup,
     "incremental_ohlcv": q_incremental_ohlcv,
     "pruned_scan_revenue": q_pruned_scan_revenue,

@@ -548,3 +548,55 @@ def merge_upsert_manifest(
         "carried_files": len(carried),
         "rewritten_files": len(new_entries),
     }
+
+
+def read_manifest_pruned(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """File-skipping manifest read: consult the per-file min/max stats
+    recorded at publish/append time and load ONLY the files whose
+    ``col`` range overlaps [lo, hi], then re-apply the exact predicate —
+    identical rows to ``read_manifest().filter(...)`` by construction,
+    without opening the skipped files. Same kind-matched ``_stat_key``
+    comparison rules as ``lake.py:read_versioned_pruned``; files with
+    missing/non-orderable stats are conservatively read. NULL ``col``
+    rows never satisfy a range predicate, so the exact filter's NULL
+    drop matches the prune.
+    """
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    fmt = meta.get("fmt", "parquet")
+    c = F.col(col)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    klo = _stat_key(lo) if lo is not None else None
+    khi = _stat_key(hi) if hi is not None else None
+    keep = []
+    for e in meta["files"]:
+        st = e.get("stats", {}).get(col)
+        kmn = _stat_key(st[0]) if st else None
+        kmx = _stat_key(st[1]) if st else None
+        if kmn is None or kmx is None:
+            keep.append(e["name"])  # unknown stats -> must read
+            continue
+        if klo is not None and kmx[0] == klo[0] and kmx[1] < klo[1]:
+            continue
+        if khi is not None and kmn[0] == khi[0] and kmn[1] > khi[1]:
+            continue
+        keep.append(e["name"])
+    if not keep:
+        return read_manifest(spark, root, version=version).filter(
+            F.lit(False)
+        )
+    df = spark.read.format(fmt).load(
+        [f"{_data_dir(root)}/{n}" for n in keep]
+    )
+    return df.filter(cond)

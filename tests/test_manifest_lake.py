@@ -324,3 +324,41 @@ def test_merge_upsert_manifest_rebuckets_plain_table(spark, tmp_path):
         root, keys=["k"], order_col="seq", n_buckets=4,
     )
     assert r2["touched_buckets"] == 1 and r2["carried_files"] >= 1
+
+
+def test_read_manifest_pruned_skips_files(spark, tmp_path):
+    """The stats prune loads strictly fewer files while returning exactly
+    the filtered rows; appended files participate with their own stats;
+    missing stats are conservatively read."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 9)
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"]
+    )
+    extra = _ts_df(spark, 20, 22)
+    append_files(spark, extra, root, stats_cols=["ts"])
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 5)
+    pruned = read_manifest_pruned(spark, root, "ts", lo=lo, hi=hi)
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest,
+    )
+
+    full = read_manifest(spark, root)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = full.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    assert pruned.exceptAll(want).count() == 0
+    assert want.exceptAll(pruned).count() == 0
+    # empty range
+    assert read_manifest_pruned(
+        spark, root, "ts", lo=dt.datetime(2030, 1, 1)
+    ).count() == 0
+    # no stats for the column -> full fallback, same rows
+    fb = read_manifest_pruned(spark, root, "k", lo=1000, hi=2000)
+    assert fb.count() == full.filter(
+        (F.col("k") >= 1000) & (F.col("k") <= 2000)
+    ).count()

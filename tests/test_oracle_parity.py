@@ -27,7 +27,7 @@ def test_driver_window_composition():
     earmarked)."""
     window = list(QUERIES)[:50]
     # round-8 additions - never driver-checked - at the very front
-    assert window[:12] == [
+    assert window[:13] == [
         "interval_merge",
         "fuzzy_name_pairs",
         "bm25_topk",
@@ -40,9 +40,10 @@ def test_driver_window_composition():
         "retention_revenue",
         "merge_manifest_state",
         "fk_integrity",
+        "time_range_rolling",
     ]
     # code touched since the r7 driver check (round-8 ADVICE fixes)
-    assert window[12:15] == [
+    assert window[13:16] == [
         "line_dedup",         # oracle NULL-text LEFT JOIN fix
         "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
         "pruned_scan_revenue",  # date-stats prune extension

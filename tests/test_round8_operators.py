@@ -431,3 +431,32 @@ def test_entity_clusters_composition(spark):
     out = {r["entity_id"]: (r["n_names"], r["n_parts"]) for r in ent.collect()}
     # widget block chains into ONE entity under min-name "blue widget"
     assert out == {"blue widget": (3, 4), "red bolt": (1, 1)}
+
+
+def test_time_range_metrics_vs_row_frames(spark):
+    """RANGE frames answer 'last 900 event-time seconds', not 'last N
+    rows': irregular spacing and exact-boundary inclusion are pinned."""
+    from stock_market_data_pipeline_spark.operators.rolling import (
+        with_time_range_metrics,
+    )
+
+    rows = [
+        ("A", "2026-01-01 00:00:00", 10.0),
+        ("A", "2026-01-01 00:10:00", 20.0),
+        ("A", "2026-01-01 00:15:00", 30.0),  # frame spans 00:00..00:15
+        ("A", "2026-01-01 01:00:00", 40.0),  # everything else aged out
+        ("B", "2026-01-01 00:00:00", 5.0),   # other key independent
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, timestamp string, price double"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    out = {
+        (r["symbol"], r["price"]): (r["trail_n"], r["trail_avg"], r["trail_min"])
+        for r in with_time_range_metrics(df, seconds=900).collect()
+    }
+    assert out[("A", 10.0)] == (1, 10.0, 10.0)
+    assert out[("A", 20.0)] == (2, 15.0, 10.0)
+    # 00:15 is EXACTLY 900s after 00:00 -> inclusive lower bound
+    assert out[("A", 30.0)] == (3, 20.0, 10.0)
+    assert out[("A", 40.0)] == (1, 40.0, 40.0)
+    assert out[("B", 5.0)] == (1, 5.0, 5.0)
