@@ -389,14 +389,21 @@ def with_time_range_metrics(
     """
     from stock_market_data_pipeline_spark.utils import to_epoch_micros
 
+    # Materialize the order key as ONE named column and emit all four
+    # aggregates in ONE select: chained withColumn calls each mint a
+    # fresh `_w0` projection of the order expression, so CollapseWindow
+    # can't merge them and the plan pays four Window execs + four sorts
+    # over the same data (measured; one is enough).
+    ordered = df.withColumn("_ord_us", to_epoch_micros(ts))
     w = (
         Window.partitionBy(key)
-        .orderBy(to_epoch_micros(ts))
+        .orderBy(F.col("_ord_us"))
         .rangeBetween(-seconds * 1_000_000, 0)
     )
-    return (
-        df.withColumn("trail_n", F.count(F.lit(1)).over(w))
-        .withColumn("trail_avg", round_det(F.avg(price).over(w), 6))
-        .withColumn("trail_min", F.min(price).over(w))
-        .withColumn("trail_max", F.max(price).over(w))
+    return ordered.select(
+        *df.columns,
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+        round_det(F.avg(price).over(w), 6).alias("trail_avg"),
+        F.min(price).over(w).alias("trail_min"),
+        F.max(price).over(w).alias("trail_max"),
     )
