@@ -31,9 +31,15 @@ def blocked_levenshtein_pairs(
     ``max_dist``, blocked by ``block_col`` (a Column expression — e.g. the
     head noun of a product name, a soundex code, a normalized prefix).
 
-    Output: one row per unordered pair — ``name_a`` < ``name_b`` (so each
-    pair appears exactly once), ``dist``, and the per-name row counts
-    ``n_a``/``n_b`` from the input.
+    Output: one row per unordered pair — ``name_a`` < ``name_b``, ``dist``,
+    and the per-name row counts ``n_a``/``n_b`` from the input.
+
+    ``block_col`` must be a pure function of the NAME (a token, prefix,
+    phonetic code, length band...). That is what makes the dictionary
+    one row per name and each pair appear exactly once; a block key that
+    depends on OTHER columns (a region, a category) fragments a name
+    across blocks, so a pair sharing two blocks would be emitted once per
+    block with per-block partial counts (round-8 review).
 
     Plan: dictionary build (one map-side-combined count on the name), then
     a self equi-join ON THE BLOCK KEY — the quadratic work is confined to

@@ -36,10 +36,18 @@ def daily_ohlcv(
     agg = (
         df.groupBy(F.col(key), F.to_date(F.col(ts)).alias("date"))
         .agg(
-            F.min_by(price, ts).alias("daily_open"),
+            # struct keys: same tie rule as ohlcv_partial/combine (lowest
+            # open among tied-earliest, highest close among tied-latest) —
+            # the batch path must not stay tie-arbitrary while the
+            # incremental path is pinned (round-8 review)
+            F.min_by(price, F.struct(F.col(ts), F.col(price))).alias(
+                "daily_open"
+            ),
             F.max(price).alias("daily_high"),
             F.min(price).alias("daily_low"),
-            F.max_by(price, ts).alias("daily_close"),
+            F.max_by(price, F.struct(F.col(ts), F.col(price))).alias(
+                "daily_close"
+            ),
             F.sum(volume).alias("daily_volume"),
             F.count(F.lit(1)).alias("tick_count"),
         )

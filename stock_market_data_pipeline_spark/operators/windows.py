@@ -102,8 +102,16 @@ def tumbling_metrics(
         .agg(
             F.min(ts).alias("first_ts"),
             F.max(ts).alias("last_ts"),
-            F.min_by(price, ts).alias("open_price"),
-            F.max_by(price, ts).alias("close_price"),
+            # struct keys pin ties: lowest price opens among tied-earliest
+            # ticks, highest closes among tied-latest (round-8 review —
+            # the repo-wide OHLC tie rule, mirrored by the oracle's
+            # struct_pack min/max)
+            F.min_by(price, F.struct(F.col(ts), F.col(price))).alias(
+                "open_price"
+            ),
+            F.max_by(price, F.struct(F.col(ts), F.col(price))).alias(
+                "close_price"
+            ),
             det_avg(price).alias("avg_price"),
             F.min(price).alias("min_price"),
             F.max(price).alias("max_price"),

@@ -7,7 +7,9 @@ same parquet tables (pre-registered views). Key equivalences used:
   exactly w/s windows with ``start = time_bucket(s, ts) - k*s`` for
   k ∈ [0, w/s) (windows are epoch-aligned, w divisible by s here).
 * Spark ``stddev`` ≡ ``stddev_samp`` (sample; single-row group → NULL).
-* Spark ``min_by/max_by`` ≡ DuckDB ``arg_min/arg_max`` (timestamps are unique
+* Spark ``min_by(x, struct(ts, x))`` ≡ DuckDB ``(min(struct_pack(t := ts, p := x))).p``
+  — the OHLC tie rule holds on BOTH engines even on duplicate timestamps
+  (round-8 review); plain ``arg_min/arg_max`` remain only where the ordering key is unique
   per key in the test lake, so ties cannot occur).
 * Double aggregates are rounded to 6 dp on BOTH sides (utils.round_doubles).
 * DuckDB ``sum(BIGINT)`` returns HUGEINT → cast back to BIGINT to match
@@ -94,8 +96,8 @@ _TUMBLE_BLOCK = (
          time_bucket(INTERVAL {mins} MINUTE, "timestamp") + INTERVAL {mins} MINUTE AS window_end,
          min("timestamp")                 AS first_ts,
          max("timestamp")                 AS last_ts,
-         arg_min(price, "timestamp")      AS open_price,
-         arg_max(price, "timestamp")      AS close_price,
+         (min(struct_pack(t := "timestamp", p := price))).p      AS open_price,
+         (max(struct_pack(t := "timestamp", p := price))).p      AS close_price,
          round("""
     + _AVG_EXACT.format(col="price")
     + """, 4)  AS avg_price,
@@ -805,13 +807,13 @@ FROM fr
 WITH {TICKS_CTE}
 SELECT symbol,
        CAST("timestamp" AS DATE)        AS date,
-       arg_min(price, "timestamp")      AS daily_open,
+       (min(struct_pack(t := "timestamp", p := price))).p      AS daily_open,
        max(price)                       AS daily_high,
        min(price)                       AS daily_low,
-       arg_max(price, "timestamp")      AS daily_close,
+       (max(struct_pack(t := "timestamp", p := price))).p      AS daily_close,
        CAST(sum(volume) AS BIGINT)      AS daily_volume,
        count(*)                         AS tick_count,
-       round(arg_max(price, "timestamp") - arg_min(price, "timestamp"), 6) AS daily_change
+       round((max(struct_pack(t := "timestamp", p := price))).p - (min(struct_pack(t := "timestamp", p := price))).p, 6) AS daily_change
 FROM ticks
 GROUP BY 1, 2
 """,
@@ -819,10 +821,10 @@ GROUP BY 1, 2
 WITH {TICKS_CTE}, d AS (
   SELECT symbol,
          CAST("timestamp" AS DATE)   AS date,
-         arg_min(price, "timestamp") AS daily_open,
+         (min(struct_pack(t := "timestamp", p := price))).p AS daily_open,
          max(price)                  AS daily_high,
          min(price)                  AS daily_low,
-         arg_max(price, "timestamp") AS daily_close,
+         (max(struct_pack(t := "timestamp", p := price))).p AS daily_close,
          CAST(sum(volume) AS BIGINT) AS daily_volume,
          count(*)                    AS tick_count
   FROM ticks GROUP BY 1, 2
@@ -1231,10 +1233,10 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
     "unpivot_ohlcv": f"""
 WITH {TICKS_CTE}, d AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
-         arg_min(price, "timestamp") AS daily_open,
+         (min(struct_pack(t := "timestamp", p := price))).p AS daily_open,
          max(price) AS daily_high,
          min(price) AS daily_low,
-         arg_max(price, "timestamp") AS daily_close
+         (max(struct_pack(t := "timestamp", p := price))).p AS daily_close
   FROM ticks GROUP BY 1, 2
 )
 SELECT symbol, date, metric, value
@@ -1901,7 +1903,7 @@ GROUP BY 1
 WITH {TICKS_CTE},
 daily AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
-         arg_max(price, "timestamp") AS daily_close
+         (max(struct_pack(t := "timestamp", p := price))).p AS daily_close
   FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 rets AS (
@@ -1978,7 +1980,7 @@ WHERE ('0x' || substr(md5('alpha:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 WITH {TICKS_CTE},
 daily AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
-         arg_max(price, "timestamp") AS daily_close
+         (max(struct_pack(t := "timestamp", p := price))).p AS daily_close
   FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 rets AS (
@@ -2030,10 +2032,10 @@ FROM ticks GROUP BY 1, 2
 WITH {TICKS_CTE},
 daily AS (
   SELECT symbol, CAST("timestamp" AS DATE) AS date,
-         arg_min(price, "timestamp") AS daily_open,
+         (min(struct_pack(t := "timestamp", p := price))).p AS daily_open,
          max(price)                  AS daily_high,
          min(price)                  AS daily_low,
-         arg_max(price, "timestamp") AS daily_close
+         (max(struct_pack(t := "timestamp", p := price))).p AS daily_close
   FROM ticks WHERE price > 0 GROUP BY 1, 2
 ),
 dd AS (
@@ -2839,13 +2841,13 @@ SELECT symbol,
        CAST("timestamp" AS DATE)        AS date,
        min("timestamp")                 AS first_ts,
        max("timestamp")                 AS last_ts,
-       arg_min(price, "timestamp")      AS daily_open,
+       (min(struct_pack(t := "timestamp", p := price))).p      AS daily_open,
        max(price)                       AS daily_high,
        min(price)                       AS daily_low,
-       arg_max(price, "timestamp")      AS daily_close,
+       (max(struct_pack(t := "timestamp", p := price))).p      AS daily_close,
        CAST(sum(volume) AS BIGINT)      AS daily_volume,
        count(*)                         AS tick_count,
-       round(arg_max(price, "timestamp") - arg_min(price, "timestamp"), 6) AS daily_change
+       round((max(struct_pack(t := "timestamp", p := price))).p - (min(struct_pack(t := "timestamp", p := price))).p, 6) AS daily_change
 FROM ticks
 GROUP BY 1, 2
 """

@@ -2418,21 +2418,27 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-core anchors up to 50. Everything — in or out of the window — is still
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # sweeps the whole dict).
-# ROUND-8 WINDOW (leads, in order): the 7 round-8 additions
-# (interval_merge, fuzzy_name_pairs, bm25_topk, version_diff,
-# split_assign, bpe_merge_candidates, bucket_fingerprint_diff — never
-# driver-checked), then the 3 rows whose code changed since their r7
-# driver row (line_dedup after the NULL-text oracle fix;
-# incremental_ohlcv after the ohlcv_partial intra-batch tie fix;
-# pruned_scan_revenue after the date-stats prune extension), then the 40
-# oldest-green rows from the tail front (the r4 remainder ewma ..
-# multimodal_resize, exactly the block the r7 plan earmarked). Past the
-# window the tail keeps oldest-green-first order (r5/r6 remainder, then
-# the whole r7-green block last) so the r9 rotation pulls from its front.
-# NEXT ROUND (9): lead with round-9 additions/code-touched rows, then
-# multimodal_image_features .. trading_signals (the r5/r6 remainder);
-# update tests/test_oracle_parity.py:test_driver_window_composition in
-# lockstep.
+# ROUND-8 WINDOW (leads, in order — grew within the round as operators
+# landed): the 13 round-8 additions (interval_merge, fuzzy_name_pairs,
+# bm25_topk, version_diff, split_assign, bpe_merge_candidates,
+# bucket_fingerprint_diff, entity_clusters, weighted_sample,
+# retention_revenue, merge_manifest_state, fk_integrity,
+# time_range_rolling — never driver-checked), then the 3 rows whose code
+# changed since their r7 driver row (line_dedup after the NULL-text
+# oracle fix; incremental_ohlcv after the ohlcv_partial intra-batch tie
+# fix; pruned_scan_revenue after the date-stats prune extension), then
+# 34 oldest-green rows from the tail front (ewma .. macd — the first 50
+# dict entries ARE the window; count them, don't trust prose). Past the
+# window the tail keeps oldest-green-first order (the rest of the r4
+# remainder: corpus_curation_transitive .. multimodal_resize, then the
+# r5/r6 remainder multimodal_image_features .. trading_signals, then the
+# whole r7-green block last) so the r9 rotation pulls from its front.
+# NEXT ROUND (9): lead with round-9 additions/code-touched rows (the
+# round-8 review touched daily_ohlcv/windows.py tie rules AFTER the r8
+# window was driver-checked — daily_ohlcv, daily_change_close_over_close,
+# multi_window_tumbling, multi_window_signals, incremental_ohlcv must
+# lead), then the displaced r4 rows; update
+# tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_merge": q_interval_merge,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,

@@ -154,12 +154,19 @@ def _stage_files(
     return entries
 
 
+def _table_stats_cols(meta: dict) -> set[str]:
+    """The union of columns any file entry carries min/max stats for —
+    what a maintenance rewrite must preserve so pruning keeps working."""
+    return {c for e in meta.get("files", []) for c in (e.get("stats") or {})}
+
+
 def _commit(
     spark: SparkSession,
     root: str,
     entries: list[dict[str, Any]],
     fmt: str,
     txns: dict[str, int] | None = None,
+    schema_json: str | None = None,
 ) -> int:
     fs = _HadoopFS(spark, root)
     _, known = _list_manifests(fs, root)
@@ -168,7 +175,14 @@ def _commit(
     fs.write_text(
         mpath,
         _json.dumps(
-            {"fmt": fmt, "files": entries, "txns": txns or {}},
+            {
+                "fmt": fmt,
+                "files": entries,
+                "txns": txns or {},
+                # recorded so an all-rows-deleted manifest still READS as
+                # an empty typed table instead of being unreadable
+                "schema": schema_json,
+            },
             default=str,
         ),
     )
@@ -196,7 +210,9 @@ def publish_files(
         _, meta = _resolve_manifest(fs, root, None)
         txns = dict(meta.get("txns") or {})
     entries = _stage_files(spark, df, root, fmt, stats_cols)
-    return _commit(spark, root, entries, fmt, txns=txns)
+    return _commit(
+        spark, root, entries, fmt, txns=txns, schema_json=df.schema.json()
+    )
 
 
 def read_manifest(
@@ -206,12 +222,24 @@ def read_manifest(
 ) -> DataFrame:
     """Read a committed manifest version — loads exactly the listed files
     (time travel by reference; a file shared by many versions is read the
-    same way from each)."""
+    same way from each). A manifest listing NO files (e.g. a retention
+    sweep that expired every row) reads as an EMPTY table with the
+    recorded schema — an empty table is a normal state, not an error
+    (round-8 review)."""
+    from pyspark.sql.types import StructType
+
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, version)
     paths = [f"{_data_dir(root)}/{e['name']}" for e in meta["files"]]
     if not paths:
-        raise FileNotFoundError(f"manifest under {root} lists no files")
+        schema_json = meta.get("schema")
+        if not schema_json:
+            raise FileNotFoundError(
+                f"manifest under {root} lists no files and records no "
+                "schema (pre-round-8 manifest?)"
+            )
+        schema = StructType.fromJson(_json.loads(schema_json))
+        return spark.createDataFrame([], schema)
     return spark.read.format(meta.get("fmt", "parquet")).load(paths)
 
 
@@ -250,11 +278,17 @@ def retention_delete(
     rewrite filter keeps them, and a file qualifies for the zero-IO drop
     only when its recorded null count for ``col`` is zero — a file whose
     range is entirely expired but that holds NULL rows is rewritten down
-    to just those rows instead. Returns
+    to just those rows instead.
+
+    Rewritten files keep the table's FULL recorded stats column set (plus
+    ``col``), the manifest's format, its txn watermarks, and its schema —
+    a maintenance pass must never degrade later pruning, flip the storage
+    format, or reopen a committed streaming txn (round-8 review). Returns
     ``{"carried", "dropped", "rewritten"}``.
     """
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", fmt)
     kcut = _stat_key(cutoff)
     carried, to_rewrite = [], []
     dropped = 0
@@ -284,22 +318,25 @@ def retention_delete(
     if to_rewrite:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
         filtered = (
-            spark.read.format(meta.get("fmt", fmt))
+            spark.read.format(fmt)
             .load(paths)
             .filter(
                 F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
             )
         )
+        if stats_cols is None:
+            stats_cols = sorted(_table_stats_cols(meta) | {col})
         new_entries.extend(
-            _stage_files(
-                spark,
-                filtered,
-                root,
-                fmt,
-                stats_cols if stats_cols is not None else [col],
-            )
+            _stage_files(spark, filtered, root, fmt, stats_cols)
         )
-    _commit(spark, root, new_entries, meta.get("fmt", fmt))
+    _commit(
+        spark,
+        root,
+        new_entries,
+        fmt,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+    )
     return {
         "carried": len(carried),
         "dropped": dropped,
@@ -316,12 +353,17 @@ def compact_manifest(
     """Bin-pack ONLY the undersized files (< half the target) into
     target-sized files; right-sized files are carried by reference. The
     streaming/micro-batch accretion problem solved at O(small files) cost
-    — the Iceberg ``rewrite_data_files`` shape. Returns
-    ``{"carried", "compacted", "files_written"}``."""
+    — the Iceberg ``rewrite_data_files`` shape. Packed files are re-staged
+    with the table's recorded stats column set, in the manifest's format,
+    carrying txn watermarks and schema (round-8 review — the maintenance
+    pass must not degrade pruning, flip the format, or reopen a committed
+    streaming txn). Returns ``{"carried", "compacted", "files_written"}``.
+    """
     import math
 
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", fmt)
     small = [e for e in meta["files"] if e["bytes"] < target_file_bytes // 2]
     carried = [e for e in meta["files"] if e["bytes"] >= target_file_bytes // 2]
     if len(small) <= 1:
@@ -329,9 +371,17 @@ def compact_manifest(
     total = sum(e["bytes"] for e in small)
     n_out = max(1, math.ceil(total / target_file_bytes))
     paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
-    packed = spark.read.format(meta.get("fmt", fmt)).load(paths).repartition(n_out)
-    new_entries = carried + _stage_files(spark, packed, root, fmt, None)
-    _commit(spark, root, new_entries, meta.get("fmt", fmt))
+    packed = spark.read.format(fmt).load(paths).repartition(n_out)
+    stats_cols = sorted(_table_stats_cols(meta)) or None
+    new_entries = carried + _stage_files(spark, packed, root, fmt, stats_cols)
+    _commit(
+        spark,
+        root,
+        new_entries,
+        fmt,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+    )
     return {
         "carried": len(carried),
         "compacted": len(small),
@@ -416,7 +466,14 @@ def append_files(
             return committed[-1]  # already committed: replay no-op
         txns[app] = n
     new_entries = _stage_files(spark, df, root, fmt, stats_cols)
-    return _commit(spark, root, prev_entries + new_entries, fmt, txns=txns)
+    return _commit(
+        spark,
+        root,
+        prev_entries + new_entries,
+        fmt,
+        txns=txns,
+        schema_json=df.schema.json(),
+    )
 
 
 _BUCKET = "__mf_bucket"
@@ -438,12 +495,15 @@ def _stage_bucketed(
     fmt: str,
     keys: list[str],
     n_buckets: int,
+    stats_cols: list[str] | None = None,
 ) -> list[dict[str, Any]]:
     """Stage ``df`` with one sub-directory per key bucket (Hive
     partitionBy on the derived bucket id), then move each file into the
     shared data dir carrying its bucket tag in the manifest entry — the
     file↔bucket mapping a keyed MERGE needs to rewrite only touched
-    buckets."""
+    buckets. ``stats_cols`` records the same per-file min/max/null stats
+    as ``_stage_files`` so a merged table keeps pruning and zero-IO
+    retention working (round-8 review)."""
     fs = _HadoopFS(spark, root)
     stage = f"{_data_dir(root)}/stage-{uuid.uuid4().hex}"
     (
@@ -454,10 +514,34 @@ def _stage_bucketed(
         .format(fmt)
         .save(stage)
     )
+    stats_by_file: dict[str, dict] = {}
+    nulls_by_file: dict[str, dict] = {}
+    if stats_cols:
+        aggs = []
+        for c in stats_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("int")).alias(f"__nulls_{c}")
+            )
+        rows = (
+            spark.read.format(fmt).load(stage)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        )
+        for r in rows:
+            base = r["__f"].rsplit("/", 1)[-1]
+            stats_by_file[base] = {
+                c: [r[f"__min_{c}"], r[f"__max_{c}"]] for c in stats_cols
+            }
+            nulls_by_file[base] = {
+                c: int(r[f"__nulls_{c}"] or 0) for c in stats_cols
+            }
     prefix = uuid.uuid4().hex[:12]
     entries: list[dict[str, Any]] = []
     for p, sz in fs.list_data_files(stage):
-        rel = p.split(f"stage-", 1)[-1].split("/", 1)[-1]
+        rel = p.split("stage-", 1)[-1].split("/", 1)[-1]
         bucket = int(rel.split(f"{_BUCKET}=", 1)[1].split("/", 1)[0])
         base = rel.rsplit("/", 1)[-1]
         new_name = f"{prefix}-b{bucket:05d}-{base}"
@@ -465,7 +549,15 @@ def _stage_bucketed(
             f"{stage}/{_BUCKET}={bucket}/{base}",
             f"{_data_dir(root)}/{new_name}",
         )
-        entries.append({"name": new_name, "bytes": sz, "bucket": bucket})
+        entries.append(
+            {
+                "name": new_name,
+                "bytes": sz,
+                "bucket": bucket,
+                "stats": stats_by_file.get(base, {}),
+                "nulls": nulls_by_file.get(base, {}),
+            }
+        )
     fs.delete(stage)
     return entries
 
@@ -525,12 +617,12 @@ def merge_upsert_manifest(
     touched = {
         r[0] for r in inc.select(_BUCKET).distinct().collect()
     }
-    carried = [
-        e
-        for e in prev_entries
-        if e.get("bucket") is not None and e["bucket"] not in touched
-    ]
-    old_touched = [e for e in prev_entries if e not in carried]
+    carried, old_touched = [], []
+    for e in prev_entries:  # single pass, not O(n^2) list membership
+        if e.get("bucket") is not None and e["bucket"] not in touched:
+            carried.append(e)
+        else:
+            old_touched.append(e)
     parts = [inc.drop(_BUCKET)]
     if old_touched:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
@@ -539,10 +631,20 @@ def merge_upsert_manifest(
     for p in parts[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
     winners = dedup_keep_last(merged, keys=keys, order=[order_col])
+    stats_cols = (
+        sorted(_table_stats_cols(meta)) if committed else []
+    ) or None
     new_entries = _stage_bucketed(
-        spark, winners, root, fmt, keys, n_buckets
+        spark, winners, root, fmt, keys, n_buckets, stats_cols=stats_cols
     )
-    _commit(spark, root, carried + new_entries, fmt, txns=txns)
+    _commit(
+        spark,
+        root,
+        carried + new_entries,
+        fmt,
+        txns=txns,
+        schema_json=winners.schema.json(),
+    )
     return {
         "touched_buckets": len(touched),
         "carried_files": len(carried),

@@ -362,3 +362,112 @@ def test_read_manifest_pruned_skips_files(spark, tmp_path):
     assert fb.count() == full.filter(
         (F.col("k") >= 1000) & (F.col("k") <= 2000)
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# round-8 end-of-round review pins
+# ---------------------------------------------------------------------------
+
+
+def test_maintenance_preserves_txns_and_stats(spark, tmp_path):
+    """Review r8 #1/#5: retention and compaction must carry the txn
+    watermarks (or a replayed streaming batch double-appends) AND keep
+    per-file stats alive (or pruning/zero-IO retention silently degrade
+    to full scans)."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        compact_manifest,
+        retention_delete,
+    )
+
+    root = str(tmp_path / "t")
+    d1 = _ts_df(spark, 1, 9)
+    append_files(spark, d1, root, stats_cols=["ts"], txn_id=("app", 5))
+    retention_delete(spark, root, "ts", dt.datetime(2026, 1, 3))
+    # txn watermark survived the maintenance pass -> replay is a no-op
+    n = read_manifest(spark, root).count()
+    append_files(spark, d1, root, stats_cols=["ts"], txn_id=("app", 5))
+    assert read_manifest(spark, root).count() == n
+    # rewritten boundary files carry ts stats (not narrowed away)
+    ents = manifest_files(spark, root)
+    assert all("ts" in (e.get("stats") or {}) for e in ents)
+    # compaction keeps both too
+    compact_manifest(spark, root, target_file_bytes=10**9)
+    ents2 = manifest_files(spark, root)
+    assert all("ts" in (e.get("stats") or {}) for e in ents2)
+    append_files(spark, d1, root, stats_cols=["ts"], txn_id=("app", 4))
+    assert read_manifest(spark, root).count() == n  # still idempotent
+
+
+def test_retention_to_empty_table_reads_as_zero_rows(spark, tmp_path):
+    """Review r8 #4: expiring every row must leave a READABLE empty table
+    (recorded schema), not a FileNotFoundError."""
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 3)
+    publish_files(spark, df, root, stats_cols=["ts"])
+    res = retention_delete(spark, root, "ts", dt.datetime(2027, 1, 1))
+    assert res["carried"] == 0
+    out = read_manifest(spark, root)
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "ts"}  # schema preserved
+
+
+def test_maintenance_preserves_format(spark, tmp_path):
+    """Review r8 #2: a json-format table stays json through retention and
+    compaction (the rewrite must not silently switch to parquet)."""
+    import json as _json
+
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _mf_dir as mfd,
+        compact_manifest,
+        retention_delete,
+    )
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 5)
+    publish_files(spark, df.repartitionByRange(4, "ts"), root, fmt="json",
+                  stats_cols=["ts"])
+    retention_delete(spark, root, "ts", dt.datetime(2026, 1, 2))
+    fs = _HadoopFS(spark, root)
+    committed = sorted(
+        n for n in fs.child_names(mfd(root)) if n.endswith(".json")
+    )
+    meta = _json.loads(fs.read_text(f"{mfd(root)}/{committed[-1]}"))
+    assert meta["fmt"] == "json"
+    got = read_manifest(spark, root)  # parses as json, not parquet
+    assert got.count() == df.filter(
+        F.col("ts") >= F.lit(dt.datetime(2026, 1, 2))
+    ).count()
+    compact_manifest(spark, root, target_file_bytes=10**9)
+    assert read_manifest(spark, root).count() == got.count()
+
+
+def test_merge_preserves_stats_for_pruning(spark, tmp_path):
+    """Review r8 #5 (merge side): a merged table keeps per-file stats so
+    the pruned reader still skips."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, 1, float(i)) for i in range(400)], "k long, seq int, val double"
+    )
+    publish_files(spark, base, root, stats_cols=["k"])
+    merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(3, 2, -3.0)], "k long, seq int, val double"),
+        root, keys=["k"], order_col="seq", n_buckets=8,
+    )
+    ents = manifest_files(spark, root)
+    assert all("k" in (e.get("stats") or {}) for e in ents)
+    # hash-bucketed files legitimately span the full k range, so a
+    # k-range prune cannot SKIP here — the point is the stats survive the
+    # merge (pre-fix they were dropped entirely) and the pruned reader
+    # stays correct over a merged table
+    pruned = read_manifest_pruned(spark, root, "k", lo=0, hi=10)
+    assert pruned.count() == 11
+    assert {r["k"] for r in pruned.collect()} == set(range(11))
+    assert pruned.filter(F.col("k") == 3).first()["val"] == -3.0

@@ -460,3 +460,40 @@ def test_time_range_metrics_vs_row_frames(spark):
     assert out[("A", 30.0)] == (3, 20.0, 10.0)
     assert out[("A", 40.0)] == (1, 40.0, 40.0)
     assert out[("B", 5.0)] == (1, 5.0, 5.0)
+
+
+def test_ohlcv_tie_rule_matches_oracle_formulation(spark):
+    """Review r8 #3: on tied extreme timestamps, Spark's struct min_by and
+    the oracle's struct_pack min must agree (lowest open among
+    tied-earliest, highest close among tied-latest) — the fixtures have
+    no such ties, so this pins the case directly in BOTH engines."""
+    import duckdb
+
+    from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
+
+    rows = [
+        ("A", "2026-01-05 09:30:00", 11.0, 1),
+        ("A", "2026-01-05 09:30:00", 9.0, 1),
+        ("A", "2026-01-05 16:00:00", 20.0, 1),
+        ("A", "2026-01-05 16:00:00", 30.0, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, timestamp string, price double, volume long"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    got = daily_ohlcv(df.repartition(4)).first()
+    assert (got["daily_open"], got["daily_close"]) == (9.0, 30.0)
+
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        SELECT (min(struct_pack(t := ts, p := p))).p AS daily_open,
+               (max(struct_pack(t := ts, p := p))).p AS daily_close
+        FROM (VALUES
+          (TIMESTAMP '2026-01-05 09:30:00', 11.0),
+          (TIMESTAMP '2026-01-05 09:30:00', 9.0),
+          (TIMESTAMP '2026-01-05 16:00:00', 20.0),
+          (TIMESTAMP '2026-01-05 16:00:00', 30.0)) v(ts, p)
+        """
+    ).fetchone()
+    con.close()
+    assert (float(want[0]), float(want[1])) == (9.0, 30.0)
