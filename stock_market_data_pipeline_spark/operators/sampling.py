@@ -231,6 +231,18 @@ def with_split_assign(
     when other docs arrive, which resampling-based splits can't promise).
     """
     fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not fracs:
+        raise ValueError("fracs must name at least one split")
+    total = sum(fracs.values())
+    if total > 1.0 + 1e-9 or any(v < 0 for v in fracs.values()):
+        # oversubscribed fractions would silently shrink or empty later
+        # splits (cumulative thresholds past 10_000 make earlier WHEN
+        # branches absorb everything) — fail loudly instead (round-9
+        # advice)
+        raise ValueError(
+            f"split fractions must be >= 0 and sum to <= 1, got {fracs} "
+            f"(sum {total})"
+        )
     h = sample_hash32(F.col(id_col), seed) % 10_000
     names = list(fracs)
     expr = None

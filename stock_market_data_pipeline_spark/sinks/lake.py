@@ -898,6 +898,18 @@ def version_diff(
     """
     old = read_versioned(spark, root, fmt=fmt, version=v_old)
     new = read_versioned(spark, root, fmt=fmt, version=v_new)
+    return _key_diff(old, new, keys, compare_cols, include_unchanged)
+
+
+def _key_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None,
+    include_unchanged: bool,
+) -> DataFrame:
+    """The join core of :func:`version_diff`, shared with the manifest
+    format's ``manifest_version_diff`` — same contract either way."""
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys
