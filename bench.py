@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -64,19 +65,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "excluded": sorted(EXCLUDED),
-                "sf": float(sf),
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "excluded": sorted(EXCLUDED),
+        "sf": float(sf),
+    }
+    print(json.dumps(payload))
+    # The driver's BENCH_r{N}.json artifact keeps only a ~2000-char tail of
+    # this line, hiding half the registry's timings from round-over-round
+    # comparison — so ALSO persist the complete dict as a committed file
+    # (r8 verdict item 2). Round number = latest CORRECTNESS round + 1
+    # (the bench for round N runs before CORRECTNESS_r{N} exists).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 0
+    with open(os.path.join(here, f"BENCH_FULL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # Exit 0 even with errors: the driver must record the surviving timings
     # (r3's rc=1 run was recorded as parsed:null). `errors` is the loud flag.

@@ -81,3 +81,84 @@ def blocked_levenshtein_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def blocked_levenshtein_pairs_multiblock(
+    df: DataFrame,
+    name_col: str,
+    block_cols: list,
+    max_dist: int = 4,
+) -> DataFrame:
+    """OR-blocking (multi-pass blocking): a candidate pair is scored when
+    the names share ANY of the ``block_cols`` keys — the form real record
+    linkage uses (prefix OR phonetic code OR token), because any single
+    blocker misses pairs that differ exactly in its key (round-9 advice).
+
+    Same contract as :func:`blocked_levenshtein_pairs` — every
+    ``block_cols`` entry must be a pure function of the name, and the
+    output is one row per unordered pair regardless of how many blocks it
+    shares. Empty/NULL block keys are dropped (an empty key would pool
+    every non-matching name into one degenerate quadratic block).
+
+    Plan: ONE dictionary build, explode into index-tagged block keys (the
+    tag stops key collisions ACROSS blockers), self equi-join per key,
+    then pair-level dedup BEFORE the edit distance — a pair sharing k
+    blocks must cost one ``levenshtein``, not k. The dedup shuffles on a
+    16-byte md5 pair key rather than the two name strings, keeping the
+    exchange narrow.
+    """
+    bcols = [
+        F.col(name_col).cast("string").alias("name"),
+        *[
+            bc.cast("string").alias(f"_b{i}")
+            for i, bc in enumerate(block_cols)
+        ],
+    ]
+    # blockers are pure functions of the name, so grouping by (name,
+    # blocks) is still one dictionary row per name — and computes every
+    # block key in the same pass as the count
+    dic = (
+        df.select(*bcols)
+        .groupBy("name", *[f"_b{i}" for i in range(len(block_cols))])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tagged = F.array(
+        *[
+            F.when(
+                F.col(f"_b{i}").isNotNull() & (F.col(f"_b{i}") != ""),
+                F.concat(F.lit(f"{i}:"), F.col(f"_b{i}")),
+            )
+            for i in range(len(block_cols))
+        ]
+    )
+    keyed = (
+        dic.select("name", "n", F.explode(tagged).alias("_blk"))
+        .filter(F.col("_blk").isNotNull())
+        # materialized once: the self-join would otherwise re-derive the
+        # dictionary aggregate on both sides (no exchange reuse)
+        .localCheckpoint(eager=False)
+    )
+    a = keyed.select(
+        "_blk", F.col("name").alias("name_a"), F.col("n").alias("n_a")
+    )
+    b = keyed.select(
+        "_blk", F.col("name").alias("name_b"), F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        # free length-band guard BEFORE the dedup shuffle — necessary
+        # condition for the distance bound, prunes volume early
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        .drop("_blk")
+        .withColumn(
+            "_pk", F.unhex(F.md5(F.concat_ws("\x1f", "name_a", "name_b")))
+        )
+        .dropDuplicates(["_pk"])
+        .drop("_pk")
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -231,8 +231,6 @@ def with_split_assign(
     when other docs arrive, which resampling-based splits can't promise).
     """
     fracs = fracs or {"train": 0.8, "val": 0.1, "test": 0.1}
-    if not fracs:
-        raise ValueError("fracs must name at least one split")
     total = sum(fracs.values())
     if total > 1.0 + 1e-9 or any(v < 0 for v in fracs.values()):
         # oversubscribed fractions would silently shrink or empty later

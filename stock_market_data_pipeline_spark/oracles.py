@@ -3325,6 +3325,60 @@ WINDOW w AS (
 """
 
 
+# X101a: streaming Misra-Gries parity. The stream computes the summary;
+# the Spark side verdicts the MG invariants (bounds / coverage / row
+# counter) against exact counts as booleans, so the oracle recomputes
+# only the exact group cardinalities and asserts the verdicts TRUE — a
+# broken stateful fold flips a boolean and hash-mismatches.
+ORACLES["stream_heavy_hitters_parity"] = """
+WITH src AS (
+  SELECT event_type AS grp, CAST(user_id % 37 AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+)
+SELECT grp,
+       CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS all_bounds_ok,
+       TRUE AS coverage_ok,
+       TRUE AS n_seen_ok
+FROM src GROUP BY 1
+"""
+
+
+# X102b: OR-blocking fuzzy pairs — candidates share the head noun OR the
+# first token; DISTINCT dedups pairs found by both blockers before the
+# distance filter (mirrors the Spark pre-distance pair dedup).
+ORACLES["fuzzy_name_pairs_multiblock"] = """
+WITH dic AS (
+  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1
+),
+keyed AS (
+  SELECT name, n, '0:' || regexp_extract(name, '([a-z]+)$', 1) AS blk
+  FROM dic WHERE regexp_extract(name, '([a-z]+)$', 1) <> ''
+  UNION ALL
+  SELECT name, n, '1:' || regexp_extract(name, '^([a-z]+)', 1) AS blk
+  FROM dic WHERE regexp_extract(name, '^([a-z]+)', 1) <> ''
+),
+cand AS (
+  SELECT DISTINCT a.name AS name_a, a.n AS n_a, b.name AS name_b, b.n AS n_b
+  FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.name < b.name
+  WHERE abs(length(a.name) - length(b.name)) <= 4
+)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist, n_a, n_b
+FROM cand WHERE levenshtein(name_a, name_b) <= 4
+"""
+
+
+# X112g: manifest rollback — after restoring v1 over an append, the
+# v2→v3 diff is exactly the appended key set as 'removed', and the v1→v3
+# diff is empty (contributes no rows).
+ORACLES["manifest_rollback_diff"] = """
+SELECT o_orderkey, 'removed' AS change_type
+FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2033,6 +2033,151 @@ def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters (X101a) as a driver-visible
+    parity query: the event stream (group = event_type, item =
+    user_id % 37 → 37 items per group, k = 8, so MG reductions actually
+    fire) runs through the availableNow stateful stream in three
+    mtime-ordered micro-batches; the batch twin then recomputes EXACT
+    per-item counts and the output verdicts the classic MG invariants as
+    hashable booleans per group:
+
+    * ``all_bounds_ok``  — every summary item: est ≤ true ≤ est + offset;
+    * ``coverage_ok``    — every item with true > n/(k+1) is in the summary;
+    * ``n_seen_ok``      — the state's row counter equals the exact count.
+
+    The oracle recomputes the group cardinalities and asserts the
+    verdicts TRUE — any drift in the stateful fold (a lost batch, a wrong
+    reduction, a replayed row) flips a boolean and hash-mismatches. A
+    group's FINAL summary is its emission from the last micro-batch that
+    contained the group (update mode re-emits the full summary per batch,
+    so that emission covers all of the group's rows).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.stateful import (
+        stream_heavy_hitters,
+    )
+
+    k = 8
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("grp"),
+        (F.col("user_id") % 37).cast("string").alias("item"),
+    ).filter(F.col("item").isNotNull())
+    root = tempfile.mkdtemp(prefix="smdp_stream_hh_")
+    try:
+        src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+        for part in range(3):
+            if part:
+                time.sleep(1.1)  # mtime order -> deterministic batch order
+            ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("event_id long, grp string, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        hh = stream_heavy_hitters(stream, k=k, group_col="grp", item_col="item")
+
+        def _sink(bdf, bid):
+            bdf.withColumn("batch_id", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            hh.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        emis = spark.read.parquet(sink)
+        last = emis.groupBy("group").agg(F.max("batch_id").alias("batch_id"))
+        summ = emis.join(last, ["group", "batch_id"])
+        exact = ev.groupBy("grp", "item").agg(
+            F.count(F.lit(1)).alias("true_cnt")
+        )
+        tot = exact.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("true_cnt").alias("n_events"),
+        )
+        j = summ.join(
+            exact,
+            (summ["group"] == exact["grp"]) & (summ["item"] == exact["item"]),
+            "left",
+        )
+        bounds = j.groupBy("group").agg(
+            F.min(
+                F.col("true_cnt").isNotNull()
+                & (F.col("est_count") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("max_count"))
+            ).alias("all_bounds_ok"),
+            F.max("n_seen").alias("n_seen"),
+        )
+        heavy = exact.join(tot, "grp").filter(
+            F.col("true_cnt") * (k + 1) > F.col("n_events")
+        )
+        cov = heavy.join(
+            summ.select(
+                F.col("group").alias("grp"),
+                "item",
+                F.lit(True).alias("_in"),
+            ),
+            ["grp", "item"],
+            "left",
+        ).groupBy("grp").agg(
+            F.min(F.col("_in").isNotNull()).alias("coverage_ok")
+        )
+        out = (
+            tot.join(bounds.withColumnRenamed("group", "grp"), "grp", "left")
+            .join(cov, "grp", "left")
+            .select(
+                "grp",
+                "n_items",
+                "n_events",
+                F.coalesce("all_bounds_ok", F.lit(False)).alias(
+                    "all_bounds_ok"
+                ),
+                # a group with no guaranteed-heavy items passes vacuously
+                F.coalesce("coverage_ok", F.lit(True)).alias("coverage_ok"),
+                F.coalesce(
+                    F.col("n_seen") == F.col("n_events"), F.lit(False)
+                ).alias("n_seen_ok"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_fuzzy_name_pairs_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-blocking fuzzy matching (X102b): near-identical part names
+    within edit distance 4 where the names share EITHER the head noun OR
+    the first token — multi-pass blocking with pair-level dedup BEFORE
+    the edit distance, the record-linkage form a single blocker can't
+    express (a pair differing in its block key is invisible to it)."""
+    from stock_market_data_pipeline_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs_multiblock,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    return blocked_levenshtein_pairs_multiblock(
+        part,
+        name_col="p_name",
+        block_cols=[
+            F.regexp_extract("p_name", "([a-z]+)$", 1),
+            F.regexp_extract("p_name", "^([a-z]+)", 1),
+        ],
+        max_dist=4,
+    )
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: REAL RIFF/PCM decode via Arrow mapInPandas — a
     deterministic overdriven-sawtooth WAV per document (pure integer
@@ -2316,6 +2461,50 @@ def q_retention_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_manifest_rollback_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-format time travel + copy-forward restore (X112g): v1
+    publishes three quarters of orders, v2 appends the rest, v3 rolls
+    back to v1 — a pure metadata commit re-referencing v1's files. The
+    output is ``manifest_version_diff(2, 3)`` (every appended key must
+    read as ``removed``) unioned with ``manifest_version_diff(1, 3)``
+    (which must be EMPTY — the restored version is bit-identical to v1).
+    The oracle recomputes the appended key set in SQL; any restore drift
+    — a leaked file, a lost one, a changed row — adds or flips rows."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        manifest_version_diff,
+        publish_files,
+        rollback_manifest,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    root = tempfile.mkdtemp(prefix="smdp_mf_rollback_")
+    try:
+        publish_files(
+            spark,
+            orders.filter(F.col("o_orderkey") % 4 != 0),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        append_files(
+            spark,
+            orders.filter(F.col("o_orderkey") % 4 == 0),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        rollback_manifest(spark, root, to_version=1)
+        d23 = manifest_version_diff(spark, root, 2, 3, keys=["o_orderkey"])
+        d13 = manifest_version_diff(spark, root, 1, 3, keys=["o_orderkey"])
+        return d23.unionByName(d13).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_merge_manifest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest-format keyed MERGE (X112e): fold two seq-stamped batches
     of orders updates through ``merge_upsert_manifest`` (bucket-tagged
@@ -2418,78 +2607,42 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2-core anchors up to 50. Everything — in or out of the window — is still
 # covered by the local oracle-parity suite (tests/test_oracle_parity.py
 # sweeps the whole dict).
-# ROUND-8 WINDOW (leads, in order — grew within the round as operators
-# landed): the 13 round-8 additions (interval_merge, fuzzy_name_pairs,
-# bm25_topk, version_diff, split_assign, bpe_merge_candidates,
-# bucket_fingerprint_diff, entity_clusters, weighted_sample,
-# retention_revenue, merge_manifest_state, fk_integrity,
-# time_range_rolling — never driver-checked), then the 3 rows whose code
-# changed since their r7 driver row (line_dedup after the NULL-text
-# oracle fix; incremental_ohlcv after the ohlcv_partial intra-batch tie
-# fix; pruned_scan_revenue after the date-stats prune extension), then
-# 34 oldest-green rows from the tail front (ewma .. macd — the first 50
-# dict entries ARE the window; count them, don't trust prose). Past the
-# window the tail keeps oldest-green-first order (the rest of the r4
-# remainder: corpus_curation_transitive .. multimodal_resize, then the
-# r5/r6 remainder multimodal_image_features .. trading_signals, then the
-# whole r7-green block last) so the r9 rotation pulls from its front.
-# NEXT ROUND (9): lead with round-9 additions/code-touched rows (the
-# round-8 review touched daily_ohlcv/windows.py tie rules AFTER the r8
-# window was driver-checked — daily_ohlcv, daily_change_close_over_close,
-# multi_window_tumbling, multi_window_signals, incremental_ohlcv must
-# lead), then the displaced r4 rows; update
+# ROUND-9 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 3 round-9 additions (stream_heavy_hitters_parity,
+# fuzzy_name_pairs_multiblock, manifest_rollback_diff — never
+# driver-checked), then 5 rows whose code changed this round
+# (merge_manifest_state + retention_revenue after the manifest_lake
+# sidecar/bucket-layout rewrite; fuzzy_name_pairs after the fuzzy.py
+# extension; split_assign after the fracs validation; version_diff after
+# the lake.py _key_diff refactor), then the 7 rows the round-8 OHLC
+# struct-tie fix touched AFTER their last driver check
+# (multi_window_tumbling .. unpivot_ohlcv — r8 verdict item 1), then the
+# five r5-era oldest-green rows (unigram_logprob .. scd2_history), then
+# 30 oldest-green rows from the tail front (multimodal_resize ..
+# corpus_report). Past the window the tail keeps oldest-green-first
+# order (the r6-green remainder price_histogram .. rolling_frames, then
+# the r8-green block interval_merge .. ngram_decontaminate last) so the
+# r10 rotation pulls from its front.
+# NEXT ROUND (10): lead with round-10 additions/code-touched rows, then
+# the displaced tail front (price_histogram, user_set_ops,
+# curriculum_packing, ...); update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "interval_merge": q_interval_merge,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "bm25_topk": q_bm25_topk,
-    "version_diff": q_version_diff,
-    "split_assign": q_split_assign,
-    "bpe_merge_candidates": q_bpe_merge_candidates,
-    "bucket_fingerprint_diff": q_bucket_fingerprint_diff,
-    "entity_clusters": q_entity_clusters,
-    "weighted_sample": q_weighted_sample,
-    "retention_revenue": q_retention_revenue,
+    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
-    "fk_integrity": q_fk_integrity,
-    "time_range_rolling": q_time_range_rolling,
-    "line_dedup": q_line_dedup,
-    "incremental_ohlcv": q_incremental_ohlcv,
-    "pruned_scan_revenue": q_pruned_scan_revenue,
-    "ewma": q_ewma,
-    "daily_ohlcv": q_daily_ohlcv,
-    "daily_change_close_over_close": q_daily_change_close_over_close,
-    "dedup_keep_last": q_dedup_keep_last,
-    "null_fill_defaults": q_null_fill_defaults,
-    "event_transitions": q_event_transitions,
-    "winsorize_prices": q_winsorize_prices,
-    "event_funnel_windowed": q_event_funnel_windowed,
-    "alpha_sample": q_alpha_sample,
-    "market_beta": q_market_beta,
-    "risk_metrics": q_risk_metrics,
-    "daily_vwap": q_daily_vwap,
-    "chunk_dedup_stats": q_chunk_dedup_stats,
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "event_json_stats": q_event_json_stats,
-    "macd_signal": q_macd_signal,
-    "pii_redaction": q_pii_redaction,
-    "ann_recall": q_ann_recall,
-    "stratified_sample": q_stratified_sample,
-    "gapfill_15m": q_gapfill_15m,
-    "repetition_signals": q_repetition_signals,
-    "doc_chunks": q_doc_chunks,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "price_band_join": q_price_band_join,
-    "quota_sample": q_quota_sample,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "technical_indicators": q_technical_indicators,
-    "salted_symbol_volume": q_salted_symbol_volume,
-    "macd": q_macd,
-    "corpus_curation_transitive": q_corpus_curation_transitive,
-    "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
-    "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
-    "ngram_decontaminate": q_ngram_decontaminate,
+    "retention_revenue": q_retention_revenue,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "split_assign": q_split_assign,
+    "version_diff": q_version_diff,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "trading_signals": q_trading_signals,
+    "windowed_analytics": q_windowed_analytics,
+    "sliding_window_15m": q_sliding_window_15m,
+    "sliding_window_1h": q_sliding_window_1h,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
     "unigram_logprob": q_unigram_logprob,
     "return_correlation": q_return_correlation,
     "kmeans_iteration": q_kmeans_iteration,
@@ -2532,12 +2685,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_sessionization": q_event_sessionization,
     "quantize_embeddings": q_quantize_embeddings,
     "clean_cast_filter": q_clean_cast_filter,
-    "sliding_window_15m": q_sliding_window_15m,
-    "sliding_window_1h": q_sliding_window_1h,
-    "windowed_analytics": q_windowed_analytics,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "trading_signals": q_trading_signals,
     "multimodal_audio_features": q_multimodal_audio_features,
     "stream_cdc_parity": q_stream_cdc_parity,
     "dead_letter_stats": q_dead_letter_stats,
@@ -2571,7 +2718,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zscore_normalize": q_zscore_normalize,
     "embedding_unit_norm": q_embedding_unit_norm,
     "cube_order_stats": q_cube_order_stats,
-    "unpivot_ohlcv": q_unpivot_ohlcv,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -2585,4 +2731,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_content_dedup": q_multimodal_content_dedup,
     "rolling_frames": q_rolling_frames,
+    "interval_merge": q_interval_merge,
+    "bm25_topk": q_bm25_topk,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "bucket_fingerprint_diff": q_bucket_fingerprint_diff,
+    "entity_clusters": q_entity_clusters,
+    "weighted_sample": q_weighted_sample,
+    "fk_integrity": q_fk_integrity,
+    "time_range_rolling": q_time_range_rolling,
+    "line_dedup": q_line_dedup,
+    "incremental_ohlcv": q_incremental_ohlcv,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
+    "ewma": q_ewma,
+    "daily_ohlcv": q_daily_ohlcv,
+    "daily_change_close_over_close": q_daily_change_close_over_close,
+    "dedup_keep_last": q_dedup_keep_last,
+    "null_fill_defaults": q_null_fill_defaults,
+    "event_transitions": q_event_transitions,
+    "winsorize_prices": q_winsorize_prices,
+    "event_funnel_windowed": q_event_funnel_windowed,
+    "alpha_sample": q_alpha_sample,
+    "market_beta": q_market_beta,
+    "risk_metrics": q_risk_metrics,
+    "daily_vwap": q_daily_vwap,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "event_json_stats": q_event_json_stats,
+    "macd_signal": q_macd_signal,
+    "pii_redaction": q_pii_redaction,
+    "ann_recall": q_ann_recall,
+    "stratified_sample": q_stratified_sample,
+    "gapfill_15m": q_gapfill_15m,
+    "repetition_signals": q_repetition_signals,
+    "doc_chunks": q_doc_chunks,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "technical_indicators": q_technical_indicators,
+    "salted_symbol_volume": q_salted_symbol_volume,
+    "macd": q_macd,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
+    "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
+    "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
+    "ngram_decontaminate": q_ngram_decontaminate,
 }

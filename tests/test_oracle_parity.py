@@ -20,55 +20,65 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-8
-    plan: never-driver-checked round-8 additions lead, followed by the
-    rows whose code changed since their r7 driver row, then the 40
-    oldest-green rows from the tail front (the r4 remainder the r7 plan
-    earmarked)."""
+    (rotation contract, see the comment above QUERIES). Guard the round-9
+    plan: never-driver-checked round-9 additions lead, then the rows
+    whose code changed since their last driver row (manifest_lake sidecar
+    rewrite, fuzzy.py extension, split fracs validation, lake _key_diff
+    refactor), then the 7 rows the round-8 OHLC struct-tie fix touched
+    after their last driver check, then the five r5-era oldest-green
+    rows, then the oldest-green tail front."""
     window = list(QUERIES)[:50]
-    # round-8 additions - never driver-checked - at the very front
-    assert window[:13] == [
-        "interval_merge",
-        "fuzzy_name_pairs",
-        "bm25_topk",
-        "version_diff",
-        "split_assign",
-        "bpe_merge_candidates",
-        "bucket_fingerprint_diff",
-        "entity_clusters",
-        "weighted_sample",
-        "retention_revenue",
-        "merge_manifest_state",
-        "fk_integrity",
-        "time_range_rolling",
+    # round-9 additions - never driver-checked - at the very front
+    assert window[:3] == [
+        "stream_heavy_hitters_parity",
+        "fuzzy_name_pairs_multiblock",
+        "manifest_rollback_diff",
     ]
-    # code touched since the r7 driver check (round-8 ADVICE fixes)
-    assert window[13:16] == [
-        "line_dedup",         # oracle NULL-text LEFT JOIN fix
-        "incremental_ohlcv",  # ohlcv_partial intra-batch tie fix
-        "pruned_scan_revenue",  # date-stats prune extension
+    # code touched since the r8 driver check (round-9 rewrites/fixes)
+    assert window[3:8] == [
+        "merge_manifest_state",  # manifest_lake sidecar/bucket rewrite
+        "retention_revenue",     # manifest_lake sidecar/bucket rewrite
+        "fuzzy_name_pairs",      # fuzzy.py multiblock extension
+        "split_assign",          # fracs-sum validation
+        "version_diff",          # lake.py _key_diff refactor
+    ]
+    # round-8 review touched the OHLC/windows tie rules AFTER these rows'
+    # last driver check (r8 verdict item 1)
+    assert window[8:15] == [
+        "multi_window_tumbling",
+        "multi_window_signals",
+        "trading_signals",
+        "windowed_analytics",
+        "sliding_window_15m",
+        "sliding_window_1h",
+        "unpivot_ohlcv",
+    ]
+    # the five r5-era oldest-green rows (r8 verdict item 1)
+    assert window[15:20] == [
+        "unigram_logprob",
+        "return_correlation",
+        "kmeans_iteration",
+        "last_touch_attribution",
+        "scd2_history",
     ]
     must_be_in = [
-        # the r4-remainder oldest-green block now rotating through
-        "ewma",
-        "daily_ohlcv",
-        "daily_change_close_over_close",
-        "dedup_keep_last",
-        "null_fill_defaults",
-        "event_transitions",
-        "winsorize_prices",
-        "alpha_sample",
-        "market_beta",
-        "daily_vwap",
-        "chunk_dedup_stats",
-        "retention_cohorts",
-        "macd_signal",
-        "pii_redaction",
-        "ann_recall",
-        "gapfill_15m",
-        "tfidf_top_terms",
-        "price_band_join",
-        "technical_indicators",
+        # the oldest-green tail front now rotating through
+        "multimodal_resize",
+        "multimodal_image_features",
+        "approx_stats",
+        "promo_revenue_pct",
+        "soft_dedup",
+        "containment_pairs",
+        "upsample_mix",
+        "customer_value_deciles",
+        "hll_user_rollup",
+        "supplier_pagerank",
+        "national_market_share",
+        "training_mix_report",
+        "stream_batch_session_parity",
+        "sequence_packing",
+        "wealthy_inactive_customers",
+        "corpus_report",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"
