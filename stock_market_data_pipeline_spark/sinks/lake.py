@@ -96,6 +96,25 @@ class _HadoopFS:
         finally:
             out.close()
 
+    def write_text_exclusive(self, p: str, content: str) -> None:
+        """Create-exclusive text write (``overwrite=False``): raises
+        ``FileExistsError`` if ``p`` already exists. On HDFS/POSIX the
+        create is atomic, which makes it usable as a commit-point
+        arbiter — exactly how Iceberg's HadoopTableOperations arbitrates
+        concurrent commits. (On S3A exclusive create is not atomic;
+        a real deployment there needs a DynamoDB/ZK-style lock, which is
+        out of scope like the rest of multi-writer coordination.)"""
+        if self.fs.exists(self.path(p)):
+            raise FileExistsError(p)
+        try:
+            out = self.fs.create(self.path(p), False)
+        except Exception as exc:  # Py4J wraps o.a.h.fs FileAlreadyExists
+            raise FileExistsError(p) from exc
+        try:
+            out.write(bytearray(content, "utf-8"))
+        finally:
+            out.close()
+
     def list_data_files(self, p: str) -> list[tuple[str, int]]:
         """Recursive (path, size) listing of data files under ``p`` —
         skips ``_``/``.``-prefixed basenames (markers, checksums,

@@ -75,6 +75,15 @@ _COMMIT_SUFFIX = "._COMMITTED"
 MAX_MANIFEST_ENTRIES = 100_000
 
 
+class ManifestConflictError(RuntimeError):
+    """Another writer committed between this operation's read of the
+    table state and its commit attempt (optimistic concurrency, the
+    Iceberg arbitration): the commit is REFUSED so the other writer's
+    version is never silently clobbered (lost update). The operation's
+    staged files are unreferenced orphans the next ``vacuum_manifest``
+    collects; retry the whole operation against the new state."""
+
+
 def _mf_dir(root: str) -> str:
     return f"{root.rstrip('/')}/mf"
 
@@ -300,11 +309,20 @@ def _commit(
     root: str,
     entries: list[dict[str, Any]],
     fmt: str,
+    expected_prev: int | None,
     txns: dict[str, int] | None = None,
     schema_json: str | None = None,
     stats_cols: list[str] | None = None,
     bucketing: dict[str, Any] | None = None,
 ) -> int:
+    """Optimistically-concurrent commit: the caller states which version
+    it READ (``expected_prev``; None = it saw an empty table), and the
+    commit refuses if the latest committed version moved since — the new
+    state was derived from stale inputs and publishing it would silently
+    drop the interleaved writer's changes. The manifest JSON and marker
+    are then CREATE-EXCLUSIVE, so two writers racing to the same version
+    number cannot overwrite each other's files; exactly one wins the
+    commit point and the loser surfaces as a conflict to retry."""
     if len(entries) > MAX_MANIFEST_ENTRIES:
         raise ValueError(
             f"manifest would list {len(entries)} files "
@@ -315,29 +333,40 @@ def _commit(
             "metadata"
         )
     fs = _HadoopFS(spark, root)
-    _, known = _list_manifests(fs, root)
+    committed, known = _list_manifests(fs, root)
+    cur = committed[-1] if committed else None
+    if cur != expected_prev:
+        raise ManifestConflictError(
+            f"table at {root} moved to v{cur} while this operation worked "
+            f"from v{expected_prev}; refusing to clobber — retry against "
+            "the new state (staged orphans are vacuumed)"
+        )
     nxt = (known[-1] + 1) if known else 1
     mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
-    fs.write_text(
-        mpath,
-        _json.dumps(
-            {
-                "fmt": fmt,
-                "files": entries,
-                "txns": txns or {},
-                # recorded so an all-rows-deleted manifest still READS as
-                # an empty typed table instead of being unreadable
-                "schema": schema_json,
-                # recorded so maintenance rewrites preserve the table's
-                # pruning columns and bucket layout without re-deriving
-                # them from (now sidecar-resident) per-file stats
-                "stats_cols": sorted(stats_cols) if stats_cols else [],
-                "bucketing": bucketing,
-            },
-            default=str,
-        ),
+    body = _json.dumps(
+        {
+            "fmt": fmt,
+            "files": entries,
+            "txns": txns or {},
+            # recorded so an all-rows-deleted manifest still READS as
+            # an empty typed table instead of being unreadable
+            "schema": schema_json,
+            # recorded so maintenance rewrites preserve the table's
+            # pruning columns and bucket layout without re-deriving
+            # them from (now sidecar-resident) per-file stats
+            "stats_cols": sorted(stats_cols) if stats_cols else [],
+            "bucketing": bucketing,
+        },
+        default=str,
     )
-    fs.write_text(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
+    try:
+        fs.write_text_exclusive(mpath, body)
+        fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
+    except FileExistsError as exc:
+        raise ManifestConflictError(
+            f"lost the commit race for {mpath} — retry against the new "
+            "state"
+        ) from exc
     return nxt
 
 
@@ -366,6 +395,7 @@ def publish_files(
         root,
         entries,
         fmt,
+        expected_prev=committed[-1] if committed else None,
         txns=txns,
         schema_json=df.schema.json(),
         stats_cols=stats_cols,
@@ -473,7 +503,7 @@ def retention_delete(
     reviews). Returns ``{"carried", "dropped", "rewritten"}``.
     """
     fs = _HadoopFS(spark, root)
-    _, meta = _resolve_manifest(fs, root, None)
+    cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", fmt)
     file_stats = _load_stats(spark, root, meta)
     kcut = _stat_key(cutoff)
@@ -524,6 +554,7 @@ def retention_delete(
         root,
         new_entries,
         fmt,
+        expected_prev=cur_v,
         txns=dict(meta.get("txns") or {}),
         schema_json=meta.get("schema"),
         stats_cols=sorted(set(stats_cols or []) | set(_table_stats_cols(meta))),
@@ -556,7 +587,7 @@ def compact_manifest(
     import math
 
     fs = _HadoopFS(spark, root)
-    _, meta = _resolve_manifest(fs, root, None)
+    cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", fmt)
     small = [e for e in meta["files"] if e["bytes"] < target_file_bytes // 2]
     carried = [e for e in meta["files"] if e["bytes"] >= target_file_bytes // 2]
@@ -577,6 +608,7 @@ def compact_manifest(
         root,
         new_entries,
         fmt,
+        expected_prev=cur_v,
         txns=dict(meta.get("txns") or {}),
         schema_json=meta.get("schema"),
         stats_cols=_table_stats_cols(meta),
@@ -608,13 +640,14 @@ def rollback_manifest(
     ``to_version`` was vacuumed away (the GC window bounds how far back a
     restore can reach)."""
     fs = _HadoopFS(spark, root)
-    _, cur = _resolve_manifest(fs, root, None)
+    cur_v, cur = _resolve_manifest(fs, root, None)
     _, tgt = _resolve_manifest(fs, root, to_version)
     return _commit(
         spark,
         root,
         tgt["files"],
         tgt.get("fmt", "parquet"),
+        expected_prev=cur_v,
         txns=dict(cur.get("txns") or {}),
         schema_json=tgt.get("schema"),
         stats_cols=_table_stats_cols(tgt),
@@ -749,6 +782,7 @@ def append_files(
         root,
         prev_entries + new_entries,
         fmt,
+        expected_prev=committed[-1] if committed else None,
         txns=txns,
         schema_json=df.schema.json(),
         stats_cols=sorted(
@@ -920,6 +954,7 @@ def merge_upsert_manifest(
         root,
         carried + new_entries,
         fmt,
+        expected_prev=committed[-1] if committed else None,
         txns=txns,
         schema_json=winners.schema.json(),
         stats_cols=stats_cols,

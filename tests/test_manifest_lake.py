@@ -736,3 +736,87 @@ def test_stats_live_in_sidecars_not_manifest_json(spark, tmp_path):
     assert sidecars & left == set()
     # current version's stats still resolve
     assert manifest_file_stats(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# round-9: optimistic concurrency (X112h)
+# ---------------------------------------------------------------------------
+
+
+def test_commit_refuses_lost_update(spark, tmp_path):
+    """A commit derived from a version that is no longer the latest must
+    raise instead of silently clobbering the interleaved writer (the
+    Iceberg optimistic-concurrency check)."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _ts_df(spark, 1, 3), root)          # v1
+    v1_files = manifest_files(spark, root, version=1)
+    publish_files(spark, _ts_df(spark, 3, 5), root)          # v2 (the race winner)
+    with pytest.raises(ml.ManifestConflictError, match="moved to v2"):
+        ml._commit(
+            spark, root, v1_files, "parquet", expected_prev=1
+        )
+    # loser's refusal left the winner's state fully intact
+    assert read_manifest(spark, root).count() == 20
+    # and a writer that read v2 commits fine
+    ml._commit(spark, root, v1_files, "parquet", expected_prev=2)
+    assert read_manifest(spark, root).count() == 20
+
+
+def test_commit_same_version_race_is_create_exclusive(spark, tmp_path):
+    """Two writers racing to the SAME version number: the loser's
+    create-exclusive write fails -> ManifestConflictError; the winner's
+    committed JSON is never overwritten."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _ts_df(spark, 1, 3), root)          # v1
+    fs = _HadoopFS(spark, root)
+    real_list = ml._list_manifests
+
+    def stale_list(fs_, root_):
+        committed, known = real_list(fs_, root_)
+        # both writers listed BEFORE either wrote: hide versions > 1
+        return [v for v in committed if v <= 1], [v for v in known if v <= 1]
+
+    # writer A lands v2 for real
+    winner_body = '{"fmt":"parquet","files":[],"schema":null}'
+    fs.write_text_exclusive(f"{_mf_dir(root)}/v00000002.json", winner_body)
+    fs.write_text_exclusive(
+        f"{_mf_dir(root)}/v00000002.json._COMMITTED", "v00000002.json"
+    )
+    # writer B still believes v1 is latest -> targets v2 -> must lose
+    import pytest as _pytest
+
+    orig = ml._list_manifests
+    ml._list_manifests = stale_list
+    try:
+        with _pytest.raises(ml.ManifestConflictError, match="commit race"):
+            ml._commit(spark, root, [], "parquet", expected_prev=1)
+    finally:
+        ml._list_manifests = orig
+    # the winner's manifest body survived untouched
+    assert fs.read_text(f"{_mf_dir(root)}/v00000002.json") == winner_body
+
+
+def test_conflict_orphans_are_vacuumed(spark, tmp_path):
+    """A refused commit leaves only staged data files; vacuum collects
+    them without touching the committed state."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _ts_df(spark, 1, 3), root)
+    # stage files as a losing writer would, then fail the commit
+    entries = ml._stage_files(
+        spark, _ts_df(spark, 5, 7), root, "parquet", None
+    )
+    with pytest.raises(ml.ManifestConflictError):
+        ml._commit(
+            spark, root, entries, "parquet", expected_prev=None
+        )
+    res = vacuum_manifest(spark, root, keep_versions=2)
+    assert res["files_deleted"] >= len(entries)
+    assert read_manifest(spark, root).count() == 20
