@@ -24,6 +24,13 @@ from stock_market_data_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Where the full-registry timing artifact (BENCH_FULL_r{N}.json) lands.
+# A module constant so tests monkeypatch it to tmp_path instead of
+# clobbering the round's committed artifact in the repo root (the r9
+# verdict's top finding: every pytest run overwrote BENCH_FULL_r09.json
+# with the 3-query resilience payload).
+ARTIFACT_DIR = os.path.dirname(os.path.abspath(__file__))
+
 # Every registered batch query is benched — a regression in an unbenched
 # query cannot hide. Deliberate exclusions go here WITH a reason and are
 # emitted in the output JSON.
@@ -78,16 +85,24 @@ def main() -> None:
     # The driver's BENCH_r{N}.json artifact keeps only a ~2000-char tail of
     # this line, hiding half the registry's timings from round-over-round
     # comparison — so ALSO persist the complete dict as a committed file
-    # (r8 verdict item 2). Round number = latest CORRECTNESS round + 1
-    # (the bench for round N runs before CORRECTNESS_r{N} exists).
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-    ]
-    rnd = (max(rounds) + 1) if rounds else 0
-    with open(os.path.join(here, f"BENCH_FULL_r{rnd:02d}.json"), "w") as fh:
+    # (r8 verdict item 2). Round number: explicit $SPARK_GRAFT_ROUND wins;
+    # otherwise latest CORRECTNESS round + 1 (the bench for round N runs
+    # before CORRECTNESS_r{N} exists). The explicit override exists because
+    # re-running bench AFTER the round's CORRECTNESS file lands would
+    # otherwise pre-clobber the NEXT round's artifact (ADVICE r9).
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round is not None:
+        rnd = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(ARTIFACT_DIR)
+            if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+    with open(
+        os.path.join(ARTIFACT_DIR, f"BENCH_FULL_r{rnd:02d}.json"), "w"
+    ) as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # Exit 0 even with errors: the driver must record the surviving timings

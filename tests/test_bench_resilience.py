@@ -9,11 +9,14 @@ line is always emitted with the surviving timings.
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
 
-def test_broken_query_does_not_erase_timings(spark, sf_dir, monkeypatch, capsys):
+def test_broken_query_does_not_erase_timings(
+    spark, sf_dir, monkeypatch, capsys, tmp_path
+):
     def good(s, d):
         return s.range(10).selectExpr("id", "id * 2 AS doubled")
 
@@ -30,9 +33,21 @@ def test_broken_query_does_not_erase_timings(spark, sf_dir, monkeypatch, capsys)
     monkeypatch.setattr(bench, "HEADLINE", ["bad_plan", "broken", "good"])
     monkeypatch.setattr(bench, "SF_DIR", sf_dir)
     monkeypatch.setattr(bench, "CPUS", 4)
+    # The full-dict artifact must land in tmp_path, NOT the repo root — the
+    # unpatched path overwrote the round's committed BENCH_FULL_r{N}.json
+    # with this test's 3-query payload (r9 verdict's top finding).
+    monkeypatch.setattr(bench, "ARTIFACT_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "99")
     # bench.main calls get_spark (getOrCreate reuses the fixture session) and
     # then spark.stop(); neuter stop so the shared fixture survives.
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
+
+    repo_root = os.path.dirname(os.path.abspath(bench.__file__))
+    before = {
+        f: os.path.getmtime(os.path.join(repo_root, f))
+        for f in os.listdir(repo_root)
+        if f.startswith("BENCH_FULL_")
+    }
 
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
@@ -41,3 +56,15 @@ def test_broken_query_does_not_erase_timings(spark, sf_dir, monkeypatch, capsys)
     assert set(payload["errors"]) == {"broken", "bad_plan"}
     assert "deliberately broken" in payload["errors"]["broken"]
     assert payload["value"] == payload["queries"]["good"]
+
+    # Artifact went to tmp_path under the explicit round number…
+    assert (tmp_path / "BENCH_FULL_r99.json").exists()
+    artifact = json.loads((tmp_path / "BENCH_FULL_r99.json").read_text())
+    assert artifact["queries"] == payload["queries"]
+    # …and the repo root's committed artifacts are byte-untouched.
+    after = {
+        f: os.path.getmtime(os.path.join(repo_root, f))
+        for f in os.listdir(repo_root)
+        if f.startswith("BENCH_FULL_")
+    }
+    assert after == before
