@@ -151,8 +151,21 @@ def blocked_levenshtein_pairs_multiblock(
         # condition for the distance bound, prunes volume early
         .filter(F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
         .drop("_blk")
+        # Injective pair encoding: a length prefix delimits name_a, so two
+        # distinct pairs can never hash to the same key (a separator char
+        # occurring IN a name could collide — round-9 advice). Still a
+        # 16-byte key on the wire, not the two strings.
         .withColumn(
-            "_pk", F.unhex(F.md5(F.concat_ws("\x1f", "name_a", "name_b")))
+            "_pk",
+            F.unhex(
+                F.md5(
+                    F.concat(
+                        F.lpad(F.length("name_a").cast("string"), 8, "0"),
+                        F.col("name_a"),
+                        F.col("name_b"),
+                    )
+                )
+            ),
         )
         .dropDuplicates(["_pk"])
         .drop("_pk")

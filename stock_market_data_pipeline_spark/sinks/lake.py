@@ -109,7 +109,18 @@ class _HadoopFS:
         try:
             out = self.fs.create(self.path(p), False)
         except Exception as exc:  # Py4J wraps o.a.h.fs FileAlreadyExists
-            raise FileExistsError(p) from exc
+            # Only an actual already-exists loss is a race; permissions or
+            # transient IO faults must surface as themselves, not be
+            # misdiagnosed as a commit conflict (round-9 advice). Py4J
+            # exposes the JVM class via java_exception; absent that,
+            # re-checking existence distinguishes the two.
+            jexc = getattr(exc, "java_exception", None)
+            cls = jexc.getClass().getName() if jexc is not None else ""
+            if "FileAlreadyExistsException" in cls or self.fs.exists(
+                self.path(p)
+            ):
+                raise FileExistsError(p) from exc
+            raise
         try:
             out.write(bytearray(content, "utf-8"))
         finally:

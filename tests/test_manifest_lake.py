@@ -820,3 +820,177 @@ def test_conflict_orphans_are_vacuumed(spark, tmp_path):
     res = vacuum_manifest(spark, root, keep_versions=2)
     assert res["files_deleted"] >= len(entries)
     assert read_manifest(spark, root).count() == 20
+
+
+# ---------------------------------------------------------------------------
+# round-10: distributed prune planning, sidecar consolidation, commit
+# arbitration hardening
+# ---------------------------------------------------------------------------
+
+
+def test_pruned_read_never_collects_stats_frame(spark, tmp_path):
+    """Prune planning must run Spark-side: _load_stats (the full
+    driver-resident stats materialization) is never called by the pruned
+    reader, and the verdicts collected are ONLY the skipped names (no
+    inline stats on a modern table)."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 9)
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"]
+    )
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 5)
+
+    def boom(*a, **k):
+        raise AssertionError("pruned read collected the full stats frame")
+
+    orig = ml._load_stats
+    ml._load_stats = boom
+    try:
+        pruned = read_manifest_pruned(spark, root, "ts", lo=lo, hi=hi)
+        full = read_manifest(spark, root)
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+        want = full.filter(
+            (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+        )
+        assert pruned.exceptAll(want).count() == 0
+        assert want.exceptAll(pruned).count() == 0
+        # planning collects only skip verdicts, all True
+        fs = ml._HadoopFS(spark, root)
+        _, meta = ml._resolve_manifest(fs, root, None)
+        klo, khi = ml._stat_key(lo), ml._stat_key(hi)
+        dec = ml._sidecar_skip_decisions(
+            spark, root, meta, "ts", klo, khi, set()
+        )
+        assert dec and all(dec.values())
+        assert len(dec) < len(meta["files"])
+    finally:
+        ml._load_stats = orig
+
+
+def test_pruned_read_numeric_and_null_stats_distributed(spark, tmp_path):
+    """Numeric-kind pruning and all-NULL stats through the Spark-side
+    planner: NULL min/max never prunes; numeric ranges do."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(i, float(i)) for i in range(100)] + [(1000 + i, None) for i in range(5)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    publish_files(
+        spark,
+        df.repartitionByRange(5, "k"),
+        root,
+        stats_cols=["k", "v"],
+    )
+    pruned = read_manifest_pruned(spark, root, "k", lo=10, hi=30)
+    full = read_manifest(spark, root)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    want = full.filter((F.col("k") >= 10) & (F.col("k") <= 30))
+    assert sorted(r["k"] for r in pruned.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # the all-NULL-v file must be conservatively read on a v-prune
+    pv = read_manifest_pruned(spark, root, "v", lo=5.0, hi=6.0)
+    assert pv.count() == 2  # 5.0 and 6.0
+
+
+def test_consolidate_stats_sidecars(spark, tmp_path):
+    """Append-heavy tables accrete one sidecar per append; consolidation
+    rewrites the live stats rows into ONE sidecar as a pure metadata
+    commit, pruning still works, and vacuum collects the orphans."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        consolidate_stats_sidecars,
+        manifest_file_stats,
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _ts_df(spark, 1, 2), root, stats_cols=["ts"])
+    for d in range(2, 8):
+        append_files(spark, _ts_df(spark, d, d + 1), root, stats_cols=["ts"])
+    before = manifest_file_stats(spark, root)
+    # below threshold -> no-op, no commit
+    res = consolidate_stats_sidecars(spark, root, max_sidecars=100)
+    assert res == {"sidecars_before": 0, "version": 0}
+    res = consolidate_stats_sidecars(spark, root, max_sidecars=3)
+    assert res["sidecars_before"] == 7 and res["version"] == 8
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+
+    fs = ml._HadoopFS(spark, root)
+    _, meta = ml._resolve_manifest(fs, root, None)
+    assert len({e["stats_file"] for e in meta["files"]}) == 1
+    # stats identical through consolidation
+    assert manifest_file_stats(spark, root) == before
+    # pruning still skips files
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 4)
+    pruned = read_manifest_pruned(spark, root, "ts", lo=lo, hi=hi)
+    assert len(pruned.inputFiles()) < len(read_manifest(spark, root).inputFiles())
+    assert pruned.count() == 10  # day 3's rows (each day sits at 12:00)
+    # orphaned sidecars are vacuumed; pruning survives
+    res = vacuum_manifest(spark, root, keep_versions=1)
+    assert res["stats_deleted"] == 7
+    assert read_manifest_pruned(spark, root, "ts", lo=lo, hi=hi).count() == 10
+
+
+def test_append_race_loser_retries_cleanly(spark, tmp_path):
+    """Two writers appending via the PUBLIC API: the stale one surfaces
+    ManifestConflictError, retries against the fresh state, and both
+    writers' rows land exactly once."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _ts_df(spark, 1, 2), root)          # v1, 10 rows
+    real_list = ml._list_manifests
+
+    def stale_list(fs_, root_):
+        committed, known = real_list(fs_, root_)
+        return [v for v in committed if v <= 1], [v for v in known if v <= 1]
+
+    # writer A lands v2
+    append_files(spark, _ts_df(spark, 2, 3), root)
+    # writer B read v1 before A committed -> conflict
+    ml._list_manifests = stale_list
+    try:
+        with pytest.raises(ml.ManifestConflictError):
+            append_files(spark, _ts_df(spark, 3, 4), root)
+    finally:
+        ml._list_manifests = real_list
+    # retry against the new state succeeds; all three days present once
+    append_files(spark, _ts_df(spark, 3, 4), root)
+    got = read_manifest(spark, root)
+    assert got.count() == 30
+    assert got.select("k").distinct().count() == 30
+
+
+def test_exclusive_write_io_fault_is_not_a_conflict(spark, tmp_path):
+    """A transient create failure that is NOT an already-exists loss must
+    surface as itself, never as FileExistsError (which _commit would
+    misdiagnose as a commit race — round-9 advice)."""
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    hfs = _HadoopFS(spark, root)
+
+    class FlakyFS:
+        def __init__(self, real):
+            self._real = real
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+        def create(self, path, overwrite):
+            raise RuntimeError("simulated transient IO fault")
+
+    hfs.fs = FlakyFS(hfs.fs)
+    with pytest.raises(RuntimeError, match="transient IO fault"):
+        hfs.write_text_exclusive(f"{root}/marker", "x")
