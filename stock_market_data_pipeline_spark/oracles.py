@@ -3379,6 +3379,63 @@ FROM orders WHERE o_orderkey % 4 = 0
 """
 
 
+# X24: streaming silence monitor — a feed is stale iff its last event +
+# the 5-day gap precedes the final watermark (= global max event time of
+# the fed slices); last_seen is the monitor's millisecond state.
+ORACLES["stream_silence_parity"] = """
+WITH src AS (
+  SELECT 's' || CAST(user_id % 6 AS VARCHAR) AS symbol, ts
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND (user_id % 6 >= 3 OR ts < TIMESTAMP '2024-01-11 00:00:00')
+),
+last AS (SELECT symbol, max(ts) AS mx FROM src GROUP BY 1),
+wm AS (SELECT max(ts) AS w FROM src)
+SELECT symbol,
+       CAST(floor(epoch_us(mx) / 1000) AS BIGINT) AS last_seen_ms,
+       CASE WHEN mx + INTERVAL 5 DAY < (SELECT w FROM wm)
+            THEN 'stale' ELSE 'active' END AS status
+FROM last
+"""
+
+
+# X110: versioned-dimension stream enrichment — batch = event_id % 3;
+# batch 0 resolved dimension v1, batches 1-2 the mid-stream v2; keys >= 20
+# are absent from both versions (left-join 'missing' passthrough).
+ORACLES["stream_dim_enrich_parity"] = """
+WITH src AS (
+  SELECT event_id, user_id % 25 AS k, event_id % 3 AS part
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+)
+SELECT CAST(part AS BIGINT) AS batch_id,
+       CASE WHEN k >= 20 THEN 'missing'
+            WHEN part = 0 THEN 'v1' ELSE 'v2' END AS grp,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM src GROUP BY 1, 2
+"""
+
+
+# X111: watermark-drop observability — the whole late slice (ts < Jan 10,
+# fed after the watermark advanced past Jan 25) is dropped by the
+# windowed aggregation; on-time slices are admitted. The engine counts
+# drops AFTER the batch-local partial aggregation (the late batch is one
+# coalesced file = one partition), so the dropped unit is the distinct
+# (hour-window, event_type) GROUP, not the raw row — pinned empirically
+# (308 late rows -> 265 dropped groups at sf0.001).
+ORACLES["stream_watermark_drop_parity"] = """
+SELECT
+  CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                  OR ts < TIMESTAMP '2024-01-10 00:00:00'
+           THEN 1 ELSE 0 END) AS BIGINT) AS total_input_rows,
+  (SELECT CAST(count(DISTINCT (date_trunc('hour', ts), event_type)) AS BIGINT)
+   FROM events
+   WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-10 00:00:00'
+  ) AS dropped_by_watermark
+FROM events WHERE ts IS NOT NULL
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2178,6 +2178,264 @@ def q_fuzzy_name_pairs_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming silence monitor (X24) as a driver-visible parity query:
+    six synthetic feeds (``user_id % 6``) stream through the REAL
+    ``applyInPandasWithState`` event-time-timeout monitor in three
+    mtime-ordered micro-batches split on time terciles; feeds 0–2 stop
+    sending after Jan 10 (their events are filtered out), so once the
+    live feeds' events push the watermark past ``last_seen + 5 days``
+    their state times out and emits a terminal ``stale`` row — absence
+    detection, the signal a windowed aggregation cannot express (no rows
+    → no windows).
+
+    Output: one row per feed with its final status and last-seen epoch
+    millis (the monitor's state granularity). The oracle recomputes both
+    from the same filtered feed: a feed is stale iff its last event +
+    5 days < the global max event time (the final watermark; margins are
+    days, so the one-batch watermark-commit lag cannot flip a verdict).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.stateful import (
+        stream_silence_monitor,
+    )
+
+    cut = "2024-01-11 00:00:00"
+    t1, t2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            F.concat(F.lit("s"), (F.col("user_id") % 6).cast("string")).alias(
+                "symbol"
+            ),
+            F.col("ts").alias("timestamp"),
+            (F.col("user_id") % 6).alias("_k"),
+        )
+        .filter(
+            (F.col("_k") >= 3)
+            | (F.col("timestamp") < F.lit(cut).cast("timestamp"))
+        )
+        .drop("_k")
+    )
+    root = tempfile.mkdtemp(prefix="smdp_stream_silence_")
+    try:
+        src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
+        tcol = F.col("timestamp")
+        slices = [
+            tcol < F.lit(t1).cast("timestamp"),
+            (tcol >= F.lit(t1).cast("timestamp"))
+            & (tcol < F.lit(t2).cast("timestamp")),
+            tcol >= F.lit(t2).cast("timestamp"),
+        ]
+        for i, cond in enumerate(slices):
+            if i:
+                time.sleep(1.1)  # mtime order -> deterministic batch order
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("symbol string, timestamp timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        mon = stream_silence_monitor(
+            stream, gap_seconds=5 * 86400, watermark="0 seconds"
+        )
+
+        def _sink(bdf, bid):
+            bdf.write.mode("append").parquet(sink)
+
+        q = (
+            mon.writeStream.outputMode("update")
+            .foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emis = spark.read.parquet(sink)
+        # final state: last_seen only ever grows; a stale emission (if
+        # any) carries the terminal value, so max() is the final reading
+        out = (
+            emis.groupBy("symbol")
+            .agg(
+                F.unix_millis(F.max("last_seen")).alias("last_seen_ms"),
+                F.max((F.col("status") == "stale").cast("int")).alias("_st"),
+            )
+            .select(
+                "symbol",
+                "last_seen_ms",
+                F.when(F.col("_st") == 1, "stale")
+                .otherwise("active")
+                .alias("status"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dimension stream enrichment (X110) as a driver-visible
+    parity query: facts stream through ``stream_dim_enrich`` in two
+    availableNow passes SHARING one checkpoint — batch 0 joins dimension
+    v1, then v2 is published mid-stream (between passes) and batches 1–2
+    re-resolve it inside ``foreachBatch``, exactly the SCD pickup a
+    static stream-static join cannot do (it pins the file listing at
+    query start). Keys ≥ 20 are absent from both versions and pass
+    through as 'missing' (left-join NULL posture).
+
+    Output: per (batch_id, resolved label) row counts + event_id sums.
+    The oracle recomputes them from the deterministic split (event_id %
+    3 = batch) and version schedule (batch 0 → v1, else v2)."""
+    import shutil
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.sinks.lake import publish_version
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_dim_enrich,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("event_id").isNotNull())
+        .select("event_id", (F.col("user_id") % 25).alias("k"))
+    )
+    root = tempfile.mkdtemp(prefix="smdp_stream_dimenr_")
+    try:
+        src, dim_root = f"{root}/src", f"{root}/dim"
+        out, ckpt = f"{root}/out", f"{root}/ckpt"
+
+        def _run():
+            stream = (
+                spark.readStream.schema("event_id long, k long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = stream_dim_enrich(
+                stream,
+                dim_root,
+                keys=["k"],
+                output_path=out,
+                checkpoint_path=ckpt,
+                trigger={"availableNow": True},
+            )
+            q.awaitTermination(300)
+
+        dim_v1 = spark.createDataFrame(
+            [(i, "v1") for i in range(20)], "k long, grp string"
+        )
+        dim_v2 = spark.createDataFrame(
+            [(i, "v2") for i in range(20)], "k long, grp string"
+        )
+        publish_version(spark, dim_v1, dim_root, keep_versions=3)
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _run()  # batch 0 enriched with v1
+        publish_version(spark, dim_v2, dim_root, keep_versions=3)
+        for part in (1, 2):
+            time.sleep(1.1)  # mtime order -> deterministic batch order
+            ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        _run()  # batches 1, 2 re-resolve -> v2
+        enr = spark.read.parquet(out)
+        return (
+            enr.groupBy(
+                F.col("batch_id").cast("long").alias("batch_id"),
+                F.coalesce("grp", F.lit("missing")).alias("grp"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("event_id").alias("sum_event_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_watermark_drop_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-drop observability (X111) as a driver-visible parity
+    query: a windowed streaming aggregation runs over three mtime-ordered
+    micro-batches — on-time data first (Jan 20–25, then Jan 25+ to
+    advance the watermark), then a whole batch of 10+-days-late rows
+    (before Jan 10) — and ``streaming_progress_stats`` rolls up the
+    engine's per-batch ``numRowsDroppedByWatermark``. Every late row's
+    window closed days before the active watermark, so the whole late
+    batch is dropped, robust to the one-batch watermark-commit lag
+    (margins are days, the delay 10 s). The engine applies the late
+    filter AFTER the batch-local partial aggregation (each batch is one
+    coalesced file = one input partition), so the dropped UNIT is the
+    distinct (hour-window, event_type) group — the oracle counts groups,
+    not rows (pinned empirically: 308 late rows → 265 dropped groups).
+
+    The oracle recomputes both totals from the slice predicates — if the
+    stream admitted late rows into state (lateness bound silently not
+    enforced) or dropped on-time rows, a value flips and the hash
+    mismatches."""
+    import shutil
+    import tempfile
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        streaming_progress_stats,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("ts", "event_type")
+    )
+    b1 = (F.col("ts") >= F.lit("2024-01-20").cast("timestamp")) & (
+        F.col("ts") < F.lit("2024-01-25").cast("timestamp")
+    )
+    b2 = F.col("ts") >= F.lit("2024-01-25").cast("timestamp")
+    b3 = F.col("ts") < F.lit("2024-01-10").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="smdp_stream_wmdrop_")
+    try:
+        src, ckpt = f"{root}/src", f"{root}/ckpt"
+        for i, cond in enumerate([b1, b2, b3]):
+            if i:
+                time.sleep(1.1)  # mtime order -> deterministic batch order
+            ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .count()
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(
+                lambda bdf, bid: bdf.write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        stats = streaming_progress_stats(q)
+        total_in = sum(s["input_rows"] for s in stats)
+        dropped = sum(s["dropped_by_watermark"] for s in stats)
+        return spark.createDataFrame(
+            [(total_in, dropped)],
+            "total_input_rows long, dropped_by_watermark long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio: REAL RIFF/PCM decode via Arrow mapInPandas — a
     deterministic overdriven-sawtooth WAV per document (pure integer
@@ -2600,91 +2858,46 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
-# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r05 == dict
+# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r09 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
 # a driver row (or whose contract/code changed since their last row) go
-# FIRST, then once-green rows needing a second confirmation, then the
-# §2-core anchors up to 50. Everything — in or out of the window — is still
-# covered by the local oracle-parity suite (tests/test_oracle_parity.py
-# sweeps the whole dict).
-# ROUND-9 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 round-9 additions (stream_heavy_hitters_parity,
-# fuzzy_name_pairs_multiblock, manifest_rollback_diff — never
+# FIRST, then the stalest once-green rows, then newer-green rows. Everything
+# — in or out of the window — is still covered by the local oracle-parity
+# suite (tests/test_oracle_parity.py sweeps the whole dict).
+# ROUND-10 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 3 round-10 additions (stream_silence_parity,
+# stream_dim_enrich_parity, stream_watermark_drop_parity — never
 # driver-checked), then 5 rows whose code changed this round
-# (merge_manifest_state + retention_revenue after the manifest_lake
-# sidecar/bucket-layout rewrite; fuzzy_name_pairs after the fuzzy.py
-# extension; split_assign after the fracs validation; version_diff after
-# the lake.py _key_diff refactor), then the 7 rows the round-8 OHLC
-# struct-tie fix touched AFTER their last driver check
-# (multi_window_tumbling .. unpivot_ohlcv — r8 verdict item 1), then the
-# five r5-era oldest-green rows (unigram_logprob .. scd2_history), then
-# 30 oldest-green rows from the tail front (multimodal_resize ..
-# corpus_report). Past the window the tail keeps oldest-green-first
-# order (the r6-green remainder price_histogram .. rolling_frames, then
-# the r8-green block interval_merge .. ngram_decontaminate last) so the
-# r10 rotation pulls from its front.
-# NEXT ROUND (10): lead with round-10 additions/code-touched rows, then
-# the displaced tail front (price_histogram, user_set_ops,
-# curriculum_packing, ...); update
+# (fuzzy_name_pairs_multiblock + fuzzy_name_pairs after the injective
+# pair-key fix; manifest_rollback_diff + merge_manifest_state +
+# retention_revenue after the distributed prune planning / sidecar
+# consolidation rewrite of manifest_lake.py), then the SEVEN r6-era rows —
+# the oldest in the registry, three rounds stale (clean_cast_filter ..
+# user_set_ops — r9 verdict item 2), then the 35 oldest r7-green rows in
+# registry order (multimodal_audio_features .. text_quality). Past the
+# window the tail keeps oldest-green-first order: the 11 remaining r7 rows
+# (lang_id .. rolling_frames — the r11 rotation front), then the r8-green
+# block, then the r9-green block last.
+# NEXT ROUND (11): lead with round-11 additions/code-touched rows, then
+# the displaced tail front (lang_id, doc_fingerprint,
+# price_trend_regression, ...); update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "stream_silence_parity": q_stream_silence_parity,
+    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
+    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
     "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
     "retention_revenue": q_retention_revenue,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "split_assign": q_split_assign,
-    "version_diff": q_version_diff,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "trading_signals": q_trading_signals,
-    "windowed_analytics": q_windowed_analytics,
-    "sliding_window_15m": q_sliding_window_15m,
-    "sliding_window_1h": q_sliding_window_1h,
-    "unpivot_ohlcv": q_unpivot_ohlcv,
-    "unigram_logprob": q_unigram_logprob,
-    "return_correlation": q_return_correlation,
-    "kmeans_iteration": q_kmeans_iteration,
-    "last_touch_attribution": q_last_touch_attribution,
-    "scd2_history": q_scd2_history,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_image_features": q_multimodal_image_features,
-    "approx_stats": q_approx_stats,
-    "promo_revenue_pct": q_promo_revenue_pct,
-    "discounted_revenue": q_discounted_revenue,
-    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
-    "nation_trade_volume": q_nation_trade_volume,
-    "soft_dedup": q_soft_dedup,
-    "containment_pairs": q_containment_pairs,
-    "upsample_mix": q_upsample_mix,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "customer_value_deciles": q_customer_value_deciles,
-    "product_profit": q_product_profit,
-    "customer_order_distribution": q_customer_order_distribution,
-    "hll_user_rollup": q_hll_user_rollup,
-    "session_peak_overlap": q_session_peak_overlap,
-    "supplier_pagerank": q_supplier_pagerank,
-    "quantized_topk_rerank": q_quantized_topk_rerank,
-    "national_market_share": q_national_market_share,
-    "returned_item_customers": q_returned_item_customers,
-    "training_mix_report": q_training_mix_report,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "stream_batch_session_parity": q_stream_batch_session_parity,
-    "sequence_packing": q_sequence_packing,
-    "packed_sequence_stats": q_packed_sequence_stats,
-    "wealthy_inactive_customers": q_wealthy_inactive_customers,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "large_volume_orders": q_large_volume_orders,
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_report": q_corpus_report,
-    "price_histogram": q_price_histogram,
-    "user_set_ops": q_user_set_ops,
+    "clean_cast_filter": q_clean_cast_filter,
     "curriculum_packing": q_curriculum_packing,
     "data_expectations": q_data_expectations,
     "event_sessionization": q_event_sessionization,
+    "price_histogram": q_price_histogram,
     "quantize_embeddings": q_quantize_embeddings,
-    "clean_cast_filter": q_clean_cast_filter,
+    "user_set_ops": q_user_set_ops,
     "multimodal_audio_features": q_multimodal_audio_features,
     "stream_cdc_parity": q_stream_cdc_parity,
     "dead_letter_stats": q_dead_letter_stats,
@@ -2776,4 +2989,49 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
     "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
     "ngram_decontaminate": q_ngram_decontaminate,
+    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "split_assign": q_split_assign,
+    "version_diff": q_version_diff,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "trading_signals": q_trading_signals,
+    "windowed_analytics": q_windowed_analytics,
+    "sliding_window_15m": q_sliding_window_15m,
+    "sliding_window_1h": q_sliding_window_1h,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
+    "unigram_logprob": q_unigram_logprob,
+    "return_correlation": q_return_correlation,
+    "kmeans_iteration": q_kmeans_iteration,
+    "last_touch_attribution": q_last_touch_attribution,
+    "scd2_history": q_scd2_history,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_image_features": q_multimodal_image_features,
+    "approx_stats": q_approx_stats,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "discounted_revenue": q_discounted_revenue,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "nation_trade_volume": q_nation_trade_volume,
+    "soft_dedup": q_soft_dedup,
+    "containment_pairs": q_containment_pairs,
+    "upsample_mix": q_upsample_mix,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "customer_value_deciles": q_customer_value_deciles,
+    "product_profit": q_product_profit,
+    "customer_order_distribution": q_customer_order_distribution,
+    "hll_user_rollup": q_hll_user_rollup,
+    "session_peak_overlap": q_session_peak_overlap,
+    "supplier_pagerank": q_supplier_pagerank,
+    "quantized_topk_rerank": q_quantized_topk_rerank,
+    "national_market_share": q_national_market_share,
+    "returned_item_customers": q_returned_item_customers,
+    "training_mix_report": q_training_mix_report,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
+    "sequence_packing": q_sequence_packing,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "semantic_dedup": q_semantic_dedup,
+    "corpus_report": q_corpus_report,
 }

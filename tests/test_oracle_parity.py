@@ -20,68 +20,66 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-9
-    plan: never-driver-checked round-9 additions lead, then the rows
-    whose code changed since their last driver row (manifest_lake sidecar
-    rewrite, fuzzy.py extension, split fracs validation, lake _key_diff
-    refactor), then the 7 rows the round-8 OHLC struct-tie fix touched
-    after their last driver check, then the five r5-era oldest-green
-    rows, then the oldest-green tail front."""
+    (rotation contract, see the comment above QUERIES). Guard the round-10
+    plan: never-driver-checked round-10 additions lead, then the rows
+    whose code changed since their last driver row (fuzzy injective
+    pair key; manifest_lake distributed prune planning + sidecar
+    consolidation), then the SEVEN r6-era rows — the registry's stalest
+    (r9 verdict item 2) — then the 35 oldest r7-green rows in registry
+    order."""
     window = list(QUERIES)[:50]
-    # round-9 additions - never driver-checked - at the very front
+    # round-10 additions - never driver-checked - at the very front
     assert window[:3] == [
-        "stream_heavy_hitters_parity",
-        "fuzzy_name_pairs_multiblock",
-        "manifest_rollback_diff",
+        "stream_silence_parity",
+        "stream_dim_enrich_parity",
+        "stream_watermark_drop_parity",
     ]
-    # code touched since the r8 driver check (round-9 rewrites/fixes)
+    # code touched since the r9 driver check (round-10 rewrites/fixes)
     assert window[3:8] == [
-        "merge_manifest_state",  # manifest_lake sidecar/bucket rewrite
-        "retention_revenue",     # manifest_lake sidecar/bucket rewrite
-        "fuzzy_name_pairs",      # fuzzy.py multiblock extension
-        "split_assign",          # fracs-sum validation
-        "version_diff",          # lake.py _key_diff refactor
+        "fuzzy_name_pairs_multiblock",  # injective pair-key fix
+        "fuzzy_name_pairs",             # fuzzy.py touched
+        "manifest_rollback_diff",       # manifest_lake prune/consolidation
+        "merge_manifest_state",         # manifest_lake prune/consolidation
+        "retention_revenue",            # manifest_lake prune/consolidation
     ]
-    # round-8 review touched the OHLC/windows tie rules AFTER these rows'
-    # last driver check (r8 verdict item 1)
+    # the seven r6-era rows — stalest in the registry (r9 verdict item 2)
     assert window[8:15] == [
-        "multi_window_tumbling",
-        "multi_window_signals",
-        "trading_signals",
-        "windowed_analytics",
-        "sliding_window_15m",
-        "sliding_window_1h",
-        "unpivot_ohlcv",
-    ]
-    # the five r5-era oldest-green rows (r8 verdict item 1)
-    assert window[15:20] == [
-        "unigram_logprob",
-        "return_correlation",
-        "kmeans_iteration",
-        "last_touch_attribution",
-        "scd2_history",
+        "clean_cast_filter",
+        "curriculum_packing",
+        "data_expectations",
+        "event_sessionization",
+        "price_histogram",
+        "quantize_embeddings",
+        "user_set_ops",
     ]
     must_be_in = [
-        # the oldest-green tail front now rotating through
-        "multimodal_resize",
-        "multimodal_image_features",
-        "approx_stats",
-        "promo_revenue_pct",
-        "soft_dedup",
-        "containment_pairs",
-        "upsample_mix",
-        "customer_value_deciles",
-        "hll_user_rollup",
-        "supplier_pagerank",
-        "national_market_share",
-        "training_mix_report",
-        "stream_batch_session_parity",
-        "sequence_packing",
-        "wealthy_inactive_customers",
-        "corpus_report",
+        # the 35 oldest r7-green rows fill the rest (spot-check ends +
+        # anchors)
+        "multimodal_audio_features",
+        "stream_cdc_parity",
+        "dead_letter_stats",
+        "psi_drift",
+        "asof_join",
+        "apply_changelog",
+        "incremental_dedup",
+        "stream_incremental_dedup",
+        "dedup_exact",
+        "pricing_summary",
+        "corpus_curation",
+        "minhash_lsh_pairs",
+        "neardup_clusters",
+        "cosine_topk",
+        "rollup_revenue",
+        "linestatus_pivot",
+        "cube_order_stats",
+        "token_counts",
+        "text_quality",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"
+    # the tail front (r11 rotation candidates) starts with the remaining
+    # r7-green rows
+    assert list(QUERIES)[50:52] == ["lang_id", "doc_fingerprint"]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
