@@ -22,7 +22,11 @@ mirror-test:     ## full pytest suite against the sf0.1 lake (oracle parity swee
 	SPARK_GRAFT_TEST_SF_DIR=$(SF10) $(PY) -m pytest tests/ -x -q
 
 bench:           ## headline bench at $(SF10) — one JSON line
-	$(PY) bench.py
+	# Local re-runs should pin the round so the committed BENCH_FULL_r{N}
+	# record can't collide with the driver's (e.g. `make bench ROUND=12`).
+	# Unset, bench.py infers the round from the newest CORRECTNESS file's
+	# mtime (fresh → same round, stale → next round).
+	$(if $(ROUND),SPARK_GRAFT_ROUND=$(ROUND)) $(PY) bench.py
 
 plans:           ## regenerate PLANS.md (plan-shape audit over the registry)
 	$(PY) scripts/plan_report.py

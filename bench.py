@@ -85,21 +85,31 @@ def main() -> None:
     # The driver's BENCH_r{N}.json artifact keeps only a ~2000-char tail of
     # this line, hiding half the registry's timings from round-over-round
     # comparison — so ALSO persist the complete dict as a committed file
-    # (r8 verdict item 2). Round number: explicit $SPARK_GRAFT_ROUND wins;
-    # otherwise latest CORRECTNESS round + 1 (the bench for round N runs
-    # before CORRECTNESS_r{N} exists). The explicit override exists because
-    # re-running bench AFTER the round's CORRECTNESS file lands would
-    # otherwise pre-clobber the NEXT round's artifact (ADVICE r9).
+    # (r8 verdict item 2). Round number: explicit $SPARK_GRAFT_ROUND wins.
+    # Otherwise infer from the newest CORRECTNESS_r{N}.json *and its mtime*:
+    # the driver runs bench minutes AFTER the round's CORRECTNESS file lands
+    # (observed r10, r11), so a fresh CORRECTNESS file (< 2 h old) means this
+    # bench belongs to the SAME round N, not N+1. The old unconditional
+    # max+1 fallback mislabeled two consecutive records (BENCH_FULL_r11 held
+    # r10's numbers, BENCH_FULL_r12 held r11's — both renamed in round 12).
+    # A stale CORRECTNESS file (a bench run early in the NEXT round, before
+    # its own CORRECTNESS exists) still infers N+1.
     env_round = os.environ.get("SPARK_GRAFT_ROUND")
     if env_round is not None:
         rnd = int(env_round)
     else:
-        rounds = [
-            int(m.group(1))
+        rounds = {
+            int(m.group(1)): os.path.getmtime(os.path.join(ARTIFACT_DIR, f))
             for f in os.listdir(ARTIFACT_DIR)
             if (m := re.match(r"CORRECTNESS_r(\d+)\.json$", f))
-        ]
-        rnd = (max(rounds) + 1) if rounds else 0
+        }
+        if not rounds:
+            rnd = 0
+        else:
+            newest = max(rounds)
+            same_round = (time.time() - rounds[newest]) < 2 * 3600
+            rnd = newest if same_round else newest + 1
+    payload["round"] = rnd
     with open(
         os.path.join(ARTIFACT_DIR, f"BENCH_FULL_r{rnd:02d}.json"), "w"
     ) as fh:
