@@ -2864,75 +2864,30 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # FIRST, then the stalest once-green rows, then newer-green rows. Everything
 # — in or out of the window — is still covered by the local oracle-parity
 # suite (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-10 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 round-10 additions (stream_silence_parity,
-# stream_dim_enrich_parity, stream_watermark_drop_parity — never
-# driver-checked), then 5 rows whose code changed this round
-# (fuzzy_name_pairs_multiblock + fuzzy_name_pairs after the injective
-# pair-key fix; manifest_rollback_diff + merge_manifest_state +
-# retention_revenue after the distributed prune planning / sidecar
-# consolidation rewrite of manifest_lake.py), then the SEVEN r6-era rows —
-# the oldest in the registry, three rounds stale (clean_cast_filter ..
-# user_set_ops — r9 verdict item 2), then the 35 oldest r7-green rows in
-# registry order (multimodal_audio_features .. text_quality). Past the
-# window the tail keeps oldest-green-first order: the 11 remaining r7 rows
-# (lang_id .. rolling_frames — the r11 rotation front), then the r8-green
-# block, then the r9-green block last.
-# NEXT ROUND (11): lead with round-11 additions/code-touched rows, then
-# the displaced tail front (lang_id, doc_fingerprint,
-# price_trend_regression, ...); update
-# tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
+# ROUND-12 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 3 manifest rows first (manifest_rollback_diff,
+# merge_manifest_state, retention_revenue — manifest_lake.py is being
+# rewritten this round for manifest-list sharding + the S3A lock adapter,
+# so their r11 rows certify pre-change code), then the ELEVEN r7-era rows
+# — 4 rounds stale, past the ≤3-round budget SURVEY §2.10 pins; round 11
+# shipped nothing so the r11-planned rotation lands here (lang_id,
+# doc_fingerprint, price_trend_regression, ngram_jaccard_pairs, simhash16,
+# simhash_neardup_pairs, cosine_topk_vectorized, lsh_cosine_topk,
+# ivf_cosine_topk, multimodal_content_dedup, rolling_frames), then the 36
+# oldest r8-green rows in registry order (interval_merge ..
+# price_band_join). Past the window the tail keeps oldest-green-first
+# order: the 9 remaining r8-green rows (quota_sample ..
+# ngram_decontaminate — the r13 rotation front), then the 45 r9-green
+# rows, then the 47 r11-green rows (the displaced round-10 window minus
+# the manifest trio) last.
+# NEXT ROUND (13): lead with round-13 additions/code-touched rows, then
+# the displaced tail front (quota_sample, multimodal_frame_sample, ...);
+# update tests/test_oracle_parity.py:test_driver_window_composition in
+# lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "stream_silence_parity": q_stream_silence_parity,
-    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
-    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
-    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
     "retention_revenue": q_retention_revenue,
-    "clean_cast_filter": q_clean_cast_filter,
-    "curriculum_packing": q_curriculum_packing,
-    "data_expectations": q_data_expectations,
-    "event_sessionization": q_event_sessionization,
-    "price_histogram": q_price_histogram,
-    "quantize_embeddings": q_quantize_embeddings,
-    "user_set_ops": q_user_set_ops,
-    "multimodal_audio_features": q_multimodal_audio_features,
-    "stream_cdc_parity": q_stream_cdc_parity,
-    "dead_letter_stats": q_dead_letter_stats,
-    "multimodal_audio_windows": q_multimodal_audio_windows,
-    "psi_drift": q_psi_drift,
-    "asof_join": q_asof_join,
-    "asof_join_forward": q_asof_join_forward,
-    "asof_join_tolerance": q_asof_join_tolerance,
-    "apply_changelog": q_apply_changelog,
-    "incremental_dedup": q_incremental_dedup,
-    "stream_incremental_dedup": q_stream_incremental_dedup,
-    "zorder_fingerprint": q_zorder_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "pricing_summary": q_pricing_summary,
-    "top_revenue_orders": q_top_revenue_orders,
-    "region_revenue": q_region_revenue,
-    "order_priority_counts": q_order_priority_counts,
-    "revenue_forecast": q_revenue_forecast,
-    "customer_order_ranks": q_customer_order_ranks,
-    "session_windows": q_session_windows,
-    "corpus_curation": q_corpus_curation,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "neardup_clusters": q_neardup_clusters,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "cosine_topk": q_cosine_topk,
-    "robust_zscore": q_robust_zscore,
-    "rollup_revenue": q_rollup_revenue,
-    "quantity_percentiles": q_quantity_percentiles,
-    "linestatus_pivot": q_linestatus_pivot,
-    "zscore_normalize": q_zscore_normalize,
-    "embedding_unit_norm": q_embedding_unit_norm,
-    "cube_order_stats": q_cube_order_stats,
-    "token_counts": q_token_counts,
-    "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "price_trend_regression": q_price_trend_regression,
@@ -3034,4 +2989,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "semantic_dedup": q_semantic_dedup,
     "corpus_report": q_corpus_report,
+    "stream_silence_parity": q_stream_silence_parity,
+    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
+    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
+    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "clean_cast_filter": q_clean_cast_filter,
+    "curriculum_packing": q_curriculum_packing,
+    "data_expectations": q_data_expectations,
+    "event_sessionization": q_event_sessionization,
+    "price_histogram": q_price_histogram,
+    "quantize_embeddings": q_quantize_embeddings,
+    "user_set_ops": q_user_set_ops,
+    "multimodal_audio_features": q_multimodal_audio_features,
+    "stream_cdc_parity": q_stream_cdc_parity,
+    "dead_letter_stats": q_dead_letter_stats,
+    "multimodal_audio_windows": q_multimodal_audio_windows,
+    "psi_drift": q_psi_drift,
+    "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_tolerance": q_asof_join_tolerance,
+    "apply_changelog": q_apply_changelog,
+    "incremental_dedup": q_incremental_dedup,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
+    "zorder_fingerprint": q_zorder_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "region_revenue": q_region_revenue,
+    "order_priority_counts": q_order_priority_counts,
+    "revenue_forecast": q_revenue_forecast,
+    "customer_order_ranks": q_customer_order_ranks,
+    "session_windows": q_session_windows,
+    "corpus_curation": q_corpus_curation,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    "cosine_topk": q_cosine_topk,
+    "robust_zscore": q_robust_zscore,
+    "rollup_revenue": q_rollup_revenue,
+    "quantity_percentiles": q_quantity_percentiles,
+    "linestatus_pivot": q_linestatus_pivot,
+    "zscore_normalize": q_zscore_normalize,
+    "embedding_unit_norm": q_embedding_unit_norm,
+    "cube_order_stats": q_cube_order_stats,
+    "token_counts": q_token_counts,
+    "text_quality": q_text_quality,
 }

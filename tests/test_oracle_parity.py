@@ -20,66 +20,63 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-10
-    plan: never-driver-checked round-10 additions lead, then the rows
-    whose code changed since their last driver row (fuzzy injective
-    pair key; manifest_lake distributed prune planning + sidecar
-    consolidation), then the SEVEN r6-era rows — the registry's stalest
-    (r9 verdict item 2) — then the 35 oldest r7-green rows in registry
-    order."""
+    (rotation contract, see the comment above QUERIES). Guard the round-12
+    plan: the manifest trio leads (manifest_lake.py rewritten this round —
+    manifest-list sharding + S3A lock adapter — so their r11 rows certify
+    pre-change code), then the ELEVEN r7-era rows (4 rounds stale, past
+    the ≤3-round budget; round 11 shipped nothing so the r11-planned
+    rotation lands in round 12), then the 36 oldest r8-green rows in
+    registry order."""
     window = list(QUERIES)[:50]
-    # round-10 additions - never driver-checked - at the very front
+    # manifest_lake.py code-touched rows at the very front
     assert window[:3] == [
-        "stream_silence_parity",
-        "stream_dim_enrich_parity",
-        "stream_watermark_drop_parity",
+        "manifest_rollback_diff",
+        "merge_manifest_state",
+        "retention_revenue",
     ]
-    # code touched since the r9 driver check (round-10 rewrites/fixes)
-    assert window[3:8] == [
-        "fuzzy_name_pairs_multiblock",  # injective pair-key fix
-        "fuzzy_name_pairs",             # fuzzy.py touched
-        "manifest_rollback_diff",       # manifest_lake prune/consolidation
-        "merge_manifest_state",         # manifest_lake prune/consolidation
-        "retention_revenue",            # manifest_lake prune/consolidation
-    ]
-    # the seven r6-era rows — stalest in the registry (r9 verdict item 2)
-    assert window[8:15] == [
-        "clean_cast_filter",
-        "curriculum_packing",
-        "data_expectations",
-        "event_sessionization",
-        "price_histogram",
-        "quantize_embeddings",
-        "user_set_ops",
+    # the eleven r7-era rows — the registry's stalest (r11 verdict item 1)
+    assert window[3:14] == [
+        "lang_id",
+        "doc_fingerprint",
+        "price_trend_regression",
+        "ngram_jaccard_pairs",
+        "simhash16",
+        "simhash_neardup_pairs",
+        "cosine_topk_vectorized",
+        "lsh_cosine_topk",
+        "ivf_cosine_topk",
+        "multimodal_content_dedup",
+        "rolling_frames",
     ]
     must_be_in = [
-        # the 35 oldest r7-green rows fill the rest (spot-check ends +
+        # the 36 oldest r8-green rows fill the rest (spot-check ends +
         # anchors)
-        "multimodal_audio_features",
-        "stream_cdc_parity",
-        "dead_letter_stats",
-        "psi_drift",
-        "asof_join",
-        "apply_changelog",
-        "incremental_dedup",
-        "stream_incremental_dedup",
-        "dedup_exact",
-        "pricing_summary",
-        "corpus_curation",
-        "minhash_lsh_pairs",
-        "neardup_clusters",
-        "cosine_topk",
-        "rollup_revenue",
-        "linestatus_pivot",
-        "cube_order_stats",
-        "token_counts",
-        "text_quality",
+        "interval_merge",
+        "bm25_topk",
+        "bucket_fingerprint_diff",
+        "entity_clusters",
+        "weighted_sample",
+        "fk_integrity",
+        "time_range_rolling",
+        "line_dedup",
+        "incremental_ohlcv",
+        "pruned_scan_revenue",
+        "ewma",
+        "daily_ohlcv",
+        "dedup_keep_last",
+        "event_funnel_windowed",
+        "market_beta",
+        "daily_vwap",
+        "ann_recall",
+        "gapfill_15m",
+        "tfidf_top_terms",
+        "price_band_join",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"
-    # the tail front (r11 rotation candidates) starts with the remaining
-    # r7-green rows
-    assert list(QUERIES)[50:52] == ["lang_id", "doc_fingerprint"]
+    # the tail front (r13 rotation candidates) starts with the remaining
+    # r8-green rows
+    assert list(QUERIES)[50:52] == ["quota_sample", "multimodal_frame_sample"]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
