@@ -38,6 +38,104 @@ from pyspark.sql import functions as F
 from stock_market_data_pipeline_spark.operators.dedup import dedup_keep_last
 
 
+class LockUnavailableError(RuntimeError):
+    """The commit lock for a key is held (and unexpired) by another
+    writer. Callers treat it like losing the commit race: back off and
+    retry against the table's new state."""
+
+
+class NoOpCommitLock:
+    """Default commit lock: does nothing. Correct wherever exclusive
+    create is atomic (POSIX, HDFS, ABFS) — the filesystem itself is the
+    arbiter, so adding a lock would only serialize writers needlessly."""
+
+    def hold(self, key: str):
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+class LeaseCommitLock:
+    """TTL-lease commit lock — the shape object-store deployments need
+    (S3A's create-exclusive is check-then-put, NOT atomic, so two racing
+    committers can both believe they won; Iceberg solves it with a
+    DynamoDB/Glue lock table, Delta with LogStore's external coordination).
+    This implementation keeps leases in-process (threads sharing one
+    driver), which makes it both a usable single-driver lock and the test
+    double proving the arbitration algorithm under simulated S3 semantics;
+    a multi-driver deployment implements the same two methods against
+    DynamoDB conditional puts or a ZooKeeper ephemeral node.
+
+    ``hold(key)`` is a context manager: acquires a lease (raising
+    :class:`LockUnavailableError` if another owner's lease is unexpired),
+    releases on exit. The TTL bounds how long a crashed holder can block
+    the table — the standard lease trade-off (a paused-then-resumed holder
+    past its TTL could double-commit; the create-exclusive check behind
+    the lock still catches that, which is why the lock WRAPS the check
+    rather than replacing it)."""
+
+    def __init__(self, ttl_s: float = 60.0, clock: Callable[[], float] | None = None):
+        import threading
+        import time as _time
+
+        self._ttl = float(ttl_s)
+        self._clock = clock or _time.monotonic
+        self._mu = threading.Lock()
+        self._leases: dict[str, tuple[str, float]] = {}
+
+    def _acquire(self, key: str) -> str:
+        token = uuid.uuid4().hex
+        now = self._clock()
+        with self._mu:
+            held = self._leases.get(key)
+            if held is not None and held[1] > now:
+                raise LockUnavailableError(
+                    f"commit lock for {key} held by another writer "
+                    f"(expires in {held[1] - now:.1f}s)"
+                )
+            self._leases[key] = (token, now + self._ttl)
+        return token
+
+    def _release(self, key: str, token: str) -> None:
+        with self._mu:
+            held = self._leases.get(key)
+            if held is not None and held[0] == token:
+                del self._leases[key]
+
+    def hold(self, key: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            token = self._acquire(key)
+            try:
+                yield
+            finally:
+                self._release(key, token)
+
+        return _cm()
+
+
+_COMMIT_LOCK = NoOpCommitLock()
+
+
+def set_commit_lock(lock) -> object:
+    """Install the commit-lock adapter every ``write_text_exclusive``
+    commit point routes through (version markers in ``publish_version``,
+    manifest JSON + marker in ``manifest_lake._commit``). Returns the
+    previous lock so callers/tests can restore it. POSIX/HDFS keep the
+    default :class:`NoOpCommitLock`; an S3A deployment installs a
+    :class:`LeaseCommitLock`-shaped adapter backed by its lock service."""
+    global _COMMIT_LOCK
+    prev = _COMMIT_LOCK
+    _COMMIT_LOCK = lock
+    return prev
+
+
+def get_commit_lock():
+    return _COMMIT_LOCK
+
+
 class _HadoopFS:
     """Thin wrapper over Hadoop's FileSystem API (via the session JVM) so the
     merge sinks work against any scheme Spark can write — file://, hdfs://,
@@ -101,11 +199,21 @@ class _HadoopFS:
         ``FileExistsError`` if ``p`` already exists. On HDFS/POSIX the
         create is atomic, which makes it usable as a commit-point
         arbiter — exactly how Iceberg's HadoopTableOperations arbitrates
-        concurrent commits. (On S3A exclusive create is not atomic;
-        a real deployment there needs a DynamoDB/ZK-style lock, which is
-        out of scope like the rest of multi-writer coordination.)"""
-        if self.fs.exists(self.path(p)):
-            raise FileExistsError(p)
+        concurrent commits. On S3A create-exclusive is check-then-put
+        (NOT atomic), so the whole check+create runs under the installed
+        commit lock (:func:`set_commit_lock`): with the default
+        :class:`NoOpCommitLock` the behavior is the filesystem's own
+        atomic create; an object-store deployment installs a lease lock
+        and the serialized check below becomes the arbiter."""
+        with get_commit_lock().hold(p):
+            if self.exists(p):
+                raise FileExistsError(p)
+            self._create_text_unchecked(p, content)
+
+    def _create_text_unchecked(self, p: str, content: str) -> None:
+        """The raw create-exclusive primitive ``write_text_exclusive``
+        wraps (subclass/fake point: an S3-shaped store overrides this
+        with a non-atomic put to prove the lock's arbitration)."""
         try:
             out = self.fs.create(self.path(p), False)
         except Exception as exc:  # Py4J wraps o.a.h.fs FileAlreadyExists

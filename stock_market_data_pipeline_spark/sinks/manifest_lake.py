@@ -46,9 +46,12 @@ committed manifests. Concurrent writers are arbitrated optimistically
 derived from a stale version, and the manifest + marker are
 CREATE-EXCLUSIVE so two writers racing to the same version number get
 exactly one winner; the loser sees ``ManifestConflictError`` and retries
-against the new state. The one residual caveat is S3A, where exclusive
-create is not atomic — a deployment there needs an external lock
-service, the single piece of Iceberg/Delta deliberately out of scope.
+against the new state. On S3A — where exclusive create is check-then-put,
+not atomic — the commit point runs under the pluggable commit lock
+(``lake.set_commit_lock``): install a ``LeaseCommitLock``-shaped adapter
+backed by DynamoDB/ZooKeeper and the serialized check restores exactly-one
+-winner semantics (Iceberg's lock-table pattern); POSIX/HDFS keep the
+default no-op lock because their create is already the arbiter.
 
 The manifest metadata is TWO-LEVEL past ``MAX_INLINE_ENTRIES`` (the
 Iceberg manifest-list shape, round-11 verdict item 4): a version whose

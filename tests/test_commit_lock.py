@@ -1,0 +1,155 @@
+"""Pluggable commit-lock adapter (round-11 verdict item 7): the
+`write_text_exclusive` commit point — version markers and manifest
+JSON/marker creates — is atomic on POSIX/HDFS but check-then-put on S3A.
+These tests prove (a) the lease lock's mutual exclusion + expiry, and
+(b) that under simulated S3 create semantics the unlocked commit point
+loses an update while the lease-locked one arbitrates exactly one winner
+— the production `write_text_exclusive` algorithm itself, driven through
+an object-store-shaped fake, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_market_data_pipeline_spark.sinks.lake import (
+    LeaseCommitLock,
+    LockUnavailableError,
+    NoOpCommitLock,
+    _HadoopFS,
+    set_commit_lock,
+)
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_lease_lock_mutual_exclusion_reentry_and_expiry():
+    clock = _FakeClock()
+    lock = LeaseCommitLock(ttl_s=60, clock=clock)
+    with lock.hold("k1"):
+        # a second writer cannot take k1 while the lease is live
+        with pytest.raises(LockUnavailableError):
+            with lock.hold("k1"):
+                pass
+        # an unrelated key is independent
+        with lock.hold("k2"):
+            pass
+    # released on exit -> immediately reacquirable
+    with lock.hold("k1"):
+        pass
+    # a crashed holder (never releases) blocks only until the TTL
+    token = lock._acquire("k3")
+    assert token
+    with pytest.raises(LockUnavailableError):
+        lock._acquire("k3")
+    clock.t += 61
+    assert lock._acquire("k3")
+
+
+class _S3LikeFS(_HadoopFS):
+    """`_HadoopFS` with S3 create semantics: `_create_text_unchecked` is
+    a plain PUT that silently overwrites (no atomic create-exclusive),
+    and `exists` exposes a hook so a test can interleave a second writer
+    inside the check-then-put window deterministically."""
+
+    def __init__(self):  # no JVM: pure in-memory object store
+        self.objects: dict[str, str] = {}
+        self.on_exists_check = None
+
+    def exists(self, p: str) -> bool:
+        result = p in self.objects  # the check our caller acts on...
+        hook, self.on_exists_check = self.on_exists_check, None
+        if hook is not None:
+            hook()  # ...and the other writer runs INSIDE the TOCTOU window
+        return result
+
+    def _create_text_unchecked(self, p: str, content: str) -> None:
+        self.objects[p] = content  # S3 PUT: last write wins, no error
+
+
+def test_s3_shaped_race_loses_update_without_lock(spark):
+    """The hazard itself: with the default no-op lock and S3 semantics,
+    two committers both pass the exists check and the second PUT silently
+    clobbers the first — both 'won', one commit is gone."""
+    fs = _S3LikeFS()
+    outcomes = []
+
+    def writer_b():
+        try:
+            fs.write_text_exclusive("mf/v1.json", "B")
+            outcomes.append("B")
+        except (FileExistsError, LockUnavailableError):
+            pass
+
+    fs.on_exists_check = writer_b
+    fs.write_text_exclusive("mf/v1.json", "A")
+    outcomes.append("A")
+    assert outcomes == ["B", "A"]  # both believed they committed
+    assert fs.objects["mf/v1.json"] == "A"  # B's committed version LOST
+
+
+def test_s3_shaped_race_arbitrated_by_lease_lock(spark):
+    """Same interleaving with a LeaseCommitLock installed: the inner
+    writer hits the held lease and surfaces LockUnavailableError (= lost
+    the race, retry), the outer writer commits — exactly one winner, no
+    lost update."""
+    prev = set_commit_lock(LeaseCommitLock(ttl_s=60))
+    try:
+        fs = _S3LikeFS()
+        outcomes = []
+
+        def writer_b():
+            try:
+                fs.write_text_exclusive("mf/v1.json", "B")
+                outcomes.append("B")
+            except LockUnavailableError:
+                outcomes.append("B-lost")
+
+        fs.on_exists_check = writer_b
+        fs.write_text_exclusive("mf/v1.json", "A")
+        outcomes.append("A")
+        assert outcomes == ["B-lost", "A"]
+        assert fs.objects["mf/v1.json"] == "A"
+        # and once the winner released, a retrying loser commits normally
+        with pytest.raises(FileExistsError):
+            fs.write_text_exclusive("mf/v1.json", "B-retry")
+        fs.write_text_exclusive("mf/v2.json", "B-retry")
+        assert fs.objects["mf/v2.json"] == "B-retry"
+    finally:
+        set_commit_lock(prev)
+
+
+def test_default_lock_is_noop_and_manifest_commits_route_through_it(
+    spark, tmp_path, monkeypatch
+):
+    """The default adapter is the no-op (POSIX create is the arbiter),
+    and a real manifest commit acquires the installed lock — proven by
+    installing a counting lock and publishing a version."""
+    import stock_market_data_pipeline_spark.sinks.lake as lk
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        publish_files,
+    )
+
+    assert isinstance(lk.get_commit_lock(), NoOpCommitLock)
+
+    class _Counting(NoOpCommitLock):
+        holds = 0
+
+        def hold(self, key):
+            _Counting.holds += 1
+            return super().hold(key)
+
+    prev = set_commit_lock(_Counting())
+    try:
+        df = spark.createDataFrame([(1, "a")], "k long, v string")
+        publish_files(spark, df, str(tmp_path / "t"))
+        # manifest JSON + commit marker = two lock acquisitions
+        assert _Counting.holds == 2
+    finally:
+        set_commit_lock(prev)
