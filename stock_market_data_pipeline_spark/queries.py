@@ -1402,9 +1402,30 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
-    import time
+def _stamp_stream_batch(src: str, batch: int) -> None:
+    """Deterministic micro-batch ordering WITHOUT wall-clock sleeps:
+    ``FileStreamSource`` with ``maxFilesPerTrigger`` picks files up in
+    modification-time order, and the previous approach slept 1.1 s
+    between micro-batch writes to force distinct mtimes (~46 s across
+    the seven stream parity rows per bench sweep — r11 verdict item 6).
+    Instead, stamp the batch's freshly written part files to a fixed
+    epoch + batch index: same ordering contract, zero sleep. "Freshly
+    written" = mtime far above the stamp base (a real write is 'now',
+    decades past base), so earlier batches' stamps are never restamped.
+    Call after EVERY batch write, including the first. The stamped files
+    stay well inside the source's ``maxFileAge`` window because age is
+    measured against the newest file's mtime, not the wall clock."""
+    import os
 
+    base = 1_000_000_000  # 2001-09-09; any real write mtime is far above
+    for dirpath, _, files in os.walk(src):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            if os.path.getmtime(p) > base + 1_000_000:
+                os.utime(p, (base + batch, base + batch))
+
+
+def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
     from stock_market_data_pipeline_spark.operators.incremental import (
         incremental_dedup_batch,
         seed_fingerprint_store,
@@ -1416,11 +1437,12 @@ def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
     store, src = f"{root}/store", f"{root}/src"
     out, ckpt = f"{root}/out", f"{root}/ckpt"
     seed_fingerprint_store(spark, seed, store)
-    # One part-file per micro-batch; mtime gap keeps the file-source order
-    # (maxFilesPerTrigger=1 replays in modification-time order).
+    # One part-file per micro-batch; explicit mtime stamps keep the
+    # file-source order (maxFilesPerTrigger=1 replays in mtime order).
     batch_a.coalesce(1).write.mode("append").parquet(src)
-    time.sleep(1.1)
+    _stamp_stream_batch(src, 0)
     batch_b.coalesce(1).write.mode("append").parquet(src)
+    _stamp_stream_batch(src, 1)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -1985,7 +2007,6 @@ def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
     import tempfile
-    import time
 
     from stock_market_data_pipeline_spark.operators.cdc import read_cdc_state
     from stock_market_data_pipeline_spark.streaming.pipeline import (
@@ -2006,10 +2027,11 @@ def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         chg.filter(F.col("seq") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        time.sleep(1.1)  # mtime order -> second micro-batch
+        _stamp_stream_batch(src, 0)  # mtime order -> second micro-batch
         chg.filter(F.col("seq") % 2 == 1).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        _stamp_stream_batch(src, 1)
         stream = (
             spark.readStream.schema(
                 "user_id long, seq long, op string, value double"
@@ -2055,7 +2077,6 @@ def q_stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import shutil
     import tempfile
-    import time
 
     from stock_market_data_pipeline_spark.streaming.stateful import (
         stream_heavy_hitters,
@@ -2071,11 +2092,10 @@ def q_stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         src, sink, ckpt = f"{root}/src", f"{root}/sink", f"{root}/ckpt"
         for part in range(3):
-            if part:
-                time.sleep(1.1)  # mtime order -> deterministic batch order
             ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+            _stamp_stream_batch(src, part)  # mtime order -> batch order
         stream = (
             spark.readStream.schema("event_id long, grp string, item string")
             .option("maxFilesPerTrigger", 1)
@@ -2197,7 +2217,6 @@ def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
     import tempfile
-    import time
 
     from stock_market_data_pipeline_spark.streaming.stateful import (
         stream_silence_monitor,
@@ -2232,9 +2251,8 @@ def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             tcol >= F.lit(t2).cast("timestamp"),
         ]
         for i, cond in enumerate(slices):
-            if i:
-                time.sleep(1.1)  # mtime order -> deterministic batch order
             ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            _stamp_stream_batch(src, i)  # mtime order -> batch order
         stream = (
             spark.readStream.schema("symbol string, timestamp timestamp")
             .option("maxFilesPerTrigger", 1)
@@ -2292,7 +2310,6 @@ def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 = batch) and version schedule (batch 0 → v1, else v2)."""
     import shutil
     import tempfile
-    import time
 
     from stock_market_data_pipeline_spark.sinks.lake import publish_version
     from stock_market_data_pipeline_spark.streaming.pipeline import (
@@ -2335,13 +2352,14 @@ def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 3 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        _stamp_stream_batch(src, 0)
         _run()  # batch 0 enriched with v1
         publish_version(spark, dim_v2, dim_root, keep_versions=3)
         for part in (1, 2):
-            time.sleep(1.1)  # mtime order -> deterministic batch order
             ev.filter(F.col("event_id") % 3 == part).coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+            _stamp_stream_batch(src, part)  # mtime order -> batch order
         _run()  # batches 1, 2 re-resolve -> v2
         enr = spark.read.parquet(out)
         return (
@@ -2380,7 +2398,6 @@ def q_stream_watermark_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
     mismatches."""
     import shutil
     import tempfile
-    import time
 
     from stock_market_data_pipeline_spark.streaming.pipeline import (
         streaming_progress_stats,
@@ -2400,9 +2417,8 @@ def q_stream_watermark_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
     try:
         src, ckpt = f"{root}/src", f"{root}/ckpt"
         for i, cond in enumerate([b1, b2, b3]):
-            if i:
-                time.sleep(1.1)  # mtime order -> deterministic batch order
             ev.filter(cond).coalesce(1).write.mode("append").parquet(src)
+            _stamp_stream_batch(src, i)  # mtime order -> batch order
         stream = (
             spark.readStream.schema("ts timestamp, event_type string")
             .option("maxFilesPerTrigger", 1)
