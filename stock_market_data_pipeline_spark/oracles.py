@@ -3436,6 +3436,63 @@ FROM events WHERE ts IS NOT NULL
 """
 
 
+# X112j: two-level (sharded) manifest end-to-end — v1 is the even-key
+# half of orders published sharded, v2 appends the odd half with segment
+# reuse; both reads must equal rollups off the raw table.
+ORACLES["manifest_sharded_scan"] = """
+SELECT 'v1' AS version_tag, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       round(sum(o_totalprice), 2) AS price_sum
+FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 2
+UNION ALL
+SELECT 'v2', o_orderpriority,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(o_orderkey) AS BIGINT),
+       round(sum(o_totalprice), 2)
+FROM orders GROUP BY 2
+"""
+
+
+# X116: watermarked stream-stream join parity — the streamed inner join
+# (purchase within 7 days after a click, same user) must equal the batch
+# self-join; both inputs arrive in one micro-batch per side so the
+# watermark can never legitimately drop a row.
+ORACLES["stream_stream_join_parity"] = """
+SELECT a.user_id % 20 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(a.event_id + b.event_id) AS BIGINT) AS id_sum,
+       round(sum(b.value), 2) AS value_sum
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 7 DAY
+WHERE a.ts IS NOT NULL AND b.ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+# X117: TPC-H Q21 shape — late flags per (order, supplier), per-order
+# supplier/late counts, blame = the only late supplier on a
+# multi-supplier order.
+ORACLES["supplier_late_blame"] = """
+WITH flags AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM flags GROUP BY 1
+)
+SELECT f.l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n_blamed
+FROM flags f JOIN per_order p USING (l_orderkey)
+WHERE f.late = 1 AND p.n_supp > 1 AND p.n_late = 1
+GROUP BY 1
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -2873,6 +2873,186 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_time_range_metrics(t, seconds=900).drop("timestamp")
 
 
+def q_manifest_sharded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (sharded) manifest end-to-end as a driver-visible row
+    (X112j, round-12): with the segment thresholds shrunk so a handful of
+    part files crosses them, publish half of orders as a SHARDED manifest
+    version, append the other half (prior segments carried by reference,
+    the undersized tail folded), then answer the same rollup through BOTH
+    the time-traveled v1 read and the latest read. The oracle recomputes
+    the two rollups straight off the raw table; any segment-handling
+    defect — a lost entry, a double-carried file, a fold that drops or
+    duplicates — changes a count or a sum and hash-mismatches. The pytest
+    suite (test_manifest_lake.py) separately audits the segment-level
+    file accounting; production thresholds are 10k inline / 25k per
+    segment (sinks/manifest_lake.py)."""
+    import shutil
+    import tempfile
+
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    half1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+    root = tempfile.mkdtemp(prefix="smdp_mf_shard_")
+    saved = (ml.MAX_INLINE_ENTRIES, ml.MANIFEST_SEGMENT_ROWS,
+             ml._MIN_SEGMENT_ROWS)
+    try:
+        ml.MAX_INLINE_ENTRIES, ml.MANIFEST_SEGMENT_ROWS = 2, 3
+        ml._MIN_SEGMENT_ROWS = 1
+        ml.publish_files(spark, half1.repartition(4), root)
+        ml.append_files(spark, half2.repartition(4), root)
+
+        def rollup(df: DataFrame, tag: str) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+                round_det(F.sum("o_totalprice"), 2).alias("price_sum"),
+            ).withColumn("version_tag", F.lit(tag))
+
+        out = rollup(ml.read_manifest(spark, root, version=1), "v1").unionByName(
+            rollup(ml.read_manifest(spark, root), "v2")
+        ).select("version_tag", "o_orderpriority", "n_rows", "key_sum",
+                 "price_sum")
+        return out.localCheckpoint(eager=True)
+    finally:
+        ml.MAX_INLINE_ENTRIES, ml.MANIFEST_SEGMENT_ROWS = saved[0], saved[1]
+        ml._MIN_SEGMENT_ROWS = saved[2]
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEGAL watermarked stream-stream join (X116, round-12) — the
+    construction the reference gets wrong: its stream processor joins two
+    AGGREGATED streams (spark_stream_processor.py:216-234), which Spark
+    rejects; the supported shape is raw-event inner join with watermarks
+    on both sides + an event-time range condition, THEN aggregation over
+    the append-mode output (done batch-side from the sink here, exactly
+    how a production job would land matched pairs and roll them up).
+
+    Clicks and purchases stream from the same lake file (two file-source
+    handles), join on user_id where the purchase lands within 7 days
+    after the click, run availableNow into a memory sink, and the rollup
+    buckets pairs by user_id % 20 with count / id-sum / value-sum. The
+    oracle recomputes the identical self-join batch-side in SQL: a
+    dropped or duplicated match (state mishandling, watermark drop of an
+    on-time row, replay) shifts a bucket and hash-mismatches. Both
+    inputs arrive in one micro-batch per side, so the 30-day watermark
+    can never legitimately drop a row — stream output == batch join by
+    construction."""
+    clicks = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter((F.col("event_type") == "click") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 days")
+    )
+    purchases = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .filter((F.col("event_type") == "purchase") & F.col("ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "30 days")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 7 DAYS")
+        ),
+        "inner",
+    )
+    _PARITY_SEQ[0] += 1
+    qname = f"ss_join_parity_{_PARITY_SEQ[0]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(qname)
+        .groupBy((F.col("c_user") % 20).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("click_id") + F.col("purchase_id"))
+            .cast("bigint")
+            .alias("id_sum"),
+            round_det(F.sum("purchase_value"), 2).alias("value_sum"),
+        )
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def q_supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (X117, round-12): suppliers to blame for orders
+    that went late on exactly their account — the supplier shipped >60
+    days after the order date while EVERY other supplier on the same
+    (multi-supplier) order shipped on time. Q21's EXISTS/NOT-EXISTS pair
+    decomposes into two aggregations over one shuffle key: per
+    (order, supplier) late flags, then per-order supplier/late-supplier
+    counts; the flags→per-order join is co-partitioned on l_orderkey
+    (exchange reuse, no extra shuffle). The adaptation uses l_shipdate
+    vs o_orderdate (the test lake carries no commit/receipt dates)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("int")
+            ).alias("late")
+        )
+    )
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late").alias("n_late"),
+    )
+    blamed = (
+        flags.filter(F.col("late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_blamed"))
+    )
+    return blamed
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r09 == dict
 # keys[0:50] every round). Rotation policy: queries that have never received
@@ -2881,26 +3061,32 @@ def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # — in or out of the window — is still covered by the local oracle-parity
 # suite (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-12 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 manifest rows first (manifest_rollback_diff,
-# merge_manifest_state, retention_revenue — manifest_lake.py is being
-# rewritten this round for manifest-list sharding + the S3A lock adapter,
-# so their r11 rows certify pre-change code), then the ELEVEN r7-era rows
-# — 4 rounds stale, past the ≤3-round budget SURVEY §2.10 pins; round 11
-# shipped nothing so the r11-planned rotation lands here (lang_id,
+# don't trust prose): 3 round-12 additions first (manifest_sharded_scan,
+# stream_stream_join_parity, supplier_late_blame — never driver-checked),
+# then 3 manifest rows (manifest_rollback_diff, merge_manifest_state,
+# retention_revenue — manifest_lake.py was rewritten this round for
+# manifest-list sharding + the S3A lock adapter, so their r11 rows
+# certify pre-change code), then the ELEVEN r7-era rows — 4 rounds
+# stale, past the ≤3-round budget SURVEY §2.10 pins; round 11 shipped
+# nothing so the r11-planned rotation lands here (lang_id,
 # doc_fingerprint, price_trend_regression, ngram_jaccard_pairs, simhash16,
 # simhash_neardup_pairs, cosine_topk_vectorized, lsh_cosine_topk,
-# ivf_cosine_topk, multimodal_content_dedup, rolling_frames), then the 36
+# ivf_cosine_topk, multimodal_content_dedup, rolling_frames), then the 33
 # oldest r8-green rows in registry order (interval_merge ..
-# price_band_join). Past the window the tail keeps oldest-green-first
-# order: the 9 remaining r8-green rows (quota_sample ..
-# ngram_decontaminate — the r13 rotation front), then the 45 r9-green
-# rows, then the 47 r11-green rows (the displaced round-10 window minus
-# the manifest trio) last.
+# repetition_signals). Past the window the tail keeps oldest-green-first
+# order: the 12 remaining r8-green rows (doc_chunks, tfidf_top_terms,
+# price_band_join — displaced by the round-12 additions — then
+# quota_sample .. ngram_decontaminate; together the r13 rotation front),
+# then the 45 r9-green rows, then the 47 r11-green rows (the displaced
+# round-10 window minus the manifest trio) last.
 # NEXT ROUND (13): lead with round-13 additions/code-touched rows, then
 # the displaced tail front (quota_sample, multimodal_frame_sample, ...);
 # update tests/test_oracle_parity.py:test_driver_window_composition in
 # lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "manifest_sharded_scan": q_manifest_sharded_scan,
+    "stream_stream_join_parity": q_stream_stream_join_parity,
+    "supplier_late_blame": q_supplier_late_blame,
     "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
     "retention_revenue": q_retention_revenue,

@@ -28,14 +28,20 @@ def test_driver_window_composition():
     rotation lands in round 12), then the 36 oldest r8-green rows in
     registry order."""
     window = list(QUERIES)[:50]
-    # manifest_lake.py code-touched rows at the very front
+    # round-12 additions — never driver-checked — at the very front
     assert window[:3] == [
+        "manifest_sharded_scan",
+        "stream_stream_join_parity",
+        "supplier_late_blame",
+    ]
+    # manifest_lake.py code-touched rows (sharding + lock-adapter rewrite)
+    assert window[3:6] == [
         "manifest_rollback_diff",
         "merge_manifest_state",
         "retention_revenue",
     ]
     # the eleven r7-era rows — the registry's stalest (r11 verdict item 1)
-    assert window[3:14] == [
+    assert window[6:17] == [
         "lang_id",
         "doc_fingerprint",
         "price_trend_regression",
@@ -49,7 +55,7 @@ def test_driver_window_composition():
         "rolling_frames",
     ]
     must_be_in = [
-        # the 36 oldest r8-green rows fill the rest (spot-check ends +
+        # the 33 oldest r8-green rows fill the rest (spot-check ends +
         # anchors)
         "interval_merge",
         "bm25_topk",
@@ -69,14 +75,18 @@ def test_driver_window_composition():
         "daily_vwap",
         "ann_recall",
         "gapfill_15m",
-        "tfidf_top_terms",
-        "price_band_join",
+        "repetition_signals",
     ]
     missing = [q for q in must_be_in if q not in window]
     assert not missing, f"queries fell out of the driver window: {missing}"
-    # the tail front (r13 rotation candidates) starts with the remaining
-    # r8-green rows
-    assert list(QUERIES)[50:52] == ["quota_sample", "multimodal_frame_sample"]
+    # the tail front (r13 rotation candidates) starts with the three r8
+    # rows the round-12 additions displaced, then the remaining r8 block
+    assert list(QUERIES)[50:54] == [
+        "doc_chunks",
+        "tfidf_top_terms",
+        "price_band_join",
+        "quota_sample",
+    ]
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
