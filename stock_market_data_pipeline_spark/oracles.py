@@ -598,8 +598,12 @@ FROM x GROUP BY 1
     "cosine_topk_vectorized": _COSINE_TOPK_ORACLE,
     "ivf_cosine_topk": _IVF_TOPK_ORACLE,
     "lsh_cosine_topk": _LSH_TOPK_ORACLE,
-    "lsh_cosine_topk_multiprobe": _LSH_MULTIPROBE_ORACLE,
-    "ivf_cosine_topk_nprobe4": _IVF_TOPK_NPROBE4_ORACLE,
+    # lsh_cosine_topk_multiprobe / ivf_cosine_topk_nprobe4 were consolidated
+    # into the ann_recall row (SURVEY §2.10 growth discipline, round 13):
+    # their oracles survive as _LSH_MULTIPROBE_ORACLE /
+    # _IVF_TOPK_NPROBE4_ORACLE, embedded verbatim inside the ann_recall
+    # oracle's variant UNION, so the knob variants stay oracle-audited
+    # every time ann_recall is checked.
     # The BMP fixture is closed-form in doc_id (synthesize_bmp_assets):
     # w = 4 + id%13, h = 3 + id%7, gradient (rb+x, gb+y, bb+x+y) with
     # rb=id%200, gb=7id%200, bb=13id%200 — so the oracle predicts the
@@ -1631,10 +1635,25 @@ SELECT symbol, event_id, "timestamp", price,
        round(mid - 2.0 * sd, 6) AS boll_dn
 FROM ind
 """,
-    # Truncated-EMA MACD: same Horner folds as the ewma oracle, decay
-    # literals embedded via Python repr so both engines parse the identical
-    # double (1 - 2/13, 1 - 2/27).
-    "macd": f"""
+    # (the standalone "macd" row was consolidated into macd_signal — which
+    # now also exposes ema_fast/ema_slow — round 13, SURVEY §2.10 growth
+    # discipline.)
+    # Direct GROUP BY — the salted two-phase plan must be value-identical.
+    "salted_symbol_volume": f"""
+WITH {TICKS_CTE}
+SELECT symbol,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       count(*) AS n_rows
+FROM ticks GROUP BY symbol
+""",
+    # MACD signal: the e CTE carries the truncated-EMA folds unrounded
+    # (decay literals via Python repr so both engines parse the identical
+    # double: 1 - 2/13, 1 - 2/27), then a second 50-row frame folds the
+    # derived macd values (mirrors the second Window node in
+    # operators/rolling.py with_macd_signal). Also exposes
+    # ema_fast/ema_slow — this row subsumed the standalone "macd" row
+    # (round-13 consolidation), so the fold inputs stay hash-audited too.
+    "macd_signal": f"""
 WITH {TICKS_CTE}, fr AS (
   SELECT symbol, event_id, "timestamp", price,
          list(price) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
@@ -1648,52 +1667,22 @@ e AS (
          list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 27.0!r} + x)
            / ((1.0 - power({1.0 - 2.0 / 27.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 27.0!r})) AS es
   FROM fr
-)
-SELECT symbol, event_id, "timestamp", price,
-       round(ef, 6) AS ema_fast,
-       round(es, 6) AS ema_slow,
-       round(ef - es, 6) AS macd
-FROM e
-""",
-    # Direct GROUP BY — the salted two-phase plan must be value-identical.
-    "salted_symbol_volume": f"""
-WITH {TICKS_CTE}
-SELECT symbol,
-       CAST(sum(volume) AS BIGINT) AS total_volume,
-       count(*) AS n_rows
-FROM ticks GROUP BY symbol
-""",
-    # MACD signal: the macd CTE repeats the macd oracle's folds unrounded,
-    # then a second 50-row frame folds the derived macd values (mirrors the
-    # second Window node in operators/rolling.py with_macd_signal).
-    "macd_signal": f"""
-WITH {TICKS_CTE}, fr AS (
-  SELECT symbol, event_id, "timestamp", price,
-         list(price) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
-                           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS xs
-  FROM ticks
-),
-e AS (
-  SELECT symbol, event_id, "timestamp", price,
-         list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 13.0!r} + x)
-           / ((1.0 - power({1.0 - 2.0 / 13.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 13.0!r}))
-         - list_reduce(xs, (acc, x) -> acc * {1.0 - 2.0 / 27.0!r} + x)
-           / ((1.0 - power({1.0 - 2.0 / 27.0!r}, CAST(len(xs) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 27.0!r})) AS macd
-  FROM fr
 ),
 s AS (
-  SELECT symbol, event_id, "timestamp", price, macd,
-         list(macd) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
+  SELECT symbol, event_id, "timestamp", price, ef, es, ef - es AS macd,
+         list(ef - es) OVER (PARTITION BY symbol ORDER BY "timestamp", event_id
                           ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sx
   FROM e
 ),
 g AS (
-  SELECT symbol, event_id, "timestamp", price, macd,
+  SELECT symbol, event_id, "timestamp", price, ef, es, macd,
          list_reduce(sx, (acc, x) -> acc * {1.0 - 2.0 / 10.0!r} + x)
            / ((1.0 - power({1.0 - 2.0 / 10.0!r}, CAST(len(sx) AS DOUBLE))) / (1.0 - {1.0 - 2.0 / 10.0!r})) AS sig
   FROM s
 )
 SELECT symbol, event_id, "timestamp", price,
+       round(ef, 6) AS ema_fast,
+       round(es, 6) AS ema_slow,
        round(macd, 6) AS macd,
        round(sig, 6) AS macd_signal,
        round(macd - sig, 6) AS macd_hist

@@ -730,25 +730,6 @@ def q_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MACD line: truncated EMA(12) − EMA(26), one shared 50-row frame."""
-    from stock_market_data_pipeline_spark.operators.rolling import with_macd
-
-    t = ticks_from_events(spark, sf_dir).select(
-        "symbol", "event_id", "timestamp", "price"
-    )
-    out = with_macd(t, tiebreak="event_id")
-    return out.select(
-        "symbol",
-        "event_id",
-        "timestamp",
-        "price",
-        round_det(F.col("ema_fast"), 6).alias("ema_fast"),
-        round_det(F.col("ema_slow"), 6).alias("ema_slow"),
-        round_det(F.col("macd"), 6).alias("macd"),
-    )
-
-
 def q_salted_symbol_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase salted aggregation (hot-key recipe); the oracle is
     the direct GROUP BY — equality IS the correctness claim (associative
@@ -1107,26 +1088,6 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0))
 
 
-def q_ivf_cosine_topk_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with nprobe=4 — the recall knob (0.15 → 0.36 recall@5 at sf0.1
-    on the near-orthogonal test embeddings, the hardest ANN regime)."""
-    from stock_market_data_pipeline_spark.operators.similarity import ivf_cosine_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return ivf_cosine_topk(emb, emb.filter(F.col("vec_id") % 50 == 0), nprobe=4)
-
-
-def q_lsh_cosine_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane LSH with Hamming-1 multi-probe — query-side fan-out only,
-    corpus stays bucketed once (0.02 → 0.13-0.18 recall@5)."""
-    from stock_market_data_pipeline_spark.operators.similarity import lsh_cosine_topk
-
-    emb = read_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_topk(
-        emb, emb.filter(F.col("vec_id") % 50 == 0), multiprobe=True
-    )
-
-
 def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: REAL pixel-feature extraction via Arrow mapInPandas — a
     deterministic 24-bit BMP per document (closed-form gradient) decoded by
@@ -1168,7 +1129,12 @@ def q_multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MACD signal line (EMA-9 of the MACD line) + histogram — the crossover
-    chart; both window passes share one sort (plan-shape asserted)."""
+    chart; both window passes share one sort (plan-shape asserted).
+
+    Round-13 consolidation (SURVEY §2.10 growth discipline): this row also
+    exposes ``ema_fast``/``ema_slow``, subsuming the retired standalone
+    ``macd`` registry row — the fold inputs, the MACD line, and the signal
+    pass are all hash-audited here in one plan."""
     from stock_market_data_pipeline_spark.operators.rolling import with_macd_signal
 
     t = ticks_from_events(spark, sf_dir).select(
@@ -1180,6 +1146,8 @@ def q_macd_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "timestamp",
         "price",
+        round_det(F.col("ema_fast"), 6).alias("ema_fast"),
+        round_det(F.col("ema_slow"), 6).alias("ema_slow"),
         round_det(F.col("macd"), 6).alias("macd"),
         round_det(F.col("macd_signal"), 6).alias("macd_signal"),
         round_det(F.col("macd_hist"), 6).alias("macd_hist"),
@@ -3141,10 +3109,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "technical_indicators": q_technical_indicators,
     "salted_symbol_volume": q_salted_symbol_volume,
-    "macd": q_macd,
     "corpus_curation_transitive": q_corpus_curation_transitive,
-    "ivf_cosine_topk_nprobe4": q_ivf_cosine_topk_nprobe4,
-    "lsh_cosine_topk_multiprobe": q_lsh_cosine_topk_multiprobe,
     "ngram_decontaminate": q_ngram_decontaminate,
     "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
     "split_assign": q_split_assign,
