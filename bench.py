@@ -110,9 +110,20 @@ def main() -> None:
             same_round = (time.time() - rounds[newest]) < 2 * 3600
             rnd = newest if same_round else newest + 1
     payload["round"] = rnd
-    with open(
-        os.path.join(ARTIFACT_DIR, f"BENCH_FULL_r{rnd:02d}.json"), "w"
-    ) as fh:
+    record = os.path.join(ARTIFACT_DIR, f"BENCH_FULL_r{rnd:02d}.json")
+    if env_round is None and os.path.exists(record):
+        # Inferred round, record already on disk: a >2h-late same-round
+        # re-run would otherwise clobber the NEXT round's slot (r12
+        # advice — the same failure mode the inference fix targets, one
+        # boundary over). Only an explicit SPARK_GRAFT_ROUND may
+        # overwrite; park the inferred-round payload beside it instead.
+        record = os.path.join(ARTIFACT_DIR, f"BENCH_FULL_r{rnd:02d}.rerun.json")
+        sys.stderr.write(
+            f"bench: inferred round {rnd} already has a committed record; "
+            f"writing {os.path.basename(record)} (pin SPARK_GRAFT_ROUND to "
+            "overwrite)\n"
+        )
+    with open(record, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     spark.stop()
     # Exit 0 even with errors: the driver must record the surviving timings

@@ -170,6 +170,10 @@ class _HadoopFS:
     def exists(self, p: str) -> bool:
         return bool(self.fs.exists(self.path(p)))
 
+    def mtime_ms(self, p: str) -> int:
+        """Modification time in epoch millis (Hadoop FileStatus units)."""
+        return int(self.fs.getFileStatus(self.path(p)).getModificationTime())
+
     def rename(self, src: str, dst: str) -> None:
         # Hadoop rename reports failure via a False return, not an exception.
         if not self.fs.rename(self.path(src), self.path(dst)):

@@ -153,3 +153,102 @@ def test_default_lock_is_noop_and_manifest_commits_route_through_it(
         assert _Counting.holds == 2
     finally:
         set_commit_lock(prev)
+
+
+def test_two_writer_merge_race_end_to_end_with_lease_lock(spark, tmp_path):
+    """r12 verdict item 5: drive a two-writer `merge_upsert_manifest` race
+    through the FULL public API with a LeaseCommitLock installed. Writer B
+    runs inside writer A's lease window (deterministic interleave via a
+    hook that fires after A acquires the manifest-JSON lease), so B's
+    commit hits the held lease. B must see the documented retry signal —
+    ManifestConflictError, not a raw LockUnavailableError (r12 advice:
+    the retry contract is lock-adapter-independent) — retry cleanly
+    against the new state, and B's orphaned staged files/segments must be
+    vacuumable without breaking any retained version."""
+    import contextlib
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        ManifestConflictError,
+        merge_upsert_manifest,
+        read_manifest,
+        vacuum_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(40)], "k long, v string, seq long"
+    )
+    merge_upsert_manifest(spark, base, root, keys=["k"], order_col="seq",
+                          n_buckets=8)
+
+    b_attempts: list[str] = []
+
+    def writer_b_first_attempt():
+        inc_b = spark.createDataFrame(
+            [(i, f"b{i}", 1) for i in range(0, 40, 4)],
+            "k long, v string, seq long",
+        )
+        try:
+            merge_upsert_manifest(spark, inc_b, root, keys=["k"],
+                                  order_col="seq", n_buckets=8)
+            b_attempts.append("won")
+        except ManifestConflictError:
+            b_attempts.append("conflict")
+        except LockUnavailableError:  # would be a contract violation
+            b_attempts.append("raw-lock-error")
+
+    class _HookedLease(LeaseCommitLock):
+        """Fires writer B inside the first manifest-JSON lease hold."""
+
+        def __init__(self):
+            super().__init__(ttl_s=300)
+            self.armed = True
+            self.hold_keys: list[str] = []
+
+        def hold(self, key: str):
+            @contextlib.contextmanager
+            def _cm():
+                token = self._acquire(key)
+                self.hold_keys.append(key)
+                try:
+                    if self.armed and key.endswith(".json"):
+                        self.armed = False
+                        writer_b_first_attempt()
+                    yield
+                finally:
+                    self._release(key, token)
+
+            return _cm()
+
+    lock = _HookedLease()
+    prev = set_commit_lock(lock)
+    try:
+        inc_a = spark.createDataFrame(
+            [(i, f"a{i}", 1) for i in range(0, 40, 5)],
+            "k long, v string, seq long",
+        )
+        merge_upsert_manifest(spark, inc_a, root, keys=["k"],
+                              order_col="seq", n_buckets=8)  # writer A
+        # B lost INSIDE A's lease window with the documented signal
+        assert b_attempts == ["conflict"]
+        # loser retries cleanly against the post-A state
+        inc_b = spark.createDataFrame(
+            [(i, f"b{i}", 2) for i in range(0, 40, 4)],
+            "k long, v string, seq long",
+        )
+        merge_upsert_manifest(spark, inc_b, root, keys=["k"],
+                              order_col="seq", n_buckets=8)
+    finally:
+        set_commit_lock(prev)
+
+    rows = {r["k"]: r["v"] for r in read_manifest(spark, root).collect()}
+    assert len(rows) == 40
+    for i in range(40):
+        expect = f"b{i}" if i % 4 == 0 else (f"a{i}" if i % 5 == 0 else f"v{i}")
+        assert rows[i] == expect, (i, rows[i], expect)
+    # B's losing attempt staged data files (and possibly segments) that no
+    # manifest references; vacuum collects them and every version still reads
+    res = vacuum_manifest(spark, root, keep_versions=3, grace_seconds=0.0)
+    assert res["files_deleted"] >= 1
+    rows2 = {r["k"]: r["v"] for r in read_manifest(spark, root).collect()}
+    assert rows2 == rows
