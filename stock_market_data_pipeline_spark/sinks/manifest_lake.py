@@ -87,7 +87,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS, _stat_key
+from stock_market_data_pipeline_spark.sinks.lake import (
+    LockUnavailableError,
+    _HadoopFS,
+    _stat_key,
+)
 
 _MF_RE = re.compile(r"^v(\d{8})\.json$")
 _COMMIT_SUFFIX = "._COMMITTED"
@@ -579,7 +583,12 @@ def _commit(
     try:
         fs.write_text_exclusive(mpath, body)
         fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
-    except FileExistsError as exc:
+    except (FileExistsError, LockUnavailableError) as exc:
+        # LockUnavailableError comes from a LeaseCommitLock adapter under
+        # contention (sinks/lake.py:install_commit_lock); mapping it here
+        # keeps the documented lost-race retry contract — callers see
+        # ManifestConflictError — independent of which lock adapter is
+        # installed.
         raise ManifestConflictError(
             f"lost the commit race for {mpath} — retry against the new "
             "state"
@@ -619,6 +628,62 @@ def publish_files(
     )
 
 
+def _recorded_schema(meta: dict):
+    """The manifest's recorded table schema as a StructType (None for
+    pre-round-8 manifests that never recorded one)."""
+    from pyspark.sql.types import StructType
+
+    sj = meta.get("schema")
+    return StructType.fromJson(_json.loads(sj)) if sj else None
+
+
+def _load_table_files(spark: SparkSession, meta: dict, paths: list[str]):
+    """Load committed table files THROUGH the recorded schema (round-13
+    schema evolution, X118): after an evolving append, a table's files
+    disagree on columns, and a bare ``load(paths)`` takes the first
+    footer's schema — silently DROPPING an evolved column from rows that
+    have it (or failing the read outright). Reading with the recorded
+    union schema projects files by name: missing columns surface as NULL
+    (the parquet schema-evolution contract Iceberg/Delta rely on). Every
+    read of committed files — user reads, pruned reads, and the
+    maintenance rewrites (compact/merge/retention) — must come through
+    here, or a maintenance pass could materialize the dropped-column
+    loss permanently."""
+    reader = spark.read.format(meta.get("fmt", "parquet"))
+    schema = _recorded_schema(meta)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(paths)
+
+
+def _evolved_schema_json(meta: dict, df: DataFrame) -> str:
+    """Union-by-name schema for an APPEND: the table keeps every existing
+    column (old files stay readable; a batch may omit columns, which
+    surface as NULL in its files), new columns are added at the end, and
+    a same-name type conflict raises instead of silently recording a
+    schema half the files violate. ``publish_files`` (full replace) is
+    the overwrite-schema escape hatch."""
+    from pyspark.sql.types import StructType
+
+    old = _recorded_schema(meta) if meta else None
+    if old is None:
+        return df.schema.json()
+    by_name = {f.name: f for f in old.fields}
+    out = list(old.fields)
+    for f in df.schema.fields:
+        g = by_name.get(f.name)
+        if g is None:
+            out.append(f)
+        elif g.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} type conflict — "
+                f"table records {g.dataType.simpleString()}, append has "
+                f"{f.dataType.simpleString()}; cast the batch or rewrite "
+                "via publish_files"
+            )
+    return StructType(out).json()
+
+
 def read_manifest(
     spark: SparkSession,
     root: str,
@@ -626,12 +691,11 @@ def read_manifest(
 ) -> DataFrame:
     """Read a committed manifest version — loads exactly the listed files
     (time travel by reference; a file shared by many versions is read the
-    same way from each). A manifest listing NO files (e.g. a retention
-    sweep that expired every row) reads as an EMPTY table with the
-    recorded schema — an empty table is a normal state, not an error
-    (round-8 review)."""
-    from pyspark.sql.types import StructType
-
+    same way from each) through the recorded schema, so files written
+    before a schema-evolving append read with NULLs in the added columns.
+    A manifest listing NO files (e.g. a retention sweep that expired
+    every row) reads as an EMPTY table with the recorded schema — an
+    empty table is a normal state, not an error (round-8 review)."""
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, version)
     paths = [
@@ -639,15 +703,14 @@ def read_manifest(
         for e in _manifest_entries(fs, root, meta)
     ]
     if not paths:
-        schema_json = meta.get("schema")
-        if not schema_json:
+        schema = _recorded_schema(meta)
+        if schema is None:
             raise FileNotFoundError(
                 f"manifest under {root} lists no files and records no "
                 "schema (pre-round-8 manifest?)"
             )
-        schema = StructType.fromJson(_json.loads(schema_json))
         return spark.createDataFrame([], schema)
-    return spark.read.format(meta.get("fmt", "parquet")).load(paths)
+    return _load_table_files(spark, meta, paths)
 
 
 def manifest_files(
@@ -764,12 +827,8 @@ def retention_delete(
     new_entries = [e for e in loose if e["name"] not in changed]
     if to_rewrite:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
-        filtered = (
-            spark.read.format(fmt)
-            .load(paths)
-            .filter(
-                F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
-            )
+        filtered = _load_table_files(spark, meta, paths).filter(
+            F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
         )
         if stats_cols is None:
             stats_cols = sorted(set(_table_stats_cols(meta)) | {col})
@@ -902,7 +961,7 @@ def compact_manifest(
     if len(small) <= 1:
         return {"carried": len(all_entries), "compacted": 0, "files_written": 0}
     paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
-    packed = spark.read.format(fmt).load(paths)
+    packed = _load_table_files(spark, meta, paths)
     if not meta.get("bucketing"):
         total = sum(e["bytes"] for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
@@ -1010,6 +1069,7 @@ def vacuum_manifest(
     spark: SparkSession,
     root: str,
     keep_versions: int = 2,
+    grace_seconds: float = 900.0,
 ) -> dict[str, int]:
     """Garbage-collect: drop committed manifests beyond the last
     ``keep_versions``, uncommitted manifest orphans, every data file no
@@ -1020,9 +1080,34 @@ def vacuum_manifest(
     versions strand theirs). Deletion order is manifests first, then
     segments/files — a crash mid-vacuum leaves only unreferenced files,
     which the next vacuum collects; it can never break a retained
-    version. Returns ``{"manifests_deleted", "files_deleted",
-    "stats_deleted", "segments_deleted"}``."""
+    version.
+
+    ``grace_seconds`` protects in-flight commits: a writer stages data
+    files and segments BEFORE writing the version JSON, so a vacuum
+    racing that window would otherwise delete files the commit is about
+    to reference (the Iceberg/Delta remove-orphans hazard). Unreferenced
+    segments/data/stats files and *uncommitted* manifests younger than
+    the grace window are skipped — they are either an in-flight commit
+    (must survive) or fresh garbage (the next vacuum collects them).
+    Superseded *committed* manifests are explicitly retired and deleted
+    regardless of age. Pass ``grace_seconds=0`` only when no writer can
+    be concurrent (tests, single-writer maintenance windows).
+
+    Returns ``{"manifests_deleted", "files_deleted", "stats_deleted",
+    "segments_deleted"}``."""
+    import time as _time
+
     fs = _HadoopFS(spark, root)
+    cutoff_ms = int((_time.time() - max(grace_seconds, 0.0)) * 1000)
+
+    def _expired(path: str) -> bool:
+        if grace_seconds <= 0:
+            return True
+        try:
+            return fs.mtime_ms(path) <= cutoff_ms
+        except Exception:
+            # listed-then-vanished: deleting is a no-op either way
+            return True
     committed, known = _list_manifests(fs, root)
     if not committed:
         return {
@@ -1050,6 +1135,10 @@ def vacuum_manifest(
         if v in retained:
             continue
         mpath = f"{_mf_dir(root)}/{_mf_name(v)}"
+        # uncommitted manifests may be a commit mid-flight (JSON written,
+        # marker not yet): only expired ones are orphans
+        if v not in committed and not _expired(mpath):
+            continue
         fs.delete(f"{mpath}{_COMMIT_SUFFIX}")
         fs.delete(mpath)
         mdel += 1
@@ -1057,7 +1146,7 @@ def vacuum_manifest(
     gdir = _seg_dir(root)
     if fs.is_dir(gdir):
         for name in fs.child_names(gdir):
-            if name in ref_segs:
+            if name in ref_segs or not _expired(f"{gdir}/{name}"):
                 continue
             fs.delete(f"{gdir}/{name}")
             gdel += 1
@@ -1065,7 +1154,7 @@ def vacuum_manifest(
     ddir = _data_dir(root)
     if fs.is_dir(ddir):
         for name in fs.child_names(ddir):
-            if name in referenced:
+            if name in referenced or not _expired(f"{ddir}/{name}"):
                 continue
             fs.delete(f"{ddir}/{name}")
             fdel += 1
@@ -1073,7 +1162,7 @@ def vacuum_manifest(
     sdir = _stats_dir(root)
     if fs.is_dir(sdir):
         for name in fs.child_names(sdir):
-            if name in ref_stats:
+            if name in ref_stats or not _expired(f"{sdir}/{name}"):
                 continue
             fs.delete(f"{sdir}/{name}")
             sdel += 1
@@ -1127,6 +1216,8 @@ def append_files(
         if txns.get(app) is not None and int(txns[app]) >= n:
             return committed[-1]  # already committed: replay no-op
         txns[app] = n
+    # union-by-name evolution (type conflicts raise) BEFORE any staging IO
+    schema_json = _evolved_schema_json(meta, df)
     new_entries = _stage_files(spark, df, root, fmt, stats_cols)
     # prior segments carried by reference: append metadata IO is
     # O(new files + inline tail), never O(table)
@@ -1137,7 +1228,7 @@ def append_files(
         fmt,
         expected_prev=committed[-1] if committed else None,
         txns=txns,
-        schema_json=df.schema.json(),
+        schema_json=schema_json,
         stats_cols=sorted(
             set(stats_cols or []) | set(_table_stats_cols(meta))
         ),
@@ -1294,7 +1385,7 @@ def merge_upsert_manifest(
     parts = [inc.drop(_BUCKET)]
     if old_touched:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
-        parts.append(spark.read.format(fmt).load(paths))
+        parts.append(_load_table_files(spark, meta, paths))
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
@@ -1400,7 +1491,7 @@ def read_manifest_pruned(
         return read_manifest(spark, root, version=version).filter(
             F.lit(False)
         )
-    df = spark.read.format(fmt).load(
-        [f"{_data_dir(root)}/{n}" for n in keep]
+    df = _load_table_files(
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
     )
     return df.filter(cond)

@@ -108,7 +108,7 @@ def test_vacuum_keeps_referenced_files_and_versions(spark, tmp_path):
     publish_files(spark, d1, root)
     publish_files(spark, d2, root)
     publish_files(spark, d3, root)
-    res = vacuum_manifest(spark, root, keep_versions=2)
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)
     assert res["manifests_deleted"] == 1
     assert res["files_deleted"] >= 1  # v1's unshared files collected
     # both retained versions still fully readable
@@ -126,12 +126,12 @@ def test_vacuum_preserves_shared_files_after_retention(spark, tmp_path):
     publish_files(spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"])
     retention_delete(spark, root, "ts", dt.datetime(2026, 1, 4))
     n_rows = read_manifest(spark, root).count()
-    res = vacuum_manifest(spark, root, keep_versions=2)
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)
     assert res["files_deleted"] == 0  # everything still referenced somewhere
     assert read_manifest(spark, root).count() == n_rows
     assert read_manifest(spark, root, version=1).count() == df.count()
     # drop v1 -> its unshared (expired + pre-rewrite) files become garbage
-    res2 = vacuum_manifest(spark, root, keep_versions=1)
+    res2 = vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0.0)
     assert res2["files_deleted"] >= 2
     assert read_manifest(spark, root).count() == n_rows
 
@@ -150,10 +150,47 @@ def test_uncommitted_manifest_is_invisible_and_crash_heals(spark, tmp_path):
     assert read_manifest(spark, root).count() == df.count()  # still v1
     # simulate crashed stage: orphan data file never referenced
     fs.write_text(f"{_data_dir(root)}/orphan-file.parquet", "junk")
-    res = vacuum_manifest(spark, root, keep_versions=2)
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)
     assert res["files_deleted"] >= 1
     names = set(fs.child_names(_data_dir(root)))
     assert "orphan-file.parquet" not in names
+    assert read_manifest(spark, root).count() == df.count()
+
+
+def test_vacuum_grace_protects_inflight_commit_artifacts(spark, tmp_path):
+    """An in-flight commit stages data files, segments, and the version
+    JSON BEFORE the marker; a concurrent vacuum must not collect those
+    fresh artifacts (r12 advice: no-grace vacuum could delete segments a
+    commit is about to reference). Young unreferenced files survive a
+    graced vacuum; the same files are collected once expired (simulated
+    by grace 0)."""
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import _seg_dir
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 3)
+    publish_files(spark, df, root)
+    fs = _HadoopFS(spark, root)
+    # simulate the in-flight window: staged data file + segment + v2
+    # manifest JSON written, marker not yet
+    fs.write_text(f"{_data_dir(root)}/inflight-file.parquet", "staged")
+    fs.write_text(f"{_seg_dir(root)}/inflight-seg.json", "[]")
+    fs.write_text(
+        f"{_mf_dir(root)}/v00000002.json", '{"fmt":"parquet","files":[]}'
+    )
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=3600)
+    assert res["files_deleted"] == 0
+    assert res["segments_deleted"] == 0
+    assert res["manifests_deleted"] == 0
+    assert fs.exists(f"{_data_dir(root)}/inflight-file.parquet")
+    assert fs.exists(f"{_seg_dir(root)}/inflight-seg.json")
+    assert fs.exists(f"{_mf_dir(root)}/v00000002.json")
+    # once expired (grace 0 = everything is past the window) the same
+    # artifacts are garbage: the commit never completed
+    res2 = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)
+    assert res2["files_deleted"] >= 1
+    assert res2["segments_deleted"] >= 1
+    assert res2["manifests_deleted"] >= 1
     assert read_manifest(spark, root).count() == df.count()
 
 
@@ -653,7 +690,7 @@ def test_rollback_copy_forward_and_gc_window(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert pruned.count() == 10
     # GC window: vacuum away v1/v2 -> restore target gone -> loud error
-    vacuum_manifest(spark, root, keep_versions=1)
+    vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0.0)
     with pytest.raises(FileNotFoundError):
         rollback_manifest(spark, root, to_version=2)
 
@@ -864,7 +901,7 @@ def test_rollback_sharded_is_pure_metadata_and_vacuum_gc_segments(
     # orphan a segment the way a crashed/raced commit would
     fs = _HadoopFS(spark, root)
     orphan = ml._write_segment(fs, root, [{"name": "ghost", "bytes": 0}])
-    res = vacuum_manifest(spark, root, keep_versions=2)  # retains v2, v3
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)  # retains v2, v3
     assert res["segments_deleted"] == 1  # the orphan; v1's segs shared by v3
     assert not fs.exists(f"{ml._seg_dir(root)}/{orphan['name']}")
     assert read_manifest(spark, root).count() == 80
@@ -895,7 +932,7 @@ def test_stats_live_in_sidecars_not_manifest_json(spark, tmp_path):
     assert all("ts" in v["stats"] for v in st.values())
     # replace the table, vacuum v1 away -> its sidecar is collected
     publish_files(spark, _ts_df(spark, 6, 7), root, stats_cols=["ts"])
-    res = vacuum_manifest(spark, root, keep_versions=1)
+    res = vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0.0)
     assert res["stats_deleted"] >= 1
     fs = _HadoopFS(spark, root)
     left = set(fs.child_names(_stats_dir(root)))
@@ -983,7 +1020,7 @@ def test_conflict_orphans_are_vacuumed(spark, tmp_path):
         ml._commit(
             spark, root, entries, "parquet", expected_prev=None
         )
-    res = vacuum_manifest(spark, root, keep_versions=2)
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0.0)
     assert res["files_deleted"] >= len(entries)
     assert read_manifest(spark, root).count() == 20
 
@@ -1101,7 +1138,7 @@ def test_consolidate_stats_sidecars(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(read_manifest(spark, root).inputFiles())
     assert pruned.count() == 10  # day 3's rows (each day sits at 12:00)
     # orphaned sidecars are vacuumed; pruning survives
-    res = vacuum_manifest(spark, root, keep_versions=1)
+    res = vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0.0)
     assert res["stats_deleted"] == 7
     assert read_manifest_pruned(spark, root, "ts", lo=lo, hi=hi).count() == 10
 
@@ -1161,3 +1198,80 @@ def test_exclusive_write_io_fault_is_not_a_conflict(spark, tmp_path):
     hfs.fs = FlakyFS(hfs.fs)
     with pytest.raises(RuntimeError, match="transient IO fault"):
         hfs.write_text_exclusive(f"{root}/marker", "x")
+
+
+def test_schema_evolution_append_read_and_null_backfill(spark, tmp_path):
+    """X118: an append with a NEW column evolves the recorded schema
+    (union-by-name); reading the table projects old files with NULL in
+    the added column and preserves values in the new files. A later
+    append MISSING an existing column still works (its rows read NULL
+    there), and the recorded schema keeps every column."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    publish_files(spark, v1, root)
+    v2 = spark.createDataFrame(
+        [(3, "c", 30.0), (4, "d", 40.0)], "k long, v string, score double"
+    )
+    append_files(spark, v2, root)
+    got = {r["k"]: (r["v"], r["score"]) for r in read_manifest(spark, root).collect()}
+    assert got == {1: ("a", None), 2: ("b", None),
+                   3: ("c", 30.0), 4: ("d", 40.0)}
+    assert read_manifest(spark, root).columns == ["k", "v", "score"]
+    # append that OMITS v: rows surface with v NULL, schema unchanged
+    v3 = spark.createDataFrame([(5, 50.0)], "k long, score double")
+    append_files(spark, v3, root)
+    out = read_manifest(spark, root)
+    assert out.columns == ["k", "v", "score"]
+    r5 = {r["k"]: (r["v"], r["score"]) for r in out.collect()}[5]
+    assert r5 == (None, 50.0)
+
+
+def test_schema_evolution_type_conflict_raises(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark, spark.createDataFrame([(1, "a")], "k long, v string"), root
+    )
+    bad = spark.createDataFrame([(2, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="type conflict"):
+        append_files(spark, bad, root)
+    # nothing staged, nothing committed
+    assert read_manifest(spark, root).count() == 1
+
+
+def test_compaction_preserves_evolved_column(spark, tmp_path):
+    """Regression for the first-footer hazard: compacting a table whose
+    small files DISAGREE on columns must read them through the recorded
+    union schema — a bare load(paths) takes one footer's schema and would
+    silently drop the evolved column's values from the packed file,
+    making the loss permanent."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        compact_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame([(i, f"v{i}") for i in range(4)],
+                              "k long, v string").repartition(2),
+        root,
+    )
+    append_files(
+        spark,
+        spark.createDataFrame([(i, f"v{i}", float(i)) for i in range(4, 8)],
+                              "k long, v string, score double").repartition(2),
+        root,
+    )
+    res = compact_manifest(spark, root)  # everything is small -> all packed
+    assert res["compacted"] == 4
+    got = {r["k"]: r["score"] for r in read_manifest(spark, root).collect()}
+    assert got == {0: None, 1: None, 2: None, 3: None,
+                   4: 4.0, 5: 5.0, 6: 6.0, 7: 7.0}
