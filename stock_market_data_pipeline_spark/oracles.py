@@ -3482,6 +3482,40 @@ GROUP BY 1
 """
 
 
+# X44 compact_small_files equality: the Spark side scatters events into
+# 24 small files, compacts, and fingerprints the COMPACTED directory; the
+# oracle fingerprints the source table directly. Portable hash = the
+# sampling.sample_hash32 contract; value floor-scaled to cents because
+# DuckDB CAST(double AS BIGINT) rounds while Spark truncates.
+ORACLES["compact_equality"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('cmp:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+# X43 JSONL quarantine conservation: corruption is deterministic in
+# doc_id (% 7), so the oracle predicts both branches from `documents`
+# without parsing any JSON — the Spark side must route every line to
+# exactly one branch with clean fields intact through serialize→parse.
+ORACLES["jsonl_quarantine"] = """
+SELECT 'clean' AS kind,
+       count(*) AS n_rows,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'quarantined' AS kind,
+       count(*) AS n_rows,
+       CAST(NULL AS BIGINT) AS sum_doc_id,
+       CAST(NULL AS BIGINT) AS sum_text_len
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

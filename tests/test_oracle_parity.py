@@ -20,72 +20,82 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES). Guard the round-12
-    plan: the manifest trio leads (manifest_lake.py rewritten this round —
-    manifest-list sharding + S3A lock adapter — so their r11 rows certify
-    pre-change code), then the ELEVEN r7-era rows (4 rounds stale, past
-    the ≤3-round budget; round 11 shipped nothing so the r11-planned
-    rotation lands in round 12), then the 36 oldest r8-green rows in
-    registry order."""
+    (rotation contract, see the comment above QUERIES; budget re-pinned
+    to 4 rounds in round 13 — SURVEY §2.10). Guard the round-13 plan:
+    2 new rows, then macd_signal (schema extended when it subsumed macd),
+    then 5 manifest/lake code-touched rows, then all 8 stream rows (the
+    _await_stream timeout guard touched every one), then the 9 remaining
+    r8-era rows, then the 25 oldest r9 rows with the flagship parity
+    family leading. The 18 deferred r9 rows sit at positions 50:68 — at
+    the budget edge, the MANDATORY r14 front."""
     window = list(QUERIES)[:50]
-    # round-12 additions — never driver-checked — at the very front
-    assert window[:3] == [
+    # round-13 additions — never driver-checked — at the very front
+    assert window[:2] == ["compact_equality", "jsonl_quarantine"]
+    # contract-changed + manifest/lake code-touched rows
+    assert window[2:8] == [
+        "macd_signal",
         "manifest_sharded_scan",
-        "stream_stream_join_parity",
-        "supplier_late_blame",
-    ]
-    # manifest_lake.py code-touched rows (sharding + lock-adapter rewrite)
-    assert window[3:6] == [
         "manifest_rollback_diff",
         "merge_manifest_state",
         "retention_revenue",
-    ]
-    # the eleven r7-era rows — the registry's stalest (r11 verdict item 1)
-    assert window[6:17] == [
-        "lang_id",
-        "doc_fingerprint",
-        "price_trend_regression",
-        "ngram_jaccard_pairs",
-        "simhash16",
-        "simhash_neardup_pairs",
-        "cosine_topk_vectorized",
-        "lsh_cosine_topk",
-        "ivf_cosine_topk",
-        "multimodal_content_dedup",
-        "rolling_frames",
-    ]
-    must_be_in = [
-        # the 33 oldest r8-green rows fill the rest (spot-check ends +
-        # anchors)
-        "interval_merge",
-        "bm25_topk",
-        "bucket_fingerprint_diff",
-        "entity_clusters",
-        "weighted_sample",
-        "fk_integrity",
-        "time_range_rolling",
-        "line_dedup",
-        "incremental_ohlcv",
         "pruned_scan_revenue",
-        "ewma",
-        "daily_ohlcv",
-        "dedup_keep_last",
-        "event_funnel_windowed",
-        "market_beta",
-        "daily_vwap",
-        "ann_recall",
-        "gapfill_15m",
-        "repetition_signals",
     ]
-    missing = [q for q in must_be_in if q not in window]
-    assert not missing, f"queries fell out of the driver window: {missing}"
-    # the tail front (r13 rotation candidates) starts with the three r8
-    # rows the round-12 additions displaced, then the remaining r8 block
-    assert list(QUERIES)[50:54] == [
+    # every stream row (all route through the new _await_stream guard)
+    assert window[8:16] == [
+        "stream_stream_join_parity",
+        "stream_incremental_dedup",
+        "stream_cdc_parity",
+        "stream_silence_parity",
+        "stream_dim_enrich_parity",
+        "stream_watermark_drop_parity",
+        "stream_batch_session_parity",
+        "stream_heavy_hitters_parity",
+    ]
+    # the nine remaining r8-era rows (r12 verdict's designated r13 front,
+    # minus the 3 consolidated into ann_recall/macd_signal)
+    assert window[16:25] == [
+        "corpus_curation_transitive",
         "doc_chunks",
-        "tfidf_top_terms",
+        "multimodal_frame_sample",
+        "ngram_decontaminate",
         "price_band_join",
         "quota_sample",
+        "salted_symbol_volume",
+        "technical_indicators",
+        "tfidf_top_terms",
+    ]
+    # flagship reference-parity family leads the r9 fill
+    assert window[25:32] == [
+        "windowed_analytics",
+        "sliding_window_15m",
+        "sliding_window_1h",
+        "trading_signals",
+        "multi_window_tumbling",
+        "multi_window_signals",
+        "unpivot_ohlcv",
+    ]
+    # the 18 deferred r9 rows are the tail front — every one must be in
+    # the r14 window (staleness 4 = the re-pinned budget edge)
+    deferred = list(QUERIES)[50:68]
+    assert deferred == sorted(deferred) == [
+        "approx_stats",
+        "corpus_report",
+        "customer_order_distribution",
+        "customer_value_deciles",
+        "discounted_revenue",
+        "large_volume_orders",
+        "nation_trade_volume",
+        "national_market_share",
+        "product_profit",
+        "promo_revenue_pct",
+        "returned_item_customers",
+        "small_quantity_revenue",
+        "split_assign",
+        "supplier_count_by_part_attrs",
+        "top_supplier_revenue",
+        "upsample_mix",
+        "version_diff",
+        "wealthy_inactive_customers",
     ]
 
 
