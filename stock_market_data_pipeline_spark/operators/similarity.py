@@ -667,3 +667,47 @@ def quantized_topk_rerank(
         rerank.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    zero-tuning hybrid-retrieval combiner (Cormack et al.'s RRF; what
+    production search stacks use to merge lexical BM25 with vector ANN).
+    Each input frame must carry ``(query_id, neighbor_id, rank)`` with
+    rank 1-based; a candidate scores ``Σ_r 1/(rrf_k + rank_r)`` over the
+    rankers that returned it (absent → contributes nothing).
+
+    Plan shape: union of the (already small, top-k-per-query) ranked
+    lists → one groupBy(query, neighbor) sum → one rank window. The
+    inputs are k·|Q| rows each, so fusion cost is independent of corpus
+    size — the rankers did the heavy lifting; at 100 TB you fuse
+    milligrams, not the corpus. Determinism: with ≤2 rankers the
+    per-candidate sum has ≤2 IEEE addends (order-free); scores are
+    rounded to 6 dp and ties break by neighbor_id, per the cross-engine
+    ranking rule.
+
+    Output: ``query_id, neighbor_id, rrf_score (6 dp), n_rankers,
+    rank (1..k)``.
+    """
+    parts = [
+        r.select("query_id", "neighbor_id", "rank") for r in rankings
+    ]
+    allr = parts[0]
+    for p in parts[1:]:
+        allr = allr.unionByName(p)
+    scored = allr.groupBy("query_id", "neighbor_id").agg(
+        round_det(
+            F.sum(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank"))), 6
+        ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

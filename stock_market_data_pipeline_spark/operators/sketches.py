@@ -79,3 +79,86 @@ def hll_cardinality_rollup(
         env(F.col("_est_merged")).alias("merged_within_envelope"),
         env(F.col("_est_direct")).alias("est_within_envelope"),
     )
+
+
+def _cms_bucket(key, row_id: int, w: int, seed: str):
+    """Engine-portable Count-Min hash: row ``row_id``'s bucket for ``key``
+    — md5-derived like ``sampling.sample_hash32``, so a DuckDB oracle can
+    replicate the exact cell placement:
+    ``('0x' || substr(md5('<seed><j>:' || key), 1, 8))::BIGINT % w``."""
+    digest = F.md5(F.concat(F.lit(f"{seed}{row_id}:"), key.cast("string")))
+    return (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint") % F.lit(w)
+    )
+
+
+def countmin_sketch(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Build a d×w Count-Min sketch of ``key_col`` frequencies — the
+    mergeable frequency analogue of the HLL rollup above: d·w integer
+    cells answer "how often does key X occur" within +ε·N overestimate
+    (never under), at any table size. At 100 TB this is ONE map-side
+    combinable aggregate producing d·w rows (the sketch you persist per
+    partition/day and SUM cell-wise to merge); the raw keys never
+    shuffle — each row contributes d (row_id, bucket) increments that
+    partial-aggregate to at most d·w cells per task.
+
+    Output: ``row_id`` (0..d-1), ``bucket`` (0..w-1), ``cnt``.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_id"),
+                _cms_bucket(key, j, w, seed).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.row_id", "c.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 256,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys`` from a ``countmin_sketch``
+    frame: est(key) = min over rows j of cell[j][bucket_j(key)] — the
+    classic CM guarantee (est ≥ true count; ≤ true + ε·N with prob 1−δ,
+    ε = e/w, δ = e^−d). The sketch is d·w rows, so it broadcasts; keys
+    never carry counts around — one broadcast-hash-join + a min.
+
+    Output: ``key_col``, ``est``.
+    """
+    key = F.col(key_col)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row_id"),
+                _cms_bucket(key, j, w, seed).alias("bucket"),
+            )
+            for j in range(d)
+        ]
+    )
+    probes = keys.select(key, F.explode(cells).alias("c")).select(
+        key_col, "c.row_id", "c.bucket"
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

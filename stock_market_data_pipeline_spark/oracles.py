@@ -3461,6 +3461,35 @@ GROUP BY 1
 """
 
 
+# X123: watermarked stream-stream LEFT OUTER join — the batch LEFT JOIN
+# twin; null-extended (unmatched) rows contribute to n_rows/n_unmatched
+# only (click_id + NULL sums to nothing on both engines).
+ORACLES["stream_stream_left_join_parity"] = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user,
+         ts AS purchase_ts, value AS purchase_value
+  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+j AS (
+  SELECT * FROM c LEFT JOIN p
+    ON c_user = p_user
+   AND purchase_ts >= click_ts
+   AND purchase_ts <= click_ts + INTERVAL 7 DAY
+)
+SELECT c_user % 20 AS user_bucket,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN purchase_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       CAST(sum(click_id + purchase_id) AS BIGINT) AS id_sum,
+       round(sum(purchase_value), 2) AS value_sum
+FROM j GROUP BY 1
+"""
+
+
 # X117: TPC-H Q21 shape — late flags per (order, supplier), per-order
 # supplier/late counts, blame = the only late supplier on a
 # multi-supplier order.
@@ -3513,6 +3542,119 @@ SELECT 'quarantined' AS kind,
        CAST(NULL AS BIGINT) AS sum_doc_id,
        CAST(NULL AS BIGINT) AS sum_text_len
 FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+# X118 manifest schema evolution: the Spark side publishes odd-linenumber
+# rows without disc_price, appends even rows with it, and reads the
+# evolved table; the oracle predicts everything from raw lineitem.
+# n_disc_null == odd-row count is the NULL-backfill proof; disc_price is
+# one double product, identical both engines, so floor-cents agree.
+ORACLES["manifest_schema_evolution"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(25,10))), 2) AS DOUBLE) AS sum_qty,
+       CAST(sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_null,
+       CAST(sum(CASE WHEN l_linenumber % 2 = 0
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) END) AS BIGINT) AS disc_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# X119 TPC-H Q2 shape: min + join-back on raw parquet doubles (no
+# arithmetic -> exact equality), ties to the lowest suppkey.
+ORACLES["min_cost_supplier"] = """
+WITH sup AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+offers AS (
+  SELECT DISTINCT l_partkey, l_extendedprice, l_suppkey, s_name, n_name
+  FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+),
+m AS (SELECT l_partkey, min(l_extendedprice) AS min_cost FROM offers GROUP BY 1),
+r AS (
+  SELECT o.l_partkey, m.min_cost, o.l_suppkey, o.s_name, o.n_name,
+         row_number() OVER (PARTITION BY o.l_partkey ORDER BY o.l_suppkey) AS rn
+  FROM offers o
+  JOIN m ON o.l_partkey = m.l_partkey AND o.l_extendedprice = m.min_cost
+)
+SELECT l_partkey AS partkey, min_cost, l_suppkey AS suppkey, s_name, n_name
+FROM r WHERE rn = 1
+"""
+
+
+# X120 TPC-H Q11 shape: the threshold compare runs in exact decimal/
+# integer space (dval*n > 2*dtot) so it cannot flap on double-sum
+# association; uppercase ROUND = decimal-space rounding (no bias).
+ORACLES["important_parts"] = """
+WITH f AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS dval
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+),
+t AS (SELECT sum(dval) AS dtot, count(*) AS n_parts FROM f)
+SELECT l_partkey AS partkey,
+       CAST(ROUND(dval, 2) AS DOUBLE) AS part_value
+FROM f, t
+WHERE dval * n_parts > 2 * dtot
+"""
+
+
+# X121 reciprocal-rank fusion: both rankers' oracles embedded verbatim,
+# then the 1/(60+rank) refold; <=2 addends per candidate so the double
+# sum is order-free.
+ORACLES["rank_fusion_topk"] = f"""
+WITH a AS ({_COSINE_TOPK_ORACLE}), b AS ({_LSH_TOPK_ORACLE}),
+u AS (
+  SELECT query_id, neighbor_id, rank FROM a
+  UNION ALL
+  SELECT query_id, neighbor_id, rank FROM b
+),
+s AS (
+  SELECT query_id, neighbor_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+         count(*) AS n_rankers
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rrf_score, n_rankers, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id) AS rank
+  FROM s
+) t WHERE rank <= 5
+"""
+
+
+# X122 Count-Min sketch: the oracle replicates the exact md5 cell
+# placement (sample_hash32 contract), the d x w cell counts, the min-
+# over-rows estimate, and the exact count beside it.
+ORACLES["countmin_user_topk"] = """
+WITH js AS (SELECT unnest(range(4)) AS j),
+ex AS (
+  SELECT user_id, j,
+         CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM events, js
+),
+sk AS (SELECT j, bucket, count(*) AS cnt FROM ex GROUP BY 1, 2),
+probes AS (
+  SELECT DISTINCT user_id, j, bucket FROM ex
+),
+est AS (
+  SELECT p.user_id, min(sk.cnt) AS est
+  FROM probes p JOIN sk USING (j, bucket) GROUP BY 1
+),
+exact AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1)
+SELECT user_id, est, exact, rank FROM (
+  SELECT e.user_id, e.est, x.exact,
+         row_number() OVER (ORDER BY e.est DESC, e.user_id) AS rank
+  FROM est e JOIN exact x USING (user_id)
+) t WHERE rank <= 20
 """
 
 

@@ -30,9 +30,18 @@ def test_driver_window_composition():
     the budget edge, the MANDATORY r14 front."""
     window = list(QUERIES)[:50]
     # round-13 additions — never driver-checked — at the very front
-    assert window[:2] == ["compact_equality", "jsonl_quarantine"]
+    assert window[:8] == [
+        "compact_equality",
+        "jsonl_quarantine",
+        "manifest_schema_evolution",
+        "min_cost_supplier",
+        "important_parts",
+        "rank_fusion_topk",
+        "countmin_user_topk",
+        "stream_stream_left_join_parity",
+    ]
     # contract-changed + manifest/lake code-touched rows
-    assert window[2:8] == [
+    assert window[8:14] == [
         "macd_signal",
         "manifest_sharded_scan",
         "manifest_rollback_diff",
@@ -40,8 +49,8 @@ def test_driver_window_composition():
         "retention_revenue",
         "pruned_scan_revenue",
     ]
-    # every stream row (all route through the new _await_stream guard)
-    assert window[8:16] == [
+    # every pre-existing stream row (all route through _await_stream)
+    assert window[14:22] == [
         "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
@@ -53,7 +62,7 @@ def test_driver_window_composition():
     ]
     # the nine remaining r8-era rows (r12 verdict's designated r13 front,
     # minus the 3 consolidated into ann_recall/macd_signal)
-    assert window[16:25] == [
+    assert window[22:31] == [
         "corpus_curation_transitive",
         "doc_chunks",
         "multimodal_frame_sample",
@@ -65,7 +74,7 @@ def test_driver_window_composition():
         "tfidf_top_terms",
     ]
     # flagship reference-parity family leads the r9 fill
-    assert window[25:32] == [
+    assert window[31:38] == [
         "windowed_analytics",
         "sliding_window_15m",
         "sliding_window_1h",
@@ -74,9 +83,9 @@ def test_driver_window_composition():
         "multi_window_signals",
         "unpivot_ohlcv",
     ]
-    # the 18 deferred r9 rows are the tail front — every one must be in
+    # the 24 deferred r9 rows are the tail front — every one must be in
     # the r14 window (staleness 4 = the re-pinned budget edge)
-    deferred = list(QUERIES)[50:68]
+    deferred = list(QUERIES)[50:74]
     assert deferred == sorted(deferred) == [
         "approx_stats",
         "corpus_report",
@@ -89,10 +98,16 @@ def test_driver_window_composition():
         "product_profit",
         "promo_revenue_pct",
         "returned_item_customers",
+        "sequence_packing",
+        "session_peak_overlap",
         "small_quantity_revenue",
+        "soft_dedup",
         "split_assign",
         "supplier_count_by_part_attrs",
+        "supplier_pagerank",
         "top_supplier_revenue",
+        "training_mix_report",
+        "unigram_logprob",
         "upsample_mix",
         "version_diff",
         "wealthy_inactive_customers",
