@@ -103,3 +103,88 @@ def gapfill_forward_fill(
         F.coalesce("bucket_volume", F.lit(0)).alias("bucket_volume"),
         F.col("last_price").isNull().cast("int").alias("is_gap"),
     )
+
+
+def gapfill_interpolate(
+    df: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    price: str = "price",
+    step_minutes: int = 15,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Dense per-key time grid with LINEAR interpolation across gaps — the
+    resampling mode ML feature pipelines want where forward-fill's step
+    function biases downstream deltas: a gap bucket gets
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)`` between the
+    nearest observed buckets on each side. The grid spans first..last
+    observed bucket per key, so every gap has both endpoints by
+    construction (no extrapolation).
+
+    Same portable epoch-floor bucketing as :func:`gapfill_forward_fill`;
+    the interpolation arithmetic is a fixed sequence of IEEE double ops
+    both engines evaluate identically. Output: ``key, bucket, price
+    (6 dp), is_gap``.
+
+    Scale: one shuffle on ``key`` for the grouped last-price, then the
+    grid explode and two windows ride the same (key, bucket) sort — the
+    window frames are unbounded but ``last/first ignorenulls`` are
+    running accumulators, not per-row rescans.
+    """
+    step = step_minutes * 60
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts)) / step).cast("bigint") * step
+    )
+    if tiebreak is not None:
+        last_price = F.max(
+            F.struct(
+                F.col(ts).alias("_t"),
+                F.col(tiebreak).alias("_k"),
+                F.col(price).alias("_p"),
+            )
+        ).getField("_p")
+    else:
+        last_price = F.max_by(price, ts)
+    observed = df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        last_price.alias("last_price")
+    )
+    bounds = observed.groupBy(key).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        F.col(key),
+        F.explode(
+            F.sequence(
+                F.col("_lo"), F.col("_hi"), F.expr(f"interval {step} seconds")
+            )
+        ).alias("bucket"),
+    )
+    joined = grid.join(observed, [key, "bucket"], "left")
+    secs = F.unix_timestamp("bucket")
+    obs_secs = F.when(F.col("last_price").isNotNull(), secs)
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_p = F.last("last_price", ignorenulls=True).over(w_prev)
+    prev_s = F.last(obs_secs, ignorenulls=True).over(w_prev)
+    next_p = F.first("last_price", ignorenulls=True).over(w_next)
+    next_s = F.first(obs_secs, ignorenulls=True).over(w_next)
+    frac = (secs - prev_s) / (next_s - prev_s).cast("double")
+    interp = F.when(
+        F.col("last_price").isNotNull(), F.col("last_price")
+    ).otherwise(prev_p + (next_p - prev_p) * frac)
+    from stock_market_data_pipeline_spark.utils import round_det
+
+    return joined.select(
+        F.col(key),
+        F.col("bucket"),
+        round_det(interp, 6).alias("price"),
+        F.col("last_price").isNull().cast("int").alias("is_gap"),
+    )

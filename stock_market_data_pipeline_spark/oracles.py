@@ -3490,6 +3490,63 @@ FROM j GROUP BY 1
 """
 
 
+# X125 linear-interpolation gap fill: same grid/bucket construction as
+# the gapfill_15m oracle; the blend is the identical IEEE double
+# expression Spark evaluates (long subtraction → double divide →
+# multiply-add), so values match bit-for-bit before the 6 dp round.
+ORACLES["gapfill_interpolate"] = f"""
+WITH {TICKS_CTE},
+obs AS (
+  SELECT symbol,
+         make_timestamp(((CAST(floor(epoch("timestamp")) AS BIGINT) // 900) * 900) * 1000000) AS bucket,
+         max(struct_pack(_t := "timestamp", _k := event_id, _p := price))._p AS last_price
+  FROM ticks GROUP BY 1, 2
+),
+bounds AS (SELECT symbol, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 900 SECOND)) AS bucket
+  FROM bounds
+),
+j AS (
+  SELECT g.symbol, g.bucket, o.last_price
+  FROM grid g LEFT JOIN obs o ON o.symbol = g.symbol AND o.bucket = g.bucket
+),
+w AS (
+  SELECT symbol, bucket, last_price,
+         CAST(floor(epoch(bucket)) AS BIGINT) AS eb,
+         last_value(last_price IGNORE NULLS) OVER wp AS prev_p,
+         last_value(CASE WHEN last_price IS NOT NULL
+                    THEN CAST(floor(epoch(bucket)) AS BIGINT) END IGNORE NULLS) OVER wp AS prev_s,
+         first_value(last_price IGNORE NULLS) OVER wn AS next_p,
+         first_value(CASE WHEN last_price IS NOT NULL
+                     THEN CAST(floor(epoch(bucket)) AS BIGINT) END IGNORE NULLS) OVER wn AS next_s
+  FROM j
+  WINDOW wp AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY symbol ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, bucket,
+       round(CASE WHEN last_price IS NOT NULL THEN last_price
+             ELSE prev_p + (next_p - prev_p) * ((eb - prev_s) / CAST(next_s - prev_s AS DOUBLE)) END, 6) AS price,
+       CASE WHEN last_price IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM w
+"""
+
+
+# X124 key-level hard delete: fingerprint of the anti-set; portable hash
+# = the sample_hash32 contract, retail price floor-scaled to cents.
+ORACLES["manifest_key_delete"] = """
+SELECT p_partkey % 7 AS key_bucket,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('del:' || CAST(p_partkey AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS key_hash_sum,
+       CAST(sum(CAST(floor(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+FROM part
+WHERE p_partkey % 499 <> 3
+GROUP BY 1
+"""
+
+
 # X117: TPC-H Q21 shape — late flags per (order, supplier), per-order
 # supplier/late counts, blame = the only late supplier on a
 # multi-supplier order.

@@ -3520,6 +3520,78 @@ def q_stream_stream_left_join_parity(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_manifest_key_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 key-level hard DELETE (GDPR erasure) on a bucketed manifest
+    table: publish `part` bucketed on p_partkey, delete every key with
+    ``p_partkey % 499 == 3`` (a sparse keyset: 1/5/41 keys at
+    sf0.001/0.01/0.1, so with 64 buckets some buckets always carry),
+    read the new version back and fingerprint
+    it per ``p_partkey % 7`` bucket. The oracle computes the identical
+    fingerprint from the source table's anti-set — a surviving deleted
+    row, a lost survivor, or a duplicate from the rewrite all shift a
+    bucket. Runtime-asserts the delete was bucket-scoped (some files
+    carried by reference, some rewritten), which the oracle cannot see."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        merge_upsert_manifest,
+        read_manifest,
+    )
+
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="keydelq_")
+    root = f"{tmp}/t"
+    try:
+        merge_upsert_manifest(
+            spark,
+            part.withColumn("seq", F.lit(0)),
+            root,
+            keys=["p_partkey"],
+            order_col="seq",
+            n_buckets=64,
+        )
+        dk = part.filter(F.col("p_partkey") % 499 == 3).select("p_partkey")
+        res = delete_keys_manifest(spark, dk, root, ["p_partkey"], 64)
+        if res["carried_files"] == 0 or res["rewritten_files"] == 0:
+            raise AssertionError(f"delete was not bucket-scoped: {res}")
+        out = (
+            read_manifest(spark, root)
+            .groupBy((F.col("p_partkey") % 7).alias("key_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("p_partkey"), "del"))
+                .cast("bigint")
+                .alias("key_hash_sum"),
+                F.sum(
+                    F.floor(F.col("p_retailprice") * 100).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 linear-interpolation gap fill — the resampling mode where
+    forward-fill's step function would bias downstream deltas; every gap
+    bucket gets the exact linear blend of its nearest observed
+    neighbors, computed by the identical IEEE expression in the oracle."""
+    from stock_market_data_pipeline_spark.operators.gapfill import (
+        gapfill_interpolate,
+    )
+
+    t = ticks_from_events(spark, sf_dir)
+    return gapfill_interpolate(t, tiebreak="event_id")
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r12 == dict
 # keys[0:50] every round). Rotation policy (budget re-pinned to 4 rounds in
@@ -3529,10 +3601,11 @@ def q_stream_stream_left_join_parity(
 # Everything — in or out of the window — is still covered by the local
 # oracle-parity suite (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-13 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 8 round-13 additions (compact_equality,
+# don't trust prose): 10 round-13 additions (compact_equality,
 # jsonl_quarantine, manifest_schema_evolution, min_cost_supplier,
 # important_parts, rank_fusion_topk, countmin_user_topk,
-# stream_stream_left_join_parity — never driver-checked), then macd_signal (schema extended with
+# stream_stream_left_join_parity, manifest_key_delete,
+# gapfill_interpolate — never driver-checked), then macd_signal (schema extended with
 # ema_fast/ema_slow when it subsumed the retired macd row), then 5
 # manifest/lake rows (manifest_sharded_scan, manifest_rollback_diff,
 # merge_manifest_state, retention_revenue, pruned_scan_revenue —
@@ -3541,14 +3614,14 @@ def q_stream_stream_left_join_parity(
 # then all 8 stream rows (every one routes awaitTermination through the
 # new _await_stream timeout guard), then the NINE remaining r8-era rows
 # (the r12 verdict's designated front, minus the 3 consolidated away),
-# then the 19 oldest r9-green rows with the flagship reference-parity
+# then the 17 oldest r9-green rows with the flagship reference-parity
 # family (windowed_analytics, sliding_window_*, trading_signals,
-# multi_window_*) leading. Past the window: the 24 deferred r9 rows
+# multi_window_*) leading. Past the window: the 26 deferred r9 rows
 # sorted by name (at staleness 4 = the re-pinned budget edge at r13
 # close; they are the MANDATORY r14 front), then the 42 remaining
 # r11-green rows, then the 43 remaining r12-green rows.
 # NEXT ROUND (14): lead with round-14 additions/code-touched rows, then
-# ALL 24 deferred r9 rows (budget-mandatory), then the oldest r11 rows;
+# ALL 26 deferred r9 rows (budget-mandatory), then the oldest r11 rows;
 # update tests/test_oracle_parity.py:test_driver_window_composition in
 # lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -3560,6 +3633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_fusion_topk": q_rank_fusion_topk,
     "countmin_user_topk": q_countmin_user_topk,
     "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
+    "manifest_key_delete": q_manifest_key_delete,
+    "gapfill_interpolate": q_gapfill_interpolate,
     "macd_signal": q_macd_signal,
     "manifest_sharded_scan": q_manifest_sharded_scan,
     "manifest_rollback_diff": q_manifest_rollback_diff,
@@ -3600,8 +3675,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk_rerank": q_quantized_topk_rerank,
     "return_correlation": q_return_correlation,
     "scd2_history": q_scd2_history,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
     "approx_stats": q_approx_stats,
     "corpus_report": q_corpus_report,
     "customer_order_distribution": q_customer_order_distribution,
@@ -3613,6 +3686,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_profit": q_product_profit,
     "promo_revenue_pct": q_promo_revenue_pct,
     "returned_item_customers": q_returned_item_customers,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
     "sequence_packing": q_sequence_packing,
     "session_peak_overlap": q_session_peak_overlap,
     "small_quantity_revenue": q_small_quantity_revenue,

@@ -1420,6 +1420,106 @@ def merge_upsert_manifest(
     }
 
 
+def delete_keys_manifest(
+    spark: SparkSession,
+    delete_keys: DataFrame,
+    root: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Key-level hard DELETE at O(touched buckets) — the GDPR /
+    right-to-erasure primitive (Delta ``DELETE WHERE key IN (…)`` shape):
+    every row whose key appears in ``delete_keys`` is physically removed
+    from the NEW version's files; untouched buckets carry by reference.
+    Prior versions still reference the old files (time travel), so
+    erasure completes when retention/vacuum expires them — the same
+    two-step contract Delta and Iceberg document for GDPR deletes.
+
+    Requires a table bucketed by ``(keys, n_buckets)`` (i.e. built via
+    ``merge_upsert_manifest``): the key set maps to buckets by the same
+    portable hash, only those buckets' files are read and rewritten with
+    a LEFT ANTI join, and the metadata commit reuses every untouched
+    segment. ``delete_keys`` is deduplicated, localCheckpoint-ed (it is
+    evaluated for the touched-bucket collect and again in the anti-join)
+    and broadcast — a delete batch is small by contract; for bulk
+    retention use ``retention_delete``. ``txn_id`` gives replay
+    idempotence like ``append_files``. Returns ``{"touched_buckets",
+    "carried_files", "rewritten_files", "version"}``.
+    """
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    _, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    txns = dict(meta.get("txns") or {})
+    bk = meta.get("bucketing")
+    if not bk or list(bk["keys"]) != list(keys) or int(bk["n_buckets"]) != n_buckets:
+        raise ValueError(
+            f"table at {root} is bucketed as {bk}; delete_keys_manifest "
+            f"called with keys={keys} n_buckets={n_buckets} — key deletes "
+            "ride the bucket layout (build the table via "
+            "merge_upsert_manifest)"
+        )
+    prev_entries = _manifest_entries(fs, root, meta)
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "touched_buckets": 0,
+                "carried_files": len(prev_entries),
+                "rewritten_files": 0,
+                "version": committed[-1],
+            }
+        txns[app] = n
+    dk = (
+        delete_keys.select(*keys)
+        .distinct()
+        .withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+        .localCheckpoint(eager=False)
+    )
+    touched = {r[0] for r in dk.select(_BUCKET).distinct().collect()}
+    carried, old_touched = [], []
+    for e in prev_entries:
+        if e.get("bucket") is not None and e["bucket"] not in touched:
+            carried.append(e)
+        else:
+            old_touched.append(e)
+    new_entries: list[dict[str, Any]] = []
+    stats_cols = _table_stats_cols(meta) or None
+    if old_touched:
+        paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
+        survivors = _load_table_files(spark, meta, paths).join(
+            F.broadcast(dk.drop(_BUCKET)), keys, "left_anti"
+        )
+        new_entries = _stage_bucketed(
+            spark, survivors, root, fmt, keys, n_buckets,
+            stats_cols=stats_cols,
+        )
+    changed = {e["name"] for e in old_touched}
+    reused, loose = _plan_segment_reuse(fs, root, meta, changed)
+    loose_carried = [e for e in loose if e["name"] not in changed]
+    v = _commit(
+        spark,
+        root,
+        loose_carried + new_entries,
+        fmt,
+        expected_prev=committed[-1],
+        txns=txns,
+        schema_json=meta.get("schema"),
+        stats_cols=stats_cols,
+        bucketing=bk,
+        reuse_segments=reused,
+    )
+    return {
+        "touched_buckets": len(touched),
+        "carried_files": len(carried),
+        "rewritten_files": len(new_entries),
+        "version": v,
+    }
+
+
 def read_manifest_pruned(
     spark: SparkSession,
     root: str,

@@ -1275,3 +1275,39 @@ def test_compaction_preserves_evolved_column(spark, tmp_path):
     got = {r["k"]: r["score"] for r in read_manifest(spark, root).collect()}
     assert got == {0: None, 1: None, 2: None, 3: None,
                    4: 4.0, 5: 5.0, 6: 6.0, 7: 7.0}
+
+
+def test_delete_keys_manifest_bucket_scoped_and_idempotent(spark, tmp_path):
+    """X124: the delete rewrites ONLY buckets holding doomed keys (other
+    files carried by identical physical name), replays are no-ops via
+    txn watermarks, and an unbucketed table is rejected loudly."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 0) for i in range(200)], "k long, v string, seq long"
+    )
+    merge_upsert_manifest(spark, base, root, keys=["k"], order_col="seq",
+                          n_buckets=16)
+    before = {e["name"] for e in manifest_files(spark, root)}
+    dk = spark.createDataFrame([(7,), (8,)], "k long")
+    res = delete_keys_manifest(spark, dk, root, ["k"], 16, txn_id=("del", 1))
+    assert 1 <= res["touched_buckets"] <= 2
+    after = {e["name"] for e in manifest_files(spark, root)}
+    assert len(after & before) == res["carried_files"] >= 10
+    left = {r["k"] for r in read_manifest(spark, root).collect()}
+    assert left == set(range(200)) - {7, 8}
+    # replay: same txn -> no-op, same version
+    res2 = delete_keys_manifest(spark, dk, root, ["k"], 16, txn_id=("del", 1))
+    assert res2["rewritten_files"] == 0 and res2["version"] == res["version"]
+    # layout mismatch raises
+    with pytest.raises(ValueError, match="bucket"):
+        delete_keys_manifest(spark, dk, root, ["k"], 8)
+    # unbucketed table raises
+    root2 = str(tmp_path / "u")
+    publish_files(spark, base.drop("seq"), root2)
+    with pytest.raises(ValueError, match="bucket"):
+        delete_keys_manifest(spark, dk, root2, ["k"], 16)

@@ -22,15 +22,16 @@ def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget re-pinned
     to 4 rounds in round 13 — SURVEY §2.10). Guard the round-13 plan:
-    2 new rows, then macd_signal (schema extended when it subsumed macd),
-    then 5 manifest/lake code-touched rows, then all 8 stream rows (the
-    _await_stream timeout guard touched every one), then the 9 remaining
-    r8-era rows, then the 25 oldest r9 rows with the flagship parity
-    family leading. The 18 deferred r9 rows sit at positions 50:68 — at
-    the budget edge, the MANDATORY r14 front."""
+    10 new rows, then macd_signal (schema extended when it subsumed
+    macd), then 5 manifest/lake code-touched rows, then all 8
+    pre-existing stream rows (the _await_stream timeout guard touched
+    every one), then the 9 remaining r8-era rows, then the 17 oldest r9
+    rows with the flagship parity family leading. The 26 deferred r9
+    rows sit at positions 50:76 — at the budget edge, the MANDATORY r14
+    front."""
     window = list(QUERIES)[:50]
     # round-13 additions — never driver-checked — at the very front
-    assert window[:8] == [
+    assert window[:10] == [
         "compact_equality",
         "jsonl_quarantine",
         "manifest_schema_evolution",
@@ -39,9 +40,11 @@ def test_driver_window_composition():
         "rank_fusion_topk",
         "countmin_user_topk",
         "stream_stream_left_join_parity",
+        "manifest_key_delete",
+        "gapfill_interpolate",
     ]
     # contract-changed + manifest/lake code-touched rows
-    assert window[8:14] == [
+    assert window[10:16] == [
         "macd_signal",
         "manifest_sharded_scan",
         "manifest_rollback_diff",
@@ -50,7 +53,7 @@ def test_driver_window_composition():
         "pruned_scan_revenue",
     ]
     # every pre-existing stream row (all route through _await_stream)
-    assert window[14:22] == [
+    assert window[16:24] == [
         "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
@@ -62,7 +65,7 @@ def test_driver_window_composition():
     ]
     # the nine remaining r8-era rows (r12 verdict's designated r13 front,
     # minus the 3 consolidated into ann_recall/macd_signal)
-    assert window[22:31] == [
+    assert window[24:33] == [
         "corpus_curation_transitive",
         "doc_chunks",
         "multimodal_frame_sample",
@@ -74,7 +77,7 @@ def test_driver_window_composition():
         "tfidf_top_terms",
     ]
     # flagship reference-parity family leads the r9 fill
-    assert window[31:38] == [
+    assert window[33:40] == [
         "windowed_analytics",
         "sliding_window_15m",
         "sliding_window_1h",
@@ -83,9 +86,9 @@ def test_driver_window_composition():
         "multi_window_signals",
         "unpivot_ohlcv",
     ]
-    # the 24 deferred r9 rows are the tail front — every one must be in
+    # the 26 deferred r9 rows are the tail front — every one must be in
     # the r14 window (staleness 4 = the re-pinned budget edge)
-    deferred = list(QUERIES)[50:74]
+    deferred = list(QUERIES)[50:76]
     assert deferred == sorted(deferred) == [
         "approx_stats",
         "corpus_report",
@@ -98,6 +101,8 @@ def test_driver_window_composition():
         "product_profit",
         "promo_revenue_pct",
         "returned_item_customers",
+        "semantic_decontaminate",
+        "semantic_dedup",
         "sequence_packing",
         "session_peak_overlap",
         "small_quantity_revenue",
