@@ -3322,6 +3322,10 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("l_partkey")
         .agg(_exact_sum(val).alias("dval"))
+        # per_part feeds BOTH sides of the scalar cross join; without the
+        # pin the lineitem scan + grouped sum run twice (no exchange
+        # reuse across a self-join of an aggregate)
+        .localCheckpoint(eager=False)
     )
     totals = per_part.agg(
         F.sum("dval").alias("dtot"), F.count(F.lit(1)).alias("n_parts")

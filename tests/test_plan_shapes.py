@@ -382,3 +382,66 @@ def test_plans_md_covers_full_registry_with_zero_banned_shapes():
         if re.search(r"(row_udf|cartesian)\s*$", rest)
     )
     assert not flagged, f"banned plan shapes recorded for {flagged}"
+
+
+def test_min_cost_supplier_single_scan_single_key_shuffle(spark, sf_dir):
+    """The offers frame (lineitem ⋈ broadcast dim, distinct) is pinned by
+    localCheckpoint because it sits on BOTH sides of the min/resolve
+    self-join — so the final plan must read from the checkpoint
+    (Scan ExistingRDD), contain ZERO further lineitem file scans (no
+    double scan of the fact table), and every hash-partitioned data
+    exchange must key on l_partkey (min pass, resolve join, tie-break
+    window share the key). The dim broadcast happens inside the
+    checkpointed subplan (asserted at build time by its own join type —
+    F.broadcast — and invisible here by design)."""
+    plan = _plan(spark, sf_dir, "min_cost_supplier")
+    assert "Scan ExistingRDD" in plan, plan[:1200]
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert not li_scans, li_scans
+    hash_ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "Reused" not in ln
+    ]
+    assert hash_ex, plan[:1500]
+    for ln in hash_ex:
+        assert "l_partkey" in ln or "_mp" in ln, ln
+
+
+def test_important_parts_scalar_broadcast_no_fact_rescan(spark, sf_dir):
+    """Q11 shape: per_part feeds BOTH sides of the scalar cross join, so
+    it is pinned (lazy localCheckpoint) — the final plan must read it
+    from the checkpoint (no lineitem file scan at all), and the 1-row
+    global aggregate must reach the threshold compare via a broadcast
+    (BroadcastNestedLoopJoin), never a repartition of the per-part
+    frame."""
+    plan = _plan(spark, sf_dir, "important_parts")
+    assert "BroadcastNestedLoopJoin" in plan, plan[:1500]
+    assert "Scan ExistingRDD" in plan
+    li_scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    ]
+    assert not li_scans, li_scans
+
+
+def test_countmin_topk_is_take_ordered_not_global_window(spark, sf_dir):
+    """The top-20 must compile to TakeOrderedAndProject (distributed
+    top-k) — a global row_number window would single-task every key at
+    scale. The rank window afterwards runs over the 20 collected rows."""
+    plan = _plan(spark, sf_dir, "countmin_user_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_rank_fusion_reuses_ranker_outputs(spark, sf_dir):
+    """RRF fuses two top-k-per-query lists: the exact arm broadcasts the
+    query side (BroadcastNestedLoopJoin), the LSH arm is a bucket
+    equi-join (never all-pairs), and the fusion itself only exchanges on
+    query-keyed hashes — no corpus-sized shuffle beyond the rankers'."""
+    plan = _plan(spark, sf_dir, "rank_fusion_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # exact-cosine arm
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(query_id" in plan
