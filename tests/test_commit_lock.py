@@ -252,3 +252,102 @@ def test_two_writer_merge_race_end_to_end_with_lease_lock(spark, tmp_path):
     assert res["files_deleted"] >= 1
     rows2 = {r["k"]: r["v"] for r in read_manifest(spark, root).collect()}
     assert rows2 == rows
+
+
+class _S3LikeStore(_S3LikeFS):
+    """A fuller in-memory object store on top of `_S3LikeFS`'s non-atomic
+    create: enough of the `_HadoopFS` surface (listing, dirs, mtime,
+    delete) for the manifest METADATA protocol to run entirely against
+    S3 semantics — prefix listing, last-write-wins PUT, no atomic
+    create, no real directories."""
+
+    def __init__(self):
+        super().__init__()
+        self.mtimes: dict[str, int] = {}
+        self._t = 1_000_000
+
+    def _create_text_unchecked(self, p: str, content: str) -> None:
+        super()._create_text_unchecked(p, content)
+        self._t += 1
+        self.mtimes[p] = self._t
+
+    def write_text(self, p: str, content: str) -> None:
+        self._create_text_unchecked(p, content)
+
+    def read_text(self, p: str) -> str:
+        return self.objects[p]
+
+    def is_dir(self, p: str) -> bool:  # S3: a "dir" is a non-empty prefix
+        pref = p.rstrip("/") + "/"
+        return any(k.startswith(pref) for k in self.objects)
+
+    def child_names(self, p: str) -> list[str]:
+        pref = p.rstrip("/") + "/"
+        return sorted(
+            {
+                k[len(pref):].split("/", 1)[0]
+                for k in self.objects
+                if k.startswith(pref)
+            }
+        )
+
+    def delete(self, p: str) -> None:
+        pref = p.rstrip("/") + "/"
+        for k in [k for k in self.objects if k == p or k.startswith(pref)]:
+            self.objects.pop(k, None)
+            self.mtimes.pop(k, None)
+
+    def mtime_ms(self, p: str) -> int:
+        return self.mtimes[p]
+
+
+def test_manifest_metadata_protocol_on_s3_semantics(spark, monkeypatch):
+    """Drive the manifest METADATA protocol — commit, resolve, segment
+    sharding, rollback, race arbitration, vacuum — entirely against an
+    object store with S3 create semantics (check-then-put, prefix
+    listing, no dirs) and a LeaseCommitLock installed. This is the layer
+    the r12 commit-lock work protects; here the whole protocol, not just
+    the commit point, runs on the fake. Entries are metadata-only (no
+    data files staged), exactly like the r12/r13 scale probes."""
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+
+    store = _S3LikeStore()
+    monkeypatch.setattr(ml, "_HadoopFS", lambda _spark, _root: store)
+    prev = set_commit_lock(LeaseCommitLock(ttl_s=300))
+    root = "s3a://bucket/table"
+    try:
+        ents = [
+            {"name": f"f{i:05d}.parquet", "bytes": 1024} for i in range(40)
+        ]
+        v1 = ml._commit(spark, root, ents, "parquet", expected_prev=None)
+        assert v1 == 1
+        got_v, meta = ml._resolve_manifest(store, root, None)
+        assert got_v == 1
+        assert len(ml._manifest_entries(store, root, meta)) == 40
+        # append by reference + a second version
+        v2 = ml._commit(
+            spark,
+            root,
+            ents + [{"name": "g.parquet", "bytes": 1}],
+            "parquet",
+            expected_prev=1,
+            reuse_segments=list(meta.get("segments") or []),
+        )
+        assert v2 == 2
+        # lost race: a commit against a stale expected_prev surfaces the
+        # documented conflict signal on S3 semantics too
+        with pytest.raises(ml.ManifestConflictError):
+            ml._commit(spark, root, ents, "parquet", expected_prev=1)
+        # rollback = pure metadata commit
+        v3 = ml.rollback_manifest(spark, root, to_version=1)
+        assert v3 == 3
+        _, m3 = ml._resolve_manifest(store, root, None)
+        assert len(ml._manifest_entries(store, root, m3)) == 40
+        # vacuum on the fake store: retires superseded metadata only
+        res = ml.vacuum_manifest(spark, root, keep_versions=1,
+                                 grace_seconds=0.0)
+        assert res["manifests_deleted"] == 2
+        _, m_after = ml._resolve_manifest(store, root, None)
+        assert len(ml._manifest_entries(store, root, m_after)) == 40
+    finally:
+        set_commit_lock(prev)
