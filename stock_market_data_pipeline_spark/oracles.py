@@ -3534,6 +3534,14 @@ FROM w
 """
 
 
+# X126 Bloom skip index: the lookup must equal the plain filter — the
+# index only chooses which files open; a false skip loses a row here.
+ORACLES["bloom_point_lookup"] = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_orderkey = 42
+"""
+
+
 # X124 key-level hard delete: fingerprint of the anti-set; portable hash
 # = the sample_hash32 contract, retail price floor-scaled to cents.
 ORACLES["manifest_key_delete"] = """

@@ -510,6 +510,7 @@ def _commit(
     stats_cols: list[str] | None = None,
     bucketing: dict[str, Any] | None = None,
     reuse_segments: list[dict] | None = None,
+    extra_meta: dict[str, Any] | None = None,
 ) -> int:
     """Optimistically-concurrent commit: the caller states which version
     it READ (``expected_prev``; None = it saw an empty table), and the
@@ -563,23 +564,25 @@ def _commit(
             )
     nxt = (known[-1] + 1) if known else 1
     mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
-    body = _json.dumps(
-        {
-            "fmt": fmt,
-            "files": inline_files,
-            "segments": seg_refs,
-            "txns": txns or {},
-            # recorded so an all-rows-deleted manifest still READS as
-            # an empty typed table instead of being unreadable
-            "schema": schema_json,
-            # recorded so maintenance rewrites preserve the table's
-            # pruning columns and bucket layout without re-deriving
-            # them from (now sidecar-resident) per-file stats
-            "stats_cols": sorted(stats_cols) if stats_cols else [],
-            "bucketing": bucketing,
-        },
-        default=str,
-    )
+    payload = {
+        "fmt": fmt,
+        "files": inline_files,
+        "segments": seg_refs,
+        "txns": txns or {},
+        # recorded so an all-rows-deleted manifest still READS as
+        # an empty typed table instead of being unreadable
+        "schema": schema_json,
+        # recorded so maintenance rewrites preserve the table's
+        # pruning columns and bucket layout without re-deriving
+        # them from (now sidecar-resident) per-file stats
+        "stats_cols": sorted(stats_cols) if stats_cols else [],
+        "bucketing": bucketing,
+    }
+    # version-scoped extensions (e.g. the bloom index ref); maintenance
+    # commits that don't pass them through intentionally drop them — an
+    # index describes exactly the file set it was built over
+    payload.update(extra_meta or {})
+    body = _json.dumps(payload, default=str)
     try:
         fs.write_text_exclusive(mpath, body)
         fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
@@ -1595,3 +1598,148 @@ def read_manifest_pruned(
         spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
     )
     return df.filter(cond)
+
+
+def _bloom_positions(col, m: int, k: int, seed: str):
+    """The k portable hash positions of a value — md5-derived (the
+    sampling.sample_hash32 contract) so a DuckDB oracle reproduces the
+    identical bit placement: position_j =
+    ``('0x' || substr(md5('<seed><j>:' || value), 1, 8))::BIGINT % m``."""
+    return [
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}{j}:"), col.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % F.lit(m)
+        for j in range(k)
+    ]
+
+
+def add_bloom_index(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bf",
+) -> int:
+    """Build a per-file Bloom skip index on ``col`` and commit it as the
+    next version — the Delta/Iceberg bloom-column-index shape: min/max
+    stats prune RANGES, a Bloom index prunes POINT lookups on
+    high-cardinality columns where ranges overlap everywhere (order ids,
+    user ids, doc ids). At 100 TB a keyed lookup goes from "open every
+    file whose range straddles the key" to "open the O(1) files whose
+    bloom says maybe".
+
+    One distributed pass over the table builds the index: every row emits
+    its k hash positions tagged with its source file
+    (``input_file_name``), and the per-file DISTINCT position sets land
+    in a parquet sidecar under ``stats/`` (rows: file, pos — the unpacked
+    bit-set; a production format would pack bits, the skip semantics are
+    identical and the false-positive math unchanged: fpp ≈ (1-e^{-kn/m})^k).
+    SIZE ``m`` to the per-file distinct count: m ≳ 10·k·ndv_per_file keeps
+    fpp ≲ 1e-3; an undersized filter saturates and skips nothing (the
+    default 2^20 positions covers ~35k distinct keys per file at k=3).
+    The index rides the manifest: the new version records
+    ``bloom = {col, m, k, seed, sidecar}``; data files are untouched and
+    carried by reference (pure metadata + sidecar commit). Files added
+    AFTER the index version have no bloom rows and are conservatively
+    read by the lookup reader. Returns the new version number."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    entries = _manifest_entries(fs, root, meta)
+    paths = [f"{_data_dir(root)}/{e['name']}" for e in entries]
+    if not paths:
+        raise FileNotFoundError(f"empty table at {root} — nothing to index")
+    df = _load_table_files(spark, meta, paths).select(
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+        F.col(col).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col("_v"), m, k, seed))
+    ).alias("pos")
+    sidecar = f"bloom-{uuid.uuid4().hex}"
+    (
+        df.select("file", pos)
+        .distinct()
+        .repartition("file")
+        .write.mode("overwrite")
+        .parquet(f"{_stats_dir(root)}/{sidecar}")
+    )
+    return _commit(
+        spark,
+        root,
+        entries,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=list(meta.get("segments") or []),
+        extra_meta={
+            "bloom": {
+                "col": col, "m": m, "k": k, "seed": seed,
+                "sidecar": sidecar,
+            }
+        },
+    )
+
+
+def read_manifest_bloom_lookup(
+    spark: SparkSession,
+    root: str,
+    value,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Point lookup through the Bloom skip index: open ONLY the files
+    whose per-file position set contains ALL k probe positions of
+    ``value`` (plus any file the index has no rows for — added after the
+    index build — read conservatively), then re-apply the exact
+    predicate, so the result is identical to
+    ``read_manifest().filter(col == value)`` by construction; the index
+    only decides which files open. Returns ``(df, {"files_total",
+    "files_read"})`` so callers (and the driver row) can assert skipping
+    actually happened."""
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    bloom = meta.get("bloom")
+    if not bloom:
+        raise ValueError(f"table at {root} has no bloom index")
+    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
+    entries = _manifest_entries(fs, root, meta)
+    names = [e["name"] for e in entries]
+    probe = spark.range(1).select(
+        F.explode(
+            F.array(
+                *_bloom_positions(F.lit(value), int(m), int(k), seed)
+            )
+        ).alias("pos")
+    )
+    rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
+    indexed = {r[0] for r in rows.select("file").distinct().collect()}
+    hit_rows = (
+        rows.join(F.broadcast(probe), "pos")
+        .groupBy("file")
+        .agg(F.count_distinct("pos").alias("n_hit"))
+        .filter(F.col("n_hit") == int(k))
+        .select("file")
+        .collect()
+    )
+    hits = {r[0] for r in hit_rows}
+    keep = [n for n in names if n in hits or n not in indexed]
+    stats = {"files_total": len(names), "files_read": len(keep)}
+    if not keep:
+        empty = read_manifest(spark, root, version=version).filter(
+            F.lit(False)
+        )
+        return empty.filter(F.col(col) == F.lit(value)), stats
+    df = _load_table_files(
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
+    )
+    return df.filter(F.col(col) == F.lit(value)), stats

@@ -1311,3 +1311,57 @@ def test_delete_keys_manifest_bucket_scoped_and_idempotent(spark, tmp_path):
     publish_files(spark, base.drop("seq"), root2)
     with pytest.raises(ValueError, match="bucket"):
         delete_keys_manifest(spark, dk, root2, ["k"], 16)
+
+
+def test_bloom_index_skips_miss_and_reads_unindexed_conservatively(
+    spark, tmp_path
+):
+    """X126: a key that was never written probes to (almost surely) zero
+    files; files appended AFTER the index build carry no bloom rows and
+    must be read conservatively so their rows are never lost."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        read_manifest_bloom_lookup,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(2_000).selectExpr("id AS k", "id * 3 AS v")
+    publish_files(spark, df.repartition(8, "k"), root)
+    add_bloom_index(spark, root, "k")
+    # present key: few files open, exact rows back
+    hit, st = read_manifest_bloom_lookup(spark, root, 1234)
+    assert st["files_read"] < st["files_total"] == 8
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [(1234, 3702)]
+    # absent key: skip everything (m=8192, k=3 -> fpp ~ 1e-4 per file)
+    miss, st2 = read_manifest_bloom_lookup(spark, root, 999_999)
+    assert miss.count() == 0
+    assert st2["files_read"] <= 1  # tolerate a lone false positive
+    # an append drops the version-scoped bloom meta by design (the index
+    # describes exactly the file set it was built over)
+    append_files(
+        spark, spark.createDataFrame([(999_999, 7)], "k long, v long"), root
+    )
+    import stock_market_data_pipeline_spark.sinks.manifest_lake as ml
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_manifest_bloom_lookup(spark, root, 999_999)
+    # simulate an operator that carries the STALE index forward anyway:
+    # the new file has no bloom rows, so the reader must open it
+    # conservatively and still find the appended row
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+    fs = _HadoopFS(spark, root)
+    _, prev_meta = ml._resolve_manifest(fs, root, 2)  # the indexed version
+    cur_v, cur_meta = ml._resolve_manifest(fs, root, None)
+    ml._commit(
+        spark, root, ml._manifest_entries(fs, root, cur_meta),
+        cur_meta.get("fmt", "parquet"), expected_prev=cur_v,
+        schema_json=cur_meta.get("schema"),
+        extra_meta={"bloom": prev_meta["bloom"]},
+    )
+    found, st3 = read_manifest_bloom_lookup(spark, root, 999_999)
+    assert [(r["k"], r["v"]) for r in found.collect()] == [(999_999, 7)]
+    assert st3["files_read"] >= 1  # at least the unindexed file opened
+    # rebuild covers the new file and the lookup tightens again
+    add_bloom_index(spark, root, "k")
+    found2, st4 = read_manifest_bloom_lookup(spark, root, 999_999)
+    assert [(r["k"], r["v"]) for r in found2.collect()] == [(999_999, 7)]
+    assert st4["files_read"] <= 2

@@ -22,16 +22,16 @@ def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget re-pinned
     to 4 rounds in round 13 — SURVEY §2.10). Guard the round-13 plan:
-    10 new rows, then macd_signal (schema extended when it subsumed
+    11 new rows, then macd_signal (schema extended when it subsumed
     macd), then 5 manifest/lake code-touched rows, then all 8
     pre-existing stream rows (the _await_stream timeout guard touched
-    every one), then the 9 remaining r8-era rows, then the 17 oldest r9
-    rows with the flagship parity family leading. The 26 deferred r9
-    rows sit at positions 50:76 — at the budget edge, the MANDATORY r14
+    every one), then the 9 remaining r8-era rows, then the 16 oldest r9
+    rows with the flagship parity family leading. The 27 deferred r9
+    rows sit at positions 50:77 — at the budget edge, the MANDATORY r14
     front."""
     window = list(QUERIES)[:50]
     # round-13 additions — never driver-checked — at the very front
-    assert window[:10] == [
+    assert window[:11] == [
         "compact_equality",
         "jsonl_quarantine",
         "manifest_schema_evolution",
@@ -42,9 +42,10 @@ def test_driver_window_composition():
         "stream_stream_left_join_parity",
         "manifest_key_delete",
         "gapfill_interpolate",
+        "bloom_point_lookup",
     ]
     # contract-changed + manifest/lake code-touched rows
-    assert window[10:16] == [
+    assert window[11:17] == [
         "macd_signal",
         "manifest_sharded_scan",
         "manifest_rollback_diff",
@@ -53,7 +54,7 @@ def test_driver_window_composition():
         "pruned_scan_revenue",
     ]
     # every pre-existing stream row (all route through _await_stream)
-    assert window[16:24] == [
+    assert window[17:25] == [
         "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
@@ -65,7 +66,7 @@ def test_driver_window_composition():
     ]
     # the nine remaining r8-era rows (r12 verdict's designated r13 front,
     # minus the 3 consolidated into ann_recall/macd_signal)
-    assert window[24:33] == [
+    assert window[25:34] == [
         "corpus_curation_transitive",
         "doc_chunks",
         "multimodal_frame_sample",
@@ -77,7 +78,7 @@ def test_driver_window_composition():
         "tfidf_top_terms",
     ]
     # flagship reference-parity family leads the r9 fill
-    assert window[33:40] == [
+    assert window[34:41] == [
         "windowed_analytics",
         "sliding_window_15m",
         "sliding_window_1h",
@@ -86,9 +87,9 @@ def test_driver_window_composition():
         "multi_window_signals",
         "unpivot_ohlcv",
     ]
-    # the 26 deferred r9 rows are the tail front — every one must be in
+    # the 27 deferred r9 rows are the tail front — every one must be in
     # the r14 window (staleness 4 = the re-pinned budget edge)
-    deferred = list(QUERIES)[50:76]
+    deferred = list(QUERIES)[50:77]
     assert deferred == sorted(deferred) == [
         "approx_stats",
         "corpus_report",
@@ -101,6 +102,7 @@ def test_driver_window_composition():
         "product_profit",
         "promo_revenue_pct",
         "returned_item_customers",
+        "scd2_history",
         "semantic_decontaminate",
         "semantic_dedup",
         "sequence_packing",
