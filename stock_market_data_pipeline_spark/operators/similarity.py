@@ -693,6 +693,8 @@ def rrf_fuse(
     Output: ``query_id, neighbor_id, rrf_score (6 dp), n_rankers,
     rank (1..k)``.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
     parts = [
         r.select("query_id", "neighbor_id", "rank") for r in rankings
     ]

@@ -157,8 +157,13 @@ def countmin_estimates(
     probes = keys.select(key, F.explode(cells).alias("c")).select(
         key_col, "c.row_id", "c.bucket"
     )
+    # LEFT join: a probe cell with no sketch row is an EMPTY cell (count
+    # 0) and must contribute 0 to the min — an inner join would drop it,
+    # inflating the estimate for keys with some empty cells and losing
+    # the key entirely when all d cells are empty (the correct answer is
+    # est = 0; round-13 advice)
     return (
-        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )

@@ -579,8 +579,9 @@ def _commit(
         "bucketing": bucketing,
     }
     # version-scoped extensions (e.g. the bloom index ref); maintenance
-    # commits that don't pass them through intentionally drop them — an
-    # index describes exactly the file set it was built over
+    # and append commits carry them via ``_carry_bloom`` — a commit that
+    # omits them intentionally drops them (``publish_files``: the full
+    # replace shares no files with the old index)
     payload.update(extra_meta or {})
     body = _json.dumps(payload, default=str)
     try:
@@ -754,6 +755,22 @@ def _rewrite_entries(
     return _stage_files(spark, df, root, fmt, stats_cols)
 
 
+def _carry_bloom(meta: dict) -> dict | None:
+    """Version-scoped extensions a maintenance/append commit carries
+    forward (today: the bloom index ref). Carrying stays CORRECT across
+    any file-set change by construction: dropped files' sidecar rows are
+    ignored (the lookup intersects hits with the live names) and
+    new/rewritten files have no sidecar rows, so the reader opens them
+    conservatively — lookups degrade toward full scans as unindexed
+    files accrete, but never lose rows. Run ``reindex_bloom`` as
+    maintenance to restore full skipping. ``publish_files`` (full
+    replace) intentionally does NOT carry: the replaced file set shares
+    nothing with the old index, so carrying would only add sidecar-probe
+    cost with zero skip yield."""
+    b = meta.get("bloom")
+    return {"bloom": dict(b)} if b else None
+
+
 def retention_delete(
     spark: SparkSession,
     root: str,
@@ -851,6 +868,7 @@ def retention_delete(
         stats_cols=sorted(set(stats_cols or []) | set(_table_stats_cols(meta))),
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
+        extra_meta=_carry_bloom(meta),
     )
     return {
         "carried": len(carried),
@@ -931,6 +949,7 @@ def consolidate_stats_sidecars(
         schema_json=meta.get("schema"),
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
+        extra_meta=_carry_bloom(meta),
     )
     return {"sidecars_before": n_before, "version": v}
 
@@ -999,6 +1018,7 @@ def compact_manifest(
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
+        extra_meta=_carry_bloom(meta),
     )
     return {
         "carried": len(carried),
@@ -1039,8 +1059,10 @@ def rollback_manifest(
         stats_cols=_table_stats_cols(tgt),
         bucketing=tgt.get("bucketing"),
         # the restore re-references the target's segments verbatim — a
-        # pure metadata commit at any table size
+        # pure metadata commit at any table size; the TARGET's bloom
+        # index (if any) describes exactly the restored file set
         reuse_segments=list(tgt.get("segments") or []),
+        extra_meta=_carry_bloom(tgt),
     )
 
 
@@ -1132,6 +1154,13 @@ def vacuum_manifest(
         ref_stats |= {
             e["stats_file"] for e in ents if e.get("stats_file")
         }
+        # the bloom sidecar is version-scoped (meta["bloom"]), not
+        # entry-scoped: omitting it here would let a routine vacuum
+        # delete an index a retained version still serves lookups from
+        # (round-13 advice, high)
+        b = meta.get("bloom")
+        if b and b.get("sidecar"):
+            ref_stats.add(b["sidecar"])
         ref_segs |= {s["name"] for s in meta.get("segments") or []}
     mdel = 0
     for v in known:
@@ -1237,6 +1266,7 @@ def append_files(
         ),
         bucketing=meta.get("bucketing"),
         reuse_segments=prev_segments,
+        extra_meta=_carry_bloom(meta),
     )
 
 
@@ -1415,6 +1445,7 @@ def merge_upsert_manifest(
         stats_cols=stats_cols,
         bucketing={"keys": list(keys), "n_buckets": int(n_buckets)},
         reuse_segments=reused,
+        extra_meta=_carry_bloom(meta),
     )
     return {
         "touched_buckets": len(touched),
@@ -1514,6 +1545,7 @@ def delete_keys_manifest(
         stats_cols=stats_cols,
         bucketing=bk,
         reuse_segments=reused,
+        extra_meta=_carry_bloom(meta),
     )
     return {
         "touched_buckets": len(touched),
@@ -1671,17 +1703,22 @@ def add_bloom_index(
         .write.mode("overwrite")
         .parquet(f"{_stats_dir(root)}/{sidecar}")
     )
+    # pure-metadata commit: every prior segment is reused verbatim and
+    # only the inline tail travels loose — passing the EXPANDED entry
+    # list alongside reuse_segments would list each segment-resident file
+    # twice and double every row on read (round-13 advice, high)
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
     return _commit(
         spark,
         root,
-        entries,
+        loose,
         meta.get("fmt", "parquet"),
         expected_prev=cur_v,
         txns=dict(meta.get("txns") or {}),
         schema_json=meta.get("schema"),
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
-        reuse_segments=list(meta.get("segments") or []),
+        reuse_segments=reused,
         extra_meta={
             "bloom": {
                 "col": col, "m": m, "k": k, "seed": seed,
@@ -1714,12 +1751,25 @@ def read_manifest_bloom_lookup(
     col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
     entries = _manifest_entries(fs, root, meta)
     names = [e["name"] for e in entries]
-    probe = spark.range(1).select(
-        F.explode(
-            F.array(
-                *_bloom_positions(F.lit(value), int(m), int(k), seed)
-            )
-        ).alias("pos")
+    # dedupe the probe positions: two of the k hashes can land on the
+    # same position (~k(k-1)/2m per value), and a file storing DISTINCT
+    # positions can then never show k distinct hits — requiring n_hit==k
+    # would silently skip files that DO contain the value (round-13
+    # advice, medium). Require all DISTINCT probe positions instead.
+    probe_positions = {
+        r[0]
+        for r in spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *_bloom_positions(F.lit(value), int(m), int(k), seed)
+                )
+            ).alias("pos")
+        )
+        .collect()
+    }
+    probe = spark.createDataFrame(
+        [(p,) for p in sorted(probe_positions)], "pos bigint"
     )
     rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
     indexed = {r[0] for r in rows.select("file").distinct().collect()}
@@ -1727,7 +1777,7 @@ def read_manifest_bloom_lookup(
         rows.join(F.broadcast(probe), "pos")
         .groupBy("file")
         .agg(F.count_distinct("pos").alias("n_hit"))
-        .filter(F.col("n_hit") == int(k))
+        .filter(F.col("n_hit") == len(probe_positions))
         .select("file")
         .collect()
     )
@@ -1743,3 +1793,23 @@ def read_manifest_bloom_lookup(
         spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
     )
     return df.filter(F.col(col) == F.lit(value)), stats
+
+
+def reindex_bloom(spark: SparkSession, root: str) -> int:
+    """Rebuild the bloom index with the table's RECORDED parameters — the
+    maintenance pass that restores full point-lookup skipping after
+    appends/compactions/merges have accreted unindexed (conservatively
+    read) files. One distributed pass + a pure-metadata commit, same as
+    the original build. Raises when the table has no index to rebuild
+    (call ``add_bloom_index`` with explicit parameters instead)."""
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, None)
+    b = meta.get("bloom")
+    if not b:
+        raise ValueError(
+            f"table at {root} has no bloom index to rebuild — use "
+            "add_bloom_index(col, m, k, seed) for the initial build"
+        )
+    return add_bloom_index(
+        spark, root, b["col"], m=int(b["m"]), k=int(b["k"]), seed=b["seed"]
+    )
