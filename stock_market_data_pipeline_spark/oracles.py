@@ -713,10 +713,6 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE round(inter / CAST(na.n + nb.n - inter AS DOUBLE), 6) >= 0.5
 """,
-    "simhash16": f"""
-WITH {_SIMHASH_CTE}
-SELECT doc_id, simhash FROM sim
-""",
     "simhash_neardup_pairs": f"""
 WITH {_SIMHASH_CTE},
 bands AS (
@@ -741,20 +737,6 @@ SELECT event_type AS symbol,
        ts         AS "timestamp"
 FROM events
 WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL AND value > 0
-""",
-    "sliding_window_15m": f"""
-WITH {TICKS_CTE}, {_SLIDE_15M}
-SELECT symbol, window_start, window_start + INTERVAL 15 MINUTE AS window_end,
-       round(ma_15m, 4) AS ma_15m, round(volatility_15m, 4) AS volatility_15m,
-       volume_sum_15m
-FROM m15
-""",
-    "sliding_window_1h": f"""
-WITH {TICKS_CTE}, {_SLIDE_1H}
-SELECT symbol, window_start, window_start + INTERVAL 60 MINUTE AS window_end,
-       round(ma_1h, 4) AS ma_1h, round(volatility_1h, 4) AS volatility_1h,
-       volume_sum_1h
-FROM m1h
 """,
     "windowed_analytics": _JOINED,
     "multi_window_tumbling": f"""
@@ -3720,6 +3702,57 @@ SELECT user_id, est, exact, rank FROM (
          row_number() OVER (ORDER BY e.est DESC, e.user_id) AS rank
   FROM est e JOIN exact x USING (user_id)
 ) t WHERE rank <= 20
+"""
+
+
+# X71 clustered-scan: the Spark side answers the band from the CLUSTERED
+# scratch layout (plus a parquet-footer skip audit the SQL cannot see);
+# the oracle answers it straight from `events` — equality proves the
+# range-repartition + in-file sort is content-neutral.
+ORACLES["clustered_scan_fingerprint"] = """
+SELECT user_id,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('clu:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE user_id BETWEEN 6 AND 7
+GROUP BY user_id
+"""
+
+
+# X92 time travel + rollback: both fingerprints are predicted from the v1
+# slice definition (even event_ids) — the Spark side reads them through
+# read_versioned(version=1) after a clobbering v2 publish, and through
+# the latest pointer after rollback_version(1). Any wrong-version resolve
+# shifts counts and hash-sums.
+ORACLES["time_travel_read"] = """
+WITH v1 AS (
+  SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+),
+fp AS (
+  SELECT event_type,
+         count(*) AS n_rows,
+         CAST(sum(CAST(('0x' || substr(md5('tt:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM v1 GROUP BY event_type
+)
+SELECT 'time_travel' AS kind, * FROM fp
+UNION ALL
+SELECT 'post_rollback' AS kind, * FROM fp
+"""
+
+
+# X19 streaming keyed dedup: micro-batch 1 redelivers batch 0's
+# event_id % 3 = 1 slice byte-identically, so the deduped sink must hold
+# exactly the DISTINCT union = the full projection; n_rows == n_keys is
+# the in-hash no-duplicate invariant.
+ORACLES["stream_dedup_keyed_parity"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       count(DISTINCT event_id) AS n_keys,
+       CAST(sum(CAST(('0x' || substr(md5('sdk:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum
+FROM events
+GROUP BY event_type
 """
 
 

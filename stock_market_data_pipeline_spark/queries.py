@@ -24,7 +24,6 @@ from stock_market_data_pipeline_spark.operators.dedup import (
 )
 from stock_market_data_pipeline_spark.operators.ohlcv import daily_ohlcv
 from stock_market_data_pipeline_spark.operators.rolling import with_rolling_metrics
-from stock_market_data_pipeline_spark.operators.windows import sliding_metrics
 from stock_market_data_pipeline_spark.plans.analytics import (
     multi_window_analytics,
     multi_window_signals,
@@ -114,20 +113,15 @@ def q_clean_cast_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.filter(F.col("price") > 0)
 
 
-def q_sliding_window_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: 15-minute window sliding every 5 minutes — ma/volatility/volume."""
-    t = ticks_from_events(spark, sf_dir)
-    return round_doubles(sliding_metrics(t, "15 minutes", "5 minutes", "15m"), scale=4)
-
-
-def q_sliding_window_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: 1-hour window sliding every 10 minutes."""
-    t = ticks_from_events(spark, sf_dir)
-    return round_doubles(sliding_metrics(t, "1 hour", "10 minutes", "1h"), scale=4)
-
-
 def q_windowed_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (SBP pipeline): A1 × A2 joined on (symbol, window_start)."""
+    """Flagship (SBP pipeline): A1 × A2 joined on (symbol, window_start).
+
+    Subsumes the retired ``sliding_window_15m``/``sliding_window_1h``
+    registry rows (r14 consolidation, per the round-13 growth
+    discipline): both sliding grids run INSIDE this plan —
+    ``windowed_analytics`` is ``sliding_metrics(15m/5m) ⋈
+    sliding_metrics(1h/10m)`` — so their machinery keeps full oracle QA
+    here, at one bench/rotation slot instead of three."""
     t = ticks_from_events(spark, sf_dir)
     return round_doubles(windowed_analytics(t), scale=4)
 
@@ -1092,15 +1086,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
-def q_simhash16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: 16-bit SimHash fingerprints."""
-    from stock_market_data_pipeline_spark.operators.neardup import simhash
-
-    return simhash(_docs(spark, sf_dir))
-
-
 def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup: SimHash byte-band candidates within Hamming distance 3."""
+    """Near-dup: SimHash byte-band candidates within Hamming distance 3.
+
+    Subsumes the retired ``simhash16`` registry row (r14 consolidation):
+    the pair plan computes ``neardup.simhash`` fingerprints as its first
+    stage and the oracle replicates the full bit derivation, so the
+    fingerprint machinery keeps oracle QA here."""
     from stock_market_data_pipeline_spark.operators.neardup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(_docs(spark, sf_dir))
@@ -3637,90 +3629,253 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_clustered_scan_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 ``write_clustered`` as a driver row (r13 verdict item 6 — was
+    tests-only): range-cluster the events projection on ``user_id`` into
+    a scratch lake, audit the parquet FOOTERS (the probe band must
+    overlap a minority of row groups — the point of the sorted write; an
+    unsorted layout overlaps ~all of them), then answer a selective band
+    query FROM THE CLUSTERED LAYOUT. The oracle computes the same band
+    straight from ``events``: equality proves the layout rewrite is
+    content-neutral, while the footer audit (invisible to the oracle)
+    proves it actually tightened row-group stats.
+
+    Scale: clustering costs ONE range shuffle at write; every later
+    selective scan on a 100 TB table then skips non-overlapping row
+    groups via plain parquet min/max pushdown — no index structure
+    needed (reference has no layout control at all; its consumers
+    rescan full objects, ``realtime_data_consumer.py``)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.sinks.lake import write_clustered
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    lo, hi = 6, 7  # inside the user_id range at every SF, selective at all
+    tmp = tempfile.mkdtemp(prefix="clusterq_")
+    lake = f"{tmp}/lake"
+    try:
+        write_clustered(ev, lake, ["user_id"], n_files=8)
+        total = hits = 0
+        for f in _glob.glob(f"{lake}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index("user_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is None or (st.min <= hi and st.max >= lo):
+                    hits += 1
+        if hits * 2 > total:
+            raise AssertionError(
+                f"clustered layout did not tighten row-group stats: "
+                f"{hits}/{total} row groups overlap [{lo}, {hi}]"
+            )
+        out = (
+            spark.read.parquet(lake)
+            .filter(F.col("user_id").between(lo, hi))
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("event_id"), "clu"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 versioned-lake time travel + rollback as a driver row (r13
+    verdict item 6 — was tests-only): publish v1 (even event_ids), then
+    v2 OVERWRITING with a different slice (multiples of 5); (a) time
+    travel — ``read_versioned(version=1)`` must see v1 exactly although
+    v2 is latest; (b) ``rollback_version(1)`` re-publishes v1's data as
+    v3 (copy-forward; history stays linear) and the LATEST read must
+    flip back. The oracle predicts BOTH fingerprints from the v1 slice
+    definition — a reader resolving the wrong version directory shifts
+    every count and hash-sum. Runtime-asserts the GC window: the
+    rollback publish (keep_versions=2) retires v1's directory, so
+    committed versions afterwards are exactly [2, 3] — readers never see
+    a pointer move backwards, old versions age out by retention."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        committed_versions,
+        publish_version,
+        read_versioned,
+        rollback_version,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="ttq_")
+    root = f"{tmp}/table"
+
+    def fingerprint(df: DataFrame, kind: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(sample_hash32(F.col("event_id"), "tt"))
+            .cast("bigint")
+            .alias("id_hash_sum"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        ).select(F.lit(kind).alias("kind"), "*")
+
+    try:
+        publish_version(
+            spark, ev.filter(F.col("event_id") % 2 == 0), root,
+            keep_versions=4,
+        )
+        publish_version(
+            spark, ev.filter(F.col("event_id") % 5 == 0), root,
+            keep_versions=4,
+        )
+        # materialize BEFORE the rollback publish GCs v1's directory —
+        # read_versioned is lazy; collecting after the GC would read a
+        # deleted path
+        tt = fingerprint(
+            read_versioned(spark, root, version=1), "time_travel"
+        ).localCheckpoint(eager=True)
+        rollback_version(spark, root, 1)
+        if committed_versions(spark, root) != [2, 3]:
+            raise AssertionError(
+                "rollback must append a new version and retire only "
+                f"beyond the GC window; got {committed_versions(spark, root)}"
+            )
+        rb = fingerprint(
+            read_versioned(spark, root), "post_rollback"
+        ).localCheckpoint(eager=True)
+        return tt.unionByName(rb)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@_stream_parity_conf
+def q_stream_dedup_keyed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 streaming keyed dedup as a driver row (r13 verdict item 6 —
+    was tests-only): at-least-once REDELIVERY through the REAL
+    availableNow file stream — micro-batch 0 delivers slices A∪B,
+    micro-batch 1 redelivers B byte-identically plus C — collapsed by
+    ``stream_dedup_keyed`` (``dropDuplicatesWithinWatermark`` keyed on
+    event_id; the long watermark keeps every key's state alive across
+    the run, so exactly one row per event_id must reach the sink). The
+    oracle is the batch twin: DISTINCT over A∪B∪C ≡ the full slice,
+    aggregated per event_type. A dropped on-time row, an unexpired
+    duplicate leaking through, or cross-micro-batch state loss all shift
+    the counts and hash-sums."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_dedup_keyed,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        # watermarks require TIMESTAMP (LTZ); the lake surfaces NTZ —
+        # the session is UTC-pinned so the cast is value-neutral
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+    part_a = ev.filter(F.col("event_id") % 3 == 0)
+    part_b = ev.filter(F.col("event_id") % 3 == 1)
+    part_c = ev.filter(F.col("event_id") % 3 == 2)
+    root = tempfile.mkdtemp(prefix="sddk_")
+    src, out, ckpt = f"{root}/src", f"{root}/out", f"{root}/ckpt"
+    try:
+        part_a.unionByName(part_b).coalesce(1).write.mode("append").parquet(src)
+        _stamp_stream_batch(src, 0)
+        # batch 1 REDELIVERS part_b (byte-identical rows) plus part_c
+        part_b.unionByName(part_c).coalesce(1).write.mode("append").parquet(src)
+        _stamp_stream_batch(src, 1)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = stream_dedup_keyed(
+            stream, keys=["event_id"], ts="ts", watermark="3650 days"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q)
+        sunk = spark.read.parquet(out)
+        return (
+            sunk.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("event_id").alias("n_keys"),
+                F.sum(sample_hash32(F.col("event_id"), "sdk"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
-# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r12 == dict
-# keys[0:50] every round). Rotation policy (budget re-pinned to 4 rounds in
-# round 13 — see SURVEY §2.10 for the arithmetic): queries that have never
-# received a driver row, or whose contract/code changed since their last
-# row, go FIRST, then the stalest once-green rows, then newer-green rows.
-# Everything — in or out of the window — is still covered by the local
-# oracle-parity suite (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-13 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 11 round-13 additions (compact_equality,
-# jsonl_quarantine, manifest_schema_evolution, min_cost_supplier,
-# important_parts, rank_fusion_topk, countmin_user_topk,
-# stream_stream_left_join_parity, manifest_key_delete,
-# gapfill_interpolate, bloom_point_lookup — never driver-checked),
-# then macd_signal (schema extended with
-# ema_fast/ema_slow when it subsumed the retired macd row), then 5
-# manifest/lake rows (manifest_sharded_scan, manifest_rollback_diff,
-# merge_manifest_state, retention_revenue, pruned_scan_revenue —
-# manifest_lake.py gained schema evolution, the vacuum grace window and
-# lock-error mapping, and sinks/lake.py the mtime accessor this round),
-# then all 8 stream rows (every one routes awaitTermination through the
-# new _await_stream timeout guard), then the NINE remaining r8-era rows
-# (the r12 verdict's designated front, minus the 3 consolidated away),
-# then the 16 oldest r9-green rows with the flagship reference-parity
-# family (windowed_analytics, sliding_window_*, trading_signals,
-# multi_window_*) leading. Past the window: the 27 deferred r9 rows
-# sorted by name (at staleness 4 = the re-pinned budget edge at r13
-# close; they are the MANDATORY r14 front), then the 42 remaining
-# r11-green rows, then the 43 remaining r12-green rows.
-# NEXT ROUND (14): lead with round-14 additions/code-touched rows, then
-# ALL 27 deferred r9 rows (budget-mandatory), then the oldest r11 rows;
-# update tests/test_oracle_parity.py:test_driver_window_composition in
-# lockstep.
+# checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
+# keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
+# for the arithmetic): queries that have never received a driver row, or
+# whose contract/code changed since their last row, go FIRST, then the
+# stalest once-green rows, then newer-green rows. Everything — in or out
+# of the window — is still covered by the local oracle-parity suite
+# (tests/test_oracle_parity.py sweeps the whole dict).
+# ROUND-14 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 3 round-14 additions (clustered_scan_fingerprint,
+# time_travel_read, stream_dedup_keyed_parity — never driver-checked),
+# then 3 code-touched re-certs (bloom_point_lookup: segment-reuse +
+# distinct-probe + maintenance-carry rewrite of the index path;
+# countmin_user_topk: estimates join flipped to left+coalesce;
+# rank_fusion_topk: rrf_fuse input guard), then ALL 27 deferred r9 rows
+# (staleness exactly 4 = the budget edge — MANDATORY this round), then
+# the 17 oldest r11-green rows (early drain: 42 r11 rows were due by r15;
+# 25 remain, exactly r15's mandatory front, leaving 25 slots of r15
+# headroom). Past the window: the 25 remaining r11 rows sorted at
+# [50:75] (r15's mandatory front), then the 42 remaining r12-green rows
+# (due r16), then the r13-green rows (due r17). Three rows were
+# CONSOLIDATED away this round per the growth discipline:
+# sliding_window_15m/_1h run inside windowed_analytics (its two join
+# inputs) and simhash16 inside simhash_neardup_pairs (its first stage) —
+# machinery QA unchanged, three bench/rotation slots freed; registry
+# 159 + 3 new = 162.
+# NEXT ROUND (15): lead with round-15 additions/code-touched rows, then
+# the 25 deferred r11 rows at [50:75] (budget-mandatory), then the
+# oldest r12 rows; update
+# tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "compact_equality": q_compact_equality,
-    "jsonl_quarantine": q_jsonl_quarantine,
-    "manifest_schema_evolution": q_manifest_schema_evolution,
-    "min_cost_supplier": q_min_cost_supplier,
-    "important_parts": q_important_parts,
-    "rank_fusion_topk": q_rank_fusion_topk,
-    "countmin_user_topk": q_countmin_user_topk,
-    "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
-    "manifest_key_delete": q_manifest_key_delete,
-    "gapfill_interpolate": q_gapfill_interpolate,
+    "clustered_scan_fingerprint": q_clustered_scan_fingerprint,
+    "time_travel_read": q_time_travel_read,
+    "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
     "bloom_point_lookup": q_bloom_point_lookup,
-    "macd_signal": q_macd_signal,
-    "manifest_sharded_scan": q_manifest_sharded_scan,
-    "manifest_rollback_diff": q_manifest_rollback_diff,
-    "merge_manifest_state": q_merge_manifest_state,
-    "retention_revenue": q_retention_revenue,
-    "pruned_scan_revenue": q_pruned_scan_revenue,
-    "stream_stream_join_parity": q_stream_stream_join_parity,
-    "stream_incremental_dedup": q_stream_incremental_dedup,
-    "stream_cdc_parity": q_stream_cdc_parity,
-    "stream_silence_parity": q_stream_silence_parity,
-    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
-    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
-    "stream_batch_session_parity": q_stream_batch_session_parity,
-    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
-    "corpus_curation_transitive": q_corpus_curation_transitive,
-    "doc_chunks": q_doc_chunks,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "price_band_join": q_price_band_join,
-    "quota_sample": q_quota_sample,
-    "salted_symbol_volume": q_salted_symbol_volume,
-    "technical_indicators": q_technical_indicators,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "windowed_analytics": q_windowed_analytics,
-    "sliding_window_15m": q_sliding_window_15m,
-    "sliding_window_1h": q_sliding_window_1h,
-    "trading_signals": q_trading_signals,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "unpivot_ohlcv": q_unpivot_ohlcv,
-    "containment_pairs": q_containment_pairs,
-    "hll_user_rollup": q_hll_user_rollup,
-    "kmeans_iteration": q_kmeans_iteration,
-    "last_touch_attribution": q_last_touch_attribution,
-    "multimodal_image_features": q_multimodal_image_features,
-    "multimodal_resize": q_multimodal_resize,
-    "packed_sequence_stats": q_packed_sequence_stats,
-    "quantized_topk_rerank": q_quantized_topk_rerank,
-    "return_correlation": q_return_correlation,
+    "countmin_user_topk": q_countmin_user_topk,
+    "rank_fusion_topk": q_rank_fusion_topk,
     "approx_stats": q_approx_stats,
     "corpus_report": q_corpus_report,
     "customer_order_distribution": q_customer_order_distribution,
@@ -3795,7 +3950,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "price_trend_regression": q_price_trend_regression,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash16": q_simhash16,
     "simhash_neardup_pairs": q_simhash_neardup_pairs,
     "cosine_topk_vectorized": q_cosine_topk_vectorized,
     "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -3833,4 +3987,50 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "gapfill_15m": q_gapfill_15m,
     "repetition_signals": q_repetition_signals,
+    "compact_equality": q_compact_equality,
+    "jsonl_quarantine": q_jsonl_quarantine,
+    "manifest_schema_evolution": q_manifest_schema_evolution,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
+    "manifest_key_delete": q_manifest_key_delete,
+    "gapfill_interpolate": q_gapfill_interpolate,
+    "macd_signal": q_macd_signal,
+    "manifest_sharded_scan": q_manifest_sharded_scan,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
+    "merge_manifest_state": q_merge_manifest_state,
+    "retention_revenue": q_retention_revenue,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
+    "stream_stream_join_parity": q_stream_stream_join_parity,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_cdc_parity": q_stream_cdc_parity,
+    "stream_silence_parity": q_stream_silence_parity,
+    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
+    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
+    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
+    "doc_chunks": q_doc_chunks,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
+    "salted_symbol_volume": q_salted_symbol_volume,
+    "technical_indicators": q_technical_indicators,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "windowed_analytics": q_windowed_analytics,
+    "trading_signals": q_trading_signals,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
+    "containment_pairs": q_containment_pairs,
+    "hll_user_rollup": q_hll_user_rollup,
+    "kmeans_iteration": q_kmeans_iteration,
+    "last_touch_attribution": q_last_touch_attribution,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_resize": q_multimodal_resize,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "quantized_topk_rerank": q_quantized_topk_rerank,
+    "return_correlation": q_return_correlation,
 }
+

@@ -20,77 +20,30 @@ def test_registry_is_consistent():
 
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
-    (rotation contract, see the comment above QUERIES; budget re-pinned
-    to 4 rounds in round 13 — SURVEY §2.10). Guard the round-13 plan:
-    11 new rows, then macd_signal (schema extended when it subsumed
-    macd), then 5 manifest/lake code-touched rows, then all 8
-    pre-existing stream rows (the _await_stream timeout guard touched
-    every one), then the 9 remaining r8-era rows, then the 16 oldest r9
-    rows with the flagship parity family leading. The 27 deferred r9
-    rows sit at positions 50:77 — at the budget edge, the MANDATORY r14
-    front."""
+    (rotation contract, see the comment above QUERIES; budget = 4
+    rounds — SURVEY §2.10). Guard the round-14 plan: 3 new rows, then 3
+    code-touched re-certs (the bloom index path was rewritten for
+    segment reuse / distinct probes / maintenance carry;
+    countmin_estimates flipped to a left join; rrf_fuse gained an input
+    guard), then ALL 27 deferred r9 rows (staleness exactly 4 — the
+    budget edge, MANDATORY this round), then the 17 oldest r11 rows
+    (early drain of the 42-row r11 wave due at r15). The 25 remaining
+    r11 rows sit sorted at positions 50:75 — r15's mandatory front."""
     window = list(QUERIES)[:50]
-    # round-13 additions — never driver-checked — at the very front
-    assert window[:11] == [
-        "compact_equality",
-        "jsonl_quarantine",
-        "manifest_schema_evolution",
-        "min_cost_supplier",
-        "important_parts",
-        "rank_fusion_topk",
-        "countmin_user_topk",
-        "stream_stream_left_join_parity",
-        "manifest_key_delete",
-        "gapfill_interpolate",
+    # round-14 additions — never driver-checked — at the very front
+    assert window[:3] == [
+        "clustered_scan_fingerprint",
+        "time_travel_read",
+        "stream_dedup_keyed_parity",
+    ]
+    # code-touched re-certs (round-13 ADVICE fixes landed in their paths)
+    assert window[3:6] == [
         "bloom_point_lookup",
+        "countmin_user_topk",
+        "rank_fusion_topk",
     ]
-    # contract-changed + manifest/lake code-touched rows
-    assert window[11:17] == [
-        "macd_signal",
-        "manifest_sharded_scan",
-        "manifest_rollback_diff",
-        "merge_manifest_state",
-        "retention_revenue",
-        "pruned_scan_revenue",
-    ]
-    # every pre-existing stream row (all route through _await_stream)
-    assert window[17:25] == [
-        "stream_stream_join_parity",
-        "stream_incremental_dedup",
-        "stream_cdc_parity",
-        "stream_silence_parity",
-        "stream_dim_enrich_parity",
-        "stream_watermark_drop_parity",
-        "stream_batch_session_parity",
-        "stream_heavy_hitters_parity",
-    ]
-    # the nine remaining r8-era rows (r12 verdict's designated r13 front,
-    # minus the 3 consolidated into ann_recall/macd_signal)
-    assert window[25:34] == [
-        "corpus_curation_transitive",
-        "doc_chunks",
-        "multimodal_frame_sample",
-        "ngram_decontaminate",
-        "price_band_join",
-        "quota_sample",
-        "salted_symbol_volume",
-        "technical_indicators",
-        "tfidf_top_terms",
-    ]
-    # flagship reference-parity family leads the r9 fill
-    assert window[34:41] == [
-        "windowed_analytics",
-        "sliding_window_15m",
-        "sliding_window_1h",
-        "trading_signals",
-        "multi_window_tumbling",
-        "multi_window_signals",
-        "unpivot_ohlcv",
-    ]
-    # the 27 deferred r9 rows are the tail front — every one must be in
-    # the r14 window (staleness 4 = the re-pinned budget edge)
-    deferred = list(QUERIES)[50:77]
-    assert deferred == sorted(deferred) == [
+    # ALL 27 deferred r9 rows (the r13 verdict's designated r14 front)
+    assert window[6:33] == [
         "approx_stats",
         "corpus_report",
         "customer_order_distribution",
@@ -118,6 +71,55 @@ def test_driver_window_composition():
         "upsample_mix",
         "version_diff",
         "wealthy_inactive_customers",
+    ]
+    # the 17 oldest r11-green rows (early drain; r11 cohort due by r15)
+    assert window[33:50] == [
+        "fuzzy_name_pairs_multiblock",
+        "fuzzy_name_pairs",
+        "clean_cast_filter",
+        "curriculum_packing",
+        "data_expectations",
+        "event_sessionization",
+        "price_histogram",
+        "quantize_embeddings",
+        "user_set_ops",
+        "multimodal_audio_features",
+        "dead_letter_stats",
+        "multimodal_audio_windows",
+        "psi_drift",
+        "asof_join",
+        "asof_join_forward",
+        "asof_join_tolerance",
+        "apply_changelog",
+    ]
+    # the 25 remaining r11 rows are the tail front — r15's mandatory
+    # front (they hit the 4-round budget edge at r15)
+    assert list(QUERIES)[50:75] == [
+        "incremental_dedup",
+        "zorder_fingerprint",
+        "dedup_exact",
+        "pricing_summary",
+        "top_revenue_orders",
+        "region_revenue",
+        "order_priority_counts",
+        "revenue_forecast",
+        "customer_order_ranks",
+        "session_windows",
+        "corpus_curation",
+        "minhash_signatures",
+        "minhash_lsh_pairs",
+        "neardup_clusters",
+        "embedding_neardup_pairs",
+        "cosine_topk",
+        "robust_zscore",
+        "rollup_revenue",
+        "quantity_percentiles",
+        "linestatus_pivot",
+        "zscore_normalize",
+        "embedding_unit_norm",
+        "cube_order_stats",
+        "token_counts",
+        "text_quality",
     ]
 
 

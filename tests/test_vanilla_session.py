@@ -43,7 +43,7 @@ def norm(v):
 
 qs, os_ = E.queries(), E.oracle_sql()
 # tz-sensitive window/bucket queries — exactly the ones an unpinned session breaks
-for name in ("sliding_window_15m", "daily_ohlcv", "gapfill_15m"):
+for name in ("windowed_analytics", "daily_ohlcv", "gapfill_15m"):
     sdf = qs[name](spark, SF)
     res = con.execute(os_[name]); cols = [d[0] for d in res.description]
     drows = res.fetchall(); srows = sdf.collect()
