@@ -116,6 +116,96 @@ class LeaseCommitLock:
         return _cm()
 
 
+class FileLeaseCommitLock:
+    """Cross-PROCESS TTL-lease commit lock backed by create-exclusive
+    lease files in a shared directory — the adapter a multi-writer
+    deployment on POSIX/NFS/HDFS uses (separate drivers, no shared
+    memory), and the test vehicle proving the arbitration holds across
+    real process boundaries, not just threads. Same two-method contract
+    as :class:`LeaseCommitLock`; a cloud deployment swaps in DynamoDB
+    conditional puts or a ZooKeeper ephemeral node instead.
+
+    ``_acquire`` is an atomic ``O_CREAT|O_EXCL`` open of
+    ``<dir>/<md5(key)>.lease`` holding ``token expiry_epoch``. An
+    EXPIRED lease is taken over by unlink-then-recreate; the unlink→
+    create window is not atomic, but — exactly like the in-process
+    lock's paused-holder caveat — the create-exclusive manifest commit
+    BEHIND the lock still arbitrates, which is why the lock wraps that
+    check rather than replacing it. Release deletes the file only if it
+    still carries our token (a takeover must not be clobbered by the
+    old owner's exit)."""
+
+    def __init__(self, lock_dir: str, ttl_s: float = 60.0):
+        import hashlib as _hashlib
+        import os as _os
+
+        self._dir = lock_dir
+        self._ttl = float(ttl_s)
+        self._os = _os
+        self._h = lambda key: _hashlib.md5(key.encode()).hexdigest()
+        _os.makedirs(lock_dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return f"{self._dir}/{self._h(key)}.lease"
+
+    def _acquire(self, key: str) -> str:
+        import time as _time
+
+        os = self._os
+        token = uuid.uuid4().hex
+        path = self._path(key)
+        body = f"{token} {_time.time() + self._ttl}"
+        for attempt in (0, 1):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(body)
+                return token
+            except FileExistsError:
+                try:
+                    with open(path) as fh:
+                        _, expiry = fh.read().split()
+                except (FileNotFoundError, ValueError):
+                    continue  # holder released/garbled mid-read: retry once
+                if float(expiry) > _time.time():
+                    raise LockUnavailableError(
+                        f"commit lock for {key} held by another process "
+                        f"(expires in {float(expiry) - _time.time():.1f}s)"
+                    )
+                # expired lease: take over (unlink is idempotent if the
+                # old owner's release races us)
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+        raise LockUnavailableError(
+            f"commit lock for {key}: lost the takeover race twice"
+        )
+
+    def _release(self, key: str, token: str) -> None:
+        path = self._path(key)
+        try:
+            with open(path) as fh:
+                held_token = fh.read().split()[0]
+            if held_token == token:
+                self._os.unlink(path)
+        except (FileNotFoundError, IndexError):
+            pass
+
+    def hold(self, key: str):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            token = self._acquire(key)
+            try:
+                yield
+            finally:
+                self._release(key, token)
+
+        return _cm()
+
+
 _COMMIT_LOCK = NoOpCommitLock()
 
 

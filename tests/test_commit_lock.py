@@ -351,3 +351,113 @@ def test_manifest_metadata_protocol_on_s3_semantics(spark, monkeypatch):
         assert len(ml._manifest_entries(store, root, m_after)) == 40
     finally:
         set_commit_lock(prev)
+
+
+_RACE_WRITER_SCRIPT = """
+import json, os, sys, time
+
+root, lock_dir, barrier, result_path, wid = (
+    sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4], int(sys.argv[5])
+)
+from stock_market_data_pipeline_spark.session import get_spark
+from stock_market_data_pipeline_spark.sinks.lake import (
+    FileLeaseCommitLock, set_commit_lock,
+)
+from stock_market_data_pipeline_spark.sinks import manifest_lake as ml
+
+spark = get_spark(
+    app_name=f"race-writer-{wid}", master="local[2]", shuffle_partitions=2
+)
+set_commit_lock(FileLeaseCommitLock(lock_dir, ttl_s=120))
+while not os.path.exists(barrier):  # start gate: maximize overlap
+    time.sleep(0.02)
+conflicts = commits = 0
+for batch in (1, 2):
+    inc = spark.createDataFrame(
+        [(k, f"w{wid}b{batch}", batch) for k in range(wid, 40, 2)],
+        "k long, v string, seq long",
+    )
+    for attempt in range(40):
+        try:
+            ml.merge_upsert_manifest(
+                spark, inc, root, keys=["k"], order_col="seq", n_buckets=8
+            )
+            commits += 1
+            break
+        except ml.ManifestConflictError:
+            conflicts += 1
+            time.sleep(0.05 * (attempt + 1))
+    else:
+        raise SystemExit(f"writer {wid}: merge never committed")
+with open(result_path, "w") as fh:
+    json.dump({"conflicts": conflicts, "commits": commits}, fh)
+spark.stop()
+"""
+
+
+def test_two_process_merge_race_with_file_lease_lock(spark, tmp_path):
+    """r13 verdict item 7: the r12/r13 race tests interleave two writers
+    inside ONE JVM; a real multi-writer deployment is separate driver
+    processes. Race two real subprocesses — each with its OWN
+    SparkSession — through merge_upsert_manifest on the same table with
+    the cross-process FileLeaseCommitLock installed. Both must commit
+    both their batches (losers see ManifestConflictError and retry
+    against the new state — never a lost update), history stays linear,
+    and a final vacuum collects the losers' orphans without breaking the
+    surviving versions."""
+    import json
+    import subprocess
+    import sys
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+        read_manifest,
+        vacuum_manifest,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ml
+
+    root = str(tmp_path / "t")
+    lock_dir = str(tmp_path / "locks")
+    barrier = str(tmp_path / "go")
+    base = spark.createDataFrame(
+        [(k, "base", 0) for k in range(40)], "k long, v string, seq long"
+    )
+    merge_upsert_manifest(spark, base, root, keys=["k"], order_col="seq",
+                          n_buckets=8)
+
+    procs, results = [], []
+    for wid in (0, 1):
+        result_path = str(tmp_path / f"res{wid}.json")
+        results.append(result_path)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _RACE_WRITER_SCRIPT, root, lock_dir,
+                 barrier, result_path, str(wid)],
+                cwd="/root/repo",
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+        )
+    (tmp_path / "go").write_text("go")
+    outs = [p.communicate(timeout=420) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    stats = [json.load(open(r)) for r in results]
+    assert [s["commits"] for s in stats] == [2, 2]
+    # no lost update: each key holds its writer's batch-2 value
+    rows = {r["k"]: r["v"] for r in read_manifest(spark, root).collect()}
+    assert rows == {k: f"w{k % 2}b2" for k in range(40)}
+    # linear history: base + 4 merge commits, every version readable
+    fs = _HadoopFS(spark, root)
+    committed, _ = ml._list_manifests(fs, root)
+    assert committed == [1, 2, 3, 4, 5]
+    total_conflicts = sum(s["conflicts"] for s in stats)
+    # losers' staged orphans (if any race actually collided) are vacuumable
+    vacuum_manifest(spark, root, keep_versions=5, grace_seconds=0.0)
+    rows2 = {r["k"]: r["v"] for r in read_manifest(spark, root).collect()}
+    assert rows2 == rows
+    # contention is timing-dependent; record it for the SKEW_BENCH note
+    # without flaking the suite
+    print(f"two-process race: {total_conflicts} conflict retries observed")
