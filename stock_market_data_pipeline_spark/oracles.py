@@ -3756,6 +3756,43 @@ GROUP BY event_type
 """
 
 
+# X128 replaceWhere: the expectation is spliced straight from events —
+# rows outside [Jan 10, Jan 12 23:59:59] original, rows inside doubled.
+# (value * 2) is an exact IEEE scaling, so floor((value*2)*100) is
+# engine-identical like every other value_cents fingerprint.
+ORACLES["replace_where_equality"] = """
+WITH spliced AS (
+  SELECT event_id, event_type, value FROM events
+  WHERE ts IS NULL
+     OR ts < TIMESTAMP '2024-01-10 00:00:00'
+     OR ts > TIMESTAMP '2024-01-12 23:59:59'
+  UNION ALL
+  SELECT event_id, event_type, value * 2 AS value FROM events
+  WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+              AND TIMESTAMP '2024-01-12 23:59:59'
+)
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('rw:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM spliced
+GROUP BY event_type
+"""
+
+
+# X129 write-audit-publish: after a promoted WAP append of the odd half
+# onto the published even half (and a REJECTED poisoned append), the
+# table must equal the full events projection exactly.
+ORACLES["wap_publish_equality"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('wap:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -122,6 +122,13 @@ class ManifestConflictError(RuntimeError):
     collects; retry the whole operation against the new state."""
 
 
+class AuditFailedError(RuntimeError):
+    """A write-audit-publish candidate failed its audit: the staged
+    version was NEVER promoted (no commit marker), so no reader ever saw
+    the bad data. The staged manifest JSON, segments, and data files are
+    orphans the next ``vacuum_manifest`` collects."""
+
+
 def _mf_dir(root: str) -> str:
     return f"{root.rstrip('/')}/mf"
 
@@ -511,6 +518,7 @@ def _commit(
     bucketing: dict[str, Any] | None = None,
     reuse_segments: list[dict] | None = None,
     extra_meta: dict[str, Any] | None = None,
+    write_marker: bool = True,
 ) -> int:
     """Optimistically-concurrent commit: the caller states which version
     it READ (``expected_prev``; None = it saw an empty table), and the
@@ -586,7 +594,13 @@ def _commit(
     body = _json.dumps(payload, default=str)
     try:
         fs.write_text_exclusive(mpath, body)
-        fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt))
+        # write_marker=False stages the version INVISIBLY (readers
+        # require the marker) for write-audit-publish; the caller
+        # promotes via _promote_manifest or abandons it to vacuum
+        if write_marker:
+            fs.write_text_exclusive(
+                f"{mpath}{_COMMIT_SUFFIX}", _mf_name(nxt)
+            )
     except (FileExistsError, LockUnavailableError) as exc:
         # LockUnavailableError comes from a LeaseCommitLock adapter under
         # contention (sinks/lake.py:install_commit_lock); mapping it here
@@ -874,6 +888,131 @@ def retention_delete(
         "carried": len(carried),
         "dropped": dropped,
         "rewritten": len(to_rewrite),
+    }
+
+
+def replace_where_manifest(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    col: str,
+    lo,
+    hi,
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Predicate-scoped replace — Delta's ``replaceWhere``, the third
+    write mode between append and full replace: atomically delete every
+    row with ``col`` in ``[lo, hi]`` and insert ``df`` in its place, as
+    ONE new version. The backfill/restatement primitive: a 100 TB
+    time-partitioned table restates one day by rewriting only the files
+    that day touches, everything else carries by reference.
+
+    Boundary discipline mirrors ``retention_delete``, driven by the same
+    kind-matched per-file stats: files whose range is DISJOINT from
+    ``[lo, hi]`` carry by reference (zero IO); files entirely INSIDE it
+    with a zero null-count drop from the manifest (zero IO); straddlers
+    and stats-less files rewrite filtered. NULL ``col`` rows never match
+    a range predicate, so they are always kept (the rewrite filter
+    coalesces to keep, and a fully-inside file holding NULLs rewrites
+    down to them instead of dropping).
+
+    Like Delta, the INCOMING rows must all satisfy the predicate —
+    checked with one aggregate BEFORE any staging IO; a violation raises
+    ``ValueError`` (silently accepting out-of-range rows would make the
+    op non-idempotent and clobber data outside the stated window). A
+    NULL ``col`` row does not satisfy a range predicate and is rejected
+    too. Rewrites and the insert preserve the table's format, stats
+    columns, bucket layout, txn watermarks, and schema (evolved
+    union-by-name for the incoming frame); ``txn_id`` gives replay
+    idempotence like ``append_files``. Returns ``{"carried", "dropped",
+    "rewritten", "inserted_files", "version"}``."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    txns = dict(meta.get("txns") or {})
+    all_entries = _manifest_entries(fs, root, meta)
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "carried": len(all_entries),
+                "dropped": 0,
+                "rewritten": 0,
+                "inserted_files": 0,
+                "version": cur_v,
+            }
+        txns[app] = n
+    c = F.col(col)
+    n_bad = df.filter(
+        F.coalesce(~c.between(F.lit(lo), F.lit(hi)), F.lit(True))
+    ).count()
+    if n_bad:
+        raise ValueError(
+            f"replace_where_manifest: {n_bad} incoming rows fall outside "
+            f"{col} IN [{lo}, {hi}] (or have NULL {col}) — replaceWhere "
+            "requires every inserted row to satisfy the predicate"
+        )
+    file_stats = _load_stats(spark, root, all_entries)
+    klo, khi = _stat_key(lo), _stat_key(hi)
+    carried, to_rewrite = [], []
+    dropped = 0
+    for e in all_entries:
+        fstat = file_stats.get(e["name"], {})
+        st = fstat.get("stats", {}).get(col)
+        nulls = fstat.get("nulls", {}).get(col)
+        kmn = _stat_key(st[0]) if st else None
+        kmx = _stat_key(st[1]) if st else None
+        comparable = (
+            klo is not None and khi is not None
+            and kmn is not None and kmx is not None
+            and kmn[0] == klo[0] and kmx[0] == khi[0]
+        )
+        if comparable and (kmx[1] < klo[1] or kmn[1] > khi[1]):
+            carried.append(e)  # disjoint: NULL rows (if any) ride along
+        elif (
+            comparable
+            and kmn[1] >= klo[1]
+            and kmx[1] <= khi[1]
+            and nulls == 0
+        ):
+            dropped += 1
+        else:
+            to_rewrite.append(e)
+    changed = {e["name"] for e in all_entries} - {
+        e["name"] for e in carried
+    }
+    reused, loose = _plan_segment_reuse(fs, root, meta, changed)
+    new_entries = [e for e in loose if e["name"] not in changed]
+    stats_cols = sorted(set(_table_stats_cols(meta)) | {col})
+    if to_rewrite:
+        paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
+        survivors = _load_table_files(spark, meta, paths).filter(
+            F.coalesce(~c.between(F.lit(lo), F.lit(hi)), F.lit(True))
+        )
+        new_entries.extend(
+            _rewrite_entries(spark, survivors, root, fmt, meta, stats_cols)
+        )
+    inserted = _rewrite_entries(spark, df, root, fmt, meta, stats_cols)
+    new_entries.extend(inserted)
+    v = _commit(
+        spark,
+        root,
+        new_entries,
+        fmt,
+        expected_prev=cur_v,
+        txns=txns,
+        schema_json=_evolved_schema_json(meta, df),
+        stats_cols=stats_cols,
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=_carry_bloom(meta),
+    )
+    return {
+        "carried": len(carried),
+        "dropped": dropped,
+        "rewritten": len(to_rewrite),
+        "inserted_files": len(inserted),
+        "version": v,
     }
 
 
@@ -1268,6 +1407,126 @@ def append_files(
         reuse_segments=prev_segments,
         extra_meta=_carry_bloom(meta),
     )
+
+
+def _promote_manifest(
+    fs: _HadoopFS, root: str, version: int, expected_prev: int | None
+) -> int:
+    """Promote a staged (marker-less) manifest version: re-check that no
+    other writer committed since the candidate was derived, then write
+    the commit marker. The check+create runs with the same guarantees as
+    ``_commit`` itself (atomic create on POSIX/HDFS; the installed
+    commit lock serializes it on object stores)."""
+    committed, _ = _list_manifests(fs, root)
+    cur = committed[-1] if committed else None
+    if cur != expected_prev:
+        raise ManifestConflictError(
+            f"table at {root} moved to v{cur} while the audit of staged "
+            f"v{version} ran (derived from v{expected_prev}); refusing to "
+            "promote — the candidate is stale; staged orphans are vacuumed"
+        )
+    mpath = f"{_mf_dir(root)}/{_mf_name(version)}"
+    try:
+        fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(version))
+    except (FileExistsError, LockUnavailableError) as exc:
+        raise ManifestConflictError(
+            f"lost the promote race for {mpath} — retry against the new "
+            "state"
+        ) from exc
+    return version
+
+
+def publish_files_wap(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    audit,
+    fmt: str = "parquet",
+    stats_cols: list[str] | None = None,
+    txn_id: tuple[str, int] | None = None,
+) -> int:
+    """Write-audit-publish append (the Iceberg WAP pattern, riding this
+    format's two-file commit protocol): stage ``df`` as the next version
+    WITHOUT its commit marker — invisible to every reader — run
+    ``audit(candidate_df)`` against the full candidate table (previous
+    files + the staged append), and only a truthy verdict writes the
+    marker that makes the version live. A falsy/raising audit leaves the
+    table EXACTLY as it was — readers can never observe un-audited data,
+    which is the property a quality gate bolted on AFTER a commit cannot
+    give (a reader between commit and revert sees the bad rows; Delta
+    needs constraints or a staging branch for this).
+
+    On audit failure the staged manifest JSON is best-effort deleted and
+    ``AuditFailedError`` raised; staged data files/segments are orphans
+    ``vacuum_manifest`` collects (same crash story as a lost commit
+    race — a crash mid-WAP leaves only invisible garbage). Promotion
+    re-checks that no other writer committed while the audit ran and
+    raises ``ManifestConflictError`` if so (the candidate was derived
+    from stale state). ``txn_id`` gives replay idempotence like
+    ``append_files``. At 100 TB the audit is one read over the candidate
+    (Spark scans only what the checks need); the stage→promote metadata
+    cost is identical to a plain append. Returns the promoted version."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    prev_inline: list[dict[str, Any]] = []
+    prev_segments: list[dict[str, Any]] = []
+    txns: dict[str, int] = {}
+    meta: dict = {}
+    if committed:
+        _, meta = _resolve_manifest(fs, root, None)
+        prev_inline = list(meta.get("files") or [])
+        prev_segments = list(meta.get("segments") or [])
+        txns = dict(meta.get("txns") or {})
+        fmt = meta.get("fmt", fmt)
+    expected_prev = committed[-1] if committed else None
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return expected_prev  # already committed: replay no-op
+        txns[app] = n
+    schema_json = _evolved_schema_json(meta, df)
+    new_entries = _stage_files(spark, df, root, fmt, stats_cols)
+    staged_v = _commit(
+        spark,
+        root,
+        prev_inline + new_entries,
+        fmt,
+        expected_prev=expected_prev,
+        txns=txns,
+        schema_json=schema_json,
+        stats_cols=sorted(
+            set(stats_cols or []) | set(_table_stats_cols(meta))
+        ),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=prev_segments,
+        extra_meta=_carry_bloom(meta),
+        write_marker=False,
+    )
+    _, staged_meta = (
+        staged_v,
+        _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(staged_v)}")),
+    )
+    cand_entries = _manifest_entries(fs, root, staged_meta)
+    candidate = _load_table_files(
+        spark,
+        staged_meta,
+        [f"{_data_dir(root)}/{e['name']}" for e in cand_entries],
+    )
+    try:
+        verdict = bool(audit(candidate))
+    except Exception as exc:  # noqa: BLE001 — a raising audit is a fail
+        fs.delete(f"{_mf_dir(root)}/{_mf_name(staged_v)}")
+        raise AuditFailedError(
+            f"audit of staged v{staged_v} raised {type(exc).__name__}: "
+            f"{exc}"
+        ) from exc
+    if not verdict:
+        fs.delete(f"{_mf_dir(root)}/{_mf_name(staged_v)}")
+        raise AuditFailedError(
+            f"audit of staged v{staged_v} at {root} returned false — "
+            "version never promoted; staged files await vacuum"
+        )
+    return _promote_manifest(fs, root, staged_v, expected_prev)
 
 
 _BUCKET = "__mf_bucket"

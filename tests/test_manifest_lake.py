@@ -1507,3 +1507,193 @@ def test_bloom_survives_maintenance_and_sharded_composition(
     assert [(r["k"], r["seq"]) for r in hit3.collect()] == [(42, 2)]
     assert st3["files_read"] < st3["files_total"]
     assert len(hit3.inputFiles()) == st3["files_read"]
+
+
+def test_replace_where_boundary_discipline_and_content(spark, tmp_path):
+    """X128 replaceWhere: files disjoint from the predicate range carry
+    BY REFERENCE (identical physical names), files entirely inside it
+    drop with zero IO, straddlers rewrite filtered; incoming rows land in
+    their place and the final contents equal the predicate-spliced
+    expectation."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    df = _ts_df(spark, 1, 9)  # days 1..8, 10 rows each
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"]
+    )
+    before = {e["name"] for e in manifest_files(spark, root)}
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 4, 23, 59)
+    incoming = spark.createDataFrame(
+        [(90_001, "2026-01-03 06:00:00"), (90_002, "2026-01-04 18:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    res = replace_where_manifest(spark, incoming, root, "ts", lo, hi)
+    assert res["carried"] == 6 and res["dropped"] + res["rewritten"] == 2
+    after = {e["name"] for e in manifest_files(spark, root)}
+    assert len(before & after) == 6  # disjoint files shared by reference
+    rows = read_manifest(spark, root)
+    in_range = rows.filter(F.col("ts").between(lo, hi))
+    assert {r["k"] for r in in_range.collect()} == {90_001, 90_002}
+    out_of_range = rows.filter(~F.col("ts").between(lo, hi))
+    assert out_of_range.count() == 60  # days 1,2,5,6,7,8 intact
+    # time travel: v1 still shows the replaced rows
+    assert read_manifest(spark, root, version=1).count() == 80
+
+
+def test_replace_where_rejects_out_of_predicate_rows(spark, tmp_path):
+    """Delta's replaceWhere constraint: every incoming row must satisfy
+    the predicate (NULL does not) — checked before any staging IO."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        _ts_df(spark, 1, 5).repartitionByRange(4, "ts"),
+        root,
+        stats_cols=["ts"],
+    )
+    lo, hi = dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 3)
+    stray = spark.createDataFrame(
+        [(1, "2026-01-08 00:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="outside"):
+        replace_where_manifest(spark, stray, root, "ts", lo, hi)
+    nullrow = spark.createDataFrame(
+        [(1, None)], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="outside"):
+        replace_where_manifest(spark, nullrow, root, "ts", lo, hi)
+    assert read_manifest(spark, root).count() == 40  # untouched
+
+
+def test_replace_where_keeps_null_rows_and_is_idempotent(spark, tmp_path):
+    """NULL predicate-column rows never match a range predicate: a file
+    entirely inside the range that holds NULL rows rewrites down to
+    them instead of dropping. txn_id replays are no-ops."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    day2 = _ts_df(spark, 2, 3)
+    nulls = spark.createDataFrame(
+        [(7_001, None), (7_002, None)], "k long, ts timestamp"
+    )
+    publish_files(
+        spark,
+        day2.unionByName(nulls).coalesce(1),  # ONE file: day-2 + NULLs
+        root,
+        stats_cols=["ts"],
+    )
+    lo, hi = dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 2, 23, 59)
+    incoming = spark.createDataFrame(
+        [(8_001, "2026-01-02 12:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    res = replace_where_manifest(
+        spark, incoming, root, "ts", lo, hi, txn_id=("app", 1)
+    )
+    assert res["rewritten"] == 1 and res["dropped"] == 0
+    rows = read_manifest(spark, root)
+    assert {r["k"] for r in rows.collect()} == {7_001, 7_002, 8_001}
+    # replay: same txn id -> no-op, contents unchanged
+    res2 = replace_where_manifest(
+        spark, incoming, root, "ts", lo, hi, txn_id=("app", 1)
+    )
+    assert res2["rewritten"] == 0 and res2["inserted_files"] == 0
+    assert read_manifest(spark, root).count() == 3
+
+
+def test_wap_publish_gates_bad_data_and_promotes_good(spark, tmp_path):
+    """X129 write-audit-publish: a failing audit leaves the table
+    byte-identical (the staged version never gets a marker — no reader
+    can ever observe un-audited rows), its staged files are vacuumable
+    orphans; a passing audit promotes atomically."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        AuditFailedError,
+        publish_files_wap,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _kv_df(spark, 100).repartition(2), root)
+
+    # audit sees the CANDIDATE (old + staged rows), not the live table
+    seen = {}
+
+    def audit_pass(cand):
+        seen["n"] = cand.count()
+        seen["live_during_audit"] = read_manifest(spark, root).count()
+        return cand.filter(F.col("k").isNull()).count() == 0
+
+    v = publish_files_wap(
+        spark,
+        _kv_df(spark, 10).withColumn("k", F.col("k") + 1_000),
+        root,
+        audit=audit_pass,
+    )
+    assert v == 2
+    assert seen["n"] == 110
+    assert seen["live_during_audit"] == 100  # staged rows were invisible
+    assert read_manifest(spark, root).count() == 110
+
+    # failing audit: table unchanged, orphans vacuumable
+    bad = spark.createDataFrame(
+        [(None, 1, 0.5)], "k long, seq int, val double"
+    )
+    with pytest.raises(AuditFailedError, match="returned false"):
+        publish_files_wap(
+            spark, bad, root,
+            audit=lambda c: c.filter(F.col("k").isNull()).count() == 0,
+        )
+    assert read_manifest(spark, root).count() == 110
+    res = vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0)
+    assert res["files_deleted"] >= 1  # the abandoned staged file
+    assert read_manifest(spark, root).count() == 110
+
+    # raising audit == failing audit
+    def audit_boom(cand):
+        raise RuntimeError("quality service down")
+
+    with pytest.raises(AuditFailedError, match="quality service down"):
+        publish_files_wap(spark, _kv_df(spark, 5), root, audit=audit_boom)
+    assert read_manifest(spark, root).count() == 110
+
+
+def test_wap_promote_refuses_when_table_moved_during_audit(spark, tmp_path):
+    """A writer that commits while the audit runs makes the candidate
+    stale (it was derived from the pre-commit state): promotion must
+    raise ManifestConflictError instead of burying that writer's
+    version."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        ManifestConflictError,
+        publish_files_wap,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _kv_df(spark, 50).repartition(2), root)
+
+    def audit_with_interleaved_writer(cand):
+        append_files(
+            spark,
+            spark.createDataFrame([(9_999, 1, 0.0)],
+                                  "k long, seq int, val double"),
+            root,
+        )
+        return True
+
+    with pytest.raises(ManifestConflictError, match="while the audit"):
+        publish_files_wap(
+            spark,
+            _kv_df(spark, 5).withColumn("k", F.col("k") + 500),
+            root,
+            audit=audit_with_interleaved_writer,
+        )
+    # the interleaved writer's commit survives; the WAP candidate did not
+    rows = read_manifest(spark, root)
+    assert rows.count() == 51
+    assert rows.filter(F.col("k") == 9_999).count() == 1
