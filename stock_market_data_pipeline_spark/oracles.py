@@ -3793,6 +3793,19 @@ GROUP BY event_type
 """
 
 
+# X130 incremental read: the v1->latest increment over (publish %3==0,
+# append %3==1, append %3==2) is exactly the two appended slices.
+ORACLES["incremental_read_equality"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('inc:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_id % 3 <> 0
+GROUP BY event_type
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

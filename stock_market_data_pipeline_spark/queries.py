@@ -3977,6 +3977,77 @@ def q_wap_publish_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_incremental_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 ``read_manifest_incremental`` (Iceberg's incremental append
+    scan) as a driver row: publish a third of events, append the other
+    two thirds in two commits, then incrementally read v1→latest — the
+    materialized-view-maintenance consumer that processes ONLY appended
+    files. The oracle predicts the increment straight from ``events``
+    (the two appended slices); a reader that re-surfaces carried files
+    (double count) or misses an appended one shifts the fingerprint.
+    Runtime-asserts the file-identity contract the oracle cannot see:
+    the increment plans exactly the files added after v1, and the
+    per-step increments (v1→v2 ∪ v2→v3) decompose the total."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import sample_hash32
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        manifest_files,
+        publish_files,
+        read_manifest_incremental,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="incq_")
+    root = f"{tmp}/table"
+    try:
+        publish_files(
+            spark, ev.filter(F.col("event_id") % 3 == 0).repartition(2), root
+        )
+        n_v1_files = len(manifest_files(spark, root))
+        append_files(
+            spark, ev.filter(F.col("event_id") % 3 == 1).repartition(2), root
+        )
+        append_files(
+            spark, ev.filter(F.col("event_id") % 3 == 2).repartition(2), root
+        )
+        inc = read_manifest_incremental(spark, root, 1)
+        planned = len(inc.inputFiles())
+        added = len(manifest_files(spark, root)) - n_v1_files
+        if planned != added:
+            raise AssertionError(
+                f"incremental scan planned {planned} files, {added} added"
+            )
+        step = (
+            read_manifest_incremental(spark, root, 1, 2).count()
+            + read_manifest_incremental(spark, root, 2, 3).count()
+        )
+        total = inc.count()
+        if step != total:
+            raise AssertionError(
+                f"per-step increments ({step}) != v1->v3 increment ({total})"
+            )
+        out = (
+            inc.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("event_id"), "inc"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -3986,25 +4057,26 @@ def q_wap_publish_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-14 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 5 round-14 additions (clustered_scan_fingerprint,
+# don't trust prose): 6 round-14 additions (clustered_scan_fingerprint,
 # time_travel_read, stream_dedup_keyed_parity, replace_where_equality,
-# wap_publish_equality — never driver-checked), then 3 code-touched
+# wap_publish_equality, incremental_read_equality — never
+# driver-checked), then 3 code-touched
 # re-certs (bloom_point_lookup: segment-reuse + distinct-probe +
 # maintenance-carry rewrite of the index path; countmin_user_topk:
 # estimates join flipped to left+coalesce; rank_fusion_topk: rrf_fuse
 # input guard), then ALL 27 deferred r9 rows (staleness exactly 4 = the
-# budget edge — MANDATORY this round), then the 15 oldest r11-green rows
-# (early drain: 42 r11 rows are due by r15; 27 remain, exactly r15's
-# mandatory front, leaving 23 slots of r15 headroom). Past the window:
-# the 27 remaining r11 rows sorted at [50:77] (r15's mandatory front),
+# budget edge — MANDATORY this round), then the 14 oldest r11-green rows
+# (early drain: 42 r11 rows are due by r15; 28 remain, exactly r15's
+# mandatory front, leaving 22 slots of r15 headroom). Past the window:
+# the 28 remaining r11 rows sorted at [50:78] (r15's mandatory front),
 # then the 42 remaining r12-green rows (due r16), then the r13-green
 # rows (due r17). Three rows were CONSOLIDATED away this round per the
 # growth discipline: sliding_window_15m/_1h run inside
 # windowed_analytics (its two join inputs) and simhash16 inside
 # simhash_neardup_pairs (its first stage) — machinery QA unchanged,
-# three bench/rotation slots freed; registry 159 + 5 new = 164.
+# three bench/rotation slots freed; registry 159 + 6 new = 165.
 # NEXT ROUND (15): lead with round-15 additions/code-touched rows, then
-# the 27 deferred r11 rows at [50:77] (budget-mandatory), then the
+# the 28 deferred r11 rows at [50:78] (budget-mandatory), then the
 # oldest r12 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4013,6 +4085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
     "replace_where_equality": q_replace_where_equality,
     "wap_publish_equality": q_wap_publish_equality,
+    "incremental_read_equality": q_incremental_read_equality,
     "bloom_point_lookup": q_bloom_point_lookup,
     "countmin_user_topk": q_countmin_user_topk,
     "rank_fusion_topk": q_rank_fusion_topk,

@@ -1891,6 +1891,52 @@ def read_manifest_pruned(
     return df.filter(cond)
 
 
+def read_manifest_incremental(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Incremental read: the rows ADDED between committed versions
+    ``v_from`` (exclusive) and ``v_to`` (inclusive; default latest) —
+    Iceberg's incremental append scan. The consumer pattern for
+    materialized-view maintenance and downstream sync at 100 TB: a
+    nightly job processes ONLY the files appended since its last
+    watermark version instead of re-reading the table; file identity
+    (not data content) drives the diff, so planning is a metadata-only
+    set difference over the two manifests.
+
+    The append-only contract is CHECKED, not assumed: if any file
+    referenced by ``v_from`` is missing from ``v_to`` (a replace,
+    retention, compaction, merge, or key-delete rewrote history between
+    them), the incremental read raises ``ValueError`` — silently
+    returning \"new files\" across a rewrite would double-count rewritten
+    rows and miss deletions. Run maintenance BEFORE the consumer's
+    watermark or reconcile through ``manifest_version_diff`` (key-level)
+    instead. Rows in files carried by both versions are shared by
+    reference and never re-surface."""
+    fs = _HadoopFS(spark, root)
+    _, meta_from = _resolve_manifest(fs, root, v_from)
+    v_to, meta_to = _resolve_manifest(fs, root, v_to)
+    old_names = {e["name"] for e in _manifest_entries(fs, root, meta_from)}
+    new_entries = _manifest_entries(fs, root, meta_to)
+    new_names = {e["name"] for e in new_entries}
+    removed = old_names - new_names
+    if removed:
+        raise ValueError(
+            f"history between v{v_from} and v{v_to} is not append-only: "
+            f"{len(removed)} files referenced by v{v_from} were rewritten "
+            "or dropped — an incremental read would double-count or miss "
+            "rows; reconcile with manifest_version_diff instead"
+        )
+    added = [e["name"] for e in new_entries if e["name"] not in old_names]
+    if not added:
+        return read_manifest(spark, root, version=v_to).filter(F.lit(False))
+    return _load_table_files(
+        spark, meta_to, [f"{_data_dir(root)}/{n}" for n in added]
+    )
+
+
 def _bloom_positions(col, m: int, k: int, seed: str):
     """The k portable hash positions of a value — md5-derived (the
     sampling.sample_hash32 contract) so a DuckDB oracle reproduces the
@@ -2052,6 +2098,82 @@ def read_manifest_bloom_lookup(
         spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
     )
     return df.filter(F.col(col) == F.lit(value)), stats
+
+
+def read_manifest_bloom_lookup_in(
+    spark: SparkSession,
+    root: str,
+    values: list,
+    version: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Batch point lookup through the Bloom skip index — ``col IN
+    (values)`` — in ONE sidecar scan: a file opens when it holds ALL
+    distinct probe positions of AT LEAST ONE value (plus unindexed files,
+    conservatively). The GDPR-subject / entity-batch shape: a 100-key
+    erasure audit probes the index once instead of once per key, and the
+    opened-file set is the union of per-key hits, still a tiny fraction
+    of the table. Exact predicate re-applies, so the result is identical
+    to ``read_manifest().filter(col.isin(values))`` by construction.
+    Returns ``(df, {"files_total", "files_read"})``."""
+    vals = sorted(set(values))
+    if not vals:
+        raise ValueError("read_manifest_bloom_lookup_in needs ≥1 value")
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    bloom = meta.get("bloom")
+    if not bloom:
+        raise ValueError(f"table at {root} has no bloom index")
+    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
+    entries = _manifest_entries(fs, root, meta)
+    names = [e["name"] for e in entries]
+    # per-value DISTINCT probe positions, derived through the SAME Spark
+    # expression the index build used (collect is |values|·k rows)
+    probe_rows = (
+        spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                              ["vid", "_v"])
+        .select(
+            "vid",
+            F.explode(
+                F.array(*_bloom_positions(F.col("_v"), int(m), int(k), seed))
+            ).alias("pos"),
+        )
+        .distinct()
+        .collect()
+    )
+    need: dict[int, int] = {}
+    for r in probe_rows:
+        need[r["vid"]] = need.get(r["vid"], 0) + 1
+    probe = spark.createDataFrame(
+        [(r["vid"], r["pos"]) for r in probe_rows], "vid int, pos bigint"
+    )
+    need_df = spark.createDataFrame(
+        [(vid, n) for vid, n in need.items()], "vid int, need int"
+    )
+    rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
+    indexed = {r[0] for r in rows.select("file").distinct().collect()}
+    hit_rows = (
+        rows.join(F.broadcast(probe), "pos")
+        .groupBy("file", "vid")
+        .agg(F.count_distinct("pos").alias("n_hit"))
+        .join(F.broadcast(need_df), "vid")
+        .filter(F.col("n_hit") == F.col("need"))
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    hits = {r[0] for r in hit_rows}
+    keep = [n for n in names if n in hits or n not in indexed]
+    stats = {"files_total": len(names), "files_read": len(keep)}
+    pred = F.col(col).isin(vals)
+    if not keep:
+        empty = read_manifest(spark, root, version=version).filter(
+            F.lit(False)
+        )
+        return empty.filter(pred), stats
+    df = _load_table_files(
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
+    )
+    return df.filter(pred), stats
 
 
 def reindex_bloom(spark: SparkSession, root: str) -> int:

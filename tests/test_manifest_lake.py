@@ -1697,3 +1697,76 @@ def test_wap_promote_refuses_when_table_moved_during_audit(spark, tmp_path):
     rows = read_manifest(spark, root)
     assert rows.count() == 51
     assert rows.filter(F.col("k") == 9_999).count() == 1
+
+
+def test_incremental_read_appends_only_and_rewrite_guard(spark, tmp_path):
+    """X130 incremental read: rows added between two versions come back
+    exactly once (file-identity diff, metadata-only planning); a rewrite
+    between the versions — here a compaction — breaks the append-only
+    contract and must raise instead of double-counting."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+        read_manifest_incremental,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _kv_df(spark, 50).repartition(2), root)      # v1
+    append_files(
+        spark, _kv_df(spark, 10).withColumn("k", F.col("k") + 100), root
+    )                                                                 # v2
+    append_files(
+        spark, _kv_df(spark, 10).withColumn("k", F.col("k") + 200), root
+    )                                                                 # v3
+    inc = read_manifest_incremental(spark, root, 1)  # v1 -> latest
+    ks = {r["k"] for r in inc.collect()}
+    assert ks == set(range(100, 110)) | set(range(200, 210))
+    inc12 = read_manifest_incremental(spark, root, 1, 2)
+    assert {r["k"] for r in inc12.collect()} == set(range(100, 110))
+    # same-version incremental = empty, still typed
+    assert read_manifest_incremental(spark, root, 3, 3).count() == 0
+    assert read_manifest_incremental(spark, root, 3, 3).columns == [
+        "k", "seq", "val"
+    ]
+    # compaction rewrites files v1 referenced -> append-only guard trips
+    compact_manifest(spark, root)                                     # v4
+    with pytest.raises(ValueError, match="not append-only"):
+        read_manifest_incremental(spark, root, 1)
+    # a post-rewrite watermark works again
+    append_files(
+        spark, _kv_df(spark, 5).withColumn("k", F.col("k") + 300), root
+    )                                                                 # v5
+    inc45 = read_manifest_incremental(spark, root, 4)
+    assert {r["k"] for r in inc45.collect()} == set(range(300, 305))
+
+
+def test_bloom_lookup_in_list_one_sidecar_scan(spark, tmp_path):
+    """X131 batch point lookup: col IN (values) opens the UNION of
+    per-value bloom hits (+unindexed conservatively) with exact results;
+    an absent value adds (almost surely) nothing to the opened set."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        read_manifest_bloom_lookup_in,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(2_000).selectExpr("id AS k", "id * 3 AS v")
+    publish_files(spark, df.repartition(8, "k"), root)
+    add_bloom_index(spark, root, "k")
+    hit, st = read_manifest_bloom_lookup_in(
+        spark, root, [17, 1_234, 999_999]
+    )
+    assert {(r["k"], r["v"]) for r in hit.collect()} == {
+        (17, 51), (1_234, 3_702)
+    }
+    assert st["files_read"] < st["files_total"] == 8
+    with pytest.raises(ValueError, match="1 value"):
+        read_manifest_bloom_lookup_in(spark, root, [])
+    # an unindexed appended file is read conservatively and its row found
+    append_files(
+        spark, spark.createDataFrame([(999_999, 7)], "k long, v long"), root
+    )
+    hit2, st2 = read_manifest_bloom_lookup_in(spark, root, [999_999, 17])
+    assert {(r["k"], r["v"]) for r in hit2.collect()} == {
+        (999_999, 7), (17, 51)
+    }
+    assert st2["files_read"] <= st["files_read"] + 1

@@ -21,31 +21,32 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-14 plan: 5 new rows, then 3
+    rounds — SURVEY §2.10). Guard the round-14 plan: 6 new rows, then 3
     code-touched re-certs (the bloom index path was rewritten for
     segment reuse / distinct probes / maintenance carry;
     countmin_estimates flipped to a left join; rrf_fuse gained an input
     guard), then ALL 27 deferred r9 rows (staleness exactly 4 — the
-    budget edge, MANDATORY this round), then the 15 oldest r11 rows
-    (early drain of the 42-row r11 wave due at r15). The 27 remaining
-    r11 rows sit at positions 50:77 — r15's mandatory front."""
+    budget edge, MANDATORY this round), then the 14 oldest r11 rows
+    (early drain of the 42-row r11 wave due at r15). The 28 remaining
+    r11 rows sit at positions 50:78 — r15's mandatory front."""
     window = list(QUERIES)[:50]
     # round-14 additions — never driver-checked — at the very front
-    assert window[:5] == [
+    assert window[:6] == [
         "clustered_scan_fingerprint",
         "time_travel_read",
         "stream_dedup_keyed_parity",
         "replace_where_equality",
         "wap_publish_equality",
+        "incremental_read_equality",
     ]
     # code-touched re-certs (round-13 ADVICE fixes landed in their paths)
-    assert window[5:8] == [
+    assert window[6:9] == [
         "bloom_point_lookup",
         "countmin_user_topk",
         "rank_fusion_topk",
     ]
     # ALL 27 deferred r9 rows (the r13 verdict's designated r14 front)
-    assert window[8:35] == [
+    assert window[9:36] == [
         "approx_stats",
         "corpus_report",
         "customer_order_distribution",
@@ -74,8 +75,8 @@ def test_driver_window_composition():
         "version_diff",
         "wealthy_inactive_customers",
     ]
-    # the 15 oldest r11-green rows (early drain; r11 cohort due by r15)
-    assert window[35:50] == [
+    # the 14 oldest r11-green rows (early drain; r11 cohort due by r15)
+    assert window[36:50] == [
         "fuzzy_name_pairs_multiblock",
         "fuzzy_name_pairs",
         "clean_cast_filter",
@@ -90,11 +91,11 @@ def test_driver_window_composition():
         "multimodal_audio_windows",
         "psi_drift",
         "asof_join",
-        "asof_join_forward",
     ]
-    # the 27 remaining r11 rows are the tail front — r15's mandatory
+    # the 28 remaining r11 rows are the tail front — r15's mandatory
     # front (they hit the 4-round budget edge at r15)
-    assert list(QUERIES)[50:77] == [
+    assert list(QUERIES)[50:78] == [
+        "asof_join_forward",
         "asof_join_tolerance",
         "apply_changelog",
         "incremental_dedup",
