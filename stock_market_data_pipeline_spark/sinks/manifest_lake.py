@@ -535,8 +535,49 @@ def _commit(
     ``MANIFEST_SEGMENT_ROWS``-sized immutable segments, with undersized
     reused segments folded into the loose set first so append-at-a-time
     ingestion can't accrete unbounded segment fan-out. Metadata IO is
-    therefore O(loose + undersized), never O(table)."""
+    therefore O(loose + undersized), never O(table).
+
+    The whole [list → conflict-check → write] span runs under a
+    TABLE-level hold of the installed commit lock (in addition to the
+    per-path hold inside each exclusive write): with a lease adapter
+    installed, commit arbitration serializes against OTHER commit points
+    of the same table too — in particular a WAP promotion, whose marker
+    lands at a path no plain commit ever contends on (round-14 review).
+    With the default NoOpCommitLock the behavior is unchanged
+    (single-writer POSIX/HDFS, where the create-exclusive JSON path is
+    the arbiter)."""
+    from stock_market_data_pipeline_spark.sinks.lake import get_commit_lock
+
     fs = _HadoopFS(spark, root)
+    try:
+        with get_commit_lock().hold(_mf_dir(root)):
+            return _commit_locked(
+                spark, fs, root, entries, fmt, expected_prev, txns,
+                schema_json, stats_cols, bucketing, reuse_segments,
+                extra_meta, write_marker,
+            )
+    except LockUnavailableError as exc:
+        raise ManifestConflictError(
+            f"commit arbitration for {root} held by another writer — "
+            "retry against the new state"
+        ) from exc
+
+
+def _commit_locked(
+    spark: SparkSession,
+    fs: "_HadoopFS",
+    root: str,
+    entries: list[dict[str, Any]],
+    fmt: str,
+    expected_prev: int | None,
+    txns: dict[str, int] | None,
+    schema_json: str | None,
+    stats_cols: list[str] | None,
+    bucketing: dict[str, Any] | None,
+    reuse_segments: list[dict] | None,
+    extra_meta: dict[str, Any] | None,
+    write_marker: bool,
+) -> int:
     committed, known = _list_manifests(fs, root)
     cur = committed[-1] if committed else None
     if cur != expected_prev:
@@ -1413,21 +1454,41 @@ def _promote_manifest(
     fs: _HadoopFS, root: str, version: int, expected_prev: int | None
 ) -> int:
     """Promote a staged (marker-less) manifest version: re-check that no
-    other writer committed since the candidate was derived, then write
-    the commit marker. The check+create runs with the same guarantees as
-    ``_commit`` itself (atomic create on POSIX/HDFS; the installed
-    commit lock serializes it on object stores)."""
-    committed, _ = _list_manifests(fs, root)
-    cur = committed[-1] if committed else None
-    if cur != expected_prev:
-        raise ManifestConflictError(
-            f"table at {root} moved to v{cur} while the audit of staged "
-            f"v{version} ran (derived from v{expected_prev}); refusing to "
-            "promote — the candidate is stale; staged orphans are vacuumed"
-        )
+    other writer committed since the candidate was derived AND that the
+    staged JSON still exists (a vacuum running past its grace window
+    during a long audit deletes uncommitted manifests — committing a
+    marker for a deleted JSON would wedge every later read), then write
+    the commit marker. The [re-check → marker] span holds the SAME
+    table-level commit-lock key as ``_commit``, so with a lease adapter
+    installed a plain commit cannot interleave between the re-check and
+    the marker (its marker lands at a different path, so create-exclusive
+    alone would never arbitrate the pair — round-14 review); with the
+    default NoOpCommitLock the residual window is the module's documented
+    single-writer caveat."""
+    from stock_market_data_pipeline_spark.sinks.lake import get_commit_lock
+
     mpath = f"{_mf_dir(root)}/{_mf_name(version)}"
     try:
-        fs.write_text_exclusive(f"{mpath}{_COMMIT_SUFFIX}", _mf_name(version))
+        with get_commit_lock().hold(_mf_dir(root)):
+            committed, _ = _list_manifests(fs, root)
+            cur = committed[-1] if committed else None
+            if cur != expected_prev:
+                raise ManifestConflictError(
+                    f"table at {root} moved to v{cur} while the audit of "
+                    f"staged v{version} ran (derived from "
+                    f"v{expected_prev}); refusing to promote — the "
+                    "candidate is stale; staged orphans are vacuumed"
+                )
+            if not fs.exists(mpath):
+                raise ManifestConflictError(
+                    f"staged manifest v{version} at {root} vanished during "
+                    "the audit (vacuumed past its grace window?) — refusing "
+                    "to commit a marker for a deleted version; re-stage and "
+                    "keep audits shorter than vacuum grace_seconds"
+                )
+            fs.write_text_exclusive(
+                f"{mpath}{_COMMIT_SUFFIX}", _mf_name(version)
+            )
     except (FileExistsError, LockUnavailableError) as exc:
         raise ManifestConflictError(
             f"lost the promote race for {mpath} — retry against the new "
@@ -1465,7 +1526,12 @@ def publish_files_wap(
     from stale state). ``txn_id`` gives replay idempotence like
     ``append_files``. At 100 TB the audit is one read over the candidate
     (Spark scans only what the checks need); the stage→promote metadata
-    cost is identical to a plain append. Returns the promoted version."""
+    cost is identical to a plain append. OPERATIONAL BOUND: the audit
+    must finish within ``vacuum_manifest``'s ``grace_seconds`` window —
+    the staged version is uncommitted, so a vacuum past the grace window
+    collects it mid-audit (promotion then refuses with
+    ``ManifestConflictError`` rather than committing a deleted version).
+    Returns the promoted version."""
     fs = _HadoopFS(spark, root)
     committed, _ = _list_manifests(fs, root)
     prev_inline: list[dict[str, Any]] = []
@@ -1502,9 +1568,11 @@ def publish_files_wap(
         extra_meta=_carry_bloom(meta),
         write_marker=False,
     )
-    _, staged_meta = (
-        staged_v,
-        _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(staged_v)}")),
+    # re-read the staged JSON: it records the exact committed state
+    # (including any segment refs _commit sharded out) — one
+    # metadata-sized read
+    staged_meta = _json.loads(
+        fs.read_text(f"{_mf_dir(root)}/{_mf_name(staged_v)}")
     )
     cand_entries = _manifest_entries(fs, root, staged_meta)
     candidate = _load_table_files(
@@ -2033,6 +2101,83 @@ def add_bloom_index(
     )
 
 
+def _bloom_keep_files(
+    spark: SparkSession, root: str, meta: dict, values: list
+) -> tuple[list[str], dict[str, int]]:
+    """The file names a bloom-indexed point lookup must open for ``col
+    IN (values)`` — union of per-value hits plus unindexed files (added
+    after the index build) read conservatively. Probes are CAST to the
+    indexed column's recorded dtype before hashing: the index stored
+    positions of the column's native string rendering (e.g. ``17.0`` for
+    a DOUBLE column), so an un-cast integer probe would render ``17``,
+    hash elsewhere, and silently skip files that DO contain the value
+    (round-14 review). Per-value probe positions are DEDUPED and a file
+    must hit all of a value's distinct positions — two of the k hashes
+    can collide (round-13 advice). Everything stays in ONE lazy plan
+    (probe needs derived in-plan, no extra driver job); exactly two
+    collects run: the indexed-file set and the hit set."""
+    bloom = meta["bloom"]
+    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
+    names = [e["name"] for e in _manifest_entries(_HadoopFS(spark, root), root, meta)]
+    schema = _recorded_schema(meta)
+    dtype = None
+    if schema is not None and col in schema.fieldNames():
+        dtype = schema[col].dataType.simpleString()
+    vcol = F.col("_v").cast(dtype) if dtype else F.col("_v")
+    probe = (
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(values)], ["vid", "_v"]
+        )
+        .select(
+            "vid",
+            F.explode(
+                F.array(*_bloom_positions(vcol, int(m), int(k), seed))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    need = probe.groupBy("vid").agg(F.count(F.lit(1)).alias("need"))
+    rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
+    indexed = {r[0] for r in rows.select("file").distinct().collect()}
+    hit_rows = (
+        rows.join(F.broadcast(probe), "pos")
+        .groupBy("file", "vid")
+        .agg(F.count_distinct("pos").alias("n_hit"))
+        .join(F.broadcast(need), "vid")
+        .filter(F.col("n_hit") == F.col("need"))
+        .select("file")
+        .distinct()
+        .collect()
+    )
+    hits = {r[0] for r in hit_rows}
+    keep = [n for n in names if n in hits or n not in indexed]
+    return keep, {"files_total": len(names), "files_read": len(keep)}
+
+
+def _bloom_lookup(
+    spark: SparkSession,
+    root: str,
+    values: list,
+    version: int | None,
+    pred_of,
+) -> tuple[DataFrame, dict[str, int]]:
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root, version)
+    if not meta.get("bloom"):
+        raise ValueError(f"table at {root} has no bloom index")
+    keep, stats = _bloom_keep_files(spark, root, meta, values)
+    pred = pred_of(F.col(meta["bloom"]["col"]))
+    if not keep:
+        empty = read_manifest(spark, root, version=version).filter(
+            F.lit(False)
+        )
+        return empty.filter(pred), stats
+    df = _load_table_files(
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
+    )
+    return df.filter(pred), stats
+
+
 def read_manifest_bloom_lookup(
     spark: SparkSession,
     root: str,
@@ -2040,64 +2185,17 @@ def read_manifest_bloom_lookup(
     version: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Point lookup through the Bloom skip index: open ONLY the files
-    whose per-file position set contains ALL k probe positions of
-    ``value`` (plus any file the index has no rows for — added after the
-    index build — read conservatively), then re-apply the exact
-    predicate, so the result is identical to
+    whose per-file position set contains ALL of ``value``'s distinct
+    probe positions (plus any file the index has no rows for — added
+    after the index build — read conservatively), then re-apply the
+    exact predicate, so the result is identical to
     ``read_manifest().filter(col == value)`` by construction; the index
     only decides which files open. Returns ``(df, {"files_total",
     "files_read"})`` so callers (and the driver row) can assert skipping
     actually happened."""
-    fs = _HadoopFS(spark, root)
-    _, meta = _resolve_manifest(fs, root, version)
-    bloom = meta.get("bloom")
-    if not bloom:
-        raise ValueError(f"table at {root} has no bloom index")
-    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
-    entries = _manifest_entries(fs, root, meta)
-    names = [e["name"] for e in entries]
-    # dedupe the probe positions: two of the k hashes can land on the
-    # same position (~k(k-1)/2m per value), and a file storing DISTINCT
-    # positions can then never show k distinct hits — requiring n_hit==k
-    # would silently skip files that DO contain the value (round-13
-    # advice, medium). Require all DISTINCT probe positions instead.
-    probe_positions = {
-        r[0]
-        for r in spark.range(1)
-        .select(
-            F.explode(
-                F.array(
-                    *_bloom_positions(F.lit(value), int(m), int(k), seed)
-                )
-            ).alias("pos")
-        )
-        .collect()
-    }
-    probe = spark.createDataFrame(
-        [(p,) for p in sorted(probe_positions)], "pos bigint"
+    return _bloom_lookup(
+        spark, root, [value], version, lambda c: c == F.lit(value)
     )
-    rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
-    indexed = {r[0] for r in rows.select("file").distinct().collect()}
-    hit_rows = (
-        rows.join(F.broadcast(probe), "pos")
-        .groupBy("file")
-        .agg(F.count_distinct("pos").alias("n_hit"))
-        .filter(F.col("n_hit") == len(probe_positions))
-        .select("file")
-        .collect()
-    )
-    hits = {r[0] for r in hit_rows}
-    keep = [n for n in names if n in hits or n not in indexed]
-    stats = {"files_total": len(names), "files_read": len(keep)}
-    if not keep:
-        empty = read_manifest(spark, root, version=version).filter(
-            F.lit(False)
-        )
-        return empty.filter(F.col(col) == F.lit(value)), stats
-    df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
-    )
-    return df.filter(F.col(col) == F.lit(value)), stats
 
 
 def read_manifest_bloom_lookup_in(
@@ -2118,62 +2216,9 @@ def read_manifest_bloom_lookup_in(
     vals = sorted(set(values))
     if not vals:
         raise ValueError("read_manifest_bloom_lookup_in needs ≥1 value")
-    fs = _HadoopFS(spark, root)
-    _, meta = _resolve_manifest(fs, root, version)
-    bloom = meta.get("bloom")
-    if not bloom:
-        raise ValueError(f"table at {root} has no bloom index")
-    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
-    entries = _manifest_entries(fs, root, meta)
-    names = [e["name"] for e in entries]
-    # per-value DISTINCT probe positions, derived through the SAME Spark
-    # expression the index build used (collect is |values|·k rows)
-    probe_rows = (
-        spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
-                              ["vid", "_v"])
-        .select(
-            "vid",
-            F.explode(
-                F.array(*_bloom_positions(F.col("_v"), int(m), int(k), seed))
-            ).alias("pos"),
-        )
-        .distinct()
-        .collect()
+    return _bloom_lookup(
+        spark, root, vals, version, lambda c: c.isin(vals)
     )
-    need: dict[int, int] = {}
-    for r in probe_rows:
-        need[r["vid"]] = need.get(r["vid"], 0) + 1
-    probe = spark.createDataFrame(
-        [(r["vid"], r["pos"]) for r in probe_rows], "vid int, pos bigint"
-    )
-    need_df = spark.createDataFrame(
-        [(vid, n) for vid, n in need.items()], "vid int, need int"
-    )
-    rows = spark.read.parquet(f"{_stats_dir(root)}/{bloom['sidecar']}")
-    indexed = {r[0] for r in rows.select("file").distinct().collect()}
-    hit_rows = (
-        rows.join(F.broadcast(probe), "pos")
-        .groupBy("file", "vid")
-        .agg(F.count_distinct("pos").alias("n_hit"))
-        .join(F.broadcast(need_df), "vid")
-        .filter(F.col("n_hit") == F.col("need"))
-        .select("file")
-        .distinct()
-        .collect()
-    )
-    hits = {r[0] for r in hit_rows}
-    keep = [n for n in names if n in hits or n not in indexed]
-    stats = {"files_total": len(names), "files_read": len(keep)}
-    pred = F.col(col).isin(vals)
-    if not keep:
-        empty = read_manifest(spark, root, version=version).filter(
-            F.lit(False)
-        )
-        return empty.filter(pred), stats
-    df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
-    )
-    return df.filter(pred), stats
 
 
 def reindex_bloom(spark: SparkSession, root: str) -> int:

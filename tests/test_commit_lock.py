@@ -149,8 +149,11 @@ def test_default_lock_is_noop_and_manifest_commits_route_through_it(
     try:
         df = spark.createDataFrame([(1, "a")], "k long, v string")
         publish_files(spark, df, str(tmp_path / "t"))
-        # manifest JSON + commit marker = two lock acquisitions
-        assert _Counting.holds == 2
+        # table-level arbitration hold + manifest JSON + commit marker =
+        # three lock acquisitions (the table hold was added in r14 so a
+        # lease adapter also serializes commit-vs-WAP-promotion, whose
+        # marker paths never collide)
+        assert _Counting.holds == 3
     finally:
         set_commit_lock(prev)
 

@@ -1770,3 +1770,97 @@ def test_bloom_lookup_in_list_one_sidecar_scan(spark, tmp_path):
         (999_999, 7), (17, 51)
     }
     assert st2["files_read"] <= st["files_read"] + 1
+
+
+def test_wap_promote_refuses_vacuumed_staged_version(spark, tmp_path):
+    """Round-14 review: a vacuum running past its grace window during a
+    long audit collects the staged (uncommitted) version; promotion must
+    refuse with the conflict signal instead of committing a marker for a
+    deleted JSON (which would wedge every later read)."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        ManifestConflictError,
+        publish_files_wap,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _kv_df(spark, 30).repartition(2), root)
+
+    def audit_with_overdue_vacuum(cand):
+        # grace_seconds=0 models an audit that outlived the grace window
+        vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0)
+        return True
+
+    with pytest.raises(ManifestConflictError, match="vanished"):
+        publish_files_wap(
+            spark, _kv_df(spark, 5).withColumn("k", F.col("k") + 100),
+            root, audit=audit_with_overdue_vacuum,
+        )
+    # table intact and readable
+    assert read_manifest(spark, root).count() == 30
+
+
+def test_commit_and_promote_share_table_level_lock_key(spark, tmp_path):
+    """Round-14 review: a WAP promotion's marker lands at a path no plain
+    commit contends on, so create-exclusive alone can never arbitrate
+    promote-vs-commit. Pin the protocol: BOTH _commit and
+    _promote_manifest wrap their [check -> write] span in a hold of the
+    SAME table-level key (the manifest dir), so any lease adapter
+    serializes them."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        NoOpCommitLock,
+        set_commit_lock,
+    )
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        publish_files_wap,
+        _mf_dir,
+    )
+
+    held: list[str] = []
+
+    class _Recording(NoOpCommitLock):
+        def hold(self, key: str):
+            held.append(key)
+            return super().hold(key)
+
+    root = str(tmp_path / "t")
+    prev = set_commit_lock(_Recording())
+    try:
+        publish_files(spark, _kv_df(spark, 20).repartition(2), root)
+        assert held.count(_mf_dir(root)) == 1  # plain commit holds it
+        publish_files_wap(
+            spark, _kv_df(spark, 5).withColumn("k", F.col("k") + 100),
+            root, audit=lambda c: True,
+        )
+        # staging commit + promotion each hold the table key
+        assert held.count(_mf_dir(root)) == 3
+    finally:
+        set_commit_lock(prev)
+
+
+def test_bloom_lookup_casts_probe_to_indexed_dtype(spark, tmp_path):
+    """Round-14 review: the index stores positions of the column's NATIVE
+    string rendering ('17.0' for a DOUBLE column); an un-cast integer
+    probe would render '17', hash elsewhere, and silently skip indexed
+    files that DO contain the value. Probes must cast to the recorded
+    column dtype first — filter(col == 17) matches 17.0, so the lookup
+    must too."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        read_manifest_bloom_lookup,
+        read_manifest_bloom_lookup_in,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(1_000).selectExpr(
+        "CAST(id AS DOUBLE) AS k", "id * 2 AS v"
+    )
+    publish_files(spark, df.repartition(4, "k"), root)
+    add_bloom_index(spark, root, "k")
+    hit, st = read_manifest_bloom_lookup(spark, root, 17)  # int probe
+    assert [(r["k"], r["v"]) for r in hit.collect()] == [(17.0, 34)]
+    assert st["files_read"] < st["files_total"] == 4
+    hit2, st2 = read_manifest_bloom_lookup_in(spark, root, [17, 999])
+    assert {(r["k"], r["v"]) for r in hit2.collect()} == {
+        (17.0, 34), (999.0, 1998)
+    }
+    assert st2["files_read"] < st2["files_total"]
