@@ -613,3 +613,52 @@ def stream_append_manifest(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_wap_append_manifest(
+    stream_df: DataFrame,
+    root: str,
+    checkpoint_path: str,
+    audit,
+    stats_cols: list[str] | None = None,
+    trigger: dict | None = None,
+    app_id: str = "stream-wap",
+):
+    """Quality-GATED exactly-once streaming ingestion: each micro-batch
+    goes through write-audit-publish (``sinks/manifest_lake.py:
+    publish_files_wap``) under the idempotent ``(app_id, batch_id)``
+    txn — the batch's files are staged invisibly, ``audit(candidate)``
+    inspects the WOULD-BE table (previous contents + this batch), and
+    only a passing verdict promotes. A failing audit raises
+    ``AuditFailedError`` out of ``foreachBatch``, which STOPS the stream
+    with the table still byte-identical to the last good version — the
+    circuit-breaker semantics an ingest quality gate wants (bad upstream
+    data halts the pipeline loudly; no reader ever saw it; fixing the
+    source and restarting from the checkpoint replays the batch through
+    the same gate). Replay of an already-promoted batch is a manifest
+    no-op (the txn watermark), so at-least-once delivery still yields
+    exactly-once contents. At 100 TB the audit is priced by what it
+    checks — stats-level expectations read metadata, row-level checks
+    scan the candidate."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        publish_files_wap,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        publish_files_wap(
+            batch_df.sparkSession,
+            batch_df,
+            root,
+            audit=audit,
+            stats_cols=stats_cols,
+            txn_id=(app_id, batch_id),
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_process)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

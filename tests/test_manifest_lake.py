@@ -1864,3 +1864,61 @@ def test_bloom_lookup_casts_probe_to_indexed_dtype(spark, tmp_path):
         (17.0, 34), (999.0, 1998)
     }
     assert st2["files_read"] < st2["files_total"]
+
+
+def test_stream_wap_gate_blocks_bad_batch_and_replays_exactly_once(
+    spark, tmp_path
+):
+    """X132 quality-gated streaming ingest: a good micro-batch promotes
+    through the WAP audit; a poisoned one fails the audit, STOPS the
+    stream, and never becomes readable; after fixing the source, the
+    restarted stream replays from the checkpoint — the already-promoted
+    batch no-ops via its txn and the fixed batch commits — exactly-once
+    contents end to end."""
+    import time
+
+    from stock_market_data_pipeline_spark.streaming.pipeline import (
+        stream_wap_append_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, x long")
+    good.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    poisoned = spark.createDataFrame([(None, 30), (4, 40)],
+                                     "k long, x long")
+    poisoned.coalesce(1).write.mode("append").parquet(src)
+
+    audit = lambda cand: cand.filter(F.col("k").isNull()).count() == 0
+    stream = (
+        spark.readStream.schema("k long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_wap_append_manifest(
+        stream, root, ckpt, audit=audit, trigger={"availableNow": True}
+    )
+    with pytest.raises(Exception, match="returned false"):
+        q.awaitTermination(120)
+    assert not q.isActive
+    # batch 0 promoted; poisoned batch 1 never readable
+    out = read_manifest(spark, root)
+    assert {r["k"] for r in out.collect()} == {1, 2}
+
+    # "fix upstream": gate out the poison in the stream itself, restart
+    stream2 = (
+        spark.readStream.schema("k long, x long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("k").isNotNull())
+    )
+    q2 = stream_wap_append_manifest(
+        stream2, root, ckpt, audit=audit, trigger={"availableNow": True}
+    )
+    assert q2.awaitTermination(120)
+    out2 = read_manifest(spark, root)
+    # batch 0 replay no-ops (txn watermark); fixed batch 1 lands once
+    assert {r["k"] for r in out2.collect()} == {1, 2, 4}
+    assert out2.count() == 3
