@@ -1140,6 +1140,7 @@ def compact_manifest(
     target_file_bytes: int = 128 * 1024 * 1024,
     fmt: str = "parquet",
     max_stats_sidecars: int = 32,
+    cluster_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """Bin-pack ONLY the undersized files (< half the target) into
     target-sized files; right-sized files are carried by reference. The
@@ -1149,14 +1150,33 @@ def compact_manifest(
     carrying txn watermarks, schema, and — on a bucketed table — the
     bucket layout (packing happens WITHIN buckets, like Iceberg's
     binpack-within-partition, so later merges keep their O(touched
-    buckets) cost; round-9 advice). Returns
-    ``{"carried", "compacted", "files_written"}``.
+    buckets) cost; round-9 advice).
+
+    ``cluster_cols`` turns the pack into CLUSTERING maintenance (Delta
+    ``OPTIMIZE ... ZORDER BY``'s 1-D shape, ``write_clustered`` married
+    to the manifest format): the packed rows range-repartition + sort on
+    the given columns, so the rewritten files carry tight, disjoint
+    per-file stats and every later ``read_manifest_pruned`` range scan
+    skips the non-overlapping ones. Micro-batch ingestion appends
+    arrival-ordered files whose ranges all overlap (nothing prunes);
+    compaction is exactly the moment the table already pays a rewrite,
+    so clustering there is free ordering. Refused on bucketed tables —
+    the hash-bucket layout owns their file placement (a range sort would
+    scatter bucket tags across files and break the O(touched-buckets)
+    merge contract). Returns ``{"carried", "compacted",
+    "files_written"}``.
     """
     import math
 
     fs = _HadoopFS(spark, root)
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", fmt)
+    if cluster_cols and meta.get("bucketing"):
+        raise ValueError(
+            f"table at {root} is hash-bucketed ({meta['bucketing']}); "
+            "cluster_cols compaction would scatter bucket tags — bucketed "
+            "tables compact within buckets"
+        )
     all_entries = _manifest_entries(fs, root, meta)
     small = [e for e in all_entries if e["bytes"] < target_file_bytes // 2]
     carried = [e for e in all_entries if e["bytes"] >= target_file_bytes // 2]
@@ -1167,8 +1187,18 @@ def compact_manifest(
     if not meta.get("bucketing"):
         total = sum(e["bytes"] for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        packed = packed.repartition(n_out)
-    stats_cols = _table_stats_cols(meta) or None
+        if cluster_cols:
+            cols = [F.col(c) for c in cluster_cols]
+            packed = packed.repartitionByRange(
+                n_out, *cols
+            ).sortWithinPartitions(*cols)
+        else:
+            packed = packed.repartition(n_out)
+    # clustering is only useful if the pruned reader can SEE the tight
+    # ranges: record stats for the cluster columns too
+    stats_cols = sorted(
+        set(_table_stats_cols(meta)) | set(cluster_cols or [])
+    ) or None
     packed_entries = _rewrite_entries(
         spark, packed, root, fmt, meta, stats_cols
     )
@@ -1195,7 +1225,9 @@ def compact_manifest(
         expected_prev=cur_v,
         txns=dict(meta.get("txns") or {}),
         schema_json=meta.get("schema"),
-        stats_cols=_table_stats_cols(meta),
+        # record any newly-clustered columns so later maintenance keeps
+        # computing their per-file stats
+        stats_cols=stats_cols,
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=_carry_bloom(meta),

@@ -1922,3 +1922,48 @@ def test_stream_wap_gate_blocks_bad_batch_and_replays_exactly_once(
     # batch 0 replay no-ops (txn watermark); fixed batch 1 lands once
     assert {r["k"] for r in out2.collect()} == {1, 2, 4}
     assert out2.count() == 3
+
+
+def test_compact_with_cluster_cols_tightens_pruning(spark, tmp_path):
+    """X133 clustering compaction (OPTIMIZE ZORDER's 1-D shape): arrival-
+    ordered micro-batch files all span the full ts range, so nothing
+    prunes; compacting WITH cluster_cols range-sorts the rewrite, after
+    which a day-range pruned read opens a small fraction of the files —
+    same rows either way."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+        read_manifest_pruned,
+    )
+
+    root = str(tmp_path / "t")
+    # 12 arrival-ordered files, EACH spanning all 8 days (k % interleave)
+    df = _ts_df(spark, 1, 9, n_per_day=24)
+    publish_files(spark, df.repartition(12), root, stats_cols=["ts"])
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 3, 23, 59)
+    before = read_manifest_pruned(spark, root, "ts", lo, hi)
+    rows_before = {r["k"] for r in before.collect()}
+    assert len(before.inputFiles()) == 12  # every file overlaps the day
+    # size the target so the pack produces ~4 files — multi-file output
+    # is the point: pruning must skip ACROSS the clustered files
+    total_bytes = sum(e["bytes"] for e in manifest_files(spark, root))
+    res = compact_manifest(
+        spark, root, target_file_bytes=max(total_bytes // 4, 2),
+        cluster_cols=["ts"],
+    )
+    assert res["compacted"] == 12
+    assert res["files_written"] >= 3
+    after = read_manifest_pruned(spark, root, "ts", lo, hi)
+    assert {r["k"] for r in after.collect()} == rows_before
+    n_after_total = len(manifest_files(spark, root))
+    assert len(after.inputFiles()) * 2 <= n_after_total
+    # bucketed tables own their layout: clustering there is refused
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+    )
+    broot = str(tmp_path / "b")
+    merge_upsert_manifest(
+        spark, _kv_df(spark, 50), broot, keys=["k"], order_col="seq",
+        n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="bucketed"):
+        compact_manifest(spark, broot, cluster_cols=["k"])
