@@ -4060,23 +4060,30 @@ def q_incremental_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # don't trust prose): 6 round-14 additions (clustered_scan_fingerprint,
 # time_travel_read, stream_dedup_keyed_parity, replace_where_equality,
 # wap_publish_equality, incremental_read_equality — never
-# driver-checked), then 3 code-touched
-# re-certs (bloom_point_lookup: segment-reuse + distinct-probe +
-# maintenance-carry rewrite of the index path; countmin_user_topk:
-# estimates join flipped to left+coalesce; rank_fusion_topk: rrf_fuse
-# input guard), then ALL 27 deferred r9 rows (staleness exactly 4 = the
-# budget edge — MANDATORY this round), then the 14 oldest r11-green rows
-# (early drain: 42 r11 rows are due by r15; 28 remain, exactly r15's
-# mandatory front, leaving 22 slots of r15 headroom). Past the window:
-# the 28 remaining r11 rows sorted at [50:78] (r15's mandatory front),
-# then the 42 remaining r12-green rows (due r16), then the r13-green
-# rows (due r17). Three rows were CONSOLIDATED away this round per the
-# growth discipline: sliding_window_15m/_1h run inside
-# windowed_analytics (its two join inputs) and simhash16 inside
-# simhash_neardup_pairs (its first stage) — machinery QA unchanged,
-# three bench/rotation slots freed; registry 159 + 6 new = 165.
+# driver-checked), then 3 code-touched re-certs (bloom_point_lookup:
+# segment-reuse + distinct-probe + dtype-cast + maintenance-carry
+# rewrite of the index path; countmin_user_topk: estimates join flipped
+# to left+coalesce; rank_fusion_topk: rrf_fuse input guard), then the 7
+# r13-green manifest rows whose code paths changed this round (_commit
+# gained the table-level lock scope + write_marker staging;
+# read_manifest_pruned re-routed through _range_keep_files /
+# read_manifest_pruned_multi; maintenance commits carry the bloom meta):
+# manifest_schema_evolution, manifest_key_delete, manifest_sharded_scan,
+# manifest_rollback_diff, merge_manifest_state, retention_revenue,
+# pruned_scan_revenue — all locally re-verified strict post-change, the
+# window re-certs them at the driver. Then ALL 27 deferred r9 rows
+# (staleness exactly 4 = the budget edge — MANDATORY this round), then
+# the 7 oldest r11-green rows (partial early drain of the 42-row r11
+# wave). Past the window: the 35 remaining r11 rows sorted at [50:85]
+# (r15's MANDATORY front; with 15 r12 rows they fill r15's window and
+# the r12 remainder of 27 is due r16 — all cohorts stay inside the
+# 4-round budget: r16 = 27 r12 + 23 r13, r17 = the 15 r13 left + r14
+# rows). Three rows were CONSOLIDATED away this round per the growth
+# discipline: sliding_window_15m/_1h run inside windowed_analytics (its
+# two join inputs) and simhash16 inside simhash_neardup_pairs (its first
+# stage) — machinery QA unchanged; registry 159 + 6 new = 165.
 # NEXT ROUND (15): lead with round-15 additions/code-touched rows, then
-# the 28 deferred r11 rows at [50:78] (budget-mandatory), then the
+# the 35 deferred r11 rows at [50:85] (budget-mandatory), then the
 # oldest r12 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4089,6 +4096,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_point_lookup": q_bloom_point_lookup,
     "countmin_user_topk": q_countmin_user_topk,
     "rank_fusion_topk": q_rank_fusion_topk,
+    "manifest_schema_evolution": q_manifest_schema_evolution,
+    "manifest_key_delete": q_manifest_key_delete,
+    "manifest_sharded_scan": q_manifest_sharded_scan,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
+    "merge_manifest_state": q_merge_manifest_state,
+    "retention_revenue": q_retention_revenue,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
     "approx_stats": q_approx_stats,
     "corpus_report": q_corpus_report,
     "customer_order_distribution": q_customer_order_distribution,
@@ -4202,18 +4216,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "compact_equality": q_compact_equality,
     "jsonl_quarantine": q_jsonl_quarantine,
-    "manifest_schema_evolution": q_manifest_schema_evolution,
     "min_cost_supplier": q_min_cost_supplier,
     "important_parts": q_important_parts,
     "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
-    "manifest_key_delete": q_manifest_key_delete,
     "gapfill_interpolate": q_gapfill_interpolate,
     "macd_signal": q_macd_signal,
-    "manifest_sharded_scan": q_manifest_sharded_scan,
-    "manifest_rollback_diff": q_manifest_rollback_diff,
-    "merge_manifest_state": q_merge_manifest_state,
-    "retention_revenue": q_retention_revenue,
-    "pruned_scan_revenue": q_pruned_scan_revenue,
     "stream_stream_join_parity": q_stream_stream_join_parity,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_cdc_parity": q_stream_cdc_parity,

@@ -1967,3 +1967,67 @@ def test_compact_with_cluster_cols_tightens_pruning(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="bucketed"):
         compact_manifest(spark, broot, cluster_cols=["k"])
+
+
+def test_pruned_multi_intersects_ranges_and_bloom(spark, tmp_path):
+    """X134 composed pruning: two AND-ed range predicates intersect their
+    per-column survivor sets, and a bloom_value point lookup intersects
+    further — files open only when they survive EVERY index; rows equal
+    the plain conjunction filter."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        read_manifest_pruned,
+        read_manifest_pruned_multi,
+    )
+
+    root = str(tmp_path / "t")
+    # day-clustered files where k is correlated with the day
+    # (k = day*1000 + i): both ts and k ranges are disjoint per file
+    days = []
+    for d in range(1, 9):
+        days += [
+            (d * 1000 + i, f"2026-01-{d:02d} 12:00:00")
+            for i in range(30)
+        ]
+    df = spark.createDataFrame(days, "k long, ts string").select(
+        "k", F.col("ts").cast("timestamp").alias("ts")
+    )
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root,
+        stats_cols=["ts", "k"],
+    )
+    add_bloom_index(spark, root, "k")
+    lo, hi = dt.datetime(2026, 1, 3), dt.datetime(2026, 1, 3, 23, 59)
+
+    # single-col pruning still routes through the shared helper
+    one = read_manifest_pruned(spark, root, "ts", lo, hi)
+    assert len(one.inputFiles()) == 1 and one.count() == 30
+
+    # consistent two-col conjunction: same one file
+    both = read_manifest_pruned_multi(
+        spark, root, [("ts", lo, hi), ("k", 3000, 3999)]
+    )
+    assert len(both.inputFiles()) == 1 and both.count() == 30
+
+    # CONTRADICTORY ranges (day 3 AND day-5 keys): intersection is empty
+    # -> zero files open, empty result == the plain filter
+    none = read_manifest_pruned_multi(
+        spark, root, [("ts", lo, hi), ("k", 5000, 5999)]
+    )
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+
+    # range x bloom: day-3 window + point key opens at most the one file
+    # that survives both and returns exactly the keyed row
+    pt = read_manifest_pruned_multi(
+        spark, root, [("ts", lo, hi)], bloom_value=3005
+    )
+    assert [(r["k"],) for r in pt.select("k").collect()] == [(3005,)]
+    assert len(pt.inputFiles()) == 1
+
+    # bloom_value on an unindexed table fails loudly
+    root2 = str(tmp_path / "t2")
+    publish_files(spark, df.repartition(2), root2, stats_cols=["ts"])
+    with pytest.raises(ValueError, match="no bloom index"):
+        read_manifest_pruned_multi(
+            spark, root2, [("ts", lo, hi)], bloom_value=3005
+        )

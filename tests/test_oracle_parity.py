@@ -22,13 +22,13 @@ def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
     rounds — SURVEY §2.10). Guard the round-14 plan: 6 new rows, then 3
-    code-touched re-certs (the bloom index path was rewritten for
-    segment reuse / distinct probes / maintenance carry;
-    countmin_estimates flipped to a left join; rrf_fuse gained an input
-    guard), then ALL 27 deferred r9 rows (staleness exactly 4 — the
-    budget edge, MANDATORY this round), then the 14 oldest r11 rows
-    (early drain of the 42-row r11 wave due at r15). The 28 remaining
-    r11 rows sit at positions 50:78 — r15's mandatory front."""
+    code-touched re-certs (bloom lookup path rewritten; countmin left
+    join; rrf guard), then the 7 r13-green manifest rows re-certed
+    because _commit / the pruned reader / maintenance bloom-carry
+    changed under them, then ALL 27 deferred r9 rows (staleness exactly
+    4 — the budget edge, MANDATORY), then the 7 oldest r11 rows (partial
+    early drain). The 35 remaining r11 rows sit at positions 50:85 —
+    r15's mandatory front."""
     window = list(QUERIES)[:50]
     # round-14 additions — never driver-checked — at the very front
     assert window[:6] == [
@@ -39,14 +39,24 @@ def test_driver_window_composition():
         "wap_publish_equality",
         "incremental_read_equality",
     ]
-    # code-touched re-certs (round-13 ADVICE fixes landed in their paths)
+    # code-touched re-certs (round-13 ADVICE + round-14 review fixes)
     assert window[6:9] == [
         "bloom_point_lookup",
         "countmin_user_topk",
         "rank_fusion_topk",
     ]
+    # manifest rows over the changed commit/prune/bloom-carry paths
+    assert window[9:16] == [
+        "manifest_schema_evolution",
+        "manifest_key_delete",
+        "manifest_sharded_scan",
+        "manifest_rollback_diff",
+        "merge_manifest_state",
+        "retention_revenue",
+        "pruned_scan_revenue",
+    ]
     # ALL 27 deferred r9 rows (the r13 verdict's designated r14 front)
-    assert window[9:36] == [
+    assert window[16:43] == [
         "approx_stats",
         "corpus_report",
         "customer_order_distribution",
@@ -75,8 +85,8 @@ def test_driver_window_composition():
         "version_diff",
         "wealthy_inactive_customers",
     ]
-    # the 14 oldest r11-green rows (early drain; r11 cohort due by r15)
-    assert window[36:50] == [
+    # the 7 oldest r11-green rows (early drain; r11 cohort due by r15)
+    assert window[43:50] == [
         "fuzzy_name_pairs_multiblock",
         "fuzzy_name_pairs",
         "clean_cast_filter",
@@ -84,6 +94,10 @@ def test_driver_window_composition():
         "data_expectations",
         "event_sessionization",
         "price_histogram",
+    ]
+    # the 35 remaining r11 rows are the tail front — r15's mandatory
+    # front (they hit the 4-round budget edge at r15)
+    assert list(QUERIES)[50:85] == [
         "quantize_embeddings",
         "user_set_ops",
         "multimodal_audio_features",
@@ -91,10 +105,6 @@ def test_driver_window_composition():
         "multimodal_audio_windows",
         "psi_drift",
         "asof_join",
-    ]
-    # the 28 remaining r11 rows are the tail front — r15's mandatory
-    # front (they hit the 4-round budget edge at r15)
-    assert list(QUERIES)[50:78] == [
         "asof_join_forward",
         "asof_join_tolerance",
         "apply_changelog",
