@@ -1302,11 +1302,51 @@ def manifest_version_diff(
     return _key_diff(old, new, keys, compare_cols, include_unchanged)
 
 
+def describe_manifest(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict[str, Any]:
+    """Table inspection — Delta's ``DESCRIBE DETAIL`` for the manifest
+    format: one metadata-only pass over the version JSON (+ segment
+    headers) answering the operational questions before any maintenance
+    runs — how many files and bytes, sharded or inline, which columns
+    carry stats, the bucket layout, whether a bloom index rides the
+    version and on which column, the txn watermarks, and how many stats
+    sidecars the entries fan out over (the ``consolidate_stats_sidecars``
+    trigger). No data file is opened at any table size."""
+    fs = _HadoopFS(spark, root)
+    v, meta = _resolve_manifest(fs, root, version)
+    committed, _ = _list_manifests(fs, root)
+    entries = _manifest_entries(fs, root, meta)
+    schema = _recorded_schema(meta)
+    bloom = meta.get("bloom")
+    return {
+        "version": v,
+        "committed_versions": committed,
+        "fmt": meta.get("fmt", "parquet"),
+        "n_files": len(entries),
+        "total_bytes": sum(int(e.get("bytes") or 0) for e in entries),
+        "inline_entries": len(meta.get("files") or []),
+        "n_segments": len(meta.get("segments") or []),
+        "stats_cols": _table_stats_cols(meta),
+        "n_stats_sidecars": len({
+            e["stats_file"] for e in entries if e.get("stats_file")
+        }),
+        "bucketing": meta.get("bucketing"),
+        "bloom": (
+            {k: bloom[k] for k in ("col", "m", "k", "seed")}
+            if bloom else None
+        ),
+        "txns": dict(meta.get("txns") or {}),
+        "n_columns": len(schema.fields) if schema is not None else None,
+    }
+
+
 def vacuum_manifest(
     spark: SparkSession,
     root: str,
     keep_versions: int = 2,
     grace_seconds: float = 900.0,
+    dry_run: bool = False,
 ) -> dict[str, int]:
     """Garbage-collect: drop committed manifests beyond the last
     ``keep_versions``, uncommitted manifest orphans, every data file no
@@ -1330,8 +1370,14 @@ def vacuum_manifest(
     regardless of age. Pass ``grace_seconds=0`` only when no writer can
     be concurrent (tests, single-writer maintenance windows).
 
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) walks the same
+    reference/grace logic and returns the identical counts WITHOUT
+    deleting anything — the operational pre-check before pointing a
+    grace-0 vacuum at a production table.
+
     Returns ``{"manifests_deleted", "files_deleted", "stats_deleted",
-    "segments_deleted"}``."""
+    "segments_deleted"}`` (counts of deletions performed, or — under
+    ``dry_run`` — that WOULD be performed)."""
     import time as _time
 
     fs = _HadoopFS(spark, root)
@@ -1345,6 +1391,10 @@ def vacuum_manifest(
         except Exception:
             # listed-then-vanished: deleting is a no-op either way
             return True
+
+    def _delete(path: str) -> None:
+        if not dry_run:
+            fs.delete(path)
     committed, known = _list_manifests(fs, root)
     if not committed:
         return {
@@ -1383,8 +1433,8 @@ def vacuum_manifest(
         # marker not yet): only expired ones are orphans
         if v not in committed and not _expired(mpath):
             continue
-        fs.delete(f"{mpath}{_COMMIT_SUFFIX}")
-        fs.delete(mpath)
+        _delete(f"{mpath}{_COMMIT_SUFFIX}")
+        _delete(mpath)
         mdel += 1
     gdel = 0
     gdir = _seg_dir(root)
@@ -1392,7 +1442,7 @@ def vacuum_manifest(
         for name in fs.child_names(gdir):
             if name in ref_segs or not _expired(f"{gdir}/{name}"):
                 continue
-            fs.delete(f"{gdir}/{name}")
+            _delete(f"{gdir}/{name}")
             gdel += 1
     fdel = 0
     ddir = _data_dir(root)
@@ -1400,7 +1450,7 @@ def vacuum_manifest(
         for name in fs.child_names(ddir):
             if name in referenced or not _expired(f"{ddir}/{name}"):
                 continue
-            fs.delete(f"{ddir}/{name}")
+            _delete(f"{ddir}/{name}")
             fdel += 1
     sdel = 0
     sdir = _stats_dir(root)
@@ -1408,7 +1458,7 @@ def vacuum_manifest(
         for name in fs.child_names(sdir):
             if name in ref_stats or not _expired(f"{sdir}/{name}"):
                 continue
-            fs.delete(f"{sdir}/{name}")
+            _delete(f"{sdir}/{name}")
             sdel += 1
     return {
         "manifests_deleted": mdel,

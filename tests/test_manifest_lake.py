@@ -2031,3 +2031,57 @@ def test_pruned_multi_intersects_ranges_and_bloom(spark, tmp_path):
         read_manifest_pruned_multi(
             spark, root2, [("ts", lo, hi)], bloom_value=3005
         )
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, tmp_path):
+    """X135a VACUUM DRY RUN: identical reference/grace walk and counts,
+    zero deletions — then the real vacuum performs exactly what the dry
+    run predicted."""
+    root = str(tmp_path / "t")
+    publish_files(spark, _kv_df(spark, 40).repartition(2), root)
+    publish_files(spark, _kv_df(spark, 40).repartition(2), root)
+    publish_files(spark, _kv_df(spark, 40).repartition(2), root)
+    dry = vacuum_manifest(
+        spark, root, keep_versions=1, grace_seconds=0, dry_run=True
+    )
+    assert dry["manifests_deleted"] == 2 and dry["files_deleted"] == 4
+    # nothing actually deleted: every version still time-travelable
+    for v in (1, 2, 3):
+        assert read_manifest(spark, root, version=v).count() == 40
+    real = vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0)
+    assert real == dry  # the dry run predicted the real deletions
+    assert read_manifest(spark, root).count() == 40
+    with pytest.raises(FileNotFoundError):
+        read_manifest(spark, root, version=1)
+
+
+def test_describe_manifest_metadata_only(spark, tmp_path, monkeypatch):
+    """X135b DESCRIBE DETAIL: one metadata pass reports files/bytes,
+    shard layout, stats columns and sidecar fan-out, bucketing, bloom
+    params, and txns — correct on a sharded, indexed, bucketed table."""
+    ml = _shrink_shard_consts(monkeypatch)
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        describe_manifest,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    merge_upsert_manifest(
+        spark,
+        spark.createDataFrame(
+            [(i, 1, float(i)) for i in range(200)],
+            "k long, seq int, val double",
+        ).repartition(4),
+        root, keys=["k"], order_col="seq", n_buckets=8,
+        txn_id=("app", 7),
+    )
+    ml.add_bloom_index(spark, root, "k", m=4096, k=3)
+    d = describe_manifest(spark, root)
+    assert d["version"] == 2 and d["committed_versions"] == [1, 2]
+    assert d["n_files"] == 8 and d["total_bytes"] > 0
+    assert d["n_segments"] >= 2 and d["inline_entries"] == 0  # sharded
+    assert d["bucketing"] == {"keys": ["k"], "n_buckets": 8}
+    assert d["bloom"] == {"col": "k", "m": 4096, "k": 3, "seed": "bf"}
+    assert d["txns"] == {"app": 7}
+    assert d["n_columns"] == 3
+    assert d["n_stats_sidecars"] >= 0
