@@ -132,8 +132,14 @@ class FileLeaseCommitLock:
     lock's paused-holder caveat — the create-exclusive manifest commit
     BEHIND the lock still arbitrates, which is why the lock wraps that
     check rather than replacing it. Release deletes the file only if it
-    still carries our token (a takeover must not be clobbered by the
-    old owner's exit)."""
+    still carries our token, which protects a takeover from being
+    clobbered by the old owner's exit in the common case — but the
+    token check and the unlink are two steps, so release is BEST-EFFORT:
+    a takeover that lands between them loses its fresh lease and two
+    holders briefly coexist. That residual window is accepted by design
+    for the same reason the non-atomic takeover is: the create-exclusive
+    manifest commit behind the lock is the real arbiter; the lease only
+    reduces contention, it never carries correctness."""
 
     def __init__(self, lock_dir: str, ttl_s: float = 60.0):
         import hashlib as _hashlib
@@ -164,13 +170,20 @@ class FileLeaseCommitLock:
             except FileExistsError:
                 try:
                     with open(path) as fh:
-                        _, expiry = fh.read().split()
+                        _, expiry_s = fh.read().split()
+                    expiry = float(expiry_s)
                 except (FileNotFoundError, ValueError):
-                    continue  # holder released/garbled mid-read: retry once
-                if float(expiry) > _time.time():
+                    # holder released mid-read, or the body is garbled /
+                    # partially written (including an unparseable expiry
+                    # token — the float() parse must sit INSIDE this
+                    # guard so a torn write retries instead of escaping
+                    # as a bare ValueError that callers' Lock→Conflict
+                    # mapping would not convert): retry once
+                    continue
+                if expiry > _time.time():
                     raise LockUnavailableError(
                         f"commit lock for {key} held by another process "
-                        f"(expires in {float(expiry) - _time.time():.1f}s)"
+                        f"(expires in {expiry - _time.time():.1f}s)"
                     )
                 # expired lease: take over (unlink is idempotent if the
                 # old owner's release races us)

@@ -1163,8 +1163,16 @@ def compact_manifest(
     so clustering there is free ordering. Refused on bucketed tables —
     the hash-bucket layout owns their file placement (a range sort would
     scatter bucket tags across files and break the O(touched-buckets)
-    merge contract). Returns ``{"carried", "compacted",
-    "files_written"}``.
+    merge contract). Clustering applies to the PACKED SUBSET only —
+    right-sized files are carried as-is even when ``cluster_cols`` is
+    set (re-sorting them would turn O(small-files) maintenance into an
+    O(table) rewrite; a full re-cluster is expressed as compaction with
+    a ``target_file_bytes`` above every file's size, which packs — and
+    therefore sorts — everything). Returns ``{"carried", "compacted",
+    "files_written", "clustered"}``; ``clustered`` is the number of
+    range-sorted files written, so a caller invoking this purely as
+    clustering maintenance on a table of right-sized files gets an
+    explicit ``clustered: 0`` instead of a silent no-op.
     """
     import math
 
@@ -1181,7 +1189,12 @@ def compact_manifest(
     small = [e for e in all_entries if e["bytes"] < target_file_bytes // 2]
     carried = [e for e in all_entries if e["bytes"] >= target_file_bytes // 2]
     if len(small) <= 1:
-        return {"carried": len(all_entries), "compacted": 0, "files_written": 0}
+        return {
+            "carried": len(all_entries),
+            "compacted": 0,
+            "files_written": 0,
+            "clustered": 0,
+        }
     paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
     packed = _load_table_files(spark, meta, paths)
     if not meta.get("bucketing"):
@@ -1236,6 +1249,7 @@ def compact_manifest(
         "carried": len(carried),
         "compacted": len(small),
         "files_written": len(packed_entries),
+        "clustered": len(packed_entries) if cluster_cols else 0,
     }
 
 
@@ -1630,7 +1644,17 @@ def publish_files_wap(
     if txn_id is not None:
         app, n = txn_id
         if txns.get(app) is not None and int(txns[app]) >= n:
-            return expected_prev  # already committed: replay no-op
+            # Already committed: replay no-op. A recorded txn watermark
+            # implies at least one committed version, so expected_prev
+            # (committed[-1]) is a real int here — an empty table
+            # carries no txn watermarks. Assert it so a future
+            # reordering of this early-return can't leak the None the
+            # declared `-> int` excludes.
+            assert expected_prev is not None, (
+                "txn watermark recorded on a table with no committed "
+                "versions — manifest metadata is corrupt"
+            )
+            return expected_prev
         txns[app] = n
     schema_json = _evolved_schema_json(meta, df)
     new_entries = _stage_files(spark, df, root, fmt, stats_cols)

@@ -356,6 +356,34 @@ def test_manifest_metadata_protocol_on_s3_semantics(spark, monkeypatch):
         set_commit_lock(prev)
 
 
+def test_file_lease_lock_garbled_body_maps_to_unavailable(tmp_path):
+    """r14 advice: a torn/garbled lease body — including a two-token body
+    whose expiry is unparseable ('token abc') — must surface as
+    LockUnavailableError (the signal callers map to ManifestConflictError
+    and retry), never as a bare ValueError that crashes the writer."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        FileLeaseCommitLock,
+    )
+
+    lock = FileLeaseCommitLock(str(tmp_path / "locks"), ttl_s=60)
+    path = lock._path("tbl")
+    with open(path, "w") as fh:
+        fh.write("sometoken not-a-float")  # torn write: expiry garbled
+    with pytest.raises(LockUnavailableError):
+        lock._acquire("tbl")
+    # one-token torn body (mid-write crash) takes the same retry path
+    with open(path, "w") as fh:
+        fh.write("onlytoken")
+    with pytest.raises(LockUnavailableError):
+        lock._acquire("tbl")
+    # a garbled lease never wedges the key: once it is cleaned up (or
+    # expires), acquisition succeeds normally
+    import os
+
+    os.unlink(path)
+    assert lock._acquire("tbl")
+
+
 _RACE_WRITER_SCRIPT = """
 import json, os, sys, time
 

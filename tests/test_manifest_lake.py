@@ -1952,10 +1952,19 @@ def test_compact_with_cluster_cols_tightens_pruning(spark, tmp_path):
     )
     assert res["compacted"] == 12
     assert res["files_written"] >= 3
+    assert res["clustered"] == res["files_written"]  # all output sorted
     after = read_manifest_pruned(spark, root, "ts", lo, hi)
     assert {r["k"] for r in after.collect()} == rows_before
     n_after_total = len(manifest_files(spark, root))
     assert len(after.inputFiles()) * 2 <= n_after_total
+    # clustering maintenance on a table whose files are all right-sized
+    # is an explicit no-op SIGNAL, not a silent one (r14 advice):
+    # clustering only applies to the packed subset, and the caller sees
+    # clustered == 0 when nothing was packed
+    noop = compact_manifest(
+        spark, root, target_file_bytes=2, cluster_cols=["ts"]
+    )
+    assert noop["files_written"] == 0 and noop["clustered"] == 0
     # bucketed tables own their layout: clustering there is refused
     from stock_market_data_pipeline_spark.sinks.manifest_lake import (
         merge_upsert_manifest,
