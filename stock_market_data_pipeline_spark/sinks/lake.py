@@ -29,6 +29,7 @@ Reference parity:
 from __future__ import annotations
 
 import re
+import threading
 import uuid
 from typing import Callable
 
@@ -239,6 +240,45 @@ def get_commit_lock():
     return _COMMIT_LOCK
 
 
+_HELD_SCOPES = threading.local()
+
+
+def _held_scopes() -> list[str]:
+    scopes = getattr(_HELD_SCOPES, "prefixes", None)
+    if scopes is None:
+        scopes = _HELD_SCOPES.prefixes = []
+    return scopes
+
+
+def hold_commit_scope(key: str):
+    """Hold the installed commit lock on ``key`` AND declare the hold as
+    a path SCOPE for the duration: nested ``write_text_exclusive`` calls
+    whose target path lives under ``key`` skip their per-path lock
+    re-acquisition, because the scope hold already serializes every
+    commit point beneath it (``_commit`` holds the manifest dir, and the
+    version JSON + marker it writes both land inside that dir). This is
+    the re-entrant fast path the round-14 lock hardening called for —
+    a manifest commit pays ONE lock round-trip instead of three, which
+    matters when the adapter is a remote lease service and a streaming
+    backfill commits hundreds of times (r14 verdict: merge commit +26%
+    after the 3-holds change). The scope is THREAD-local: only the
+    holder itself skips; a concurrent writer in another thread/process
+    still contends on the scope key as before."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        with get_commit_lock().hold(key):
+            scopes = _held_scopes()
+            scopes.append(key)
+            try:
+                yield
+            finally:
+                scopes.remove(key)
+
+    return _cm()
+
+
 class _HadoopFS:
     """Thin wrapper over Hadoop's FileSystem API (via the session JVM) so the
     merge sinks work against any scheme Spark can write — file://, hdfs://,
@@ -311,7 +351,20 @@ class _HadoopFS:
         commit lock (:func:`set_commit_lock`): with the default
         :class:`NoOpCommitLock` the behavior is the filesystem's own
         atomic create; an object-store deployment installs a lease lock
-        and the serialized check below becomes the arbiter."""
+        and the serialized check below becomes the arbiter.
+
+        Re-entrant fast path: when this thread already holds a commit
+        SCOPE covering ``p`` (:func:`hold_commit_scope` — ``_commit`` /
+        WAP promotion hold the manifest dir), the per-path acquisition
+        is redundant — the scope hold serializes every commit point
+        under the prefix — and is skipped."""
+        if any(
+            p.startswith(s.rstrip("/") + "/") for s in _held_scopes()
+        ):
+            if self.exists(p):
+                raise FileExistsError(p)
+            self._create_text_unchecked(p, content)
+            return
         with get_commit_lock().hold(p):
             if self.exists(p):
                 raise FileExistsError(p)

@@ -538,19 +538,23 @@ def _commit(
     therefore O(loose + undersized), never O(table).
 
     The whole [list → conflict-check → write] span runs under a
-    TABLE-level hold of the installed commit lock (in addition to the
-    per-path hold inside each exclusive write): with a lease adapter
+    TABLE-level hold of the installed commit lock: with a lease adapter
     installed, commit arbitration serializes against OTHER commit points
     of the same table too — in particular a WAP promotion, whose marker
     lands at a path no plain commit ever contends on (round-14 review).
-    With the default NoOpCommitLock the behavior is unchanged
-    (single-writer POSIX/HDFS, where the create-exclusive JSON path is
-    the arbiter)."""
-    from stock_market_data_pipeline_spark.sinks.lake import get_commit_lock
+    The hold is a SCOPE (``hold_commit_scope``), so the version JSON +
+    marker writes inside it skip their per-path lock re-acquisition —
+    one lock round-trip per commit, not three (round-15: the r14
+    3-holds change cost ``merge_manifest_state`` +26%). With the default
+    NoOpCommitLock the behavior is unchanged (single-writer POSIX/HDFS,
+    where the create-exclusive JSON path is the arbiter)."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        hold_commit_scope,
+    )
 
     fs = _HadoopFS(spark, root)
     try:
-        with get_commit_lock().hold(_mf_dir(root)):
+        with hold_commit_scope(_mf_dir(root)):
             return _commit_locked(
                 spark, fs, root, entries, fmt, expected_prev, txns,
                 schema_json, stats_cols, bucketing, reuse_segments,
@@ -1560,12 +1564,15 @@ def _promote_manifest(
     the marker (its marker lands at a different path, so create-exclusive
     alone would never arbitrate the pair — round-14 review); with the
     default NoOpCommitLock the residual window is the module's documented
-    single-writer caveat."""
-    from stock_market_data_pipeline_spark.sinks.lake import get_commit_lock
+    single-writer caveat. The hold is a scope, so the marker write below
+    skips its per-path re-acquisition (one lock round-trip)."""
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        hold_commit_scope,
+    )
 
     mpath = f"{_mf_dir(root)}/{_mf_name(version)}"
     try:
-        with get_commit_lock().hold(_mf_dir(root)):
+        with hold_commit_scope(_mf_dir(root)):
             committed, _ = _list_manifests(fs, root)
             cur = committed[-1] if committed else None
             if cur != expected_prev:
