@@ -3806,6 +3806,46 @@ GROUP BY event_type
 """
 
 
+# X136 change-data-feed: v1 = orders \ {7|k}; v2 merges the 6 smallest
+# keys of each side of that boundary with restated (priority, cents+1);
+# v3 deletes the 6 smallest even keys. The v1->v3 feed derived from the
+# slice definitions alone: inserts (in U, not in v1, survives the
+# delete), deletes with V1 preimages (even for keys updated at v2),
+# update pre/postimage pairs for surviving updated v1 keys.
+ORACLES["cdf_read_equality"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+u AS (
+  SELECT k FROM (SELECT k FROM o WHERE k % 7 = 0 ORDER BY k LIMIT 6)
+  UNION ALL
+  SELECT k FROM (SELECT k FROM o WHERE k % 7 <> 0 ORDER BY k LIMIT 6)
+),
+d AS (SELECT k FROM o WHERE k % 2 = 0 ORDER BY k LIMIT 6),
+base AS (
+  SELECT k, prio, cents,
+         k IN (SELECT k FROM u) AS in_u,
+         k IN (SELECT k FROM d) AS in_d,
+         (k % 7) <> 0 AS in_v1
+  FROM o
+)
+SELECT k AS o_orderkey, 'CDF-RESTATED' AS o_orderpriority,
+       CAST(cents + 1 AS BIGINT) AS price_cents,
+       'insert' AS change_type
+FROM base WHERE in_u AND NOT in_v1 AND NOT in_d
+UNION ALL
+SELECT k, prio, cents, 'delete' FROM base WHERE in_v1 AND in_d
+UNION ALL
+SELECT k, prio, cents, 'update_preimage'
+FROM base WHERE in_v1 AND in_u AND NOT in_d
+UNION ALL
+SELECT k, 'CDF-RESTATED', CAST(cents + 1 AS BIGINT), 'update_postimage'
+FROM base WHERE in_v1 AND in_u AND NOT in_d
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -4048,6 +4048,94 @@ def q_incremental_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdf_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 ``read_manifest_changes`` (Delta CDF's read shape) as a
+    driver row: a keyed orders table takes a merge (priority/price
+    restatements of the 6 smallest existing keys + inserts of the 6
+    smallest previously-excluded keys) and then a key delete (the 6
+    smallest even keys); the v1→v3 change feed must equal the changelog
+    the oracle derives from the slice definitions alone — inserts,
+    deletes with V1 preimages (even for keys updated in between), and
+    update pre/postimage pairs. Runtime-asserts the property the oracle
+    cannot see: the feed PLANS exactly the files removed-or-added
+    between the versions while at least one shared bucket file is
+    skipped (the O(changed-files) contract; Delta CDF reads change
+    files, never the table)."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        manifest_files,
+        merge_upsert_manifest,
+        read_manifest_changes,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 7 != 0).withColumn("seq", F.lit(0))
+    update_batch = (
+        orders.filter(k % 7 == 0).orderBy("o_orderkey").limit(6)
+        .unionByName(
+            orders.filter(k % 7 != 0).orderBy("o_orderkey").limit(6)
+        )
+        .withColumn("o_orderpriority", F.lit("CDF-RESTATED"))
+        .withColumn(
+            "price_cents", (F.col("price_cents") + 1).cast("bigint")
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.filter(k % 2 == 0)
+        .orderBy("o_orderkey")
+        .limit(6)
+        .select("o_orderkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_cdf_")
+    root = f"{tmp}/table"
+    try:
+        merge_upsert_manifest(
+            spark, v1, root, keys=["o_orderkey"], order_col="seq",
+            n_buckets=32,
+        )
+        v1_names = {e["name"] for e in manifest_files(spark, root)}
+        merge_upsert_manifest(
+            spark, update_batch, root, keys=["o_orderkey"],
+            order_col="seq", n_buckets=32,
+        )
+        delete_keys_manifest(
+            spark, dels, root, keys=["o_orderkey"], n_buckets=32
+        )
+        v3_names = {e["name"] for e in manifest_files(spark, root)}
+        cdf = read_manifest_changes(
+            spark, root, 1, 3, keys=["o_orderkey"],
+            compare_cols=["o_orderpriority", "price_cents"],
+        )
+        out = cdf.localCheckpoint(eager=True)
+        changed = (v1_names - v3_names) | (v3_names - v1_names)
+        shared = v1_names & v3_names
+        if not shared:
+            raise AssertionError(
+                "cdf fixture touched every bucket — pruning unprovable"
+            )
+        # the checkpoint hides the scan; derive the plan un-checkpointed
+        planned = {p.rsplit("/", 1)[-1] for p in cdf.inputFiles()}
+        if planned != changed:
+            raise AssertionError(
+                f"change feed planned {len(planned)} files, expected the "
+                f"{len(changed)} changed files exactly"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4252,5 +4340,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequence_stats": q_packed_sequence_stats,
     "quantized_topk_rerank": q_quantized_topk_rerank,
     "return_correlation": q_return_correlation,
+    "cdf_read_equality": q_cdf_read_equality,
 }
 

@@ -1320,6 +1320,117 @@ def manifest_version_diff(
     return _key_diff(old, new, keys, compare_cols, include_unchanged)
 
 
+def read_manifest_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int | None = None,
+    keys: list[str] | None = None,
+    compare_cols: list[str] | None = None,
+    include_preimage: bool = True,
+) -> DataFrame:
+    """Row-level change-data-feed between two committed versions — Delta
+    CDF's read shape for the manifest format, and the general sibling of
+    ``read_manifest_incremental`` (X130), whose append-only contract
+    rightly refuses any history containing a rewrite: a downstream
+    consumer of a table that takes MERGEs / key deletes / retention
+    sweeps reads its changelog HERE instead. Emits full rows tagged
+    ``change_type`` ∈ {``insert``, ``delete``, ``update_preimage``,
+    ``update_postimage``} (Delta's ``_change_type`` vocabulary; preimage
+    rows are skipped with ``include_preimage=False``).
+
+    The 100 TB property is the FILE-SET PRUNING: versions share unchanged
+    files by reference, so the changelog joins only rows from files
+    REMOVED since ``v_from`` against rows from files ADDED by ``v_to`` —
+    cost scales with the changed files, never the table (a merge that
+    rewrote 2 of 10k bucket files diffs 2+2 files). Rows carried through
+    a pure rewrite (compaction / clustering re-sorts the same rows into
+    new files) key-match with equal values and are correctly absent from
+    the feed. Exactness rides the format's write discipline: every
+    mutating op moves a key between versions only by whole-file rewrite,
+    so a key untouched since ``v_from`` lives in a SHARED file and can
+    never be mislabeled. A plain ``append_files`` of a key that already
+    exists violates key-uniqueness and surfaces as ``insert`` (the same
+    row-level ambiguity Delta CDF has for non-merge appends); keyed
+    tables maintained via ``merge_upsert_manifest`` / ``delete_keys_
+    manifest`` / ``replace_where_manifest`` are exact by construction.
+
+    ``keys`` is required (a row-level changelog is keyed by definition);
+    ``compare_cols`` defaults to every non-key column recorded on both
+    versions. ``v_to`` defaults to the latest committed version."""
+    if not keys:
+        raise ValueError("read_manifest_changes requires key columns")
+    fs = _HadoopFS(spark, root)
+    v_from_r, meta_from = _resolve_manifest(fs, root, v_from)
+    v_to_r, meta_to = _resolve_manifest(fs, root, v_to)
+    if v_to_r < v_from_r:
+        raise ValueError(
+            f"read_manifest_changes: v_to ({v_to_r}) precedes v_from "
+            f"({v_from_r})"
+        )
+    names_from = {
+        e["name"] for e in _manifest_entries(fs, root, meta_from)
+    }
+    names_to = {e["name"] for e in _manifest_entries(fs, root, meta_to)}
+
+    def _side(meta: dict, names: set[str]) -> DataFrame:
+        if not names:
+            schema = _recorded_schema(meta)
+            if schema is None:
+                raise FileNotFoundError(
+                    f"manifest under {root} records no schema — cannot "
+                    "type an empty changelog side"
+                )
+            return spark.createDataFrame([], schema)
+        return _load_table_files(
+            spark, meta, [f"{_data_dir(root)}/{n}" for n in sorted(names)]
+        )
+
+    removed = _side(meta_from, names_from - names_to)
+    added = _side(meta_to, names_to - names_from)
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in removed.columns
+            if c in set(added.columns) and c not in keys
+        ]
+    cc = list(compare_cols)
+    o = removed.select(
+        *keys, F.struct(*cc).alias("_vo"), F.lit(1).alias("_po")
+    )
+    n = added.select(
+        *keys, F.struct(*cc).alias("_vn"), F.lit(1).alias("_pn")
+    )
+    j = o.join(n, keys, "full_outer")
+    img = lambda ct, v: F.struct(  # noqa: E731 — local plan builder
+        F.lit(ct).alias("ct"), F.col(v).alias("img")
+    )
+    upd_imgs = (
+        [img("update_preimage", "_vo"), img("update_postimage", "_vn")]
+        if include_preimage
+        else [img("update_postimage", "_vn")]
+    )
+    # one join pass, explode factor <= 2: each joined key emits exactly
+    # its change images (none when a rewrite carried the row unchanged)
+    empty = F.filter(  # typed empty array<struct<ct,img>>
+        F.array(img("carried", "_vo")), lambda _: F.lit(False)
+    )
+    emit = (
+        F.when(F.col("_po").isNull(), F.array(img("insert", "_vn")))
+        .when(F.col("_pn").isNull(), F.array(img("delete", "_vo")))
+        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), F.array(*upd_imgs))
+        .otherwise(empty)
+    )
+    return (
+        j.select(*keys, F.explode(emit).alias("_e"))
+        .select(
+            *keys,
+            *[F.col(f"_e.img.{c}").alias(c) for c in cc],
+            F.col("_e.ct").alias("change_type"),
+        )
+    )
+
+
 def describe_manifest(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict[str, Any]:

@@ -2094,3 +2094,80 @@ def test_describe_manifest_metadata_only(spark, tmp_path, monkeypatch):
     assert d["txns"] == {"app": 7}
     assert d["n_columns"] == 3
     assert d["n_stats_sidecars"] >= 0
+
+
+def test_read_manifest_changes_cdf_between_versions(spark, tmp_path):
+    """X136 change-data-feed: a keyed table takes a merge (updates +
+    inserts) then a key delete; read_manifest_changes(v1, v3) recovers
+    the exact row-level changelog — Delta CDF's change_type vocabulary —
+    while PLANNING only the files removed-or-added between the versions
+    (the file-set pruning that makes the feed O(changed files) at
+    100 TB, never O(table))."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        manifest_files,
+        merge_upsert_manifest,
+        read_manifest_changes,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, f"v{k}", 0) for k in range(40)], "k long, v string, seq long"
+    )
+    merge_upsert_manifest(spark, base, root, keys=["k"], order_col="seq",
+                          n_buckets=16)                              # v1
+    v1_names = {e["name"] for e in manifest_files(spark, root)}
+    # v2: update keys 0,1,2 + insert keys 100,101
+    batch = spark.createDataFrame(
+        [(k, f"new{k}", 1) for k in (0, 1, 2, 100, 101)],
+        "k long, v string, seq long",
+    )
+    merge_upsert_manifest(spark, batch, root, keys=["k"], order_col="seq",
+                          n_buckets=16)                              # v2
+    # v3: delete keys 3, 4 and one updated key (1) — its v1->v3 story is
+    # a plain delete whose preimage is the V1 value, not the v2 update
+    delete_keys_manifest(
+        spark, spark.createDataFrame([(3,), (4,), (1,)], "k long"),
+        root, keys=["k"], n_buckets=16,
+    )                                                                # v3
+    v3_names = {e["name"] for e in manifest_files(spark, root)}
+
+    cdf = read_manifest_changes(spark, root, 1, 3, keys=["k"])
+    got = {(r["k"], r["v"], r["change_type"]) for r in cdf.collect()}
+    expect = {
+        (100, "new100", "insert"), (101, "new101", "insert"),
+        (1, "v1", "delete"), (3, "v3", "delete"), (4, "v4", "delete"),
+        (0, "v0", "update_preimage"), (0, "new0", "update_postimage"),
+        (2, "v2", "update_preimage"), (2, "new2", "update_postimage"),
+    }
+    assert got == expect
+    # seq participates in change detection by default (non-key column),
+    # but the emitted columns are keys + compared columns + change_type
+    assert cdf.columns == ["k", "v", "seq", "change_type"]
+    # FILE-SET PRUNING: the plan reads only removed/added files, and at
+    # least one bucket file is shared (carried by reference) and skipped
+    changed = (v1_names - v3_names) | (v3_names - v1_names)
+    shared = v1_names & v3_names
+    assert shared, "fixture must leave untouched buckets"
+    planned = {p.rsplit("/", 1)[-1] for p in cdf.inputFiles()}
+    assert planned == changed
+    # preimage rows are optional
+    post_only = read_manifest_changes(
+        spark, root, 1, 3, keys=["k"], include_preimage=False
+    )
+    assert {r["change_type"] for r in post_only.collect()} == {
+        "insert", "delete", "update_postimage"
+    }
+    # a pure rewrite (compaction) carries every row: files differ, feed
+    # is EMPTY — carried rows never masquerade as changes
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+    )
+    compact_manifest(spark, root, target_file_bytes=10**9)          # v4
+    assert read_manifest_changes(spark, root, 3, 4, keys=["k"]).count() == 0
+    # v_to defaults to latest; reversed order raises
+    assert read_manifest_changes(spark, root, 3, keys=["k"]).count() == 0
+    with pytest.raises(ValueError, match="precedes"):
+        read_manifest_changes(spark, root, 3, 1, keys=["k"])
+    with pytest.raises(ValueError, match="key columns"):
+        read_manifest_changes(spark, root, 1, 3, keys=[])
