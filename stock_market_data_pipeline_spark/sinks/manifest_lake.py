@@ -814,9 +814,41 @@ def _rewrite_entries(
     return _stage_files(spark, df, root, fmt, stats_cols)
 
 
+def _bloom_indexes(meta: dict) -> dict[str, dict]:
+    """All Bloom indexes riding a version, keyed by indexed column —
+    the r15 multi-column shape (Delta allows one bloom filter per
+    column; so does this format). The meta key is ``blooms``
+    (``{col: {m, k, seed, sidecar}}``); a single-index ``bloom`` record
+    written before r15 normalizes to a one-entry dict, so carried-forward
+    legacy versions keep working without a rebuild."""
+    bs = meta.get("blooms")
+    if bs:
+        return {c: dict(p) for c, p in bs.items()}
+    b = meta.get("bloom")
+    return {b["col"]: dict(b)} if b else {}
+
+
+def _sole_bloom_col(meta: dict, root: str) -> str:
+    """The only indexed column — the default probe target for the
+    single-value lookup APIs. Raises when the table has no index, or
+    when it has several and the caller must name one."""
+    idx = _bloom_indexes(meta)
+    if not idx:
+        raise ValueError(
+            f"table at {root} has no bloom index — build one with "
+            "add_bloom_index"
+        )
+    if len(idx) > 1:
+        raise ValueError(
+            f"table at {root} carries bloom indexes on "
+            f"{sorted(idx)} — pass col= to pick one"
+        )
+    return next(iter(idx))
+
+
 def _carry_bloom(meta: dict) -> dict | None:
     """Version-scoped extensions a maintenance/append commit carries
-    forward (today: the bloom index ref). Carrying stays CORRECT across
+    forward (today: the bloom index refs). Carrying stays CORRECT across
     any file-set change by construction: dropped files' sidecar rows are
     ignored (the lookup intersects hits with the live names) and
     new/rewritten files have no sidecar rows, so the reader opens them
@@ -826,8 +858,8 @@ def _carry_bloom(meta: dict) -> dict | None:
     replace) intentionally does NOT carry: the replaced file set shares
     nothing with the old index, so carrying would only add sidecar-probe
     cost with zero skip yield."""
-    b = meta.get("bloom")
-    return {"bloom": dict(b)} if b else None
+    idx = _bloom_indexes(meta)
+    return {"blooms": idx} if idx else None
 
 
 def retention_delete(
@@ -1447,7 +1479,7 @@ def describe_manifest(
     committed, _ = _list_manifests(fs, root)
     entries = _manifest_entries(fs, root, meta)
     schema = _recorded_schema(meta)
-    bloom = meta.get("bloom")
+    blooms = _bloom_indexes(meta)
     return {
         "version": v,
         "committed_versions": committed,
@@ -1461,9 +1493,23 @@ def describe_manifest(
             e["stats_file"] for e in entries if e.get("stats_file")
         }),
         "bucketing": meta.get("bucketing"),
+        # one index per column (r15); the legacy single-index "bloom"
+        # field is kept when exactly one exists so r14-era consumers
+        # keep reading it
+        "blooms": {
+            c: {"col": c, "m": b["m"], "k": b["k"], "seed": b["seed"]}
+            for c, b in sorted(blooms.items())
+        },
         "bloom": (
-            {k: bloom[k] for k in ("col", "m", "k", "seed")}
-            if bloom else None
+            {
+                "col": next(iter(blooms)),
+                **{
+                    k: next(iter(blooms.values()))[k]
+                    for k in ("m", "k", "seed")
+                },
+            }
+            if len(blooms) == 1
+            else None
         ),
         "txns": dict(meta.get("txns") or {}),
         "n_columns": len(schema.fields) if schema is not None else None,
@@ -1545,13 +1591,13 @@ def vacuum_manifest(
         ref_stats |= {
             e["stats_file"] for e in ents if e.get("stats_file")
         }
-        # the bloom sidecar is version-scoped (meta["bloom"]), not
-        # entry-scoped: omitting it here would let a routine vacuum
+        # bloom sidecars are version-scoped (meta["blooms"]), not
+        # entry-scoped: omitting them here would let a routine vacuum
         # delete an index a retained version still serves lookups from
         # (round-13 advice, high)
-        b = meta.get("bloom")
-        if b and b.get("sidecar"):
-            ref_stats.add(b["sidecar"])
+        for b in _bloom_indexes(meta).values():
+            if b.get("sidecar"):
+                ref_stats.add(b["sidecar"])
         ref_segs |= {s["name"] for s in meta.get("segments") or []}
     mdel = 0
     for v in known:
@@ -2188,20 +2234,23 @@ def read_manifest_pruned_multi(
     ranges: list[tuple],
     version: int | None = None,
     bloom_value=None,
+    bloom_values: dict | None = None,
 ) -> DataFrame:
     """Compose EVERY pruning index the table has in one read:
     ``ranges`` is a list of ``(col, lo, hi)`` AND-ed range predicates —
     the kept file set is the INTERSECTION of each predicate's survivors
-    — and ``bloom_value`` additionally intersects with the Bloom index's
-    point-lookup survivors (requires ``add_bloom_index``; the predicate
-    ``bloom_col == bloom_value`` joins the AND). The 100 TB shape this
-    exists for: "this customer's rows from March" prunes March by
-    time-range stats AND the customer by Bloom, opening only files that
-    survive BOTH — each index alone leaves 10-100x more files open. The
-    exact conjunction re-applies after the load, so rows equal
-    ``read_manifest().filter(AND(...))`` by construction; planning cost
-    is one metadata-sized sidecar scan per range column plus one for the
-    Bloom sidecar."""
+    — and Bloom point lookups intersect further: ``bloom_values`` maps
+    indexed columns to probe values (``{col: value}``, one equality per
+    column, each requiring its ``add_bloom_index``), while
+    ``bloom_value`` is the single-index shorthand (the table's sole
+    index picks the column). The 100 TB shape this exists for: "this
+    customer's March orders for this part" prunes March by time-range
+    stats AND customer AND part by their Bloom indexes, opening only
+    files that survive EVERY index — each alone leaves 10-100x more
+    files open. The exact conjunction re-applies after the load, so rows
+    equal ``read_manifest().filter(AND(...))`` by construction; planning
+    cost is one metadata-sized sidecar scan per range column plus one
+    per probed Bloom sidecar."""
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, version)
     entries = _manifest_entries(fs, root, meta)
@@ -2219,16 +2268,19 @@ def read_manifest_pruned_multi(
         keep_set &= _range_keep_files(
             spark, root, meta, entries, col, lo, hi
         )
+    probes = dict(bloom_values or {})
     if bloom_value is not None:
-        bloom = meta.get("bloom")
-        if not bloom:
+        probes.setdefault(_sole_bloom_col(meta, root), bloom_value)
+    idx = _bloom_indexes(meta)
+    for col, value in sorted(probes.items()):
+        if col not in idx:
             raise ValueError(
-                f"table at {root} has no bloom index — build one with "
-                "add_bloom_index before composing a bloom_value lookup"
+                f"table at {root} has no bloom index on {col!r} — build "
+                "one with add_bloom_index before composing its lookup"
             )
-        bkeep, _ = _bloom_keep_files(spark, root, meta, [bloom_value])
+        bkeep, _ = _bloom_keep_files(spark, root, meta, col, [value])
         keep_set &= set(bkeep)
-        cond = cond & (F.col(bloom["col"]) == F.lit(bloom_value))
+        cond = cond & (F.col(col) == F.lit(value))
     keep = [n for n in names if n in keep_set]  # manifest order
     if not keep:
         return read_manifest(spark, root, version=version).filter(
@@ -2331,11 +2383,14 @@ def add_bloom_index(
     SIZE ``m`` to the per-file distinct count: m ≳ 10·k·ndv_per_file keeps
     fpp ≲ 1e-3; an undersized filter saturates and skips nothing (the
     default 2^20 positions covers ~35k distinct keys per file at k=3).
-    The index rides the manifest: the new version records
-    ``bloom = {col, m, k, seed, sidecar}``; data files are untouched and
-    carried by reference (pure metadata + sidecar commit). Files added
-    AFTER the index version have no bloom rows and are conservatively
-    read by the lookup reader. Returns the new version number."""
+    The index rides the manifest: the new version records it under
+    ``blooms = {col: {m, k, seed, sidecar}}`` — one index PER COLUMN
+    (r15; Delta's per-column bloom filters), so indexing a second column
+    preserves the first and ``read_manifest_pruned_multi`` can intersect
+    several. Data files are untouched and carried by reference (pure
+    metadata + sidecar commit). Files added AFTER the index version have
+    no bloom rows and are conservatively read by the lookup reader.
+    Returns the new version number."""
     fs = _HadoopFS(spark, root)
     cur_v, meta = _resolve_manifest(fs, root, None)
     entries = _manifest_entries(fs, root, meta)
@@ -2374,16 +2429,16 @@ def add_bloom_index(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta={
-            "bloom": {
-                "col": col, "m": m, "k": k, "seed": seed,
-                "sidecar": sidecar,
+            "blooms": {
+                **_bloom_indexes(meta),
+                col: {"m": m, "k": k, "seed": seed, "sidecar": sidecar},
             }
         },
     )
 
 
 def _bloom_keep_files(
-    spark: SparkSession, root: str, meta: dict, values: list
+    spark: SparkSession, root: str, meta: dict, col: str, values: list
 ) -> tuple[list[str], dict[str, int]]:
     """The file names a bloom-indexed point lookup must open for ``col
     IN (values)`` — union of per-value hits plus unindexed files (added
@@ -2397,8 +2452,8 @@ def _bloom_keep_files(
     can collide (round-13 advice). Everything stays in ONE lazy plan
     (probe needs derived in-plan, no extra driver job); exactly two
     collects run: the indexed-file set and the hit set."""
-    bloom = meta["bloom"]
-    col, m, k, seed = bloom["col"], bloom["m"], bloom["k"], bloom["seed"]
+    bloom = _bloom_indexes(meta)[col]
+    m, k, seed = bloom["m"], bloom["k"], bloom["seed"]
     names = [e["name"] for e in _manifest_entries(_HadoopFS(spark, root), root, meta)]
     schema = _recorded_schema(meta)
     dtype = None
@@ -2441,13 +2496,19 @@ def _bloom_lookup(
     values: list,
     version: int | None,
     pred_of,
+    col: str | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, version)
-    if not meta.get("bloom"):
-        raise ValueError(f"table at {root} has no bloom index")
-    keep, stats = _bloom_keep_files(spark, root, meta, values)
-    pred = pred_of(F.col(meta["bloom"]["col"]))
+    if col is None:
+        col = _sole_bloom_col(meta, root)
+    elif col not in _bloom_indexes(meta):
+        raise ValueError(
+            f"table at {root} has no bloom index on {col!r} (indexed: "
+            f"{sorted(_bloom_indexes(meta)) or 'none'})"
+        )
+    keep, stats = _bloom_keep_files(spark, root, meta, col, values)
+    pred = pred_of(F.col(col))
     if not keep:
         empty = read_manifest(spark, root, version=version).filter(
             F.lit(False)
@@ -2464,6 +2525,7 @@ def read_manifest_bloom_lookup(
     root: str,
     value,
     version: int | None = None,
+    col: str | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Point lookup through the Bloom skip index: open ONLY the files
     whose per-file position set contains ALL of ``value``'s distinct
@@ -2471,11 +2533,13 @@ def read_manifest_bloom_lookup(
     after the index build — read conservatively), then re-apply the
     exact predicate, so the result is identical to
     ``read_manifest().filter(col == value)`` by construction; the index
-    only decides which files open. Returns ``(df, {"files_total",
-    "files_read"})`` so callers (and the driver row) can assert skipping
-    actually happened."""
+    only decides which files open. ``col`` picks the index on a
+    multi-indexed table (optional when exactly one exists). Returns
+    ``(df, {"files_total", "files_read"})`` so callers (and the driver
+    row) can assert skipping actually happened."""
     return _bloom_lookup(
-        spark, root, [value], version, lambda c: c == F.lit(value)
+        spark, root, [value], version, lambda c: c == F.lit(value),
+        col=col,
     )
 
 
@@ -2484,6 +2548,7 @@ def read_manifest_bloom_lookup_in(
     root: str,
     values: list,
     version: int | None = None,
+    col: str | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Batch point lookup through the Bloom skip index — ``col IN
     (values)`` — in ONE sidecar scan: a file opens when it holds ALL
@@ -2498,25 +2563,30 @@ def read_manifest_bloom_lookup_in(
     if not vals:
         raise ValueError("read_manifest_bloom_lookup_in needs ≥1 value")
     return _bloom_lookup(
-        spark, root, vals, version, lambda c: c.isin(vals)
+        spark, root, vals, version, lambda c: c.isin(vals), col=col
     )
 
 
 def reindex_bloom(spark: SparkSession, root: str) -> int:
-    """Rebuild the bloom index with the table's RECORDED parameters — the
-    maintenance pass that restores full point-lookup skipping after
+    """Rebuild every bloom index with the table's RECORDED parameters —
+    the maintenance pass that restores full point-lookup skipping after
     appends/compactions/merges have accreted unindexed (conservatively
-    read) files. One distributed pass + a pure-metadata commit, same as
-    the original build. Raises when the table has no index to rebuild
-    (call ``add_bloom_index`` with explicit parameters instead)."""
+    read) files. One distributed pass + a pure-metadata commit PER
+    indexed column, same as the original builds. Raises when the table
+    has no index to rebuild (call ``add_bloom_index`` with explicit
+    parameters instead). Returns the final version number."""
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, None)
-    b = meta.get("bloom")
-    if not b:
+    idx = _bloom_indexes(meta)
+    if not idx:
         raise ValueError(
             f"table at {root} has no bloom index to rebuild — use "
             "add_bloom_index(col, m, k, seed) for the initial build"
         )
-    return add_bloom_index(
-        spark, root, b["col"], m=int(b["m"]), k=int(b["k"]), seed=b["seed"]
-    )
+    v = None
+    for col in sorted(idx):
+        b = idx[col]
+        v = add_bloom_index(
+            spark, root, col, m=int(b["m"]), k=int(b["k"]), seed=b["seed"]
+        )
+    return v

@@ -1491,7 +1491,7 @@ def test_bloom_survives_maintenance_and_sharded_composition(
     # sidecar consolidation is a pure-metadata rewrite; index must ride
     consolidate_stats_sidecars(spark, root, max_sidecars=1)
     _, meta = _version_meta(spark, ml, root)
-    assert meta.get("bloom"), "maintenance dropped the bloom index"
+    assert ml._bloom_indexes(meta), "maintenance dropped the bloom index"
     # conservative-correctness: updated key resolves to the merged row
     hit, st = ml.read_manifest_bloom_lookup(spark, root, 42)
     assert [(r["k"], r["seq"], r["val"]) for r in hit.collect()] == [
@@ -2171,3 +2171,76 @@ def test_read_manifest_changes_cdf_between_versions(spark, tmp_path):
         read_manifest_changes(spark, root, 3, 1, keys=["k"])
     with pytest.raises(ValueError, match="key columns"):
         read_manifest_changes(spark, root, 1, 3, keys=[])
+
+
+def test_multi_column_bloom_indexes_compose(spark, tmp_path):
+    """r15 multi-column Bloom: one index PER COLUMN (Delta's per-column
+    bloom filters) — indexing a second column preserves the first, the
+    single-value lookup needs col= once two exist, and a range composed
+    with BOTH blooms opens fewer files than any single index alone."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        describe_manifest,
+        read_manifest_bloom_lookup,
+        read_manifest_pruned,
+        read_manifest_pruned_multi,
+        reindex_bloom,
+    )
+
+    # 16 one-cell files: cell (i, j) holds the (u, p) pairs with
+    # u%4 == i, p%4 == j; ts encodes the cell row (day i+1). Every u
+    # spans 4 files (one per j), every p spans 4 files (one per i), a
+    # day spans 4 files — only the composition isolates one file.
+    rows = [
+        (u, p, (u % 4) * 4 + (p % 4), f"2026-01-0{u % 4 + 1} 12:00:00")
+        for u in range(8)
+        for p in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "u long, p long, cell long, ts string"
+    ).select("u", "p", "cell", F.col("ts").cast("timestamp").alias("ts"))
+    root = str(tmp_path / "t")
+    publish_files(
+        spark, df.repartitionByRange(16, "cell"), root, stats_cols=["ts"]
+    )
+    add_bloom_index(spark, root, "u", m=4096, k=3)
+    add_bloom_index(spark, root, "p", m=4096, k=3)  # preserves u's
+
+    d = describe_manifest(spark, root)
+    assert sorted(d["blooms"]) == ["p", "u"]
+    assert d["bloom"] is None  # the single-index field needs exactly one
+
+    # single-value lookup now needs col=
+    with pytest.raises(ValueError, match="pass col="):
+        read_manifest_bloom_lookup(spark, root, 5)
+    hit_u, st_u = read_manifest_bloom_lookup(spark, root, 5, col="u")
+    assert hit_u.count() == 8 and st_u["files_read"] == 4
+    hit_p, st_p = read_manifest_bloom_lookup(spark, root, 3, col="p")
+    assert hit_p.count() == 8 and st_p["files_read"] == 4
+
+    # range alone: day 2 (u%4 == 1) keeps 4 files
+    lo, hi = dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 2, 23, 59)
+    rng = read_manifest_pruned(spark, root, "ts", lo, hi)
+    assert len(rng.inputFiles()) == 4
+
+    # range x bloom(u) x bloom(p): ONE file, exactly the (5, 3) rows
+    comp = read_manifest_pruned_multi(
+        spark, root, [("ts", lo, hi)], bloom_values={"u": 5, "p": 3}
+    )
+    assert len(comp.inputFiles()) == 1
+    assert [(r["u"], r["p"]) for r in comp.collect()] == [(5, 3)]
+
+    # probing an unindexed column fails loudly
+    with pytest.raises(ValueError, match="no bloom index on 'cell'"):
+        read_manifest_pruned_multi(
+            spark, root, [], bloom_values={"cell": 1}
+        )
+
+    # reindex rebuilds EVERY index with recorded params; both keep
+    # skipping afterwards
+    reindex_bloom(spark, root)
+    d2 = describe_manifest(spark, root)
+    assert sorted(d2["blooms"]) == ["p", "u"]
+    _, st_u2 = read_manifest_bloom_lookup(spark, root, 5, col="u")
+    _, st_p2 = read_manifest_bloom_lookup(spark, root, 3, col="p")
+    assert st_u2["files_read"] == 4 and st_p2["files_read"] == 4
