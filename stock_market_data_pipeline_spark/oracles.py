@@ -3846,6 +3846,40 @@ FROM base WHERE in_v1 AND in_u AND NOT in_d
 """
 
 
+# X134 composed pruning: the 1996 ship-date window x the smallest order
+# key shipping inside it — the result is the plain conjunction filter
+# (file skipping is runtime-asserted on the Spark side).
+ORACLES["composed_prune_fingerprint"] = """
+WITH probe AS (
+  SELECT min(l_orderkey) AS k FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <= TIMESTAMP '1996-12-31'
+)
+SELECT l_orderkey, l_linenumber,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_ymd,
+       CAST(floor(l_quantity * 100) AS BIGINT) AS qty_cents,
+       CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents
+FROM lineitem, probe
+WHERE l_orderkey = probe.k
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <= TIMESTAMP '1996-12-31'
+"""
+
+
+# X133 clustering compaction: the day-10 pruned read after a clustered
+# rewrite must equal the plain day filter (skip payoff runtime-asserted).
+ORACLES["cluster_compact_read"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('cc:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10'
+  AND ts <= TIMESTAMP '2024-01-10 23:59:59.999999'
+GROUP BY event_type
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -4136,6 +4136,159 @@ def q_cdf_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_composed_prune_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 composed pruning as a driver row — the 100 TB read-path
+    flagship: a ship-date range scan AND a Bloom point lookup on the
+    order key intersect their survivor file sets, so the read opens no
+    more files than EITHER index alone and strictly fewer than the
+    table. The probe key is derived in-engine (the smallest order key
+    shipping inside the window) so the oracle recomputes it identically;
+    rows equal the plain conjunction filter by construction — the
+    runtime assert pins the file-skipping the oracle cannot see."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        manifest_files,
+        publish_files,
+        read_manifest_bloom_lookup,
+        read_manifest_pruned,
+        read_manifest_pruned_multi,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.col("l_quantity") * 100)
+        .cast("bigint")
+        .alias("qty_cents"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 12, 31)
+    in_rng = (F.col("l_shipdate") >= F.lit(lo)) & (
+        F.col("l_shipdate") <= F.lit(hi)
+    )
+    probe = li.filter(in_rng).agg(F.min("l_orderkey")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="smdp_cprune_")
+    root = f"{tmp}/table"
+    try:
+        publish_files(
+            spark,
+            li.repartitionByRange(16, "l_shipdate"),
+            root,
+            stats_cols=["l_shipdate"],
+        )
+        add_bloom_index(spark, root, "l_orderkey")
+        n_total = len(manifest_files(spark, root))
+        n_rng = len(
+            read_manifest_pruned(
+                spark, root, "l_shipdate", lo, hi
+            ).inputFiles()
+        )
+        _, bst = read_manifest_bloom_lookup(spark, root, probe)
+        comp = read_manifest_pruned_multi(
+            spark,
+            root,
+            [("l_shipdate", lo, hi)],
+            bloom_values={"l_orderkey": probe},
+        )
+        out = comp.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_ymd"),
+            "qty_cents",
+            "price_cents",
+        ).localCheckpoint(eager=True)
+        n_comp = len(comp.inputFiles())
+        if not (n_comp <= min(n_rng, bst["files_read"]) < n_total):
+            raise AssertionError(
+                f"composed prune opened {n_comp} files vs range-only "
+                f"{n_rng}, bloom-only {bst['files_read']}, table {n_total}"
+                " — the intersection must open no more than either index"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def q_cluster_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 clustering compaction as a driver row: arrival-ordered event
+    files all straddle every day (nothing prunes), compacting WITH
+    cluster_cols range-sorts the rewrite, and the one-day pruned read
+    then opens a small fraction of the clustered files — same rows as
+    the oracle's plain day filter. Runtime-asserts what the oracle
+    cannot see: clustering actually rewrote sorted files and the day
+    read skips at least half of them."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        sample_hash32,
+    )
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+        manifest_files,
+        publish_files,
+        read_manifest_pruned,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    lo = _dt.datetime(2024, 1, 10)
+    hi = _dt.datetime(2024, 1, 10, 23, 59, 59, 999999)
+    tmp = tempfile.mkdtemp(prefix="smdp_ccread_")
+    root = f"{tmp}/table"
+    try:
+        publish_files(spark, ev.repartition(12), root, stats_cols=["ts"])
+        n_before = len(
+            read_manifest_pruned(spark, root, "ts", lo, hi).inputFiles()
+        )
+        total = sum(e["bytes"] for e in manifest_files(spark, root))
+        res = compact_manifest(
+            spark,
+            root,
+            target_file_bytes=max(total // 4, 2),
+            cluster_cols=["ts"],
+        )
+        after = read_manifest_pruned(spark, root, "ts", lo, hi)
+        out = (
+            after.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("event_id"), "cc"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_after_total = len(manifest_files(spark, root))
+        n_after_read = len(after.inputFiles())
+        ok = (
+            res["clustered"] == res["files_written"] >= 3
+            and n_after_read * 2 <= n_after_total
+            and n_after_read < n_before
+        )
+        if not ok:
+            raise AssertionError(
+                f"clustering payoff missing: day read {n_before}->"
+                f"{n_after_read} files of {n_after_total} after "
+                f"compaction {res}"
+            )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4341,5 +4494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk_rerank": q_quantized_topk_rerank,
     "return_correlation": q_return_correlation,
     "cdf_read_equality": q_cdf_read_equality,
+    "composed_prune_fingerprint": q_composed_prune_fingerprint,
+    "cluster_compact_read": q_cluster_compact_read,
 }
 
