@@ -4297,87 +4297,40 @@ def q_cluster_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stalest once-green rows, then newer-green rows. Everything — in or out
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-14 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 6 round-14 additions (clustered_scan_fingerprint,
-# time_travel_read, stream_dedup_keyed_parity, replace_where_equality,
-# wap_publish_equality, incremental_read_equality — never
-# driver-checked), then 3 code-touched re-certs (bloom_point_lookup:
-# segment-reuse + distinct-probe + dtype-cast + maintenance-carry
-# rewrite of the index path; countmin_user_topk: estimates join flipped
-# to left+coalesce; rank_fusion_topk: rrf_fuse input guard), then the 7
-# r13-green manifest rows whose code paths changed this round (_commit
-# gained the table-level lock scope + write_marker staging;
-# read_manifest_pruned re-routed through _range_keep_files /
-# read_manifest_pruned_multi; maintenance commits carry the bloom meta):
-# manifest_schema_evolution, manifest_key_delete, manifest_sharded_scan,
-# manifest_rollback_diff, merge_manifest_state, retention_revenue,
-# pruned_scan_revenue — all locally re-verified strict post-change, the
-# window re-certs them at the driver. Then ALL 27 deferred r9 rows
-# (staleness exactly 4 = the budget edge — MANDATORY this round), then
-# the 7 oldest r11-green rows (partial early drain of the 42-row r11
-# wave). Past the window: the 35 remaining r11 rows sorted at [50:85]
-# (r15's MANDATORY front; with 15 r12 rows they fill r15's window and
-# the r12 remainder of 27 is due r16 — all cohorts stay inside the
-# 4-round budget: r16 = 27 r12 + 23 r13, r17 = the 15 r13 left + r14
-# rows). Three rows were CONSOLIDATED away this round per the growth
-# discipline: sliding_window_15m/_1h run inside windowed_analytics (its
-# two join inputs) and simhash16 inside simhash_neardup_pairs (its first
-# stage) — machinery QA unchanged; registry 159 + 6 new = 165.
-# NEXT ROUND (15): lead with round-15 additions/code-touched rows, then
-# the 35 deferred r11 rows at [50:85] (budget-mandatory), then the
-# oldest r12 rows; update
+# ROUND-15 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 3 round-15 additions (cdf_read_equality — the X136
+# change-data-feed read; composed_prune_fingerprint — X134's range×Bloom
+# intersection with a runtime files-opened assert;
+# cluster_compact_read — X133's clustered-rewrite day-read payoff — all
+# never driver-checked), then 3 code-touched re-certs
+# (bloom_point_lookup: the index path was rewritten for multi-column
+# blooms — meta key 'blooms', _bloom_keep_files takes a col, lookups
+# resolve _sole_bloom_col; merge_manifest_state and
+# wap_publish_equality: _commit and _promote_manifest switched to the
+# hold_commit_scope re-entrant fast path, and WAP's replay early-return
+# gained the non-None assert). The other r14-green manifest rows sit on
+# the same _commit path but the scoped-lock change is a no-op under the
+# driver's NoOpCommitLock and the whole registry was locally
+# re-verified strict post-change; these two re-certs cover the two
+# changed protocols (plain commit, stage+promote) at the driver. Then
+# ALL 35 deferred r11 rows (staleness exactly 4 = the budget edge —
+# MANDATORY this round), then the 9 oldest r12 rows (start draining the
+# 42-row r12 wave). Past the window: the 33 remaining r12 rows sorted
+# at [50:83] (r16's MANDATORY front; r16 = 33 r12 + 17 oldest r13,
+# r17 = 21 r13 + 29 r14, r18 = 18 r14 + r15 rows — every cohort inside
+# the 4-round budget). Registry 165 + 3 new = 168; net growth 3 ≤ the
+# ≤9 budget the r14 verdict pinned.
+# NEXT ROUND (16): lead with round-16 additions/code-touched rows, then
+# the 33 deferred r12 rows at [50:83] (budget-mandatory), then the
+# oldest r13 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "clustered_scan_fingerprint": q_clustered_scan_fingerprint,
-    "time_travel_read": q_time_travel_read,
-    "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
-    "replace_where_equality": q_replace_where_equality,
-    "wap_publish_equality": q_wap_publish_equality,
-    "incremental_read_equality": q_incremental_read_equality,
+    "cdf_read_equality": q_cdf_read_equality,
+    "composed_prune_fingerprint": q_composed_prune_fingerprint,
+    "cluster_compact_read": q_cluster_compact_read,
     "bloom_point_lookup": q_bloom_point_lookup,
-    "countmin_user_topk": q_countmin_user_topk,
-    "rank_fusion_topk": q_rank_fusion_topk,
-    "manifest_schema_evolution": q_manifest_schema_evolution,
-    "manifest_key_delete": q_manifest_key_delete,
-    "manifest_sharded_scan": q_manifest_sharded_scan,
-    "manifest_rollback_diff": q_manifest_rollback_diff,
     "merge_manifest_state": q_merge_manifest_state,
-    "retention_revenue": q_retention_revenue,
-    "pruned_scan_revenue": q_pruned_scan_revenue,
-    "approx_stats": q_approx_stats,
-    "corpus_report": q_corpus_report,
-    "customer_order_distribution": q_customer_order_distribution,
-    "customer_value_deciles": q_customer_value_deciles,
-    "discounted_revenue": q_discounted_revenue,
-    "large_volume_orders": q_large_volume_orders,
-    "nation_trade_volume": q_nation_trade_volume,
-    "national_market_share": q_national_market_share,
-    "product_profit": q_product_profit,
-    "promo_revenue_pct": q_promo_revenue_pct,
-    "returned_item_customers": q_returned_item_customers,
-    "scd2_history": q_scd2_history,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
-    "sequence_packing": q_sequence_packing,
-    "session_peak_overlap": q_session_peak_overlap,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "soft_dedup": q_soft_dedup,
-    "split_assign": q_split_assign,
-    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
-    "supplier_pagerank": q_supplier_pagerank,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "training_mix_report": q_training_mix_report,
-    "unigram_logprob": q_unigram_logprob,
-    "upsample_mix": q_upsample_mix,
-    "version_diff": q_version_diff,
-    "wealthy_inactive_customers": q_wealthy_inactive_customers,
-    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "clean_cast_filter": q_clean_cast_filter,
-    "curriculum_packing": q_curriculum_packing,
-    "data_expectations": q_data_expectations,
-    "event_sessionization": q_event_sessionization,
-    "price_histogram": q_price_histogram,
+    "wap_publish_equality": q_wap_publish_equality,
     "quantize_embeddings": q_quantize_embeddings,
     "user_set_ops": q_user_set_ops,
     "multimodal_audio_features": q_multimodal_audio_features,
@@ -4493,8 +4446,52 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "packed_sequence_stats": q_packed_sequence_stats,
     "quantized_topk_rerank": q_quantized_topk_rerank,
     "return_correlation": q_return_correlation,
-    "cdf_read_equality": q_cdf_read_equality,
-    "composed_prune_fingerprint": q_composed_prune_fingerprint,
-    "cluster_compact_read": q_cluster_compact_read,
+    "clustered_scan_fingerprint": q_clustered_scan_fingerprint,
+    "time_travel_read": q_time_travel_read,
+    "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
+    "replace_where_equality": q_replace_where_equality,
+    "incremental_read_equality": q_incremental_read_equality,
+    "countmin_user_topk": q_countmin_user_topk,
+    "rank_fusion_topk": q_rank_fusion_topk,
+    "manifest_schema_evolution": q_manifest_schema_evolution,
+    "manifest_key_delete": q_manifest_key_delete,
+    "manifest_sharded_scan": q_manifest_sharded_scan,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
+    "retention_revenue": q_retention_revenue,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
+    "approx_stats": q_approx_stats,
+    "corpus_report": q_corpus_report,
+    "customer_order_distribution": q_customer_order_distribution,
+    "customer_value_deciles": q_customer_value_deciles,
+    "discounted_revenue": q_discounted_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "nation_trade_volume": q_nation_trade_volume,
+    "national_market_share": q_national_market_share,
+    "product_profit": q_product_profit,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "returned_item_customers": q_returned_item_customers,
+    "scd2_history": q_scd2_history,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
+    "sequence_packing": q_sequence_packing,
+    "session_peak_overlap": q_session_peak_overlap,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "soft_dedup": q_soft_dedup,
+    "split_assign": q_split_assign,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "supplier_pagerank": q_supplier_pagerank,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "training_mix_report": q_training_mix_report,
+    "unigram_logprob": q_unigram_logprob,
+    "upsample_mix": q_upsample_mix,
+    "version_diff": q_version_diff,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "clean_cast_filter": q_clean_cast_filter,
+    "curriculum_packing": q_curriculum_packing,
+    "data_expectations": q_data_expectations,
+    "event_sessionization": q_event_sessionization,
+    "price_histogram": q_price_histogram,
 }
 

@@ -21,83 +21,28 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-14 plan: 6 new rows, then 3
-    code-touched re-certs (bloom lookup path rewritten; countmin left
-    join; rrf guard), then the 7 r13-green manifest rows re-certed
-    because _commit / the pruned reader / maintenance bloom-carry
-    changed under them, then ALL 27 deferred r9 rows (staleness exactly
-    4 — the budget edge, MANDATORY), then the 7 oldest r11 rows (partial
-    early drain). The 35 remaining r11 rows sit at positions 50:85 —
-    r15's mandatory front."""
+    rounds — SURVEY §2.10). Guard the round-15 plan: 3 new rows (CDF
+    read, composed-prune flagship, cluster-compact read), then 3
+    code-touched re-certs (multi-column bloom rewrite; scoped commit
+    lock under plain commit and WAP promote), then ALL 35 deferred r11
+    rows (staleness exactly 4 — the budget edge, MANDATORY), then the 9
+    oldest r12 rows (the 42-row r12 wave starts draining). The 33
+    remaining r12 rows sit at positions 50:83 — r16's mandatory front."""
     window = list(QUERIES)[:50]
-    # round-14 additions — never driver-checked — at the very front
-    assert window[:6] == [
-        "clustered_scan_fingerprint",
-        "time_travel_read",
-        "stream_dedup_keyed_parity",
-        "replace_where_equality",
-        "wap_publish_equality",
-        "incremental_read_equality",
+    # round-15 additions — never driver-checked — at the very front
+    assert window[:3] == [
+        "cdf_read_equality",
+        "composed_prune_fingerprint",
+        "cluster_compact_read",
     ]
-    # code-touched re-certs (round-13 ADVICE + round-14 review fixes)
-    assert window[6:9] == [
+    # code-touched re-certs (multi-col blooms; hold_commit_scope)
+    assert window[3:6] == [
         "bloom_point_lookup",
-        "countmin_user_topk",
-        "rank_fusion_topk",
-    ]
-    # manifest rows over the changed commit/prune/bloom-carry paths
-    assert window[9:16] == [
-        "manifest_schema_evolution",
-        "manifest_key_delete",
-        "manifest_sharded_scan",
-        "manifest_rollback_diff",
         "merge_manifest_state",
-        "retention_revenue",
-        "pruned_scan_revenue",
+        "wap_publish_equality",
     ]
-    # ALL 27 deferred r9 rows (the r13 verdict's designated r14 front)
-    assert window[16:43] == [
-        "approx_stats",
-        "corpus_report",
-        "customer_order_distribution",
-        "customer_value_deciles",
-        "discounted_revenue",
-        "large_volume_orders",
-        "nation_trade_volume",
-        "national_market_share",
-        "product_profit",
-        "promo_revenue_pct",
-        "returned_item_customers",
-        "scd2_history",
-        "semantic_decontaminate",
-        "semantic_dedup",
-        "sequence_packing",
-        "session_peak_overlap",
-        "small_quantity_revenue",
-        "soft_dedup",
-        "split_assign",
-        "supplier_count_by_part_attrs",
-        "supplier_pagerank",
-        "top_supplier_revenue",
-        "training_mix_report",
-        "unigram_logprob",
-        "upsample_mix",
-        "version_diff",
-        "wealthy_inactive_customers",
-    ]
-    # the 7 oldest r11-green rows (early drain; r11 cohort due by r15)
-    assert window[43:50] == [
-        "fuzzy_name_pairs_multiblock",
-        "fuzzy_name_pairs",
-        "clean_cast_filter",
-        "curriculum_packing",
-        "data_expectations",
-        "event_sessionization",
-        "price_histogram",
-    ]
-    # the 35 remaining r11 rows are the tail front — r15's mandatory
-    # front (they hit the 4-round budget edge at r15)
-    assert list(QUERIES)[50:85] == [
+    # ALL 35 deferred r11 rows (the r14 verdict's designated r15 front)
+    assert window[6:41] == [
         "quantize_embeddings",
         "user_set_ops",
         "multimodal_audio_features",
@@ -133,6 +78,55 @@ def test_driver_window_composition():
         "cube_order_stats",
         "token_counts",
         "text_quality",
+    ]
+    # the 9 oldest r12-green rows (r12 cohort due in full by r16)
+    assert window[41:50] == [
+        "supplier_late_blame",
+        "lang_id",
+        "doc_fingerprint",
+        "price_trend_regression",
+        "ngram_jaccard_pairs",
+        "simhash_neardup_pairs",
+        "cosine_topk_vectorized",
+        "lsh_cosine_topk",
+        "ivf_cosine_topk",
+    ]
+    # the 33 remaining r12 rows are the tail front — r16's mandatory
+    # front (they hit the 4-round budget edge at r16)
+    assert list(QUERIES)[50:83] == [
+        "multimodal_content_dedup",
+        "rolling_frames",
+        "interval_merge",
+        "bm25_topk",
+        "bpe_merge_candidates",
+        "bucket_fingerprint_diff",
+        "entity_clusters",
+        "weighted_sample",
+        "fk_integrity",
+        "time_range_rolling",
+        "line_dedup",
+        "incremental_ohlcv",
+        "ewma",
+        "daily_ohlcv",
+        "daily_change_close_over_close",
+        "dedup_keep_last",
+        "null_fill_defaults",
+        "event_transitions",
+        "winsorize_prices",
+        "event_funnel_windowed",
+        "alpha_sample",
+        "market_beta",
+        "risk_metrics",
+        "daily_vwap",
+        "chunk_dedup_stats",
+        "event_funnel",
+        "retention_cohorts",
+        "event_json_stats",
+        "pii_redaction",
+        "ann_recall",
+        "stratified_sample",
+        "gapfill_15m",
+        "repetition_signals",
     ]
 
 
