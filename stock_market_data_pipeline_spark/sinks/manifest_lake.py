@@ -632,7 +632,7 @@ def _commit_locked(
         "bucketing": bucketing,
     }
     # version-scoped extensions (e.g. the bloom index ref); maintenance
-    # and append commits carry them via ``_carry_bloom`` — a commit that
+    # and append commits carry them via ``_carry_extensions`` — a commit that
     # omits them intentionally drops them (``publish_files``: the full
     # replace shares no files with the old index)
     payload.update(extra_meta or {})
@@ -670,14 +670,20 @@ def publish_files(
     semantics: the new manifest lists only the new files; prior versions
     keep referencing theirs until vacuumed). The txn watermarks of the
     replaced version are carried forward so idempotent appends stay
-    replay-safe across a replace. Returns the version number.
+    replay-safe across a replace — and so are the table's CHECK
+    constraints (validated against ``df`` BEFORE staging; Delta's
+    constraints survive an overwrite too). The bloom indexes are
+    intentionally dropped: the replaced file set shares nothing with the
+    old index. Returns the version number.
     """
     fs = _HadoopFS(spark, root)
     committed, _ = _list_manifests(fs, root)
     txns: dict[str, int] = {}
+    meta: dict = {}
     if committed:
         _, meta = _resolve_manifest(fs, root, None)
         txns = dict(meta.get("txns") or {})
+    _enforce_constraints(df, meta, root)
     entries = _stage_files(spark, df, root, fmt, stats_cols)
     return _commit(
         spark,
@@ -688,6 +694,7 @@ def publish_files(
         txns=txns,
         schema_json=df.schema.json(),
         stats_cols=stats_cols,
+        extra_meta=_carry_constraints(meta),
     )
 
 
@@ -846,20 +853,79 @@ def _sole_bloom_col(meta: dict, root: str) -> str:
     return next(iter(idx))
 
 
-def _carry_bloom(meta: dict) -> dict | None:
+def _table_constraints(meta: dict) -> dict[str, str]:
+    """The table's recorded CHECK constraints: ``{name: sql_expr}``
+    (``meta['constraints']``, r15 — Delta's table CHECK constraints)."""
+    return dict(meta.get("constraints") or {})
+
+
+def _carry_extensions(meta: dict) -> dict | None:
     """Version-scoped extensions a maintenance/append commit carries
-    forward (today: the bloom index refs). Carrying stays CORRECT across
-    any file-set change by construction: dropped files' sidecar rows are
-    ignored (the lookup intersects hits with the live names) and
-    new/rewritten files have no sidecar rows, so the reader opens them
-    conservatively — lookups degrade toward full scans as unindexed
-    files accrete, but never lose rows. Run ``reindex_bloom`` as
-    maintenance to restore full skipping. ``publish_files`` (full
-    replace) intentionally does NOT carry: the replaced file set shares
-    nothing with the old index, so carrying would only add sidecar-probe
-    cost with zero skip yield."""
+    forward: the bloom index refs and the CHECK constraints. Bloom
+    carrying stays CORRECT across any file-set change by construction:
+    dropped files' sidecar rows are ignored (the lookup intersects hits
+    with the live names) and new/rewritten files have no sidecar rows,
+    so the reader opens them conservatively — lookups degrade toward
+    full scans as unindexed files accrete, but never lose rows. Run
+    ``reindex_bloom`` as maintenance to restore full skipping.
+    ``publish_files`` (full replace) intentionally does NOT carry the
+    blooms — the replaced file set shares nothing with the old index —
+    but DOES carry the constraints (``_carry_constraints``): like
+    Delta's, they are table properties, not data-scoped metadata, and
+    survive an overwrite."""
+    out: dict[str, Any] = {}
     idx = _bloom_indexes(meta)
-    return {"blooms": idx} if idx else None
+    if idx:
+        out["blooms"] = idx
+    cons = _table_constraints(meta)
+    if cons:
+        out["constraints"] = cons
+    return out or None
+
+
+def _carry_constraints(meta: dict) -> dict | None:
+    cons = _table_constraints(meta)
+    return {"constraints": cons} if cons else None
+
+
+class ConstraintViolationError(ValueError):
+    """An incoming batch (or, at ``add_table_constraint`` time, the
+    existing table) violates a recorded CHECK constraint. The write is
+    refused BEFORE its commit — no version is created, the table is
+    unchanged, and any staged files are invisible orphans for vacuum."""
+
+
+def _enforce_constraints(df: DataFrame, meta: dict, root: str) -> None:
+    """Validate a batch of NEW rows against every recorded CHECK
+    constraint in ONE aggregate pass (all constraints counted in a
+    single job — the cost Delta pays on every constrained write). SQL
+    CHECK semantics: a row violates only when the expression evaluates
+    to FALSE; NULL passes (use ``col IS NOT NULL`` to forbid nulls).
+    Raises :class:`ConstraintViolationError` naming every violated
+    constraint with its row count. Maintenance rewrites (compact /
+    retention / cluster / consolidate) do NOT re-check: they carry rows
+    that were validated when written — enforcement happens exactly once
+    per row, at its write."""
+    cons = _table_constraints(meta)
+    if not cons:
+        return
+    row = df.agg(
+        *[
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, expr in sorted(cons.items())
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n] or 0) for n in cons if row[n]}
+    if bad:
+        raise ConstraintViolationError(
+            f"write to {root} violates CHECK constraint(s) "
+            + ", ".join(
+                f"{n!r} ({bad[n]} rows fail: {cons[n]})" for n in sorted(bad)
+            )
+            + " — no version committed"
+        )
 
 
 def retention_delete(
@@ -959,7 +1025,7 @@ def retention_delete(
         stats_cols=sorted(set(stats_cols or []) | set(_table_stats_cols(meta))),
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {
         "carried": len(carried),
@@ -1029,6 +1095,7 @@ def replace_where_manifest(
             f"{col} IN [{lo}, {hi}] (or have NULL {col}) — replaceWhere "
             "requires every inserted row to satisfy the predicate"
         )
+    _enforce_constraints(df, meta, root)
     file_stats = _load_stats(spark, root, all_entries)
     klo, khi = _stat_key(lo), _stat_key(hi)
     carried, to_rewrite = [], []
@@ -1082,7 +1149,7 @@ def replace_where_manifest(
         stats_cols=stats_cols,
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {
         "carried": len(carried),
@@ -1165,7 +1232,7 @@ def consolidate_stats_sidecars(
         schema_json=meta.get("schema"),
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {"sidecars_before": n_before, "version": v}
 
@@ -1279,7 +1346,7 @@ def compact_manifest(
         stats_cols=stats_cols,
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {
         "carried": len(carried),
@@ -1324,7 +1391,7 @@ def rollback_manifest(
         # pure metadata commit at any table size; the TARGET's bloom
         # index (if any) describes exactly the restored file set
         reuse_segments=list(tgt.get("segments") or []),
-        extra_meta=_carry_bloom(tgt),
+        extra_meta=_carry_extensions(tgt),
     )
 
 
@@ -1463,6 +1530,85 @@ def read_manifest_changes(
     )
 
 
+def add_table_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Record a CHECK constraint on the table (Delta's ``ALTER TABLE ADD
+    CONSTRAINT``): ``expr`` is a SQL boolean expression over the table's
+    columns; every later write of NEW rows — append, publish, WAP,
+    merge, replaceWhere — validates its batch in one aggregate and
+    refuses with :class:`ConstraintViolationError` on any FALSE row
+    (NULL passes, SQL CHECK semantics). The EXISTING table is validated
+    first — one scan — so a recorded constraint is an invariant over
+    all current and future rows, exactly Delta's add-time contract.
+    Pure-metadata commit (segments reused verbatim); constraints ride
+    every subsequent commit including full replaces. Returns the new
+    version."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    cons = _table_constraints(meta)
+    if name in cons:
+        raise ValueError(
+            f"table at {root} already has constraint {name!r}: "
+            f"{cons[name]} — drop it first to replace"
+        )
+    probe = {**cons, name: expr}
+    _enforce_constraints(
+        read_manifest(spark, root), {"constraints": {name: expr}}, root
+    )
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta={
+            **(_carry_extensions(meta) or {}),
+            "constraints": probe,
+        },
+    )
+
+
+def drop_table_constraint(
+    spark: SparkSession, root: str, name: str
+) -> int:
+    """Remove a recorded CHECK constraint (pure-metadata commit). Raises
+    ``KeyError`` when the constraint does not exist — dropping a
+    misspelled name silently would leave the caller believing a real
+    constraint is gone."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    cons = _table_constraints(meta)
+    if name not in cons:
+        raise KeyError(
+            f"table at {root} has no constraint {name!r} "
+            f"(recorded: {sorted(cons) or 'none'})"
+        )
+    del cons[name]
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    ext = _carry_extensions(meta) or {}
+    ext["constraints"] = cons  # possibly empty: records the drop
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext,
+    )
+
+
 def describe_manifest(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict[str, Any]:
@@ -1512,6 +1658,7 @@ def describe_manifest(
             else None
         ),
         "txns": dict(meta.get("txns") or {}),
+        "constraints": _table_constraints(meta),
         "n_columns": len(schema.fields) if schema is not None else None,
     }
 
@@ -1650,6 +1797,7 @@ def append_files(
     fmt: str = "parquet",
     stats_cols: list[str] | None = None,
     txn_id: tuple[str, int] | None = None,
+    max_rebase_retries: int = 5,
 ) -> int:
     """APPEND ``df`` as the next manifest version: new manifest = previous
     file list + the newly staged files (previous files shared by
@@ -1667,44 +1815,87 @@ def append_files(
     the manifest commit and the checkpoint commit) therefore yields
     exactly-once table contents. Returns the (possibly pre-existing)
     current version number.
-    """
+
+    AUTO-REBASE (r15; Iceberg's fast-append retry / Delta's blind-append
+    non-conflict): a blind append reads no table state its rows depend
+    on, so it COMMUTES with any concurrently committed change — losing
+    the commit race only means the file list it extended is stale, never
+    that its data is. On ``ManifestConflictError`` the append re-reads
+    the latest version and recommits the SAME staged files against it
+    (metadata-only retry; the data files, already durable and
+    version-independent, are never re-staged or re-written), up to
+    ``max_rebase_retries`` times before surfacing the conflict. Each
+    attempt re-derives the schema union, stats columns, txn watermarks,
+    bucketing, and bloom carry from the fresh latest — including the
+    replay check, so a concurrent writer of the SAME ``txn_id`` turns
+    the retry into the documented no-op (the staged orphans await
+    vacuum). A format change under the append does not commute and
+    raises immediately. Writers of READ-dependent commits (merge,
+    replace, retention) must NOT auto-rebase — their staged output was
+    derived from the clobbered state — which is why this lives here and
+    not in ``_commit``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    prev_inline: list[dict[str, Any]] = []
-    prev_segments: list[dict[str, Any]] = []
-    txns: dict[str, int] = {}
-    meta: dict = {}
-    if committed:
-        _, meta = _resolve_manifest(fs, root, None)
-        prev_inline = list(meta.get("files") or [])
-        prev_segments = list(meta.get("segments") or [])
-        txns = dict(meta.get("txns") or {})
-        fmt = meta.get("fmt", fmt)
-    if txn_id is not None:
-        app, n = txn_id
-        if txns.get(app) is not None and int(txns[app]) >= n:
-            return committed[-1]  # already committed: replay no-op
-        txns[app] = n
-    # union-by-name evolution (type conflicts raise) BEFORE any staging IO
-    schema_json = _evolved_schema_json(meta, df)
-    new_entries = _stage_files(spark, df, root, fmt, stats_cols)
-    # prior segments carried by reference: append metadata IO is
-    # O(new files + inline tail), never O(table)
-    return _commit(
-        spark,
-        root,
-        prev_inline + new_entries,
-        fmt,
-        expected_prev=committed[-1] if committed else None,
-        txns=txns,
-        schema_json=schema_json,
-        stats_cols=sorted(
-            set(stats_cols or []) | set(_table_stats_cols(meta))
-        ),
-        bucketing=meta.get("bucketing"),
-        reuse_segments=prev_segments,
-        extra_meta=_carry_bloom(meta),
-    )
+    staged: list[dict[str, Any]] | None = None
+    staged_fmt: str | None = None
+    for attempt in range(max_rebase_retries + 1):
+        committed, _ = _list_manifests(fs, root)
+        prev_inline: list[dict[str, Any]] = []
+        prev_segments: list[dict[str, Any]] = []
+        txns: dict[str, int] = {}
+        meta: dict = {}
+        cur_fmt = fmt
+        if committed:
+            _, meta = _resolve_manifest(fs, root, None)
+            prev_inline = list(meta.get("files") or [])
+            prev_segments = list(meta.get("segments") or [])
+            txns = dict(meta.get("txns") or {})
+            cur_fmt = meta.get("fmt", fmt)
+        if txn_id is not None:
+            app, n = txn_id
+            if txns.get(app) is not None and int(txns[app]) >= n:
+                # already committed (possibly by a concurrent instance
+                # we raced): replay no-op; any files staged before the
+                # lost race are invisible orphans vacuum collects
+                return committed[-1]
+            txns[app] = n
+        # union-by-name evolution (type conflicts raise) BEFORE staging;
+        # CHECK constraints re-read per attempt, so a constraint a rival
+        # writer added mid-race still gates this batch
+        schema_json = _evolved_schema_json(meta, df)
+        _enforce_constraints(df, meta, root)
+        if staged is None:
+            staged = _stage_files(spark, df, root, cur_fmt, stats_cols)
+            staged_fmt = cur_fmt
+        elif staged_fmt != cur_fmt:
+            raise ManifestConflictError(
+                f"table at {root} changed format {staged_fmt!r} -> "
+                f"{cur_fmt!r} while this append raced — a format change "
+                "does not commute with staged files; re-run the append"
+            )
+        try:
+            # prior segments carried by reference: append metadata IO is
+            # O(new files + inline tail), never O(table)
+            return _commit(
+                spark,
+                root,
+                prev_inline + staged,
+                cur_fmt,
+                expected_prev=committed[-1] if committed else None,
+                txns=txns,
+                schema_json=schema_json,
+                stats_cols=sorted(
+                    set(stats_cols or []) | set(_table_stats_cols(meta))
+                ),
+                bucketing=meta.get("bucketing"),
+                reuse_segments=prev_segments,
+                extra_meta=_carry_extensions(meta),
+            )
+        except ManifestConflictError:
+            if attempt == max_rebase_retries:
+                raise
+            # rebase: loop re-reads the new latest and recommits the
+            # same staged files against it
+    raise AssertionError("unreachable")
 
 
 def _promote_manifest(
@@ -1821,6 +2012,10 @@ def publish_files_wap(
             return expected_prev
         txns[app] = n
     schema_json = _evolved_schema_json(meta, df)
+    # CHECK constraints gate WAP appends too — independently of the
+    # caller's audit (constraints are the table's standing invariants;
+    # the audit is this write's ad-hoc verdict)
+    _enforce_constraints(df, meta, root)
     new_entries = _stage_files(spark, df, root, fmt, stats_cols)
     staged_v = _commit(
         spark,
@@ -1835,7 +2030,7 @@ def publish_files_wap(
         ),
         bucketing=meta.get("bucketing"),
         reuse_segments=prev_segments,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
         write_marker=False,
     )
     # re-read the staged JSON: it records the exact committed state
@@ -2003,6 +2198,9 @@ def merge_upsert_manifest(
     inc = incoming.withColumn(
         _BUCKET, _bucket_expr(keys, n_buckets)
     ).localCheckpoint(eager=False)
+    # CHECK constraints gate the incoming batch only — the carried/
+    # rewritten rows were validated at their own writes
+    _enforce_constraints(inc, meta, root)
     touched = {
         r[0] for r in inc.select(_BUCKET).distinct().collect()
     }
@@ -2042,7 +2240,7 @@ def merge_upsert_manifest(
         stats_cols=stats_cols,
         bucketing={"keys": list(keys), "n_buckets": int(n_buckets)},
         reuse_segments=reused,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {
         "touched_buckets": len(touched),
@@ -2142,7 +2340,7 @@ def delete_keys_manifest(
         stats_cols=stats_cols,
         bucketing=bk,
         reuse_segments=reused,
-        extra_meta=_carry_bloom(meta),
+        extra_meta=_carry_extensions(meta),
     )
     return {
         "touched_buckets": len(touched),

@@ -2244,3 +2244,227 @@ def test_multi_column_bloom_indexes_compose(spark, tmp_path):
     _, st_u2 = read_manifest_bloom_lookup(spark, root, 5, col="u")
     _, st_p2 = read_manifest_bloom_lookup(spark, root, 3, col="p")
     assert st_u2["files_read"] == 4 and st_p2["files_read"] == 4
+
+
+def test_append_auto_rebase_on_concurrent_commit(spark, tmp_path):
+    """r15 append auto-rebase (Iceberg fast-append retry / Delta's
+    blind-append non-conflict): a blind append that loses the commit
+    race re-reads the latest version and recommits the SAME staged
+    files against it — metadata-only retry, data never re-staged. A
+    concurrent append of the same txn_id turns the retry into the
+    replay no-op; a format change under the append refuses loudly."""
+    import os
+
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        NoOpCommitLock,
+        set_commit_lock,
+    )
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ml
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        manifest_files,
+        read_manifest,
+        vacuum_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame([(k, "base") for k in range(10)],
+                              "k long, v string"),
+        root,
+    )                                                                # v1
+
+    class _Hooked(NoOpCommitLock):
+        """Fires a competing committer inside the victim's table hold
+        (NoOp holds don't block, so the competitor completes fully and
+        the victim's conflict check then sees a moved table)."""
+
+        def __init__(self, compete):
+            self.compete = compete
+            self.armed = True
+
+        def hold(self, key: str):
+            if self.armed and key.endswith("/mf"):
+                self.armed = False
+                self.compete()
+            return super().hold(key)
+
+    def compete_append():
+        append_files(
+            spark,
+            spark.createDataFrame([(100, "rival")], "k long, v string"),
+            root,
+        )                                                            # v2
+
+    prev = set_commit_lock(_Hooked(compete_append))
+    try:
+        v = append_files(
+            spark,
+            spark.createDataFrame([(200, "mine"), (201, "mine")],
+                                  "k long, v string"),
+            root,
+        )                                                            # v3
+    finally:
+        set_commit_lock(prev)
+    assert v == 3
+    rows = {(r["k"], r["v"]) for r in read_manifest(spark, root).collect()}
+    assert rows == (
+        {(k, "base") for k in range(10)}
+        | {(100, "rival"), (200, "mine"), (201, "mine")}
+    )
+    # metadata-only retry: every data file on disk is referenced by v3 —
+    # the rebase re-used the staged files instead of staging twice
+    referenced = {e["name"] for e in manifest_files(spark, root)}
+    on_disk = {
+        f for f in os.listdir(f"{root}/data") if not f.startswith(".")
+    }
+    assert on_disk == referenced
+
+    # same-txn race -> the rebase becomes the documented replay no-op
+    def compete_txn():
+        append_files(
+            spark,
+            spark.createDataFrame([(300, "rival-txn")], "k long, v string"),
+            root, txn_id=("app", 7),
+        )                                                            # v4
+
+    prev = set_commit_lock(_Hooked(compete_txn))
+    try:
+        v = append_files(
+            spark,
+            spark.createDataFrame([(400, "lost-txn")], "k long, v string"),
+            root, txn_id=("app", 7),
+        )
+    finally:
+        set_commit_lock(prev)
+    assert v == 4  # the rival's commit; ours no-opped
+    rows = {r["k"] for r in read_manifest(spark, root).collect()}
+    assert 300 in rows and 400 not in rows
+    # the loser's staged file is an invisible orphan vacuum collects
+    res = vacuum_manifest(spark, root, keep_versions=1, grace_seconds=0.0)
+    assert res["files_deleted"] >= 1
+    assert {r["k"] for r in read_manifest(spark, root).collect()} == rows
+
+    # a format change under the append does not commute
+    def compete_fmt():
+        publish_files(
+            spark,
+            spark.createDataFrame([(1, "j")], "k long, v string"),
+            root, fmt="json",
+        )
+
+    prev = set_commit_lock(_Hooked(compete_fmt))
+    try:
+        with pytest.raises(ml.ManifestConflictError, match="format"):
+            append_files(
+                spark,
+                spark.createDataFrame([(500, "x")], "k long, v string"),
+                root,
+            )
+    finally:
+        set_commit_lock(prev)
+
+
+def test_table_check_constraints_gate_every_write_path(spark, tmp_path):
+    """r15 CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT): the
+    recorded invariant is validated over the existing table at add time,
+    then gates every write of NEW rows — append, full replace, WAP,
+    merge, replaceWhere — with SQL CHECK semantics (FALSE violates,
+    NULL passes). A refused write commits nothing; constraints survive
+    a full replace; maintenance rewrites don't re-check."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        ConstraintViolationError,
+        add_table_constraint,
+        append_files,
+        compact_manifest,
+        delete_keys_manifest,
+        describe_manifest,
+        drop_table_constraint,
+        merge_upsert_manifest,
+        publish_files_wap,
+        read_manifest,
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, float(k), 0) for k in range(20)], "k long, val double, seq int"
+    )
+    publish_files(spark, df, root)                                   # v1
+    # add-time validation: an invariant the table violates is refused
+    with pytest.raises(ConstraintViolationError, match="val_neg"):
+        add_table_constraint(spark, root, "val_neg", "val < 0")
+    add_table_constraint(spark, root, "val_ok", "val >= 0")          # v2
+    add_table_constraint(spark, root, "k_ok", "k < 1000")            # v3
+    with pytest.raises(ValueError, match="already has"):
+        add_table_constraint(spark, root, "val_ok", "val >= 1")
+    d = describe_manifest(spark, root)
+    assert d["constraints"] == {"val_ok": "val >= 0", "k_ok": "k < 1000"}
+
+    bad = spark.createDataFrame(
+        [(100, -1.0, 1), (101, 2.0, 1)], "k long, val double, seq int"
+    )
+    good = spark.createDataFrame(
+        [(100, 1.0, 1), (101, None, 1)], "k long, val double, seq int"
+    )
+    n_versions = len(d["committed_versions"])
+
+    # append: refused with the violating constraint named; no commit
+    with pytest.raises(ConstraintViolationError, match="val_ok"):
+        append_files(spark, bad, root)
+    # NULL passes (SQL CHECK semantics)
+    append_files(spark, good, root)                                  # v4
+    # full replace: constraints carried AND enforced on the new frame
+    with pytest.raises(ConstraintViolationError, match="1 rows fail"):
+        publish_files(spark, bad, root)
+    publish_files(spark, df, root)                                   # v5
+    assert describe_manifest(spark, root)["constraints"] == {
+        "val_ok": "val >= 0", "k_ok": "k < 1000",
+    }
+    # WAP: the standing invariant refuses before the ad-hoc audit runs
+    with pytest.raises(ConstraintViolationError):
+        publish_files_wap(spark, bad, root, audit=lambda c: True)
+    # merge + replaceWhere gate their incoming batches
+    with pytest.raises(ConstraintViolationError):
+        merge_upsert_manifest(
+            spark, bad, root, keys=["k"], order_col="seq", n_buckets=4
+        )
+    merge_upsert_manifest(
+        spark, good, root, keys=["k"], order_col="seq", n_buckets=4
+    )
+    with pytest.raises(ConstraintViolationError):
+        replace_where_manifest(
+            spark, bad.filter(F.col("k") >= 100), root, "k", 100, 120
+        )
+    # nothing from the refused writes leaked in
+    rows = {r["k"]: r["val"] for r in read_manifest(spark, root).collect()}
+    assert rows[100] == 1.0 and rows[101] is None and -1.0 not in rows.values()
+    # maintenance carries constraints without re-checking
+    compact_manifest(spark, root, target_file_bytes=10**9)
+    delete_keys_manifest(
+        spark, spark.createDataFrame([(100,)], "k long"), root,
+        keys=["k"], n_buckets=4,
+    )
+    assert describe_manifest(spark, root)["constraints"] == {
+        "val_ok": "val >= 0", "k_ok": "k < 1000",
+    }
+    # drop: misspelled name raises; real drop re-admits the rows
+    with pytest.raises(KeyError):
+        drop_table_constraint(spark, root, "nope")
+    drop_table_constraint(spark, root, "val_ok")
+    append_files(
+        spark,
+        spark.createDataFrame([(200, -5.0, 2)], "k long, val double, seq int"),
+        root,
+    )
+    assert describe_manifest(spark, root)["constraints"] == {
+        "k_ok": "k < 1000"
+    }
+    with pytest.raises(ConstraintViolationError, match="k_ok"):
+        append_files(
+            spark,
+            spark.createDataFrame([(2000, 1.0, 3)],
+                                  "k long, val double, seq int"),
+            root,
+        )
