@@ -3880,6 +3880,19 @@ GROUP BY event_type
 """
 
 
+# X141 manifest streaming source: publish %3==0 + append %3==1 + append
+# %3==2, streamed with version offsets — the sink must hold the full
+# events projection exactly once (replay/increment runtime-asserted).
+ORACLES["manifest_stream_read_equality"] = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('ms:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY event_type
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

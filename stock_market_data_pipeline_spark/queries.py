@@ -4289,6 +4289,94 @@ def q_cluster_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_manifest_stream_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 streaming SOURCE over the manifest format (PySpark 4 Python
+    DataSource API) as a driver row: a table built by publish + two
+    appends streams through ``format("manifest_stream")`` with
+    version-number offsets into a parquet sink; the sink's rollup must
+    equal the oracle's over the full events projection. Runtime-asserts
+    the exactly-once property the oracle cannot see: a replay on the
+    same checkpoint with no new version adds ZERO rows, and an append
+    followed by a resumed run adds exactly the appended slice."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.operators.sampling import (
+        sample_hash32,
+    )
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        publish_files,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_mstream_")
+    root, sink, ckpt = f"{tmp}/table", f"{tmp}/sink", f"{tmp}/ckpt"
+    try:
+        publish_files(
+            spark, ev.filter(F.col("event_id") % 3 == 0).repartition(2), root
+        )
+        append_files(
+            spark, ev.filter(F.col("event_id") % 3 == 1).repartition(2), root
+        )
+
+        def run_stream():
+            q = (
+                spark.readStream.format("manifest_stream")
+                .option("path", root)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+
+        run_stream()
+        n_first = spark.read.parquet(sink).count()
+        run_stream()  # replay, no new version: exactly-once -> no rows
+        n_replay = spark.read.parquet(sink).count()
+        if n_replay != n_first:
+            raise AssertionError(
+                f"replay added rows ({n_first} -> {n_replay}) — offsets "
+                "not exactly-once"
+            )
+        inc = ev.filter(F.col("event_id") % 3 == 2)
+        n_inc = inc.count()
+        append_files(spark, inc.repartition(2), root)
+        run_stream()  # resumed: exactly the appended slice flows
+        out_df = spark.read.parquet(sink)
+        n_final = out_df.count()
+        if n_final != n_first + n_inc:
+            raise AssertionError(
+                f"resumed run planned {n_final - n_first} rows, appended "
+                f"{n_inc} — incremental offset planning broken"
+            )
+        out = (
+            out_df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(sample_hash32(F.col("event_id"), "ms"))
+                .cast("bigint")
+                .alias("id_hash_sum"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("value_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4298,11 +4386,13 @@ def q_cluster_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-15 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 round-15 additions (cdf_read_equality — the X136
+# don't trust prose): 4 round-15 additions (cdf_read_equality — the X136
 # change-data-feed read; composed_prune_fingerprint — X134's range×Bloom
 # intersection with a runtime files-opened assert;
-# cluster_compact_read — X133's clustered-rewrite day-read payoff — all
-# never driver-checked), then 3 code-touched re-certs
+# cluster_compact_read — X133's clustered-rewrite day-read payoff;
+# manifest_stream_read_equality — X141's Python-DataSource streaming
+# source with version offsets, replay and increment runtime-asserted —
+# all never driver-checked), then 3 code-touched re-certs
 # (bloom_point_lookup: the index path was rewritten for multi-column
 # blooms — meta key 'blooms', _bloom_keep_files takes a col, lookups
 # resolve _sole_bloom_col; merge_manifest_state and
@@ -4314,20 +4404,21 @@ def q_cluster_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-verified strict post-change; these two re-certs cover the two
 # changed protocols (plain commit, stage+promote) at the driver. Then
 # ALL 35 deferred r11 rows (staleness exactly 4 = the budget edge —
-# MANDATORY this round), then the 9 oldest r12 rows (start draining the
-# 42-row r12 wave). Past the window: the 33 remaining r12 rows sorted
-# at [50:83] (r16's MANDATORY front; r16 = 33 r12 + 17 oldest r13,
-# r17 = 21 r13 + 29 r14, r18 = 18 r14 + r15 rows — every cohort inside
-# the 4-round budget). Registry 165 + 3 new = 168; net growth 3 ≤ the
+# MANDATORY this round), then the 8 oldest r12 rows (start draining the
+# 42-row r12 wave). Past the window: the 34 remaining r12 rows sorted
+# at [50:84] (r16's MANDATORY front; r16 = 34 r12 + 16 oldest r13,
+# r17 = 22 r13 + 28 r14, r18 = 19 r14 + r15 rows — every cohort inside
+# the 4-round budget). Registry 165 + 4 new = 169; net growth 4 ≤ the
 # ≤9 budget the r14 verdict pinned.
 # NEXT ROUND (16): lead with round-16 additions/code-touched rows, then
-# the 33 deferred r12 rows at [50:83] (budget-mandatory), then the
+# the 34 deferred r12 rows at [50:84] (budget-mandatory), then the
 # oldest r13 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdf_read_equality": q_cdf_read_equality,
     "composed_prune_fingerprint": q_composed_prune_fingerprint,
     "cluster_compact_read": q_cluster_compact_read,
+    "manifest_stream_read_equality": q_manifest_stream_read_equality,
     "bloom_point_lookup": q_bloom_point_lookup,
     "merge_manifest_state": q_merge_manifest_state,
     "wap_publish_equality": q_wap_publish_equality,

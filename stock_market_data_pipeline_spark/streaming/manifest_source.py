@@ -1,0 +1,216 @@
+"""Structured Streaming SOURCE over the manifest lake format (X141) —
+the "Delta table as a stream source" shape, built on PySpark 4's Python
+DataSource API: offsets are manifest VERSION NUMBERS, each micro-batch
+plans exactly the files APPENDED between two committed versions, and the
+checkpoint's offset log gives end-to-end exactly-once (a replayed batch
+re-plans the identical version range; files are immutable).
+
+Downstream consumers — the continuous half of what
+``read_manifest_incremental`` (X130) does for scheduled jobs — follow a
+table another pipeline appends to, without listing directories or
+re-reading history:
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    (spark.readStream.format("manifest_stream")
+          .option("path", root)
+          .load()
+          .writeStream...)
+
+Contract mirrors Delta's streaming source:
+
+* **Append-only by default** — a version range in which files were
+  REMOVED (replace / retention / compaction / merge rewrote history)
+  raises mid-stream rather than double-counting rewritten rows; pass
+  ``.option("ignoreChanges", "true")`` to stream just the added files
+  across such a range (rewritten rows may then re-surface — Delta's
+  documented ``ignoreChanges`` caveat, verbatim).
+* ``.option("startingVersion", N)`` begins after version N (default 0 =
+  the table's full history first batch).
+* Schema is the table's RECORDED schema at stream start; files written
+  before a schema-evolving append read with NULLs in the added columns
+  (the read path casts every file to the stream schema via Arrow).
+
+Scale posture: offset resolution is one metadata listing; planning is a
+file-set difference (O(changed files)); each planned file becomes one
+``InputPartition`` read executor-side by pyarrow in Arrow batches — no
+row-at-a-time Python in the data path. This reader resolves paths with
+``os`` (``file:`` scheme); an object-store deployment swaps the four
+``_local``-based helpers for fsspec equivalents — the offset/planning
+logic is scheme-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+_MF_RE = re.compile(r"^v(\d{8})\.json$")
+_COMMIT_SUFFIX = "._COMMITTED"
+
+
+def _local(path: str) -> str:
+    """Strip a ``file:`` scheme; refuse remote schemes (this reader's FS
+    access is os-based; see the module docstring for the swap point)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if re.match(r"^[a-z][a-z0-9+.-]*://", path):
+        raise ValueError(
+            f"manifest_stream reads local paths; got {path!r} — back the "
+            "helpers with fsspec for object stores"
+        )
+    return path
+
+
+def _committed_versions(root: str) -> list[int]:
+    mdir = f"{root.rstrip('/')}/mf"
+    if not os.path.isdir(mdir):
+        return []
+    names = set(os.listdir(mdir))
+    return sorted(
+        int(m.group(1))
+        for n in names
+        if (m := _MF_RE.match(n)) and f"{n}{_COMMIT_SUFFIX}" in names
+    )
+
+
+def _load_meta(root: str, version: int) -> dict:
+    with open(f"{root.rstrip('/')}/mf/v{version:08d}.json") as fh:
+        return json.load(fh)
+
+
+def _entry_names(root: str, meta: dict) -> list[str]:
+    names = [e["name"] for e in (meta.get("files") or [])]
+    for ref in meta.get("segments") or []:
+        with open(f"{root.rstrip('/')}/mf/seg/{ref['name']}") as fh:
+            names.extend(e["name"] for e in json.load(fh)["files"])
+    return names
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+    arrow_schema_bytes: bytes  # serialized target schema (IPC)
+
+
+class ManifestStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema, options: dict):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._root = root
+        self._schema_bytes = to_arrow_schema(schema).serialize().to_pybytes()
+        self._pa = pa
+        self._start_version = int(
+            options.get("startingversion")
+            or options.get("startingVersion")
+            or 0
+        )
+        flag = str(
+            options.get("ignorechanges")
+            or options.get("ignoreChanges")
+            or "false"
+        )
+        self._ignore_changes = flag.lower() == "true"
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start_version}
+
+    def latestOffset(self) -> dict:
+        vs = _committed_versions(self._root)
+        return {"version": vs[-1] if vs else self._start_version}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        if v1 <= v0:
+            return []
+        old = (
+            set(_entry_names(self._root, _load_meta(self._root, v0)))
+            if v0 > 0
+            else set()
+        )
+        new = _entry_names(self._root, _load_meta(self._root, v1))
+        removed = old - set(new)
+        if removed and not self._ignore_changes:
+            raise ValueError(
+                f"manifest_stream: versions v{v0}->v{v1} of {self._root} "
+                f"are not append-only ({len(removed)} files rewritten or "
+                "dropped) — a streaming read would double-count or miss "
+                "rows; run maintenance behind the stream's watermark or "
+                "set ignoreChanges=true to accept re-surfaced rows"
+            )
+        data = f"{self._root.rstrip('/')}/data"
+        return [
+            _FilePartition(f"{data}/{n}", self._schema_bytes)
+            for n in sorted(set(new) - old)
+        ]
+
+    def read(self, partition: _FilePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        target = pa.ipc.read_schema(
+            pa.py_buffer(partition.arrow_schema_bytes)
+        )
+        t = pq.read_table(partition.path)
+        cols = []
+        for field in target:
+            if field.name in t.column_names:
+                cols.append(t.column(field.name).cast(field.type))
+            else:
+                # file pre-dates a schema-evolving append: NULL-fill,
+                # the parquet evolution contract read_manifest applies
+                cols.append(pa.nulls(t.num_rows, type=field.type))
+        yield from pa.Table.from_arrays(
+            cols, schema=target
+        ).to_batches(max_chunksize=1 << 15)
+
+    def commit(self, end: dict) -> None:
+        # offsets live in the checkpoint's offset log; versions are
+        # immutable — nothing to release
+        pass
+
+
+class ManifestStreamDataSource(DataSource):
+    """``spark.readStream.format("manifest_stream")`` after
+    ``spark.dataSource.register(ManifestStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_stream"
+
+    def _root(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_stream requires .option('path', root)")
+        return _local(path)
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        root = self._root()
+        vs = _committed_versions(root)
+        if not vs:
+            raise FileNotFoundError(
+                f"no committed manifest under {root} — publish a first "
+                "version before streaming from the table"
+            )
+        sj = _load_meta(root, vs[-1]).get("schema")
+        if not sj:
+            raise ValueError(
+                f"manifest under {root} records no schema — rewrite via "
+                "publish_files to record one"
+            )
+        return StructType.fromJson(json.loads(sj))
+
+    def streamReader(self, schema):
+        return ManifestStreamReader(self._root(), schema, dict(self.options))

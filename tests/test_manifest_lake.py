@@ -2468,3 +2468,128 @@ def test_table_check_constraints_gate_every_write_path(spark, tmp_path):
                                   "k long, val double, seq int"),
             root,
         )
+
+
+def test_manifest_stream_source_reads_appends_exactly_once(spark, tmp_path):
+    """X141 streaming SOURCE over the manifest format (PySpark 4 Python
+    DataSource API): version-number offsets, appended-files-only
+    planning, exactly-once via the checkpoint offset log, Delta-style
+    append-only guard with the ignoreChanges escape, and NULL-fill for
+    files pre-dating a schema evolution."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        publish_files,
+        read_manifest,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    root = str(tmp_path / "t")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    publish_files(
+        spark,
+        spark.createDataFrame([(k, f"v{k}") for k in range(6)],
+                              "k long, v string"),
+        root,
+    )                                                                # v1
+    append_files(
+        spark,
+        spark.createDataFrame([(10, "a10"), (11, "a11")],
+                              "k long, v string"),
+        root,
+    )                                                                # v2
+    run_stream()
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {(k, f"v{k}") for k in range(6)} | {(10, "a10"), (11, "a11")}
+
+    # incremental: a later append yields ONLY its rows on the next run
+    append_files(
+        spark, spark.createDataFrame([(12, "a12")], "k long, v string"), root
+    )                                                                # v3
+    run_stream()
+    got2 = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
+    assert got2 == got | {(12, "a12")}  # no duplicates: exactly-once
+
+    # replay with the same checkpoint and NO new version: no new rows
+    run_stream()
+    assert spark.read.parquet(sink).count() == len(got2)
+
+    # schema evolution: files pre-dating the evolved append NULL-fill
+    append_files(
+        spark,
+        spark.createDataFrame([(13, "a13", 1.5)],
+                              "k long, v string, score double"),
+        root,
+    )                                                                # v4
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    full = spark.read.parquet(sink2)
+    assert full.count() == read_manifest(spark, root).count()
+    by_k = {r["k"]: r["score"] for r in full.collect()}
+    assert by_k[13] == 1.5 and by_k[0] is None
+
+    # append-only guard: a full replace breaks the stream loudly...
+    publish_files(
+        spark,
+        spark.createDataFrame([(99, "replaced", 0.0)],
+                              "k long, v string, score double"),
+        root,
+    )                                                                # v5
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)  # resumes past v3
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="not append-only"):
+        q.awaitTermination(120)
+        raise AssertionError("stream survived a rewritten history")
+    # ...and ignoreChanges streams just the added files ACROSS the
+    # rewrite range (startingVersion=3 -> the v3->v5 span has removed
+    # files; only v5's surviving new file flows, Delta's documented
+    # ignoreChanges semantics)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .option("startingVersion", "3")
+        .option("ignoreChanges", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink3"))
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got3 = {r["k"] for r in spark.read.parquet(str(tmp_path / "sink3")).collect()}
+    assert got3 == {99}
