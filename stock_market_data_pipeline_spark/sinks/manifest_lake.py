@@ -81,6 +81,7 @@ from __future__ import annotations
 
 import json as _json
 import re
+import time as _time
 import uuid
 from typing import Any
 
@@ -519,6 +520,7 @@ def _commit(
     reuse_segments: list[dict] | None = None,
     extra_meta: dict[str, Any] | None = None,
     write_marker: bool = True,
+    operation: str = "commit",
 ) -> int:
     """Optimistically-concurrent commit: the caller states which version
     it READ (``expected_prev``; None = it saw an empty table), and the
@@ -558,7 +560,7 @@ def _commit(
             return _commit_locked(
                 spark, fs, root, entries, fmt, expected_prev, txns,
                 schema_json, stats_cols, bucketing, reuse_segments,
-                extra_meta, write_marker,
+                extra_meta, write_marker, operation,
             )
     except LockUnavailableError as exc:
         raise ManifestConflictError(
@@ -581,6 +583,7 @@ def _commit_locked(
     reuse_segments: list[dict] | None,
     extra_meta: dict[str, Any] | None,
     write_marker: bool,
+    operation: str,
 ) -> int:
     committed, known = _list_manifests(fs, root)
     cur = committed[-1] if committed else None
@@ -630,6 +633,11 @@ def _commit_locked(
         # them from (now sidecar-resident) per-file stats
         "stats_cols": sorted(stats_cols) if stats_cols else [],
         "bucketing": bucketing,
+        # operation log (DESCRIBE HISTORY) + informational commit wall
+        # time; TIMESTAMP AS OF resolves by marker mtime (visibility
+        # time — for WAP that is PROMOTION, not this staging write)
+        "operation": operation,
+        "committed_at_ms": int(_time.time() * 1000),
     }
     # version-scoped extensions (e.g. the bloom index ref); maintenance
     # and append commits carry them via ``_carry_extensions`` — a commit that
@@ -695,6 +703,7 @@ def publish_files(
         schema_json=df.schema.json(),
         stats_cols=stats_cols,
         extra_meta=_carry_constraints(meta),
+        operation="REPLACE",
     )
 
 
@@ -1026,6 +1035,7 @@ def retention_delete(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=_carry_extensions(meta),
+        operation="RETENTION_DELETE",
     )
     return {
         "carried": len(carried),
@@ -1150,6 +1160,7 @@ def replace_where_manifest(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=_carry_extensions(meta),
+        operation="REPLACE_WHERE",
     )
     return {
         "carried": len(carried),
@@ -1233,6 +1244,7 @@ def consolidate_stats_sidecars(
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
         extra_meta=_carry_extensions(meta),
+        operation="CONSOLIDATE_SIDECARS",
     )
     return {"sidecars_before": n_before, "version": v}
 
@@ -1347,6 +1359,7 @@ def compact_manifest(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=_carry_extensions(meta),
+        operation="COMPACT",
     )
     return {
         "carried": len(carried),
@@ -1392,6 +1405,7 @@ def rollback_manifest(
         # index (if any) describes exactly the restored file set
         reuse_segments=list(tgt.get("segments") or []),
         extra_meta=_carry_extensions(tgt),
+        operation="RESTORE",
     )
 
 
@@ -1530,6 +1544,70 @@ def read_manifest_changes(
     )
 
 
+def manifest_history(spark: SparkSession, root: str) -> list[dict[str, Any]]:
+    """DESCRIBE HISTORY for the manifest format: one dict per committed
+    version, newest first — version, the OPERATION that created it
+    (APPEND / MERGE / REPLACE / REPLACE_WHERE / RETENTION_DELETE /
+    DELETE_KEYS / COMPACT / RESTORE / WAP_STAGE / ADD_BLOOM_INDEX /
+    ADD_CONSTRAINT / DROP_CONSTRAINT / CONSOLIDATE_SIDECARS; 'commit'
+    for pre-r15 versions that recorded none), the commit wall time
+    (``committed_at_ms``, informational; for a WAP version it is the
+    STAGING time), the marker mtime (``visible_at_ms`` — when readers
+    could first see it, the time ``TIMESTAMP AS OF`` resolves by), file
+    count, and total bytes. Metadata-only at any table size."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    out = []
+    for v in reversed(committed):
+        meta = _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(v)}"))
+        entries = _manifest_entries(fs, root, meta)
+        out.append(
+            {
+                "version": v,
+                "operation": meta.get("operation", "commit"),
+                "committed_at_ms": meta.get("committed_at_ms"),
+                "visible_at_ms": fs.mtime_ms(
+                    f"{_mf_dir(root)}/{_mf_name(v)}{_COMMIT_SUFFIX}"
+                ),
+                "n_files": len(entries),
+                "total_bytes": sum(
+                    int(e.get("bytes") or 0) for e in entries
+                ),
+            }
+        )
+    return out
+
+
+def manifest_version_as_of(
+    spark: SparkSession, root: str, ts_ms: int
+) -> int:
+    """Delta's ``TIMESTAMP AS OF``: the latest version VISIBLE at
+    ``ts_ms`` (epoch millis) — resolved by commit-marker mtime, the
+    moment the version became readable (for WAP that is promotion, not
+    staging; the same modification-time convention Delta documents,
+    with the same caveat that copying a table byte-for-byte without
+    preserving mtimes breaks timestamp — not version — travel). Raises
+    when ``ts_ms`` predates the first visible commit. Compose with
+    ``read_manifest(version=...)`` / ``manifest_version_diff`` /
+    ``read_manifest_changes`` for time-based reads and feeds."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    eligible = [
+        v
+        for v in committed
+        if fs.mtime_ms(f"{_mf_dir(root)}/{_mf_name(v)}{_COMMIT_SUFFIX}")
+        <= ts_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"timestamp {ts_ms} predates the first visible commit of "
+            f"{root} — earliest retained version is v{committed[0]}"
+        )
+    return max(eligible)
+
+
 def add_table_constraint(
     spark: SparkSession, root: str, name: str, expr: str
 ) -> int:
@@ -1572,6 +1650,7 @@ def add_table_constraint(
             **(_carry_extensions(meta) or {}),
             "constraints": probe,
         },
+        operation="ADD_CONSTRAINT",
     )
 
 
@@ -1606,6 +1685,7 @@ def drop_table_constraint(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=ext,
+        operation="DROP_CONSTRAINT",
     )
 
 
@@ -1889,6 +1969,7 @@ def append_files(
                 bucketing=meta.get("bucketing"),
                 reuse_segments=prev_segments,
                 extra_meta=_carry_extensions(meta),
+                operation="APPEND",
             )
         except ManifestConflictError:
             if attempt == max_rebase_retries:
@@ -2032,6 +2113,7 @@ def publish_files_wap(
         reuse_segments=prev_segments,
         extra_meta=_carry_extensions(meta),
         write_marker=False,
+        operation="WAP_STAGE",
     )
     # re-read the staged JSON: it records the exact committed state
     # (including any segment refs _commit sharded out) — one
@@ -2241,6 +2323,7 @@ def merge_upsert_manifest(
         bucketing={"keys": list(keys), "n_buckets": int(n_buckets)},
         reuse_segments=reused,
         extra_meta=_carry_extensions(meta),
+        operation="MERGE",
     )
     return {
         "touched_buckets": len(touched),
@@ -2341,6 +2424,7 @@ def delete_keys_manifest(
         bucketing=bk,
         reuse_segments=reused,
         extra_meta=_carry_extensions(meta),
+        operation="DELETE_KEYS",
     )
     return {
         "touched_buckets": len(touched),
@@ -2632,6 +2716,7 @@ def add_bloom_index(
                 col: {"m": m, "k": k, "seed": seed, "sidecar": sidecar},
             }
         },
+        operation="ADD_BLOOM_INDEX",
     )
 
 

@@ -2593,3 +2593,65 @@ def test_manifest_stream_source_reads_appends_exactly_once(spark, tmp_path):
     assert q.awaitTermination(120)
     got3 = {r["k"] for r in spark.read.parquet(str(tmp_path / "sink3")).collect()}
     assert got3 == {99}
+
+
+def test_manifest_history_and_timestamp_as_of(spark, tmp_path):
+    """r15 DESCRIBE HISTORY + TIMESTAMP AS OF: every committed version
+    records its creating operation and commit wall time; time travel by
+    timestamp resolves the latest version VISIBLE at that instant
+    (marker mtime — promotion time for WAP), composing with version
+    reads and the change feed."""
+    import time
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        compact_manifest,
+        manifest_history,
+        manifest_version_as_of,
+        publish_files,
+        publish_files_wap,
+        read_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        root,
+    )                                                                # v1
+    time.sleep(0.05)
+    t_after_v1 = int(time.time() * 1000)
+    time.sleep(0.05)
+    append_files(
+        spark, spark.createDataFrame([(2, "b")], "k long, v string"), root
+    )                                                                # v2
+    compact_manifest(spark, root)                                    # maybe
+    publish_files_wap(
+        spark, spark.createDataFrame([(3, "c")], "k long, v string"),
+        root, audit=lambda c: True,
+    )
+    hist = manifest_history(spark, root)
+    by_v = {h["version"]: h for h in hist}
+    assert hist[0]["version"] == max(by_v)  # newest first
+    assert by_v[1]["operation"] == "REPLACE"
+    assert by_v[2]["operation"] == "APPEND"
+    assert by_v[max(by_v)]["operation"] == "WAP_STAGE"
+    assert all(
+        h["committed_at_ms"] and h["visible_at_ms"] and h["n_files"] >= 1
+        for h in hist
+    )
+    # commit wall times are recorded monotonically along the history
+    cts = [h["committed_at_ms"] for h in reversed(hist)]
+    assert cts == sorted(cts)
+
+    # timestamp travel: between v1 and v2 resolves v1; now = latest
+    assert manifest_version_as_of(spark, root, t_after_v1) == 1
+    v_at = manifest_version_as_of(spark, root, int(time.time() * 1000))
+    assert v_at == max(by_v)
+    rows_v1 = read_manifest(
+        spark, root,
+        version=manifest_version_as_of(spark, root, t_after_v1),
+    )
+    assert [(r["k"], r["v"]) for r in rows_v1.collect()] == [(1, "a")]
+    with pytest.raises(ValueError, match="predates"):
+        manifest_version_as_of(spark, root, t_after_v1 - 10_000_000)
