@@ -3812,6 +3812,24 @@ GROUP BY event_type
 # slice definitions alone: inserts (in U, not in v1, survives the
 # delete), deletes with V1 preimages (even for keys updated at v2),
 # update pre/postimage pairs for surviving updated v1 keys.
+# X143 deletion vectors: two merge-on-read deletes (both scoped to the
+# low key range, so high-range files never carry DV rows) then a purge — the visible table is the plain
+# double NOT-filter (merge-on-read mechanics are runtime-asserted on
+# the Spark side: identical file set across deletes, time travel,
+# partial purge).
+ORACLES["dv_delete_equality"] = """
+WITH half AS (
+  SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) AS h FROM orders
+)
+SELECT o_orderkey, o_orderpriority,
+       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders, half
+WHERE NOT (o_orderkey % 10 = 3 AND o_orderkey <= half.h)
+  AND NOT (CAST(floor(o_totalprice * 100) AS BIGINT) % 97 = 11
+           AND o_orderkey <= half.h)
+"""
+
+
 ORACLES["cdf_read_equality"] = """
 WITH o AS (
   SELECT o_orderkey AS k, o_orderpriority AS prio,

@@ -4048,6 +4048,101 @@ def q_incremental_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_dv_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 deletion vectors as a driver row: orders publish as a
+    range-clustered manifest table, two range-scoped merge-on-read
+    deletes land in the DV sidecar (only low-key files carry DV rows),
+    and ``purge_deletion_vectors`` then materializes
+    them. ``ranges`` prunes the SCAN at file granularity (straddling
+    files are scanned whole), so the exact bound rides the predicate —
+    the same prune-then-re-apply discipline as ``read_manifest_pruned``.
+    The returned post-purge read must equal the oracle's plain
+    double NOT-filter. Runtime-asserts the properties the oracle cannot
+    see: the file set is IDENTICAL across both deletes (merge-on-read
+    — no rewrite), time travel to v1 still sees every row, re-deleting
+    the same predicate matches 0 rows, and the purge rewrites ONLY the
+    DV-affected files while the high-range files carry by reference."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_where_dv,
+        describe_manifest,
+        manifest_files,
+        publish_files,
+        purge_deletion_vectors,
+        read_manifest,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    # the range bound, derived in-engine so the oracle recomputes it
+    half = orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint")
+    ).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="smdp_dv_")
+    root = f"{tmp}/table"
+    try:
+        v1 = publish_files(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            root,
+            stats_cols=["o_orderkey"],
+        )
+        names_v1 = {e["name"] for e in manifest_files(spark, root)}
+        total = orders.count()
+        d1 = delete_where_dv(
+            spark,
+            root,
+            f"o_orderkey % 10 = 3 AND o_orderkey <= {half}",
+            ranges={"o_orderkey": (None, int(half))},
+        )
+        d2 = delete_where_dv(
+            spark,
+            root,
+            f"price_cents % 97 = 11 AND o_orderkey <= {half}",
+            ranges={"o_orderkey": (None, int(half))},
+        )
+        if {e["name"] for e in manifest_files(spark, root)} != names_v1:
+            raise AssertionError(
+                "merge-on-read violated: a DV delete rewrote data files"
+            )
+        if read_manifest(spark, root, version=v1).count() != total:
+            raise AssertionError("time travel lost pre-delete rows")
+        if delete_where_dv(
+            spark,
+            root,
+            f"o_orderkey % 10 = 3 AND o_orderkey <= {half}",
+            ranges={"o_orderkey": (None, int(half))},
+        )["deleted_rows"]:
+            raise AssertionError(
+                "re-delete matched already-DV-deleted rows"
+            )
+        out = purge_deletion_vectors(spark, root)
+        names_after = {e["name"] for e in manifest_files(spark, root)}
+        if not (names_v1 & names_after):
+            raise AssertionError(
+                "purge rewrote every file — the range-scoped DV rows "
+                "should have left high-range files carried by reference"
+            )
+        if out["files_rewritten"] == 0 or describe_manifest(spark, root)[
+            "dv"
+        ] is not None:
+            raise AssertionError("purge did not materialize the DVs")
+        if d1["deleted_rows"] + d2["deleted_rows"] + read_manifest(
+            spark, root
+        ).count() != total:
+            raise AssertionError("deleted + visible != published rows")
+        return read_manifest(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_cdf_read_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X136 ``read_manifest_changes`` (Delta CDF's read shape) as a
     driver row: a keyed orders table takes a merge (priority/price
@@ -4386,7 +4481,10 @@ def q_manifest_stream_read_equality(spark: SparkSession, sf_dir: str) -> DataFra
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-15 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 4 round-15 additions (cdf_read_equality — the X136
+# don't trust prose): 5 round-15 additions (dv_delete_equality — the
+# X143 merge-on-read deletion vectors with file-set-identity, time
+# travel, re-delete-noop and partial-purge runtime asserts;
+# cdf_read_equality — the X136
 # change-data-feed read; composed_prune_fingerprint — X134's range×Bloom
 # intersection with a runtime files-opened assert;
 # cluster_compact_read — X133's clustered-rewrite day-read payoff;
@@ -4404,17 +4502,19 @@ def q_manifest_stream_read_equality(spark: SparkSession, sf_dir: str) -> DataFra
 # re-verified strict post-change; these two re-certs cover the two
 # changed protocols (plain commit, stage+promote) at the driver. Then
 # ALL 35 deferred r11 rows (staleness exactly 4 = the budget edge —
-# MANDATORY this round), then the 8 oldest r12 rows (start draining the
-# 42-row r12 wave). Past the window: the 34 remaining r12 rows sorted
-# at [50:84] (r16's MANDATORY front; r16 = 34 r12 + 16 oldest r13,
-# r17 = 22 r13 + 28 r14, r18 = 19 r14 + r15 rows — every cohort inside
-# the 4-round budget). Registry 165 + 4 new = 169; net growth 4 ≤ the
-# ≤9 budget the r14 verdict pinned.
+# MANDATORY this round), then the 7 oldest r12 rows (start draining the
+# 42-row r12 wave; dv_delete_equality's front slot pushed
+# lsh_cosine_topk to position 50). Past the window: the 35 remaining
+# r12 rows sorted at [50:85] (r16's MANDATORY front; r16 = 35 r12 + 15
+# oldest r13, r17 = 23 r13 + 27 r14, r18 = 20 r14 + r15 rows — every
+# cohort inside the 4-round budget). Registry 165 + 5 new = 170; net
+# growth 5 ≤ the ≤9 budget the r14 verdict pinned.
 # NEXT ROUND (16): lead with round-16 additions/code-touched rows, then
 # the 34 deferred r12 rows at [50:84] (budget-mandatory), then the
 # oldest r13 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dv_delete_equality": q_dv_delete_equality,
     "cdf_read_equality": q_cdf_read_equality,
     "composed_prune_fingerprint": q_composed_prune_fingerprint,
     "cluster_compact_read": q_cluster_compact_read,

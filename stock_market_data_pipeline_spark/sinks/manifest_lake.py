@@ -716,7 +716,12 @@ def _recorded_schema(meta: dict):
     return StructType.fromJson(_json.loads(sj)) if sj else None
 
 
-def _load_table_files(spark: SparkSession, meta: dict, paths: list[str]):
+def _load_table_files(
+    spark: SparkSession,
+    meta: dict,
+    paths: list[str],
+    root: str | None = None,
+):
     """Load committed table files THROUGH the recorded schema (round-13
     schema evolution, X118): after an evolving append, a table's files
     disagree on columns, and a bare ``load(paths)`` takes the first
@@ -727,12 +732,52 @@ def _load_table_files(spark: SparkSession, meta: dict, paths: list[str]):
     read of committed files — user reads, pruned reads, and the
     maintenance rewrites (compact/merge/retention) — must come through
     here, or a maintenance pass could materialize the dropped-column
-    loss permanently."""
+    loss permanently.
+
+    When the version carries DELETION VECTORS (round-15 X143,
+    ``delete_where_dv``), the deleted (file, row-position) pairs are
+    subtracted here — an Arrow-side LEFT ANTI join against the
+    broadcast DV sidecar on ``_metadata.file_name`` /
+    ``_metadata.row_index`` — so every consumer (user reads, pruned
+    reads, CDF slices, maintenance rewrites) sees merge-on-read
+    semantics without knowing DVs exist, and any rewrite of a
+    DV-carrying file physically materializes its deletes. Centralizing
+    the subtraction here is the invariant that makes DVs safe: a read
+    path that bypassed it would resurrect deleted rows. Tables without
+    a DV pay nothing (no extra plan nodes)."""
     reader = spark.read.format(meta.get("fmt", "parquet"))
     schema = _recorded_schema(meta)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.load(paths)
+    df = reader.load(paths)
+    dv = meta.get("dv")
+    if dv:
+        if root is None:
+            raise ValueError(
+                "internal: DV-carrying table loaded without root — the "
+                "deletion vector sidecar cannot be resolved"
+            )
+        dvdf = spark.read.parquet(f"{_stats_dir(root)}/{dv['sidecar']}")
+        cols = df.columns
+        df = (
+            df.select(
+                "*",
+                F.col("_metadata.file_name").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+            .join(
+                F.broadcast(
+                    dvdf.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+            .select(*cols)
+        )
+    return df
 
 
 def _evolved_schema_json(meta: dict, df: DataFrame) -> str:
@@ -789,7 +834,7 @@ def read_manifest(
                 "schema (pre-round-8 manifest?)"
             )
         return spark.createDataFrame([], schema)
-    return _load_table_files(spark, meta, paths)
+    return _load_table_files(spark, meta, paths, root)
 
 
 def manifest_files(
@@ -881,7 +926,17 @@ def _carry_extensions(meta: dict) -> dict | None:
     blooms — the replaced file set shares nothing with the old index —
     but DOES carry the constraints (``_carry_constraints``): like
     Delta's, they are table properties, not data-scoped metadata, and
-    survive an overwrite."""
+    survive an overwrite.
+
+    Deletion vectors (X143) carry under the opposite polarity from
+    blooms: a DV row for a DROPPED file name is inert at read (the
+    anti-join key never matches) but a DV row for a CARRIED file is
+    load-bearing — dropping the ``dv`` ref on a maintenance commit
+    would RESURRECT deleted rows in every carried file. Rewritten
+    files materialize their deletes on load (``_load_table_files``
+    subtracts before the rewrite stages), so carrying the old sidecar
+    verbatim is always correct; ``purge_deletion_vectors`` is the
+    maintenance pass that retires it."""
     out: dict[str, Any] = {}
     idx = _bloom_indexes(meta)
     if idx:
@@ -889,6 +944,9 @@ def _carry_extensions(meta: dict) -> dict | None:
     cons = _table_constraints(meta)
     if cons:
         out["constraints"] = cons
+    dv = meta.get("dv")
+    if dv:
+        out["dv"] = dv
     return out or None
 
 
@@ -1013,7 +1071,7 @@ def retention_delete(
     new_entries = [e for e in loose if e["name"] not in changed]
     if to_rewrite:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
-        filtered = _load_table_files(spark, meta, paths).filter(
+        filtered = _load_table_files(spark, meta, paths, root).filter(
             F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
         )
         if stats_cols is None:
@@ -1140,7 +1198,7 @@ def replace_where_manifest(
     stats_cols = sorted(set(_table_stats_cols(meta)) | {col})
     if to_rewrite:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
-        survivors = _load_table_files(spark, meta, paths).filter(
+        survivors = _load_table_files(spark, meta, paths, root).filter(
             F.coalesce(~c.between(F.lit(lo), F.lit(hi)), F.lit(True))
         )
         new_entries.extend(
@@ -1311,7 +1369,7 @@ def compact_manifest(
             "clustered": 0,
         }
     paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
-    packed = _load_table_files(spark, meta, paths)
+    packed = _load_table_files(spark, meta, paths, root)
     if not meta.get("bucketing"):
         total = sum(e["bytes"] for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
@@ -1496,11 +1554,41 @@ def read_manifest_changes(
                 )
             return spark.createDataFrame([], schema)
         return _load_table_files(
-            spark, meta, [f"{_data_dir(root)}/{n}" for n in sorted(names)]
+            spark,
+            meta,
+            [f"{_data_dir(root)}/{n}" for n in sorted(names)],
+            root,
         )
 
-    removed = _side(meta_from, names_from - names_to)
-    added = _side(meta_to, names_to - names_from)
+    # a DV delete (X143) changes VISIBLE rows while the file set stays
+    # identical — invisible to the name diff above. Files whose DV
+    # positions differ between the versions are changed files: diff
+    # them on both sides (each side reads through its own version's DV
+    # via _load_table_files, so the key-diff emits the deletions and
+    # carried rows cancel). Sidecars are deleted-position-sized; the
+    # collect is the DV-affected file-name set.
+    dv_from = (meta_from.get("dv") or {}).get("sidecar")
+    dv_to = (meta_to.get("dv") or {}).get("sidecar")
+    dv_extra: set[str] = set()
+    if dv_from != dv_to:
+        def _dv_df(sc: str | None):
+            return (
+                spark.read.parquet(f"{_stats_dir(root)}/{sc}")
+                if sc
+                else None
+            )
+
+        a, b = _dv_df(dv_from), _dv_df(dv_to)
+        diff = (
+            a.exceptAll(b).unionByName(b.exceptAll(a))
+            if a is not None and b is not None
+            else (a if b is None else b)
+        )
+        dv_extra = {
+            r[0] for r in diff.select("file").distinct().collect()
+        } & (names_from & names_to)
+    removed = _side(meta_from, (names_from - names_to) | dv_extra)
+    added = _side(meta_to, (names_to - names_from) | dv_extra)
     if compare_cols is None:
         compare_cols = [
             c
@@ -1740,6 +1828,13 @@ def describe_manifest(
         "txns": dict(meta.get("txns") or {}),
         "constraints": _table_constraints(meta),
         "n_columns": len(schema.fields) if schema is not None else None,
+        # merge-on-read state: sidecar row count = deleted positions
+        # outstanding (the purge_deletion_vectors trigger)
+        "dv": (
+            {"rows": int(meta["dv"].get("rows") or 0)}
+            if meta.get("dv")
+            else None
+        ),
     }
 
 
@@ -1825,6 +1920,11 @@ def vacuum_manifest(
         for b in _bloom_indexes(meta).values():
             if b.get("sidecar"):
                 ref_stats.add(b["sidecar"])
+        # the DV sidecar is load-bearing for its version's READS —
+        # losing it resurrects deleted rows in every retained version
+        # that references it
+        if (meta.get("dv") or {}).get("sidecar"):
+            ref_stats.add(meta["dv"]["sidecar"])
         ref_segs |= {s["name"] for s in meta.get("segments") or []}
     mdel = 0
     for v in known:
@@ -2126,6 +2226,7 @@ def publish_files_wap(
         spark,
         staged_meta,
         [f"{_data_dir(root)}/{e['name']}" for e in cand_entries],
+        root,
     )
     try:
         verdict = bool(audit(candidate))
@@ -2295,7 +2396,7 @@ def merge_upsert_manifest(
     parts = [inc.drop(_BUCKET)]
     if old_touched:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
-        parts.append(_load_table_files(spark, meta, paths))
+        parts.append(_load_table_files(spark, meta, paths, root))
     merged = parts[0]
     for p in parts[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
@@ -2402,7 +2503,7 @@ def delete_keys_manifest(
     stats_cols = _table_stats_cols(meta) or None
     if old_touched:
         paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
-        survivors = _load_table_files(spark, meta, paths).join(
+        survivors = _load_table_files(spark, meta, paths, root).join(
             F.broadcast(dk.drop(_BUCKET)), keys, "left_anti"
         )
         new_entries = _stage_bucketed(
@@ -2430,6 +2531,264 @@ def delete_keys_manifest(
         "touched_buckets": len(touched),
         "carried_files": len(carried),
         "rewritten_files": len(new_entries),
+        "version": v,
+    }
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    ranges: dict[str, tuple] | None = None,
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Merge-on-read DELETE via deletion vectors (X143) — the Delta DV /
+    Iceberg positional-delete shape: rows matching ``predicate`` (a SQL
+    expression over table columns) are deleted by recording their
+    (file, row-position) pairs in a parquet sidecar; **no data file is
+    rewritten**. At 100 TB this is the difference between a GDPR delete
+    of 100 rows costing a metadata commit + a tiny sidecar vs rewriting
+    the gigabyte files that contain them (copy-on-write, what
+    ``delete_keys_manifest`` does). Every read path applies the DV
+    centrally in ``_load_table_files`` (broadcast anti-join on
+    ``_metadata.file_name``/``row_index``), so time travel still sees
+    pre-delete versions, CDF slices see the delete as row-level change,
+    and maintenance rewrites materialize deletes physically.
+    ``purge_deletion_vectors`` retires the sidecar when read-side join
+    cost should be traded back for a one-time rewrite.
+
+    ``ranges`` ({col: (lo, hi)}) prunes the matching SCAN with the
+    per-file stats (``_range_keep_files``), so a clustered table's
+    point/day delete scans O(matching files), not O(table). It is a
+    scan bound, not a predicate: files outside it are untouched even
+    if rows in them match, and straddling files are scanned WHOLE — a
+    caller wanting exactness against the full table must make
+    ``ranges`` cover the predicate's support (and/or embed the bound
+    in the predicate), the same covering contract as
+    ``replace_where_manifest``. The new sidecar is the full current DV state: prior live
+    rows (pruned of dead file names) plus the new matches, so each
+    version references exactly ONE sidecar and time travel never unions
+    history. Matches are computed on the DV-APPLIED read — re-deleting
+    the same predicate reports 0 new rows. ``txn_id`` gives replay
+    idempotence like ``append_files``. Parquet-only (``row_index`` is
+    a parquet metadata column). Returns ``{"deleted_rows",
+    "files_touched", "dv_rows", "version"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    if fmt != "parquet":
+        raise ValueError(
+            f"delete_where_dv requires a parquet table (got {fmt!r}): "
+            "row positions come from the parquet _metadata.row_index "
+            "column — use delete_keys_manifest / retention_delete for "
+            "other formats"
+        )
+    txns = dict(meta.get("txns") or {})
+    old_dv = meta.get("dv")
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "deleted_rows": 0,
+                "files_touched": 0,
+                "dv_rows": int((old_dv or {}).get("rows") or 0),
+                "version": committed[-1],
+            }
+        txns[app] = n
+    entries = _manifest_entries(fs, root, meta)
+    live = [e["name"] for e in entries]
+    cand = set(live)
+    if ranges:
+        for col, (lo, hi) in ranges.items():
+            cand &= _range_keep_files(
+                spark, root, meta, entries, col, lo, hi
+            )
+    prev = (
+        spark.read.parquet(f"{_stats_dir(root)}/{old_dv['sidecar']}")
+        if old_dv
+        else None
+    )
+    matched = files_touched = 0
+    hits = None
+    if cand:
+        reader = spark.read.format(fmt)
+        schema = _recorded_schema(meta)
+        if schema is not None:
+            reader = reader.schema(schema)
+        raw = reader.load([f"{_data_dir(root)}/{n}" for n in sorted(cand)])
+        base = raw.select(
+            "*",
+            F.col("_metadata.file_name").alias("__dv_file"),
+            F.col("_metadata.row_index").cast("bigint").alias("__dv_pos"),
+        )
+        if prev is not None:
+            # already-deleted rows are not new matches
+            base = base.join(
+                F.broadcast(
+                    prev.select(
+                        F.col("file").alias("__dv_file"),
+                        F.col("pos").alias("__dv_pos"),
+                    )
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        hits = (
+            base.filter(F.expr(predicate))
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            .localCheckpoint(eager=True)  # deleted positions: small by
+            # the DV contract; scanned once, then counted + written
+        )
+        matched = hits.count()
+        files_touched = hits.select("file").distinct().count()
+    if matched == 0 and txn_id is None:
+        # nothing to record and no watermark to advance — no version
+        return {
+            "deleted_rows": 0,
+            "files_touched": 0,
+            "dv_rows": int((old_dv or {}).get("rows") or 0),
+            "version": committed[-1],
+        }
+    new_dv = old_dv
+    if matched:
+        parts = [hits]
+        if prev is not None:
+            names_df = spark.createDataFrame(
+                [(n,) for n in live], "file string"
+            )
+            # rewriting the sidecar anyway: shed rows for dead names
+            parts.append(
+                prev.join(F.broadcast(names_df), "file", "left_semi")
+            )
+        state = parts[0] if len(parts) == 1 else parts[0].unionByName(
+            parts[1]
+        )
+        sidecar = f"dv-{uuid.uuid4().hex}"
+        state.coalesce(1).write.mode("overwrite").parquet(
+            f"{_stats_dir(root)}/{sidecar}"
+        )
+        n_rows = spark.read.parquet(
+            f"{_stats_dir(root)}/{sidecar}"
+        ).count()
+        new_dv = {"sidecar": sidecar, "rows": int(n_rows)}
+    ext = _carry_extensions(meta) or {}
+    if new_dv:
+        ext["dv"] = new_dv
+    # pure-metadata commit: all data files carried by reference
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    v = _commit(
+        spark,
+        root,
+        loose,
+        fmt,
+        expected_prev=committed[-1],
+        txns=txns,
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta) or None,
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext or None,
+        operation="DELETE_DV",
+    )
+    return {
+        "deleted_rows": int(matched),
+        "files_touched": int(files_touched),
+        "dv_rows": int((new_dv or {}).get("rows") or 0),
+        "version": v,
+    }
+
+
+def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
+    """Materialize and retire the table's deletion vectors — Delta's
+    ``REORG TABLE ... APPLY (PURGE)``: every live file with DV rows is
+    rewritten WITHOUT its deleted positions (the DV-applied
+    ``_load_table_files`` read feeds the rewrite), files without DV
+    rows carry by reference, and the new version drops the ``dv`` ref
+    entirely, so later reads pay no anti-join. The read-side DV join is
+    cheap but not free at 100 TB — run this when accumulated deletes
+    cross the read-amplification threshold, exactly the Delta guidance.
+    Bucketed tables re-stage through the bucket layout
+    (``_rewrite_entries``), preserving O(touched-buckets) merges.
+    Returns ``{"files_rewritten", "purged_files", "carried_files",
+    "version"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    entries = _manifest_entries(fs, root, meta)
+    dv = meta.get("dv")
+    if not dv:
+        return {
+            "files_rewritten": 0,
+            "purged_files": 0,
+            "carried_files": len(entries),
+            "version": committed[-1],
+        }
+    live = {e["name"] for e in entries}
+    dvdf = spark.read.parquet(f"{_stats_dir(root)}/{dv['sidecar']}")
+    # file-name-sized collect (the set of DV-affected files), same
+    # budget class as the skip-verdict collects
+    affected = sorted(
+        {r[0] for r in dvdf.select("file").distinct().collect()} & live
+    )
+    ext = _carry_extensions(meta) or {}
+    ext.pop("dv", None)
+    txns = dict(meta.get("txns") or {})
+    stats_cols = _table_stats_cols(meta) or None
+    if not affected:
+        # every DV row references a dead name — drop the ref, carry all
+        reused, loose = _plan_segment_reuse(fs, root, meta, set())
+        v = _commit(
+            spark, root, loose, fmt,
+            expected_prev=committed[-1],
+            txns=txns,
+            schema_json=meta.get("schema"),
+            stats_cols=stats_cols,
+            bucketing=meta.get("bucketing"),
+            reuse_segments=reused,
+            extra_meta=ext or None,
+            operation="PURGE_DV",
+        )
+        return {
+            "files_rewritten": 0,
+            "purged_files": 0,
+            "carried_files": len(entries),
+            "version": v,
+        }
+    paths = [f"{_data_dir(root)}/{n}" for n in affected]
+    survivors = _load_table_files(spark, meta, paths, root)
+    new_entries = _rewrite_entries(
+        spark, survivors, root, fmt, meta, stats_cols
+    )
+    changed = set(affected)
+    reused, loose = _plan_segment_reuse(fs, root, meta, changed)
+    loose_carried = [e for e in loose if e["name"] not in changed]
+    v = _commit(
+        spark,
+        root,
+        loose_carried + new_entries,
+        fmt,
+        expected_prev=committed[-1],
+        txns=txns,
+        schema_json=meta.get("schema"),
+        stats_cols=stats_cols,
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext or None,
+        operation="PURGE_DV",
+    )
+    return {
+        "files_rewritten": len(new_entries),
+        "purged_files": len(affected),
+        "carried_files": len(entries) - len(affected),
         "version": v,
     }
 
@@ -2569,7 +2928,7 @@ def read_manifest_pruned_multi(
             F.lit(False)
         ).filter(cond)
     df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep], root
     )
     return df.filter(cond)
 
@@ -2604,6 +2963,18 @@ def read_manifest_incremental(
     old_names = {e["name"] for e in _manifest_entries(fs, root, meta_from)}
     new_entries = _manifest_entries(fs, root, meta_to)
     new_names = {e["name"] for e in new_entries}
+    if (meta_from.get("dv") or {}).get("sidecar") != (
+        meta_to.get("dv") or {}
+    ).get("sidecar"):
+        # a DV delete removes VISIBLE rows without touching the file
+        # set — invisible to the file-identity diff, so it must refuse
+        # explicitly or the consumer silently misses the deletions
+        raise ValueError(
+            f"history between v{v_from} and v{v_to} is not append-only: "
+            "deletion vectors changed (delete_where_dv ran between the "
+            "versions) — an incremental read cannot represent row "
+            "deletions; reconcile with read_manifest_changes instead"
+        )
     removed = old_names - new_names
     if removed:
         raise ValueError(
@@ -2616,7 +2987,7 @@ def read_manifest_incremental(
     if not added:
         return read_manifest(spark, root, version=v_to).filter(F.lit(False))
     return _load_table_files(
-        spark, meta_to, [f"{_data_dir(root)}/{n}" for n in added]
+        spark, meta_to, [f"{_data_dir(root)}/{n}" for n in added], root
     )
 
 
@@ -2679,7 +3050,7 @@ def add_bloom_index(
     paths = [f"{_data_dir(root)}/{e['name']}" for e in entries]
     if not paths:
         raise FileNotFoundError(f"empty table at {root} — nothing to index")
-    df = _load_table_files(spark, meta, paths).select(
+    df = _load_table_files(spark, meta, paths, root).select(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
         F.col(col).alias("_v"),
     ).filter(F.col("_v").isNotNull())
@@ -2798,7 +3169,7 @@ def _bloom_lookup(
         )
         return empty.filter(pred), stats
     df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep]
+        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep], root
     )
     return df.filter(pred), stats
 

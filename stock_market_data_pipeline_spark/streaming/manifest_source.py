@@ -138,7 +138,18 @@ class ManifestStreamReader(DataSourceStreamReader):
             if v0 > 0
             else set()
         )
-        new = _entry_names(self._root, _load_meta(self._root, v1))
+        meta1 = _load_meta(self._root, v1)
+        new = _entry_names(self._root, meta1)
+        if meta1.get("dv") and not self._ignore_changes:
+            # the executor-side pyarrow reader streams RAW file
+            # contents — it cannot subtract deletion vectors, so a
+            # DV-carrying version would re-surface deleted rows
+            raise ValueError(
+                f"manifest_stream: v{v1} of {self._root} carries "
+                "deletion vectors (delete_where_dv) which a file-level "
+                "stream cannot apply — purge_deletion_vectors first, or "
+                "set ignoreChanges=true to stream raw file contents"
+            )
         removed = old - set(new)
         if removed and not self._ignore_changes:
             raise ValueError(

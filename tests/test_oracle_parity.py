@@ -21,30 +21,32 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-15 plan: 4 new rows (CDF
-    read, composed-prune flagship, cluster-compact read, the manifest
-    streaming source), then 3 code-touched re-certs (multi-column bloom
-    rewrite; scoped commit lock under plain commit and WAP promote),
-    then ALL 35 deferred r11 rows (staleness exactly 4 — the budget
-    edge, MANDATORY), then the 8 oldest r12 rows (the 42-row r12 wave
-    starts draining). The 34 remaining r12 rows sit at positions 50:84
-    — r16's mandatory front."""
+    rounds — SURVEY §2.10). Guard the round-15 plan: 5 new rows
+    (deletion vectors, CDF read, composed-prune flagship,
+    cluster-compact read, the manifest streaming source), then 3
+    code-touched re-certs (multi-column bloom rewrite; scoped commit
+    lock under plain commit and WAP promote), then ALL 35 deferred r11
+    rows (staleness exactly 4 — the budget edge, MANDATORY), then the
+    7 oldest r12 rows (the 42-row r12 wave starts draining). The 35
+    remaining r12 rows sit at positions 50:85 — r16's mandatory
+    front."""
     window = list(QUERIES)[:50]
     # round-15 additions — never driver-checked — at the very front
-    assert window[:4] == [
+    assert window[:5] == [
+        "dv_delete_equality",
         "cdf_read_equality",
         "composed_prune_fingerprint",
         "cluster_compact_read",
         "manifest_stream_read_equality",
     ]
     # code-touched re-certs (multi-col blooms; hold_commit_scope)
-    assert window[4:7] == [
+    assert window[5:8] == [
         "bloom_point_lookup",
         "merge_manifest_state",
         "wap_publish_equality",
     ]
     # ALL 35 deferred r11 rows (the r14 verdict's designated r15 front)
-    assert window[7:42] == [
+    assert window[8:43] == [
         "quantize_embeddings",
         "user_set_ops",
         "multimodal_audio_features",
@@ -81,8 +83,8 @@ def test_driver_window_composition():
         "token_counts",
         "text_quality",
     ]
-    # the 8 oldest r12-green rows (r12 cohort due in full by r16)
-    assert window[42:50] == [
+    # the 7 oldest r12-green rows (r12 cohort due in full by r16)
+    assert window[43:50] == [
         "supplier_late_blame",
         "lang_id",
         "doc_fingerprint",
@@ -90,11 +92,11 @@ def test_driver_window_composition():
         "ngram_jaccard_pairs",
         "simhash_neardup_pairs",
         "cosine_topk_vectorized",
-        "lsh_cosine_topk",
     ]
-    # the 34 remaining r12 rows are the tail front — r16's mandatory
+    # the 35 remaining r12 rows are the tail front — r16's mandatory
     # front (they hit the 4-round budget edge at r16)
-    assert list(QUERIES)[50:84] == [
+    assert list(QUERIES)[50:85] == [
+        "lsh_cosine_topk",
         "ivf_cosine_topk",
         "multimodal_content_dedup",
         "rolling_frames",
