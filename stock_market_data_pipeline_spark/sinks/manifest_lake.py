@@ -1314,6 +1314,8 @@ def compact_manifest(
     fmt: str = "parquet",
     max_stats_sidecars: int = 32,
     cluster_cols: list[str] | None = None,
+    zorder: bool = False,
+    zorder_bits: int = 12,
 ) -> dict[str, int]:
     """Bin-pack ONLY the undersized files (< half the target) into
     target-sized files; right-sized files are carried by reference. The
@@ -1330,7 +1332,14 @@ def compact_manifest(
     to the manifest format): the packed rows range-repartition + sort on
     the given columns, so the rewritten files carry tight, disjoint
     per-file stats and every later ``read_manifest_pruned`` range scan
-    skips the non-overlapping ones. Micro-batch ingestion appends
+    skips the non-overlapping ones. With ``zorder=True`` and ≥2
+    cluster columns the sort key becomes their Morton code
+    (``operators/zorder.py``, X144 — Delta's multi-dimensional ZORDER
+    proper): each rewritten file bounds a small rectangle of the value
+    space, so selective range scans on ANY single cluster column — not
+    just the first — skip most files; ``zorder_bits`` bins each
+    dimension (k·bits ≤ 63). A lexicographic multi-column sort remains
+    the right call when one column dominates the filters. Micro-batch ingestion appends
     arrival-ordered files whose ranges all overlap (nothing prunes);
     compaction is exactly the moment the table already pays a rewrite,
     so clustering there is free ordering. Refused on bucketed tables —
@@ -1373,7 +1382,29 @@ def compact_manifest(
     if not meta.get("bucketing"):
         total = sum(e["bytes"] for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
-        if cluster_cols:
+        if cluster_cols and zorder and len(cluster_cols) >= 2:
+            # Delta's OPTIMIZE ZORDER BY proper: interleave the
+            # dimensions' bits into a Morton code and range-sort on it,
+            # so the rewritten files carry tight per-file stats on
+            # EVERY cluster column — a lexicographic sort gives tight
+            # stats only on the first. The bounds pass inside
+            # with_zvalue_n is one tiny aggregate over the packed
+            # subset; the code itself is pure shift/mask projection
+            # (whole-stage codegen).
+            from stock_market_data_pipeline_spark.operators.zorder import (
+                with_zvalue_n,
+            )
+
+            packed = (
+                with_zvalue_n(
+                    packed, cluster_cols, bits=zorder_bits,
+                    out_col="__zval",
+                )
+                .repartitionByRange(n_out, F.col("__zval"))
+                .sortWithinPartitions("__zval")
+                .drop("__zval")
+            )
+        elif cluster_cols:
             cols = [F.col(c) for c in cluster_cols]
             packed = packed.repartitionByRange(
                 n_out, *cols

@@ -2655,3 +2655,68 @@ def test_manifest_history_and_timestamp_as_of(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in rows_v1.collect()] == [(1, "a")]
     with pytest.raises(ValueError, match="predates"):
         manifest_version_as_of(spark, root, t_after_v1 - 10_000_000)
+
+
+def test_compact_zorder_prunes_on_every_cluster_column(spark, tmp_path):
+    """X144 Z-ORDER clustering compaction: a lexicographic [x, y] sort
+    gives tight per-file stats on x only — a y-range scan opens every
+    file; the Morton-code sort (zorder=True) bounds each rewritten file
+    to a rectangle of the (x, y) space, so selective range scans on
+    EITHER column skip files. Same rows under all layouts."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+        read_manifest_pruned,
+    )
+
+    grid = spark.range(64 * 64).selectExpr(
+        "id % 64 as x",
+        "cast(id / 64 as long) as y",
+        "repeat('p', 32) as pad",
+    )
+    def build(root, **kw):
+        # 24 arrival-ordered files: every file straddles both dims
+        publish_files(
+            spark, grid.repartition(24), root, stats_cols=["x", "y"]
+        )
+        total = sum(e["bytes"] for e in manifest_files(spark, root))
+        res = compact_manifest(
+            spark, root, target_file_bytes=max(total // 8, 2),
+            cluster_cols=["x", "y"], **kw,
+        )
+        assert res["compacted"] == 24
+        assert res["files_written"] >= 6
+        return res["files_written"]
+
+    lex_root, z_root = str(tmp_path / "lex"), str(tmp_path / "z")
+    n_lex = build(lex_root)
+    n_z = build(z_root, zorder=True)
+
+    def files_and_rows(root, col, lo, hi):
+        df = read_manifest_pruned(spark, root, col, lo, hi)
+        return len(df.inputFiles()), {(r["x"], r["y"]) for r in df.collect()}
+
+    # x-range: both layouts prune (lexicographic is tightest on x)
+    fx_lex, rx_lex = files_and_rows(lex_root, "x", 0, 7)
+    fx_z, rx_z = files_and_rows(z_root, "x", 0, 7)
+    assert rx_lex == rx_z
+    assert fx_lex < n_lex and fx_z < n_z
+    # y-range: lexicographic skips NOTHING (every file spans all y);
+    # z-order skips most files — the multi-dimensional payoff
+    fy_lex, ry_lex = files_and_rows(lex_root, "y", 0, 7)
+    fy_z, ry_z = files_and_rows(z_root, "y", 0, 7)
+    assert ry_lex == ry_z
+    assert fy_lex == n_lex  # the 1-D layout's blind spot
+    assert fy_z * 2 <= n_z  # z-order opens at most half
+    # zorder needs >=2 cluster cols to differ from the plain sort: with
+    # one column it falls back to the lexicographic (identical) layout
+    one_root = str(tmp_path / "one")
+    publish_files(
+        spark, grid.repartition(12), one_root, stats_cols=["x"]
+    )
+    total = sum(e["bytes"] for e in manifest_files(spark, one_root))
+    res = compact_manifest(
+        spark, one_root, target_file_bytes=max(total // 3, 2),
+        cluster_cols=["x"], zorder=True,
+    )
+    assert res["compacted"] == 12
+    assert res["clustered"] == res["files_written"] >= 2
