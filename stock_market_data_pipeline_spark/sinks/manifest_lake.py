@@ -2645,28 +2645,7 @@ def delete_where_dv(
     matched = files_touched = 0
     hits = None
     if cand:
-        reader = spark.read.format(fmt)
-        schema = _recorded_schema(meta)
-        if schema is not None:
-            reader = reader.schema(schema)
-        raw = reader.load([f"{_data_dir(root)}/{n}" for n in sorted(cand)])
-        base = raw.select(
-            "*",
-            F.col("_metadata.file_name").alias("__dv_file"),
-            F.col("_metadata.row_index").cast("bigint").alias("__dv_pos"),
-        )
-        if prev is not None:
-            # already-deleted rows are not new matches
-            base = base.join(
-                F.broadcast(
-                    prev.select(
-                        F.col("file").alias("__dv_file"),
-                        F.col("pos").alias("__dv_pos"),
-                    )
-                ),
-                ["__dv_file", "__dv_pos"],
-                "left_anti",
-            )
+        base = _dv_candidate_base(spark, meta, root, sorted(cand), prev)
         hits = (
             base.filter(F.expr(predicate))
             .select(
@@ -2678,6 +2657,66 @@ def delete_where_dv(
         )
         matched = hits.count()
         files_touched = hits.select("file").distinct().count()
+    return _commit_dv_state(
+        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        hits, matched, files_touched, txn_id,
+    )
+
+
+def _dv_candidate_base(
+    spark: SparkSession,
+    meta: dict,
+    root: str,
+    names: list[str],
+    prev: DataFrame | None,
+):
+    """The DV-delete scan frame: candidate files loaded through the
+    recorded schema with ``__dv_file``/``__dv_pos`` position columns,
+    minus positions already in the previous DV (already-deleted rows
+    are never new matches)."""
+    reader = spark.read.format(meta.get("fmt", "parquet"))
+    schema = _recorded_schema(meta)
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.load([f"{_data_dir(root)}/{n}" for n in names])
+    base = raw.select(
+        "*",
+        F.col("_metadata.file_name").alias("__dv_file"),
+        F.col("_metadata.row_index").cast("bigint").alias("__dv_pos"),
+    )
+    if prev is not None:
+        base = base.join(
+            F.broadcast(
+                prev.select(
+                    F.col("file").alias("__dv_file"),
+                    F.col("pos").alias("__dv_pos"),
+                )
+            ),
+            ["__dv_file", "__dv_pos"],
+            "left_anti",
+        )
+    return base
+
+
+def _commit_dv_state(
+    spark: SparkSession,
+    fs: _HadoopFS,
+    root: str,
+    meta: dict,
+    committed: list[int],
+    fmt: str,
+    txns: dict[str, int],
+    old_dv: dict | None,
+    prev: DataFrame | None,
+    live: list[str],
+    hits: DataFrame | None,
+    matched: int,
+    files_touched: int,
+    txn_id: tuple[str, int] | None,
+) -> dict[str, int]:
+    """Write the new full-state DV sidecar (prior live rows pruned of
+    dead names ∪ new hits) and commit it pure-metadata — the shared
+    tail of ``delete_where_dv`` and ``delete_keys_dv``."""
     if matched == 0 and txn_id is None:
         # nothing to record and no watermark to advance — no version
         return {
@@ -2733,6 +2772,98 @@ def delete_where_dv(
         "dv_rows": int((new_dv or {}).get("rows") or 0),
         "version": v,
     }
+
+
+def delete_keys_dv(
+    spark: SparkSession,
+    delete_keys: DataFrame,
+    root: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Keyed merge-on-read DELETE — ``delete_keys_manifest``'s GDPR
+    primitive at deletion-vector cost: the key set maps to buckets by
+    the table's recorded hash layout, ONLY those buckets' files are
+    scanned for positions, and the matches land in the DV sidecar as a
+    pure-metadata commit — no bucket file is rewritten. At 100 TB a
+    right-to-erasure batch of 100 users touches a handful of bucket
+    files under copy-on-write; under DV it touches none (physical
+    erasure completes at ``purge_deletion_vectors`` + vacuum, the same
+    two-step contract as the copy-on-write path — run the purge on the
+    erasure deadline, not per request). Same bucketed-table
+    requirement, broadcast-delete-batch contract, and ``txn_id``
+    replay semantics as ``delete_keys_manifest``. Returns
+    ``{"deleted_rows", "files_touched", "dv_rows", "version"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    _, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    if fmt != "parquet":
+        raise ValueError(
+            f"delete_keys_dv requires a parquet table (got {fmt!r}): "
+            "row positions come from the parquet _metadata.row_index "
+            "column — use delete_keys_manifest for other formats"
+        )
+    bk = meta.get("bucketing")
+    if not bk or list(bk["keys"]) != list(keys) or int(bk["n_buckets"]) != n_buckets:
+        raise ValueError(
+            f"table at {root} is bucketed as {bk}; delete_keys_dv "
+            f"called with keys={keys} n_buckets={n_buckets} — keyed "
+            "deletes ride the bucket layout (build the table via "
+            "merge_upsert_manifest)"
+        )
+    txns = dict(meta.get("txns") or {})
+    old_dv = meta.get("dv")
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "deleted_rows": 0,
+                "files_touched": 0,
+                "dv_rows": int((old_dv or {}).get("rows") or 0),
+                "version": committed[-1],
+            }
+        txns[app] = n
+    entries = _manifest_entries(fs, root, meta)
+    live = [e["name"] for e in entries]
+    dk = (
+        delete_keys.select(*keys)
+        .distinct()
+        .withColumn(_BUCKET, _bucket_expr(keys, n_buckets))
+        .localCheckpoint(eager=False)
+    )
+    touched = {r[0] for r in dk.select(_BUCKET).distinct().collect()}
+    cand = [
+        e["name"]
+        for e in entries
+        if e.get("bucket") is None or e["bucket"] in touched
+    ]
+    prev = (
+        spark.read.parquet(f"{_stats_dir(root)}/{old_dv['sidecar']}")
+        if old_dv
+        else None
+    )
+    matched = files_touched = 0
+    hits = None
+    if cand:
+        base = _dv_candidate_base(spark, meta, root, sorted(cand), prev)
+        hits = (
+            base.join(F.broadcast(dk.drop(_BUCKET)), keys, "left_semi")
+            .select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        matched = hits.count()
+        files_touched = hits.select("file").distinct().count()
+    return _commit_dv_state(
+        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        hits, matched, files_touched, txn_id,
+    )
 
 
 def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:

@@ -233,3 +233,63 @@ def test_dv_refused_on_csv_table(spark, tmp_path):
     publish_files(spark, _df(spark, 0, 10), root, fmt="csv")
     with pytest.raises(ValueError, match="parquet"):
         delete_where_dv(spark, root, "k = 1")
+
+
+def test_delete_keys_dv_merge_on_read(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_dv,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    merge_upsert_manifest(
+        spark, _df(spark, 0, 60), root, keys=["k"], order_col="g",
+        n_buckets=8,
+    )
+    before = {e["name"] for e in manifest_files(spark, root)}
+    dk = spark.createDataFrame([(3,), (41,), (59,)], "k long")
+    out = delete_keys_dv(spark, dk, root, keys=["k"], n_buckets=8)
+    assert out["deleted_rows"] == 3
+    # merge-on-read: zero bucket files rewritten
+    assert {e["name"] for e in manifest_files(spark, root)} == before
+    got = {r[0] for r in read_manifest(spark, root).select("k").collect()}
+    assert got == set(range(60)) - {3, 41, 59}
+    # re-deleting the same keys matches nothing and commits nothing
+    again = delete_keys_dv(spark, dk, root, keys=["k"], n_buckets=8)
+    assert again["deleted_rows"] == 0
+    assert again["version"] == out["version"]
+    # a later keyed MERGE re-inserts a DV-deleted key as a fresh row
+    # (the DV pins positions in OLD files; the rewrite of the touched
+    # bucket materializes the delete, then the new row lands)
+    merge_upsert_manifest(
+        spark,
+        spark.createDataFrame([(3, 99, "back")], "k long, g long, s string"),
+        root, keys=["k"], order_col="g", n_buckets=8,
+    )
+    row = read_manifest(spark, root).filter("k = 3").collect()
+    assert len(row) == 1 and row[0]["s"] == "back"
+    # layout mismatch refused
+    with pytest.raises(ValueError, match="bucketed"):
+        delete_keys_dv(spark, dk, root, keys=["k"], n_buckets=16)
+
+
+def test_delete_keys_dv_txn_replay(spark, tmp_path):
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_dv,
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    merge_upsert_manifest(
+        spark, _df(spark, 0, 20), root, keys=["k"], order_col="g",
+        n_buckets=4,
+    )
+    dk1 = spark.createDataFrame([(1,)], "k long")
+    out = delete_keys_dv(spark, dk1, root, keys=["k"], n_buckets=4,
+                         txn_id=("job", 1))
+    dk2 = spark.createDataFrame([(2,)], "k long")
+    replay = delete_keys_dv(spark, dk2, root, keys=["k"], n_buckets=4,
+                            txn_id=("job", 1))
+    assert replay["deleted_rows"] == 0
+    assert replay["version"] == out["version"]
+    assert read_manifest(spark, root).filter("k = 2").count() == 1
