@@ -142,6 +142,24 @@ def _stats_dir(root: str) -> str:
     return f"{root.rstrip('/')}/stats"
 
 
+def _local_path(root: str) -> str:
+    """Strip a ``file:`` scheme for os/pyarrow-level access (footer
+    inspection in ``purge_dropped_columns``); refuse remote schemes —
+    callers on object stores should run the purge where the driver can
+    read footers (or rewrite unconditionally)."""
+    import re as _re
+
+    if root.startswith("file://"):
+        return root[len("file://"):]
+    if root.startswith("file:"):
+        return root[len("file:"):]
+    if _re.match(r"^[a-z][a-z0-9+.-]*://", root):
+        raise ValueError(
+            f"footer inspection needs a local path; got {root!r}"
+        )
+    return root
+
+
 def _mf_name(v: int) -> str:
     return f"v{v:08d}.json"
 
@@ -793,10 +811,23 @@ def _evolved_schema_json(meta: dict, df: DataFrame) -> str:
     if old is None:
         return df.schema.json()
     by_name = {f.name: f for f in old.fields}
+    tombstones = set((meta or {}).get("dropped_cols") or [])
     out = list(old.fields)
     for f in df.schema.fields:
         g = by_name.get(f.name)
         if g is None:
+            if f.name in tombstones:
+                # re-adding a dropped name would RESURRECT the column's
+                # old values in every pre-drop file (parquet by-name
+                # projection) — the Delta hazard column mapping exists
+                # to prevent; without physical ids the honest contract
+                # is a tombstone until the bytes are gone
+                raise ValueError(
+                    f"column {f.name!r} was dropped from this table and "
+                    "its values still exist physically in pre-drop "
+                    "files — re-adding the name would resurrect them; "
+                    "run purge_dropped_columns first or pick a new name"
+                )
             out.append(f)
         elif g.dataType != f.dataType:
             raise ValueError(
@@ -947,6 +978,13 @@ def _carry_extensions(meta: dict) -> dict | None:
     dv = meta.get("dv")
     if dv:
         out["dv"] = dv
+    dropped = meta.get("dropped_cols")
+    if dropped:
+        # resurrection tombstones (drop_column) ride every commit that
+        # keeps any pre-drop file alive; publish_files (full replace)
+        # intentionally sheds them — a replaced file set contains no
+        # pre-drop bytes, so the name is safe to reuse
+        out["dropped_cols"] = list(dropped)
     return out or None
 
 
@@ -1808,6 +1846,189 @@ def drop_table_constraint(
     )
 
 
+def drop_column(spark: SparkSession, root: str, col: str) -> int:
+    """``ALTER TABLE DROP COLUMN`` (X145) as a metadata-only commit: the
+    recorded schema loses the column, and since every read projects
+    files THROUGH the recorded schema (``_load_table_files``), the
+    column disappears from all reads instantly — no data file touched
+    at any table size. Time travel still shows it (prior versions keep
+    their schema).
+
+    The column's physical bytes survive in pre-drop files, which makes
+    the NAME unsafe: a later append carrying the same name would
+    resurrect the old values via parquet by-name projection (the hazard
+    Delta's column mapping assigns physical ids to avoid). So the drop
+    records a TOMBSTONE — schema evolution refuses the name until
+    ``purge_dropped_columns`` rewrites the bytes away (or a full
+    ``publish_files`` replace sheds every pre-drop file). The same
+    two-step logical-now/physical-later contract as DV deletes and the
+    GDPR story: a compliance-sensitive drop schedules the purge.
+
+    Refused when the column is a bucketing key (the layout hashes it),
+    is referenced by a CHECK constraint (drop the constraint first), or
+    is the last column. A Bloom index on the column is retired with it;
+    per-file stats for it stop being recorded. Returns the new
+    version."""
+    import re as _re
+
+    from pyspark.sql.types import StructType
+
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    schema = _recorded_schema(meta)
+    if schema is None:
+        raise ValueError(
+            f"table at {root} records no schema (pre-round-8 manifest?) "
+            "— cannot drop a column"
+        )
+    names = [f.name for f in schema.fields]
+    if col not in names:
+        raise KeyError(f"no column {col!r} in table schema {names}")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    bk = meta.get("bucketing")
+    if bk and col in list(bk["keys"]):
+        raise ValueError(
+            f"column {col!r} is a bucketing key of {bk} — the layout "
+            "hashes it; rebucket via merge/publish before dropping"
+        )
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    holders = sorted(
+        n for n, e in _table_constraints(meta).items() if pat.search(e)
+    )
+    if holders:
+        raise ValueError(
+            f"column {col!r} is referenced by CHECK constraint(s) "
+            f"{holders} — drop them first"
+        )
+    new_schema = StructType(
+        [f for f in schema.fields if f.name != col]
+    ).json()
+    ext = _carry_extensions(meta) or {}
+    blooms = dict(ext.get("blooms") or {})
+    if col in blooms:
+        del blooms[col]  # an index on a dropped column is dead weight
+        ext["blooms"] = blooms
+    dropped = set(ext.get("dropped_cols") or [])
+    dropped.add(col)
+    ext["dropped_cols"] = sorted(dropped)
+    stats_cols = [
+        c for c in _table_stats_cols(meta) if c != col
+    ] or None
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=new_schema,
+        stats_cols=stats_cols,
+        bucketing=bk,
+        reuse_segments=reused,
+        extra_meta=ext,
+        operation="DROP_COLUMN",
+    )
+
+
+def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
+    """Physically erase dropped columns' bytes and lift their
+    tombstones — the ``REORG``-style second step of ``drop_column``:
+    every live file whose parquet footer still carries a tombstoned
+    name is rewritten through the recorded schema (which excludes the
+    dropped columns — and applies any DVs), files already clean carry
+    by reference, and the new version clears ``dropped_cols`` so the
+    names become reusable. Footer inspection is a metadata-only
+    pyarrow read per live file (driver-side, O(files) — a maintenance
+    pass, not a hot path; files written after the drop are clean by
+    construction, so the rewrite set shrinks to the pre-drop
+    survivors). Parquet-footer inspection limits this to parquet
+    tables; other formats rewrite everything. Returns
+    ``{"files_rewritten", "carried_files", "version"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    entries = _manifest_entries(fs, root, meta)
+    dropped = set(meta.get("dropped_cols") or [])
+    if not dropped:
+        return {
+            "files_rewritten": 0,
+            "carried_files": len(entries),
+            "version": committed[-1],
+        }
+    dirty: list[str] = []
+    if fmt == "parquet":
+        import pyarrow.parquet as _pq
+
+        for e in entries:
+            try:
+                fields = set(
+                    _pq.read_schema(
+                        f"{_local_path(root)}/data/{e['name']}"
+                    ).names
+                )
+            except Exception:
+                dirty.append(e["name"])  # unreadable footer: rewrite
+                continue
+            if fields & dropped:
+                dirty.append(e["name"])
+    else:
+        dirty = [e["name"] for e in entries]
+    ext = _carry_extensions(meta) or {}
+    ext.pop("dropped_cols", None)
+    txns = dict(meta.get("txns") or {})
+    stats_cols = _table_stats_cols(meta) or None
+    if not dirty:
+        reused, loose = _plan_segment_reuse(fs, root, meta, set())
+        v = _commit(
+            spark, root, loose, fmt,
+            expected_prev=committed[-1],
+            txns=txns,
+            schema_json=meta.get("schema"),
+            stats_cols=stats_cols,
+            bucketing=meta.get("bucketing"),
+            reuse_segments=reused,
+            extra_meta=ext or None,
+            operation="PURGE_COLUMNS",
+        )
+        return {
+            "files_rewritten": 0,
+            "carried_files": len(entries),
+            "version": v,
+        }
+    paths = [f"{_data_dir(root)}/{n}" for n in dirty]
+    cleaned = _load_table_files(spark, meta, paths, root)
+    new_entries = _rewrite_entries(
+        spark, cleaned, root, fmt, meta, stats_cols
+    )
+    changed = set(dirty)
+    reused, loose = _plan_segment_reuse(fs, root, meta, changed)
+    loose_carried = [e for e in loose if e["name"] not in changed]
+    v = _commit(
+        spark,
+        root,
+        loose_carried + new_entries,
+        fmt,
+        expected_prev=committed[-1],
+        txns=txns,
+        schema_json=meta.get("schema"),
+        stats_cols=stats_cols,
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext or None,
+        operation="PURGE_COLUMNS",
+    )
+    return {
+        "files_rewritten": len(new_entries),
+        "carried_files": len(entries) - len(dirty),
+        "version": v,
+    }
+
+
 def describe_manifest(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict[str, Any]:
@@ -1866,6 +2087,9 @@ def describe_manifest(
             if meta.get("dv")
             else None
         ),
+        # resurrection tombstones outstanding (the
+        # purge_dropped_columns trigger)
+        "dropped_cols": sorted(meta.get("dropped_cols") or []),
     }
 
 
