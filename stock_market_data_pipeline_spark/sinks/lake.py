@@ -293,8 +293,9 @@ class _HadoopFS:
 
     def __init__(self, spark: SparkSession, path: str) -> None:
         self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
         self._jpath = self._jvm.org.apache.hadoop.fs.Path(path)
-        self.fs = self._jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        self.fs = self._jpath.getFileSystem(self._conf)
 
     def path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -324,6 +325,17 @@ class _HadoopFS:
 
     def delete(self, p: str) -> None:
         self.fs.delete(self.path(p), True)
+
+    def copy_to(self, src: str, dst_fs: "_HadoopFS", dst: str) -> None:
+        """Recursive copy via Hadoop ``FileUtil.copy`` (works across
+        filesystems). Used for METADATA-SIZED artifacts only — sidecar
+        copies in shallow clones — never for data files."""
+        ok = self._jvm.org.apache.hadoop.fs.FileUtil.copy(
+            self.fs, self.path(src), dst_fs.fs, dst_fs.path(dst),
+            False, True, self._conf,
+        )
+        if not ok:
+            raise IOError(f"copy {src} -> {dst} failed")
 
     def read_text(self, p: str) -> str:
         stream = self.fs.open(self.path(p))

@@ -200,6 +200,23 @@ def _entry_groups(
     return groups
 
 
+def _entry_paths(root: str, entries: list[dict]) -> dict[str, str]:
+    """name → full data path for every entry, honoring the optional
+    per-entry ``base`` a SHALLOW CLONE records (X146): a cloned entry's
+    bytes live in the SOURCE table's data dir, everything written after
+    the clone lives in this table's own. Every read-side path
+    construction must come through here — an f-string on
+    ``_data_dir(root)`` would break clones."""
+    d = _data_dir(root)
+    return {
+        e["name"]: (
+            f"{e['base']}/{e['name']}" if e.get("base")
+            else f"{d}/{e['name']}"
+        )
+        for e in entries
+    }
+
+
 def _manifest_entries(fs: _HadoopFS, root: str, meta: dict) -> list[dict]:
     """All file entries of a version, inline + segment-resident."""
     return [e for _, ents in _entry_groups(fs, root, meta) for e in ents]
@@ -853,10 +870,8 @@ def read_manifest(
     empty table is a normal state, not an error (round-8 review)."""
     fs = _HadoopFS(spark, root)
     _, meta = _resolve_manifest(fs, root, version)
-    paths = [
-        f"{_data_dir(root)}/{e['name']}"
-        for e in _manifest_entries(fs, root, meta)
-    ]
+    entries = _manifest_entries(fs, root, meta)
+    paths = list(_entry_paths(root, entries).values())
     if not paths:
         schema = _recorded_schema(meta)
         if schema is None:
@@ -1108,7 +1123,7 @@ def retention_delete(
     reused, loose = _plan_segment_reuse(fs, root, meta, changed)
     new_entries = [e for e in loose if e["name"] not in changed]
     if to_rewrite:
-        paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
+        paths = list(_entry_paths(root, to_rewrite).values())
         filtered = _load_table_files(spark, meta, paths, root).filter(
             F.coalesce(F.col(col) >= F.lit(cutoff), F.lit(True))
         )
@@ -1235,7 +1250,7 @@ def replace_where_manifest(
     new_entries = [e for e in loose if e["name"] not in changed]
     stats_cols = sorted(set(_table_stats_cols(meta)) | {col})
     if to_rewrite:
-        paths = [f"{_data_dir(root)}/{e['name']}" for e in to_rewrite]
+        paths = list(_entry_paths(root, to_rewrite).values())
         survivors = _load_table_files(spark, meta, paths, root).filter(
             F.coalesce(~c.between(F.lit(lo), F.lit(hi)), F.lit(True))
         )
@@ -1415,7 +1430,7 @@ def compact_manifest(
             "files_written": 0,
             "clustered": 0,
         }
-    paths = [f"{_data_dir(root)}/{e['name']}" for e in small]
+    paths = list(_entry_paths(root, small).values())
     packed = _load_table_files(spark, meta, paths, root)
     if not meta.get("bucketing"):
         total = sum(e["bytes"] for e in small)
@@ -1608,12 +1623,12 @@ def read_manifest_changes(
             f"read_manifest_changes: v_to ({v_to_r}) precedes v_from "
             f"({v_from_r})"
         )
-    names_from = {
-        e["name"] for e in _manifest_entries(fs, root, meta_from)
-    }
-    names_to = {e["name"] for e in _manifest_entries(fs, root, meta_to)}
+    ents_from = _manifest_entries(fs, root, meta_from)
+    ents_to = _manifest_entries(fs, root, meta_to)
+    names_from = {e["name"] for e in ents_from}
+    names_to = {e["name"] for e in ents_to}
 
-    def _side(meta: dict, names: set[str]) -> DataFrame:
+    def _side(meta: dict, ents: list[dict], names: set[str]) -> DataFrame:
         if not names:
             schema = _recorded_schema(meta)
             if schema is None:
@@ -1622,10 +1637,11 @@ def read_manifest_changes(
                     "type an empty changelog side"
                 )
             return spark.createDataFrame([], schema)
+        pm = _entry_paths(root, ents)
         return _load_table_files(
             spark,
             meta,
-            [f"{_data_dir(root)}/{n}" for n in sorted(names)],
+            [pm[n] for n in sorted(names)],
             root,
         )
 
@@ -1656,8 +1672,8 @@ def read_manifest_changes(
         dv_extra = {
             r[0] for r in diff.select("file").distinct().collect()
         } & (names_from & names_to)
-    removed = _side(meta_from, (names_from - names_to) | dv_extra)
-    added = _side(meta_to, (names_to - names_from) | dv_extra)
+    removed = _side(meta_from, ents_from, (names_from - names_to) | dv_extra)
+    added = _side(meta_to, ents_to, (names_to - names_from) | dv_extra)
     if compare_cols is None:
         compare_cols = [
             c
@@ -1698,6 +1714,88 @@ def read_manifest_changes(
             *[F.col(f"_e.img.{c}").alias(c) for c in cc],
             F.col("_e.ct").alias("change_type"),
         )
+    )
+
+
+def clone_manifest(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (X146, Delta ``CREATE TABLE ... SHALLOW CLONE``):
+    materialize ``src_root``'s table (at ``version``, default latest)
+    as a new independent table at ``dst_root`` WITHOUT copying a single
+    data file — entries are carried with a per-entry ``base`` pointing
+    at the source's data dir, so at 100 TB a full-table dev/test
+    snapshot costs one metadata commit plus the metadata-sized sidecar
+    copies. The clone then lives its own life: appends, merges, DV
+    deletes, compaction and schema changes land in ITS dirs and never
+    touch the source; maintenance rewrites naturally "hydrate" touched
+    files into the clone (rewritten entries lose their base), and a
+    full ``publish_files`` replace or whole-table compaction completes
+    the deep copy.
+
+    Stats, Bloom and DV sidecars ARE copied (``_HadoopFS.copy_to`` —
+    metadata-sized by construction): pruning keeps working and, more
+    importantly, the DV subtraction is correctness-critical — a clone
+    must not depend on the source's stats dir surviving vacuum. The
+    DATA-file caveat is Delta's, verbatim: ``vacuum_manifest`` on the
+    SOURCE deletes files a clone still references once the source's own
+    versions stop listing them — vacuum sources only when their clones
+    are gone or hydrated. Cloning a clone re-points at the ORIGINAL
+    base (no chains). Txn watermarks carry so replayed idempotent
+    appends stay no-ops on the clone. Returns the clone's version (1).
+    """
+    sfs = _HadoopFS(spark, src_root)
+    committed, _ = _list_manifests(sfs, src_root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {src_root}")
+    v, meta = _resolve_manifest(sfs, src_root, version)
+    dfs = _HadoopFS(spark, dst_root)
+    dcommitted, _ = _list_manifests(dfs, dst_root)
+    if dcommitted:
+        raise FileExistsError(
+            f"clone target {dst_root} already holds a committed table"
+        )
+    entries = _manifest_entries(sfs, src_root, meta)
+    src_data = _data_dir(src_root)
+    cloned: list[dict[str, Any]] = []
+    sidecars: set[str] = set()
+    for e in entries:
+        e2 = dict(e)
+        # a clone of a clone points at the ORIGINAL bytes, not a chain
+        e2["base"] = e.get("base") or src_data
+        cloned.append(e2)
+        if e2.get("stats_file"):
+            sidecars.add(e2["stats_file"])
+    for b in _bloom_indexes(meta).values():
+        if b.get("sidecar"):
+            sidecars.add(b["sidecar"])
+    if (meta.get("dv") or {}).get("sidecar"):
+        sidecars.add(meta["dv"]["sidecar"])
+    if sidecars:
+        dfs.fs.mkdirs(dfs.path(_stats_dir(dst_root)))
+        for name in sorted(sidecars):
+            sfs.copy_to(
+                f"{_stats_dir(src_root)}/{name}",
+                dfs,
+                f"{_stats_dir(dst_root)}/{name}",
+            )
+    ext = _carry_extensions(meta) or {}
+    ext["clone_of"] = {"root": src_root, "version": v}
+    return _commit(
+        spark,
+        dst_root,
+        cloned,
+        meta.get("fmt", "parquet"),
+        expected_prev=None,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta) or None,
+        bucketing=meta.get("bucketing"),
+        extra_meta=ext,
+        operation="CLONE",
     )
 
 
@@ -1968,7 +2066,7 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
             try:
                 fields = set(
                     _pq.read_schema(
-                        f"{_local_path(root)}/data/{e['name']}"
+                        _local_path(_entry_paths(root, [e])[e["name"]])
                     ).names
                 )
             except Exception:
@@ -2000,7 +2098,8 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
             "carried_files": len(entries),
             "version": v,
         }
-    paths = [f"{_data_dir(root)}/{n}" for n in dirty]
+    dirty_entries = [e for e in entries if e["name"] in set(dirty)]
+    paths = list(_entry_paths(root, dirty_entries).values())
     cleaned = _load_table_files(spark, meta, paths, root)
     new_entries = _rewrite_entries(
         spark, cleaned, root, fmt, meta, stats_cols
@@ -2090,6 +2189,10 @@ def describe_manifest(
         # resurrection tombstones outstanding (the
         # purge_dropped_columns trigger)
         "dropped_cols": sorted(meta.get("dropped_cols") or []),
+        # shallow-clone state: provenance (on the clone commit itself)
+        # and how many entries still reference another table's bytes
+        "clone_of": meta.get("clone_of"),
+        "external_files": sum(1 for e in entries if e.get("base")),
     }
 
 
@@ -2480,7 +2583,7 @@ def publish_files_wap(
     candidate = _load_table_files(
         spark,
         staged_meta,
-        [f"{_data_dir(root)}/{e['name']}" for e in cand_entries],
+        list(_entry_paths(root, cand_entries).values()),
         root,
     )
     try:
@@ -2650,7 +2753,7 @@ def merge_upsert_manifest(
             old_touched.append(e)
     parts = [inc.drop(_BUCKET)]
     if old_touched:
-        paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
+        paths = list(_entry_paths(root, old_touched).values())
         parts.append(_load_table_files(spark, meta, paths, root))
     merged = parts[0]
     for p in parts[1:]:
@@ -2757,7 +2860,7 @@ def delete_keys_manifest(
     new_entries: list[dict[str, Any]] = []
     stats_cols = _table_stats_cols(meta) or None
     if old_touched:
-        paths = [f"{_data_dir(root)}/{e['name']}" for e in old_touched]
+        paths = list(_entry_paths(root, old_touched).values())
         survivors = _load_table_files(spark, meta, paths, root).join(
             F.broadcast(dk.drop(_BUCKET)), keys, "left_anti"
         )
@@ -2869,7 +2972,10 @@ def delete_where_dv(
     matched = files_touched = 0
     hits = None
     if cand:
-        base = _dv_candidate_base(spark, meta, root, sorted(cand), prev)
+        pm = _entry_paths(root, entries)
+        base = _dv_candidate_base(
+            spark, meta, root, [pm[n] for n in sorted(cand)], prev
+        )
         hits = (
             base.filter(F.expr(predicate))
             .select(
@@ -2891,7 +2997,7 @@ def _dv_candidate_base(
     spark: SparkSession,
     meta: dict,
     root: str,
-    names: list[str],
+    paths: list[str],
     prev: DataFrame | None,
 ):
     """The DV-delete scan frame: candidate files loaded through the
@@ -2902,7 +3008,7 @@ def _dv_candidate_base(
     schema = _recorded_schema(meta)
     if schema is not None:
         reader = reader.schema(schema)
-    raw = reader.load([f"{_data_dir(root)}/{n}" for n in names])
+    raw = reader.load(paths)
     base = raw.select(
         "*",
         F.col("_metadata.file_name").alias("__dv_file"),
@@ -3073,7 +3179,10 @@ def delete_keys_dv(
     matched = files_touched = 0
     hits = None
     if cand:
-        base = _dv_candidate_base(spark, meta, root, sorted(cand), prev)
+        pm = _entry_paths(root, entries)
+        base = _dv_candidate_base(
+            spark, meta, root, [pm[n] for n in sorted(cand)], prev
+        )
         hits = (
             base.join(F.broadcast(dk.drop(_BUCKET)), keys, "left_semi")
             .select(
@@ -3149,7 +3258,8 @@ def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
             "carried_files": len(entries),
             "version": v,
         }
-    paths = [f"{_data_dir(root)}/{n}" for n in affected]
+    pm = _entry_paths(root, entries)
+    paths = [pm[n] for n in affected]
     survivors = _load_table_files(spark, meta, paths, root)
     new_entries = _rewrite_entries(
         spark, survivors, root, fmt, meta, stats_cols
@@ -3313,9 +3423,8 @@ def read_manifest_pruned_multi(
         return read_manifest(spark, root, version=version).filter(
             F.lit(False)
         ).filter(cond)
-    df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep], root
-    )
+    pm = _entry_paths(root, entries)
+    df = _load_table_files(spark, meta, [pm[n] for n in keep], root)
     return df.filter(cond)
 
 
@@ -3369,11 +3478,12 @@ def read_manifest_incremental(
             "or dropped — an incremental read would double-count or miss "
             "rows; reconcile with manifest_version_diff instead"
         )
+    pm = _entry_paths(root, new_entries)
     added = [e["name"] for e in new_entries if e["name"] not in old_names]
     if not added:
         return read_manifest(spark, root, version=v_to).filter(F.lit(False))
     return _load_table_files(
-        spark, meta_to, [f"{_data_dir(root)}/{n}" for n in added], root
+        spark, meta_to, [pm[n] for n in added], root
     )
 
 
@@ -3433,7 +3543,7 @@ def add_bloom_index(
     fs = _HadoopFS(spark, root)
     cur_v, meta = _resolve_manifest(fs, root, None)
     entries = _manifest_entries(fs, root, meta)
-    paths = [f"{_data_dir(root)}/{e['name']}" for e in entries]
+    paths = list(_entry_paths(root, entries).values())
     if not paths:
         raise FileNotFoundError(f"empty table at {root} — nothing to index")
     df = _load_table_files(spark, meta, paths, root).select(
@@ -3554,9 +3664,8 @@ def _bloom_lookup(
             F.lit(False)
         )
         return empty.filter(pred), stats
-    df = _load_table_files(
-        spark, meta, [f"{_data_dir(root)}/{n}" for n in keep], root
-    )
+    pm = _entry_paths(root, _manifest_entries(fs, root, meta))
+    df = _load_table_files(spark, meta, [pm[n] for n in keep], root)
     return df.filter(pred), stats
 
 

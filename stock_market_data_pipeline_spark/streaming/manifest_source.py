@@ -88,12 +88,16 @@ def _load_meta(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _entry_names(root: str, meta: dict) -> list[str]:
-    names = [e["name"] for e in (meta.get("files") or [])]
+def _entries(root: str, meta: dict) -> list[dict]:
+    ents = list(meta.get("files") or [])
     for ref in meta.get("segments") or []:
         with open(f"{root.rstrip('/')}/mf/seg/{ref['name']}") as fh:
-            names.extend(e["name"] for e in json.load(fh)["files"])
-    return names
+            ents.extend(json.load(fh)["files"])
+    return ents
+
+
+def _entry_names(root: str, meta: dict) -> list[str]:
+    return [e["name"] for e in _entries(root, meta)]
 
 
 @dataclass
@@ -139,7 +143,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             else set()
         )
         meta1 = _load_meta(self._root, v1)
-        new = _entry_names(self._root, meta1)
+        ents1 = _entries(self._root, meta1)
+        new = [e["name"] for e in ents1]
         if meta1.get("dv") and not self._ignore_changes:
             # the executor-side pyarrow reader streams RAW file
             # contents — it cannot subtract deletion vectors, so a
@@ -159,9 +164,19 @@ class ManifestStreamReader(DataSourceStreamReader):
                 "rows; run maintenance behind the stream's watermark or "
                 "set ignoreChanges=true to accept re-surfaced rows"
             )
+        # honor a shallow clone's per-entry base (the entry's bytes
+        # live in the SOURCE table's data dir)
         data = f"{self._root.rstrip('/')}/data"
+        paths = {
+            e["name"]: (
+                f"{_local(e['base'])}/{e['name']}"
+                if e.get("base")
+                else f"{data}/{e['name']}"
+            )
+            for e in ents1
+        }
         return [
-            _FilePartition(f"{data}/{n}", self._schema_bytes)
+            _FilePartition(paths[n], self._schema_bytes)
             for n in sorted(set(new) - old)
         ]
 
