@@ -726,6 +726,7 @@ def publish_files(
     if committed:
         _, meta = _resolve_manifest(fs, root, None)
         txns = dict(meta.get("txns") or {})
+    df = _apply_generated(df, meta, root)
     _enforce_constraints(df, meta, root)
     entries = _stage_files(spark, df, root, fmt, stats_cols)
     return _commit(
@@ -993,6 +994,9 @@ def _carry_extensions(meta: dict) -> dict | None:
     dv = meta.get("dv")
     if dv:
         out["dv"] = dv
+    gens = meta.get("generated_cols")
+    if gens:
+        out["generated_cols"] = dict(gens)
     dropped = meta.get("dropped_cols")
     if dropped:
         # resurrection tombstones (drop_column) ride every commit that
@@ -1004,8 +1008,18 @@ def _carry_extensions(meta: dict) -> dict | None:
 
 
 def _carry_constraints(meta: dict) -> dict | None:
+    """The TABLE-PROPERTY extensions that survive even a full replace:
+    CHECK constraints and generated-column rules (both Delta table
+    properties) — unlike data-scoped metadata (blooms, DV, drop
+    tombstones), which a replaced file set invalidates or sheds."""
+    out: dict[str, Any] = {}
     cons = _table_constraints(meta)
-    return {"constraints": cons} if cons else None
+    if cons:
+        out["constraints"] = cons
+    gens = meta.get("generated_cols")
+    if gens:
+        out["generated_cols"] = dict(gens)
+    return out or None
 
 
 class ConstraintViolationError(ValueError):
@@ -1046,6 +1060,137 @@ def _enforce_constraints(df: DataFrame, meta: dict, root: str) -> None:
             )
             + " — no version committed"
         )
+
+
+class GeneratedColumnViolationError(ValueError):
+    """A batch supplies a generated column whose values disagree with
+    the recorded generation expression. Refused BEFORE staging — Delta's
+    generated-column write contract: omit the column (the engine
+    computes it) or supply exactly the generated values."""
+
+
+def _apply_generated(df: DataFrame, meta: dict, root: str) -> DataFrame:
+    """Generated columns (X148, Delta ``GENERATED ALWAYS AS``) at the
+    write: recorded rules fill columns the batch OMITS (one projection,
+    whole-stage codegen) and validate columns it SUPPLIES (all rules in
+    ONE aggregate, ``eqNullSafe`` so NULL==NULL passes) — enforcement is
+    exactly once per row, at its write; maintenance rewrites carry rows
+    validated at their own writes, mirroring the CHECK-constraint
+    contract."""
+    gens = (meta or {}).get("generated_cols") or {}
+    if not gens:
+        return df
+    present = set(df.columns)
+    checks = {n: e for n, e in gens.items() if n in present}
+    if checks:
+        row = df.agg(
+            *[
+                F.sum(
+                    (~F.col(n).eqNullSafe(F.expr(e))).cast("long")
+                ).alias(n)
+                for n, e in sorted(checks.items())
+            ]
+        ).collect()[0]
+        bad = {n: int(row[n] or 0) for n in checks if row[n]}
+        if bad:
+            raise GeneratedColumnViolationError(
+                f"write to {root} supplies generated column(s) with "
+                "values disagreeing with their generation expression: "
+                + ", ".join(
+                    f"{n!r} ({bad[n]} rows != {gens[n]})"
+                    for n in sorted(bad)
+                )
+                + " — omit the column or supply the generated values"
+            )
+    for n, e in sorted(gens.items()):
+        if n not in present:
+            df = df.withColumn(n, F.expr(e))
+    return df
+
+
+def add_generated_column(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """Declare ``name`` as GENERATED ALWAYS AS ``expr`` (a SQL
+    expression over the table's other columns) — Delta's generated
+    columns as an ALTER: the column must already exist in the recorded
+    schema, the EXISTING rows are validated against the rule in one
+    aggregate pass (a rule history violates is refused, like
+    ``add_table_constraint``), and every later write either omits the
+    column (computed engine-side) or must supply matching values. The
+    canonical 100 TB use: ``day = CAST(ts AS DATE)`` derived once at
+    the write and recorded in per-file stats for pruning, instead of
+    recomputed in every query. Returns the new version."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    schema = _recorded_schema(meta)
+    if schema is None or name not in [f.name for f in schema.fields]:
+        raise KeyError(
+            f"no column {name!r} in table schema — generated columns "
+            "declare rules for EXISTING columns (append it first)"
+        )
+    gens = dict(meta.get("generated_cols") or {})
+    if name in gens:
+        raise ValueError(
+            f"column {name!r} already generated as {gens[name]} — drop "
+            "the rule first to replace"
+        )
+    _apply_generated(
+        read_manifest(spark, root),
+        {"generated_cols": {name: expr}},
+        root,
+    )
+    gens[name] = expr
+    ext = _carry_extensions(meta) or {}
+    ext["generated_cols"] = gens
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext,
+        operation="ADD_GENERATED",
+    )
+
+
+def drop_generated_column_rule(
+    spark: SparkSession, root: str, name: str
+) -> int:
+    """Remove the generation rule for ``name`` (the column and its data
+    stay) — the next version accepts arbitrary values for it."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    gens = dict(meta.get("generated_cols") or {})
+    if name not in gens:
+        raise KeyError(
+            f"table at {root} has no generated column {name!r} "
+            f"(recorded: {sorted(gens) or 'none'})"
+        )
+    del gens[name]
+    ext = _carry_extensions(meta) or {}
+    ext["generated_cols"] = gens  # possibly empty: records the drop
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext,
+        operation="DROP_GENERATED",
+    )
 
 
 def retention_delete(
@@ -1216,6 +1361,7 @@ def replace_where_manifest(
             f"{col} IN [{lo}, {hi}] (or have NULL {col}) — replaceWhere "
             "requires every inserted row to satisfy the predicate"
         )
+    df = _apply_generated(df, meta, root)
     _enforce_constraints(df, meta, root)
     file_stats = _load_stats(spark, root, all_entries)
     klo, khi = _stat_key(lo), _stat_key(hi)
@@ -1369,6 +1515,7 @@ def compact_manifest(
     cluster_cols: list[str] | None = None,
     zorder: bool = False,
     zorder_bits: int = 12,
+    where_ranges: dict[str, tuple] | None = None,
 ) -> dict[str, int]:
     """Bin-pack ONLY the undersized files (< half the target) into
     target-sized files; right-sized files are carried by reference. The
@@ -1408,6 +1555,13 @@ def compact_manifest(
     range-sorted files written, so a caller invoking this purely as
     clustering maintenance on a table of right-sized files gets an
     explicit ``clustered: 0`` instead of a silent no-op.
+
+    ``where_ranges`` ({col: (lo, hi)}) scopes the pack to files whose
+    recorded stats overlap every range — Delta's ``OPTIMIZE ... WHERE``:
+    a streaming table compacts YESTERDAY's accretion without touching
+    the year of already-packed history, so the maintenance bill tracks
+    the ingest rate, not the table size. Out-of-scope small files carry
+    untouched (stats-missing files are conservatively IN scope).
     """
     import math
 
@@ -1421,8 +1575,19 @@ def compact_manifest(
             "tables compact within buckets"
         )
     all_entries = _manifest_entries(fs, root, meta)
-    small = [e for e in all_entries if e["bytes"] < target_file_bytes // 2]
-    carried = [e for e in all_entries if e["bytes"] >= target_file_bytes // 2]
+    in_scope = {e["name"] for e in all_entries}
+    if where_ranges:
+        for col, (lo, hi) in where_ranges.items():
+            in_scope &= _range_keep_files(
+                spark, root, meta, all_entries, col, lo, hi
+            )
+    small = [
+        e
+        for e in all_entries
+        if e["bytes"] < target_file_bytes // 2 and e["name"] in in_scope
+    ]
+    small_names = {e["name"] for e in small}
+    carried = [e for e in all_entries if e["name"] not in small_names]
     if len(small) <= 1:
         return {
             "carried": len(all_entries),
@@ -1999,6 +2164,16 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
             f"column {col!r} is referenced by CHECK constraint(s) "
             f"{holders} — drop them first"
         )
+    gens = dict(meta.get("generated_cols") or {})
+    gen_refs = sorted(
+        n for n, e in gens.items() if n != col and pat.search(e)
+    )
+    if gen_refs:
+        raise ValueError(
+            f"column {col!r} feeds generated column(s) {gen_refs} — "
+            "drop their rules first"
+        )
+    gens.pop(col, None)  # the column's own rule retires with it
     new_schema = StructType(
         [f for f in schema.fields if f.name != col]
     ).json()
@@ -2010,6 +2185,7 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
     dropped = set(ext.get("dropped_cols") or [])
     dropped.add(col)
     ext["dropped_cols"] = sorted(dropped)
+    ext["generated_cols"] = gens  # possibly pruned of the dropped col
     stats_cols = [
         c for c in _table_stats_cols(meta) if c != col
     ] or None
@@ -2189,6 +2365,7 @@ def describe_manifest(
         # resurrection tombstones outstanding (the
         # purge_dropped_columns trigger)
         "dropped_cols": sorted(meta.get("dropped_cols") or []),
+        "generated_cols": dict(meta.get("generated_cols") or {}),
         # shallow-clone state: provenance (on the clone commit itself)
         # and how many entries still reference another table's bytes
         "clone_of": meta.get("clone_of"),
@@ -2399,6 +2576,7 @@ def append_files(
         # union-by-name evolution (type conflicts raise) BEFORE staging;
         # CHECK constraints re-read per attempt, so a constraint a rival
         # writer added mid-race still gates this batch
+        df = _apply_generated(df, meta, root)
         schema_json = _evolved_schema_json(meta, df)
         _enforce_constraints(df, meta, root)
         if staged is None:
@@ -2550,6 +2728,7 @@ def publish_files_wap(
             )
             return expected_prev
         txns[app] = n
+    df = _apply_generated(df, meta, root)
     schema_json = _evolved_schema_json(meta, df)
     # CHECK constraints gate WAP appends too — independently of the
     # caller's audit (constraints are the table's standing invariants;
@@ -2736,7 +2915,7 @@ def merge_upsert_manifest(
                 "rewritten_files": 0,
             }
         txns[app] = n
-    inc = incoming.withColumn(
+    inc = _apply_generated(incoming, meta, root).withColumn(
         _BUCKET, _bucket_expr(keys, n_buckets)
     ).localCheckpoint(eager=False)
     # CHECK constraints gate the incoming batch only — the carried/

@@ -2720,3 +2720,41 @@ def test_compact_zorder_prunes_on_every_cluster_column(spark, tmp_path):
     )
     assert res["compacted"] == 12
     assert res["clustered"] == res["files_written"] >= 2
+
+
+def test_compact_where_scopes_to_matching_files(spark, tmp_path):
+    """X147 scoped compaction (Delta OPTIMIZE ... WHERE): only small
+    files whose stats overlap the ranges pack; out-of-scope small files
+    carry untouched — the maintenance bill tracks the recent ingest,
+    not the table."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        compact_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    # day-1..4 history, one file per day (range-partitioned), then
+    # day-5 accretion as 6 tiny arrival files
+    publish_files(
+        spark,
+        _ts_df(spark, 1, 5, n_per_day=30).repartitionByRange(4, "ts"),
+        root,
+        stats_cols=["ts"],
+    )
+    hist = {e["name"] for e in manifest_files(spark, root)}
+    day5 = _ts_df(spark, 5, 6, n_per_day=30)
+    append_files(spark, day5.repartition(6), root)
+    lo, hi = dt.datetime(2026, 1, 5), dt.datetime(2026, 1, 5, 23, 59)
+    res = compact_manifest(
+        spark, root, target_file_bytes=1 << 30,
+        where_ranges={"ts": (lo, hi)},
+    )
+    # exactly the 6 day-5 files packed; the 4 history files are ALSO
+    # small vs the huge target but sit outside the scope and carry
+    assert res["compacted"] == 6
+    after = {e["name"] for e in manifest_files(spark, root)}
+    assert hist <= after
+    assert read_manifest(spark, root).count() == 150
+    # unscoped compaction would have packed everything
+    res2 = compact_manifest(spark, root, target_file_bytes=1 << 30)
+    assert res2["compacted"] >= 5
