@@ -727,6 +727,9 @@ def publish_files(
         _, meta = _resolve_manifest(fs, root, None)
         txns = dict(meta.get("txns") or {})
     df = _apply_generated(df, meta, root)
+    df, id_bumps = _apply_identity(df, meta, root)
+    if id_bumps:
+        _bump_identity(meta, id_bumps)
     _enforce_constraints(df, meta, root)
     entries = _stage_files(spark, df, root, fmt, stats_cols)
     return _commit(
@@ -997,6 +1000,9 @@ def _carry_extensions(meta: dict) -> dict | None:
     gens = meta.get("generated_cols")
     if gens:
         out["generated_cols"] = dict(gens)
+    ident = meta.get("identity")
+    if ident:
+        out["identity"] = {c: dict(v) for c, v in ident.items()}
     dropped = meta.get("dropped_cols")
     if dropped:
         # resurrection tombstones (drop_column) ride every commit that
@@ -1019,6 +1025,9 @@ def _carry_constraints(meta: dict) -> dict | None:
     gens = meta.get("generated_cols")
     if gens:
         out["generated_cols"] = dict(gens)
+    ident = meta.get("identity")
+    if ident:
+        out["identity"] = {c: dict(v) for c, v in ident.items()}
     return out or None
 
 
@@ -1193,6 +1202,156 @@ def drop_generated_column_rule(
     )
 
 
+class IdentityAssignmentError(ValueError):
+    """A batch supplies values for a GENERATED ALWAYS AS IDENTITY
+    column — the engine owns those values (Delta's ALWAYS contract).
+    Omit the column."""
+
+
+def _identity_state(meta: dict):
+    """JSON-comparable snapshot of the identity high-water marks (the
+    append auto-rebase conflict check)."""
+    ident = (meta or {}).get("identity") or {}
+    return tuple(sorted((c, int(v["next"])) for c, v in ident.items()))
+
+
+def _bump_identity(meta: dict, bumps: dict[str, int]) -> None:
+    for c, n in bumps.items():
+        meta["identity"][c]["next"] = (
+            int(meta["identity"][c]["next"])
+            + int(meta["identity"][c]["step"]) * n
+        )
+
+
+def _apply_identity(
+    df: DataFrame, meta: dict, root: str
+) -> tuple[DataFrame, dict[str, int]]:
+    """Identity columns (X149, Delta ``GENERATED ALWAYS AS IDENTITY``)
+    at the write: each recorded identity column the batch omits is
+    assigned contiguous values from the table's high-water mark with
+    ZERO extra shuffle — ``monotonically_increasing_id`` decomposes
+    into (partition, row-in-partition), per-partition counts are one
+    metadata-sized collect, and the value is ``next + step·(offset[pid]
+    + row)`` as a pure projection after a broadcast join on the tiny
+    offsets frame. The batch is localCheckpoint-ed first so the
+    partition layout (and therefore the assignment) is identical in
+    the counts job and the staging write. Returns the assigned frame
+    and {col: rows_assigned}; the caller bumps the mark into the SAME
+    commit (``_bump_identity`` mutates ``meta`` so the carry picks it
+    up) — value allocation and data are atomic. Supplying values for
+    an identity column raises (the ALWAYS contract)."""
+    ident = (meta or {}).get("identity") or {}
+    if not ident:
+        return df, {}
+    present = [c for c in ident if c in df.columns]
+    if present:
+        raise IdentityAssignmentError(
+            f"write to {root} supplies GENERATED ALWAYS AS IDENTITY "
+            f"column(s) {sorted(present)} — the engine assigns these; "
+            "omit them from the batch"
+        )
+    df = df.localCheckpoint(eager=True)
+    mid = F.monotonically_increasing_id()
+    tagged = df.select(
+        "*",
+        F.shiftrightunsigned(mid, 33).alias("__id_pid"),
+        mid.bitwiseAND(F.lit((1 << 33) - 1)).alias("__id_row"),
+    )
+    counts = sorted(
+        (r[0], r[1])
+        for r in tagged.groupBy("__id_pid").count().collect()
+    )
+    total = sum(c for _, c in counts)
+    bumps: dict[str, int] = {}
+    if total == 0:
+        return df, bumps
+    offs, acc = [], 0
+    for pid, cnt in counts:
+        offs.append((pid, acc))
+        acc += cnt
+    offdf = df.sparkSession.createDataFrame(
+        offs, "__id_pid long, __id_off long"
+    )
+    out = tagged.join(F.broadcast(offdf), "__id_pid")
+    ordinal = F.col("__id_off") + F.col("__id_row")
+    for c, spec in sorted(ident.items()):
+        out = out.withColumn(
+            c,
+            (
+                F.lit(int(spec["next"]))
+                + F.lit(int(spec["step"])) * ordinal
+            ).cast("bigint"),
+        )
+        bumps[c] = total
+    return out.drop("__id_pid", "__id_row"), bumps
+
+
+def add_identity_column(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    start: int = 1,
+    step: int = 1,
+) -> int:
+    """Declare ``col`` GENERATED ALWAYS AS IDENTITY (START WITH
+    ``start`` INCREMENT BY ``step``) — the surrogate-key generator for
+    append-style fact tables: every later insert that omits the column
+    receives engine-assigned values, contiguous within a batch and
+    unique across batches (the high-water mark travels IN the commit,
+    so allocation is atomic with the data and a lost commit race never
+    leaks a range). Declared on an EMPTY table with the column already
+    in the recorded schema (Delta's create-time semantics as an ALTER;
+    identity over existing rows would read NULL in pre-declaration
+    files). ``merge_upsert_manifest`` REFUSES identity tables —
+    last-writer-wins upserts would re-assign an entity's id on every
+    update, and Delta documents the same MERGE restriction. Returns
+    the new version."""
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    schema = _recorded_schema(meta)
+    names = [f.name for f in schema.fields] if schema is not None else []
+    if col not in names:
+        raise KeyError(
+            f"no column {col!r} in table schema {names} — add it to the "
+            "schema (publish an empty frame) before declaring identity"
+        )
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    ident = dict(meta.get("identity") or {})
+    if col in ident:
+        raise ValueError(
+            f"column {col!r} is already an identity column ({ident[col]})"
+        )
+    if col in (meta.get("generated_cols") or {}):
+        raise ValueError(
+            f"column {col!r} has a generated-column rule — a column is "
+            "either computed or identity, not both"
+        )
+    if read_manifest(spark, root).take(1):
+        raise ValueError(
+            f"table at {root} is not empty — identity declares before "
+            "the first insert (pre-declaration rows would read NULL)"
+        )
+    ident[col] = {"start": int(start), "step": int(step), "next": int(start)}
+    ext = _carry_extensions(meta) or {}
+    ext["identity"] = ident
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta),
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext,
+        operation="ADD_IDENTITY",
+    )
+
+
 def retention_delete(
     spark: SparkSession,
     root: str,
@@ -1362,6 +1521,9 @@ def replace_where_manifest(
             "requires every inserted row to satisfy the predicate"
         )
     df = _apply_generated(df, meta, root)
+    df, id_bumps = _apply_identity(df, meta, root)
+    if id_bumps:
+        _bump_identity(meta, id_bumps)
     _enforce_constraints(df, meta, root)
     file_stats = _load_stats(spark, root, all_entries)
     klo, khi = _stat_key(lo), _stat_key(hi)
@@ -2366,6 +2528,9 @@ def describe_manifest(
         # purge_dropped_columns trigger)
         "dropped_cols": sorted(meta.get("dropped_cols") or []),
         "generated_cols": dict(meta.get("generated_cols") or {}),
+        "identity": {
+            c: dict(v) for c, v in (meta.get("identity") or {}).items()
+        },
         # shallow-clone state: provenance (on the clone commit itself)
         # and how many entries still reference another table's bytes
         "clone_of": meta.get("clone_of"),
@@ -2552,6 +2717,8 @@ def append_files(
     fs = _HadoopFS(spark, root)
     staged: list[dict[str, Any]] | None = None
     staged_fmt: str | None = None
+    staged_ident: tuple = ()
+    id_bumps: dict[str, int] = {}
     for attempt in range(max_rebase_retries + 1):
         committed, _ = _list_manifests(fs, root)
         prev_inline: list[dict[str, Any]] = []
@@ -2577,6 +2744,24 @@ def append_files(
         # CHECK constraints re-read per attempt, so a constraint a rival
         # writer added mid-race still gates this batch
         df = _apply_generated(df, meta, root)
+        if staged is None:
+            # identity values bake into the staged files, so snapshot
+            # the high-water marks they were allocated from: a rebase
+            # may only recommit those files if no rival moved the marks
+            staged_ident = _identity_state(meta)
+            df, id_bumps = _apply_identity(df, meta, root)
+            if id_bumps:
+                _bump_identity(meta, id_bumps)
+        else:
+            if _identity_state(meta) != staged_ident:
+                raise ManifestConflictError(
+                    f"identity high-water of {root} moved while this "
+                    "append raced — the staged files carry an id range "
+                    "a rival may have allocated too; re-run the append "
+                    "(restages with fresh ids)"
+                )
+            if id_bumps:
+                _bump_identity(meta, id_bumps)
         schema_json = _evolved_schema_json(meta, df)
         _enforce_constraints(df, meta, root)
         if staged is None:
@@ -2729,6 +2914,12 @@ def publish_files_wap(
             return expected_prev
         txns[app] = n
     df = _apply_generated(df, meta, root)
+    # identity allocation rides the STAGED version's meta; promotion
+    # refuses if the table moved since staging, so a promoted range is
+    # never double-allocated
+    df, id_bumps = _apply_identity(df, meta, root)
+    if id_bumps:
+        _bump_identity(meta, id_bumps)
     schema_json = _evolved_schema_json(meta, df)
     # CHECK constraints gate WAP appends too — independently of the
     # caller's audit (constraints are the table's standing invariants;
@@ -2915,6 +3106,13 @@ def merge_upsert_manifest(
                 "rewritten_files": 0,
             }
         txns[app] = n
+    if meta.get("identity"):
+        raise ValueError(
+            f"table at {root} has identity column(s) "
+            f"{sorted(meta['identity'])} — a last-writer-wins MERGE "
+            "would re-assign an entity's id on every update; Delta "
+            "documents the same MERGE restriction for identity tables"
+        )
     inc = _apply_generated(incoming, meta, root).withColumn(
         _BUCKET, _bucket_expr(keys, n_buckets)
     ).localCheckpoint(eager=False)
