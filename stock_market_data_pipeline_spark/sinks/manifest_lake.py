@@ -1144,6 +1144,11 @@ def add_generated_column(
             f"column {name!r} already generated as {gens[name]} — drop "
             "the rule first to replace"
         )
+    if name in (meta.get("identity") or {}):
+        raise ValueError(
+            f"column {name!r} is GENERATED ALWAYS AS IDENTITY — a "
+            "column is either computed or identity, not both"
+        )
     _apply_generated(
         read_manifest(spark, root),
         {"generated_cols": {name: expr}},
@@ -1763,6 +1768,33 @@ def compact_manifest(
         total = sum(e["bytes"] for e in small)
         n_out = max(1, math.ceil(total / target_file_bytes))
         if cluster_cols and zorder and len(cluster_cols) >= 2:
+            # z-ordering needs each dimension castable to a REAL number
+            # line: a string column casts to NULL -> every row lands in
+            # bin 0 and the "sort" collapses into one skewed partition
+            schema = _recorded_schema(meta)
+            if schema is not None:
+                from pyspark.sql.types import (
+                    DateType,
+                    NumericType,
+                    TimestampType,
+                )
+
+                bad = [
+                    f.name
+                    for f in schema.fields
+                    if f.name in cluster_cols
+                    and not isinstance(
+                        f.dataType,
+                        (NumericType, DateType, TimestampType),
+                    )
+                ]
+                if bad:
+                    raise ValueError(
+                        f"zorder=True needs numeric/date/timestamp "
+                        f"cluster columns; {bad} are not — use the "
+                        "lexicographic sort (zorder=False) for string "
+                        "dimensions"
+                    )
             # Delta's OPTIMIZE ZORDER BY proper: interleave the
             # dimensions' bits into a Morton code and range-sort on it,
             # so the rewritten files carry tight per-file stats on
@@ -2325,6 +2357,14 @@ def drop_column(spark: SparkSession, root: str, col: str) -> int:
         raise ValueError(
             f"column {col!r} is referenced by CHECK constraint(s) "
             f"{holders} — drop them first"
+        )
+    if col in (meta.get("identity") or {}):
+        raise ValueError(
+            f"column {col!r} is GENERATED ALWAYS AS IDENTITY — dropping "
+            "it would orphan the allocation rule (and the tombstone "
+            "would block its re-fill on every later append); this "
+            "format has no identity retirement, rebuild via "
+            "publish_files"
         )
     gens = dict(meta.get("generated_cols") or {})
     gen_refs = sorted(

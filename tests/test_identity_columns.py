@@ -143,3 +143,24 @@ def test_identity_rebase_conflict_refuses_staged_range(spark, tmp_path):
     append_files(spark, _batch(spark, 0, 5), root)
     ids = [r[0] for r in read_manifest(spark, root).select("id").collect()]
     assert len(ids) == len(set(ids)) == 10
+
+
+def test_identity_column_guards_against_drop_and_generated(spark, tmp_path):
+    """Self-review r15: dropping an identity column would orphan the
+    allocation rule behind a resurrection tombstone (every later append
+    would break); a generated rule on an identity column would create
+    two competing fills. Both refuse."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_generated_column,
+        drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    _empty_with_schema(spark, root)
+    add_identity_column(spark, root, "id")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        drop_column(spark, root, "id")
+    with pytest.raises(ValueError, match="IDENTITY"):
+        add_generated_column(spark, root, "id", "1")
+    append_files(spark, _batch(spark, 0, 3), root)
+    assert read_manifest(spark, root).count() == 3

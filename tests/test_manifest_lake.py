@@ -2758,3 +2758,29 @@ def test_compact_where_scopes_to_matching_files(spark, tmp_path):
     # unscoped compaction would have packed everything
     res2 = compact_manifest(spark, root, target_file_bytes=1 << 30)
     assert res2["compacted"] >= 5
+
+
+def test_compact_zorder_refuses_string_dimension(spark, tmp_path):
+    """Self-review r15: a string z-dimension casts to NULL and every
+    row lands in Morton bin 0 — one skewed output partition masquerading
+    as clustering. Refused with a pointer at the lexicographic sort."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        compact_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(200).selectExpr(
+        "id as k", "concat('s', id % 7) as tag"
+    )
+    publish_files(spark, df.repartition(6), root, stats_cols=["k"])
+    with pytest.raises(ValueError, match="lexicographic"):
+        compact_manifest(
+            spark, root, target_file_bytes=1 << 30,
+            cluster_cols=["k", "tag"], zorder=True,
+        )
+    # the lexicographic path accepts the same columns
+    out = compact_manifest(
+        spark, root, target_file_bytes=1 << 30,
+        cluster_cols=["k", "tag"],
+    )
+    assert out["compacted"] == 6
