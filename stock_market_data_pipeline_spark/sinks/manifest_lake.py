@@ -1885,12 +1885,26 @@ def rollback_manifest(
     restore target: a streaming app whose batch N committed after
     ``to_version`` must still see batch N as committed after the restore,
     or its replay would double-append into the restored table — the same
-    choice Delta's RESTORE makes. Raises ``FileNotFoundError`` when
-    ``to_version`` was vacuumed away (the GC window bounds how far back a
-    restore can reach)."""
+    choice Delta's RESTORE makes. Identity HIGH-WATER MARKS follow the
+    same monotone rule (r15 self-review): the restored metadata keeps
+    the target's rule set, but each mark is the MAX of target and
+    current — rewinding the allocator would re-issue ids that
+    post-target versions (still time-travelable) already hold; Delta
+    documents the identical preservation on RESTORE. Raises
+    ``FileNotFoundError`` when ``to_version`` was vacuumed away (the GC
+    window bounds how far back a restore can reach)."""
     fs = _HadoopFS(spark, root)
     cur_v, cur = _resolve_manifest(fs, root, None)
     _, tgt = _resolve_manifest(fs, root, to_version)
+    ext = _carry_extensions(tgt) or {}
+    t_ident = {c: dict(v) for c, v in (ext.get("identity") or {}).items()}
+    cur_ident = cur.get("identity") or {}
+    for c, spec in t_ident.items():
+        cv = cur_ident.get(c)
+        if cv:
+            spec["next"] = max(int(spec["next"]), int(cv["next"]))
+    if t_ident:
+        ext["identity"] = t_ident
     return _commit(
         spark,
         root,
@@ -1905,8 +1919,20 @@ def rollback_manifest(
         # pure metadata commit at any table size; the TARGET's bloom
         # index (if any) describes exactly the restored file set
         reuse_segments=list(tgt.get("segments") or []),
-        extra_meta=_carry_extensions(tgt),
+        extra_meta=ext or None,
         operation="RESTORE",
+    )
+
+
+def rollback_manifest_as_of(
+    spark: SparkSession, root: str, ts_ms: int
+) -> int:
+    """Delta's ``RESTORE TABLE ... TIMESTAMP AS OF``: restore the table
+    to the latest version visible at ``ts_ms`` — ``manifest_version_as_of``
+    composed with the copy-forward restore (same linear-history,
+    zero-IO, monotone-identity semantics)."""
+    return rollback_manifest(
+        spark, root, manifest_version_as_of(spark, root, ts_ms)
     )
 
 

@@ -164,3 +164,48 @@ def test_identity_column_guards_against_drop_and_generated(spark, tmp_path):
         add_generated_column(spark, root, "id", "1")
     append_files(spark, _batch(spark, 0, 3), root)
     assert read_manifest(spark, root).count() == 3
+
+
+def test_restore_preserves_identity_high_water_mark(spark, tmp_path):
+    """Self-review r15: RESTORE must not rewind the identity allocator —
+    a restored table re-issuing ids that post-target (still
+    time-travelable) versions hold would corrupt every downstream join.
+    Delta documents the same preservation."""
+    import time
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        rollback_manifest,
+        rollback_manifest_as_of,
+    )
+
+    root = str(tmp_path / "t")
+    _empty_with_schema(spark, root)
+    add_identity_column(spark, root, "id")
+    append_files(spark, _batch(spark, 0, 5), root)       # ids 1..5
+    v_target = describe_manifest(spark, root)["version"]
+    ts_after_target = int(time.time() * 1000)
+    time.sleep(0.05)
+    append_files(spark, _batch(spark, 100, 110), root)   # ids 6..15
+    rollback_manifest(spark, root, v_target)
+    assert read_manifest(spark, root).count() == 5
+    # the mark did NOT rewind: new ids continue past BOTH versions
+    append_files(spark, _batch(spark, 200, 203), root)
+    ids = sorted(r[0] for r in read_manifest(spark, root).select("id").collect())
+    assert ids == [1, 2, 3, 4, 5, 16, 17, 18]
+    d = describe_manifest(spark, root)
+    assert d["identity"]["id"]["next"] == 19
+    # timestamp-based restore composes the same way
+    root2 = str(tmp_path / "u")
+    _empty_with_schema(spark, root2)
+    add_identity_column(spark, root2, "id")
+    append_files(spark, _batch(spark, 0, 3), root2)
+    ts_mid = int(time.time() * 1000)
+    time.sleep(0.05)
+    append_files(spark, _batch(spark, 10, 14), root2)
+    rollback_manifest_as_of(spark, root2, ts_mid)
+    assert read_manifest(spark, root2).count() == 3
+    append_files(spark, _batch(spark, 20, 22), root2)
+    ids2 = sorted(
+        r[0] for r in read_manifest(spark, root2).select("id").collect()
+    )
+    assert ids2 == [1, 2, 3, 8, 9]
