@@ -3968,7 +3968,7 @@ def add_bloom_index(
 
     One distributed pass over the table builds the index: every row emits
     its k hash positions tagged with its source file
-    (``input_file_name``), and the per-file DISTINCT position sets land
+    (``_metadata.file_name``), and the per-file DISTINCT position sets land
     in a parquet sidecar under ``stats/`` (rows: file, pos — the unpacked
     bit-set; a production format would pack bits, the skip semantics are
     identical and the false-positive math unchanged: fpp ≈ (1-e^{-kn/m})^k).
@@ -3989,8 +3989,21 @@ def add_bloom_index(
     paths = list(_entry_paths(root, entries).values())
     if not paths:
         raise FileNotFoundError(f"empty table at {root} — nothing to index")
-    df = _load_table_files(spark, meta, paths, root).select(
-        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file"),
+    # file tags come from _metadata.file_name via _dv_candidate_base,
+    # NOT input_file_name: on a DV table the load is a JOIN of two
+    # parquet sources and input_file_name refuses multi-source plans
+    # (r15 self-review — the build crashed on any DV table). The DV
+    # subtraction also means only VISIBLE rows are indexed: a deleted
+    # key's probe skips every file, which is exactly right.
+    prev = (
+        spark.read.parquet(
+            f"{_stats_dir(root)}/{meta['dv']['sidecar']}"
+        )
+        if meta.get("dv")
+        else None
+    )
+    df = _dv_candidate_base(spark, meta, root, paths, prev).select(
+        F.col("__dv_file").alias("file"),
         F.col(col).alias("_v"),
     ).filter(F.col("_v").isNotNull())
     pos = F.explode(
@@ -4020,11 +4033,18 @@ def add_bloom_index(
         stats_cols=_table_stats_cols(meta),
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
+        # spread the FULL extension carry: extra_meta is the new
+        # version's ONLY source of extension keys (payload.update), so
+        # a blooms-only literal here would silently shed constraints,
+        # generated/identity rules, the DV ref (resurrecting deleted
+        # rows) and drop tombstones (r15 self-review — the restore
+        # identity-rewind's sibling)
         extra_meta={
+            **(_carry_extensions(meta) or {}),
             "blooms": {
                 **_bloom_indexes(meta),
                 col: {"m": m, "k": k, "seed": seed, "sidecar": sidecar},
-            }
+            },
         },
         operation="ADD_BLOOM_INDEX",
     )

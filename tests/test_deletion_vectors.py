@@ -293,3 +293,36 @@ def test_delete_keys_dv_txn_replay(spark, tmp_path):
     assert replay["deleted_rows"] == 0
     assert replay["version"] == out["version"]
     assert read_manifest(spark, root).filter("k = 2").count() == 1
+
+
+def test_bloom_index_build_carries_all_extensions(spark, tmp_path):
+    """Self-review r15: extra_meta is the new version's ONLY source of
+    extension keys, and add_bloom_index passed a blooms-only literal —
+    shedding the DV ref (resurrecting deleted rows), CHECK constraints
+    and drop tombstones on every index build/reindex. Now spreads the
+    full carry."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_bloom_index,
+        add_table_constraint,
+        drop_column,
+        reindex_bloom,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 60).repartition(2), root)
+    add_table_constraint(spark, root, "k_nonneg", "k >= 0")
+    drop_column(spark, root, "s")
+    delete_where_dv(spark, root, "g = 4")
+    expect = read_manifest(spark, root).count()
+    add_bloom_index(spark, root, "k", m=1 << 12)
+    d = describe_manifest(spark, root)
+    # every extension survived the index build
+    assert d["constraints"] == {"k_nonneg": "k >= 0"}
+    assert d["dropped_cols"] == ["s"]
+    assert d["dv"] is not None
+    assert read_manifest(spark, root).count() == expect
+    assert read_manifest(spark, root).filter("g = 4").count() == 0
+    # and survives a reindex too
+    reindex_bloom(spark, root)
+    assert describe_manifest(spark, root)["dv"] is not None
+    assert read_manifest(spark, root).count() == expect
