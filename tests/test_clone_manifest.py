@@ -136,3 +136,27 @@ def test_clone_bucketed_table_keeps_merge_contract(spark, tmp_path):
     row = read_manifest(spark, dst).filter("k = 5").collect()
     assert row[0]["s"] == "upd"
     assert read_manifest(spark, src).filter("k = 5").collect()[0]["s"] == "v5"
+
+
+def test_stream_source_resolves_clone_base_paths(spark, tmp_path):
+    """The manifest stream's partition planner must honor per-entry
+    base paths: a stream over a clone reads the SOURCE table's bytes
+    for cloned entries and the clone's own for post-clone appends."""
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamReader,
+    )
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    publish_files(spark, _df(spark, 0, 20).coalesce(1), src)
+    clone_manifest(spark, src, dst)
+    append_files(spark, _df(spark, 20, 25).coalesce(1), dst)
+    reader = ManifestStreamReader(dst, read_manifest(spark, dst).schema, {})
+    parts = reader.partitions({"version": 0}, {"version": 2})
+    paths = sorted(p.path for p in parts)
+    assert any(p.startswith(f"{src}/data/") for p in paths)
+    assert any(p.startswith(f"{dst}/data/") for p in paths)
+    # the executor read path opens both
+    rows = sum(
+        b.num_rows for p in parts for b in reader.read(p)
+    )
+    assert rows == 25
