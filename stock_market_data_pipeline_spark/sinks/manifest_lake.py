@@ -1149,6 +1149,35 @@ def add_generated_column(
             f"column {name!r} is GENERATED ALWAYS AS IDENTITY — a "
             "column is either computed or identity, not both"
         )
+    # rules over rules are refused at declaration (round-16 advice):
+    # ``_apply_generated`` fills omitted columns in sorted-name order,
+    # so a rule reading another generated column would see it missing
+    # (or stale) whenever a batch omits both — Delta documents the same
+    # "may not reference another generated column" restriction. Both
+    # directions: the new expression referencing an existing rule's
+    # column, and an existing expression referencing the new column.
+    def _refs(expr_s: str, col: str) -> bool:
+        bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr_s)  # not literals
+        return re.search(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])", bare) is not None
+
+    for other in sorted(gens):
+        if _refs(expr, other):
+            raise ValueError(
+                f"generated column {name!r} expression references "
+                f"generated column {other!r} — rules may only read "
+                "stored (non-generated) columns; inline the expression"
+            )
+        if _refs(gens[other], name):
+            raise ValueError(
+                f"existing generated column {other!r} (rule "
+                f"{gens[other]!r}) references {name!r} — declaring "
+                f"{name!r} generated would make that rule read a "
+                "generated column; drop the rule first"
+            )
+    if _refs(expr, name):
+        raise ValueError(
+            f"generated column {name!r} expression references itself"
+        )
     _apply_generated(
         read_manifest(spark, root),
         {"generated_cols": {name: expr}},
@@ -3179,7 +3208,18 @@ def merge_upsert_manifest(
             "would re-assign an entity's id on every update; Delta "
             "documents the same MERGE restriction for identity tables"
         )
-    inc = _apply_generated(incoming, meta, root).withColumn(
+    inc0 = _apply_generated(incoming, meta, root)
+    # schema evolution runs through the SAME guard as append (round-16
+    # advice): a merge batch carrying a dropped column name must refuse
+    # (pre-drop bucket files still hold the old bytes — recording the
+    # name would resurrect them on read, the X145 hazard), and a
+    # same-name type conflict must raise instead of silently recording
+    # a schema the carried buckets violate. Validated BEFORE any job
+    # runs or file stages; the evolved union is what the commit records.
+    evolved_sj = (
+        _evolved_schema_json(meta, inc0) if meta.get("schema") else None
+    )
+    inc = inc0.withColumn(
         _BUCKET, _bucket_expr(keys, n_buckets)
     ).localCheckpoint(eager=False)
     # CHECK constraints gate the incoming batch only — the carried/
@@ -3220,7 +3260,7 @@ def merge_upsert_manifest(
         fmt,
         expected_prev=committed[-1] if committed else None,
         txns=txns,
-        schema_json=winners.schema.json(),
+        schema_json=evolved_sj or winners.schema.json(),
         stats_cols=stats_cols,
         bucketing={"keys": list(keys), "n_buckets": int(n_buckets)},
         reuse_segments=reused,
@@ -3486,10 +3526,14 @@ def _commit_dv_state(
     matched: int,
     files_touched: int,
     txn_id: tuple[str, int] | None,
+    new_entries: list[dict] | None = None,
+    operation: str = "DELETE_DV",
 ) -> dict[str, int]:
     """Write the new full-state DV sidecar (prior live rows pruned of
-    dead names ∪ new hits) and commit it pure-metadata — the shared
-    tail of ``delete_where_dv`` and ``delete_keys_dv``."""
+    dead names ∪ new hits) and commit it — the shared tail of
+    ``delete_where_dv`` / ``delete_keys_dv`` (pure metadata) and
+    ``update_where_dv`` (which also lands ``new_entries``, the staged
+    postimage files, in the SAME atomic commit)."""
     if matched == 0 and txn_id is None:
         # nothing to record and no watermark to advance — no version
         return {
@@ -3523,12 +3567,13 @@ def _commit_dv_state(
     ext = _carry_extensions(meta) or {}
     if new_dv:
         ext["dv"] = new_dv
-    # pure-metadata commit: all data files carried by reference
+    # all prior data files carried by reference; an UPDATE additionally
+    # lands its staged postimage files as loose entries
     reused, loose = _plan_segment_reuse(fs, root, meta, set())
     v = _commit(
         spark,
         root,
-        loose,
+        loose + list(new_entries or []),
         fmt,
         expected_prev=committed[-1],
         txns=txns,
@@ -3537,7 +3582,7 @@ def _commit_dv_state(
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
         extra_meta=ext or None,
-        operation="DELETE_DV",
+        operation=operation,
     )
     return {
         "deleted_rows": int(matched),
@@ -3640,6 +3685,188 @@ def delete_keys_dv(
         spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
         hits, matched, files_touched, txn_id,
     )
+
+
+def update_where_dv(
+    spark: SparkSession,
+    root: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    ranges: dict[str, tuple] | None = None,
+    txn_id: tuple[str, int] | None = None,
+) -> dict[str, int]:
+    """Row-level ``UPDATE … SET`` via deletion vectors (X150) — the
+    last general write mode: Delta's DV-backed UPDATE shape, where the
+    matched rows' old positions land in the DV sidecar AND the updated
+    rows append as new files in ONE atomic commit (operation
+    ``UPDATE_DV``). Cost is O(matched rows) + a metadata commit — no
+    gigabyte file is rewritten to restate one column for one slice,
+    which is the difference at 100 TB between "set flag=1 where day=X"
+    finishing in seconds and a full replaceWhere rewrite of the day's
+    files (the previous workaround: a caller-built frame through
+    ``replace_where_manifest``). The reference's closest contract is
+    the warehouse upsert (`src/snowflake/scripts/load_to_snowflake.py:
+    212-229`), which restates matched rows by key; this is the
+    predicate-scoped generalization.
+
+    Semantics (Delta ``UPDATE``):
+
+    * ``set_exprs`` maps column → SQL expression over the row's OLD
+      values, applied SIMULTANEOUSLY (one projection: ``{a: "b",
+      b: "a"}`` swaps). Each result casts to the column's recorded
+      type. Columns must exist in the recorded schema — UPDATE never
+      evolves schema.
+    * GENERATED columns are refused in ``set_exprs`` and RECOMPUTED
+      from the post-SET row (update the source column, the rule
+      follows). IDENTITY columns are refused and RIDE ALONG unchanged
+      — an update never re-assigns a row's id. CHECK constraints gate
+      the postimage rows like any write.
+    * Matches are computed on the DV-APPLIED read, so already-deleted
+      rows never match; re-running an update whose predicate no longer
+      matches (e.g. ``SET flag=1 WHERE flag=0``) is a 0-row no-op.
+    * ``ranges`` ({col: (lo, hi)}) prunes the matching SCAN with
+      per-file stats — same covering contract as ``delete_where_dv``:
+      it bounds which files are scanned, not the predicate.
+    * ``txn_id`` gives replay idempotence; time travel sees pre-update
+      rows; CDF (``read_manifest_changes``) surfaces the commit as
+      ``update_preimage``/``update_postimage`` via the DV-diff + added
+      -file expansion; a bucketed table's postimage files are staged
+      WITH bucket tags (recomputed from post-SET values), so keyed
+      merges/deletes stay O(touched buckets).
+
+    Parquet-only (positions ride ``_metadata.row_index``). Returns
+    ``{"updated_rows", "files_touched", "new_files", "dv_rows",
+    "version"}``."""
+    fs = _HadoopFS(spark, root)
+    committed, _ = _list_manifests(fs, root)
+    if not committed:
+        raise FileNotFoundError(f"no committed manifest under {root}")
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    fmt = meta.get("fmt", "parquet")
+    if fmt != "parquet":
+        raise ValueError(
+            f"update_where_dv requires a parquet table (got {fmt!r}): "
+            "row positions come from the parquet _metadata.row_index "
+            "column — use replace_where_manifest for other formats"
+        )
+    if not set_exprs:
+        raise ValueError("update_where_dv: empty SET clause")
+    schema = _recorded_schema(meta)
+    if schema is None:
+        raise ValueError(
+            f"manifest under {root} records no schema — rewrite via "
+            "publish_files before UPDATE (the SET cast targets need "
+            "recorded types)"
+        )
+    types = {f.name: f.dataType for f in schema.fields}
+    gens = meta.get("generated_cols") or {}
+    ident = meta.get("identity") or {}
+    for c in set_exprs:
+        if c not in types:
+            raise KeyError(
+                f"UPDATE SET references no such column {c!r} (schema: "
+                f"{sorted(types)}) — UPDATE never adds columns; append "
+                "with schema evolution first"
+            )
+        if c in ident:
+            raise IdentityAssignmentError(
+                f"column {c!r} is GENERATED ALWAYS AS IDENTITY — the "
+                "engine owns its values; an update keeps the row's id"
+            )
+        if c in gens:
+            raise ValueError(
+                f"column {c!r} is GENERATED ALWAYS AS {gens[c]} — "
+                "update its source column(s); the rule recomputes "
+                "automatically"
+            )
+    txns = dict(meta.get("txns") or {})
+    old_dv = meta.get("dv")
+    if txn_id is not None:
+        app, n = txn_id
+        if txns.get(app) is not None and int(txns[app]) >= n:
+            return {
+                "updated_rows": 0,
+                "files_touched": 0,
+                "new_files": 0,
+                "dv_rows": int((old_dv or {}).get("rows") or 0),
+                "version": committed[-1],
+            }
+        txns[app] = n
+    entries = _manifest_entries(fs, root, meta)
+    live = [e["name"] for e in entries]
+    cand = set(live)
+    if ranges:
+        for col, (lo, hi) in ranges.items():
+            cand &= _range_keep_files(
+                spark, root, meta, entries, col, lo, hi
+            )
+    prev = (
+        spark.read.parquet(f"{_stats_dir(root)}/{old_dv['sidecar']}")
+        if old_dv
+        else None
+    )
+    matched_n = files_touched = 0
+    hits = None
+    new_entries: list[dict] = []
+    if cand:
+        pm = _entry_paths(root, entries)
+        base = _dv_candidate_base(
+            spark, meta, root, [pm[n] for n in sorted(cand)], prev
+        )
+        # matched rows are used twice (positions + postimage staging):
+        # pin them so a nondeterministic predicate cannot DV one row
+        # and restate another. Size is O(matched) — the same bytes the
+        # update must rewrite anyway.
+        matched = base.filter(F.expr(predicate)).localCheckpoint(
+            eager=True
+        )
+        matched_n = matched.count()
+        if matched_n:
+            hits = matched.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            files_touched = hits.select("file").distinct().count()
+            # SIMULTANEOUS assignment: one projection over OLD values,
+            # each SET result cast to the column's recorded type
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                    for f in schema.fields
+                ]
+            )
+            if gens:
+                updated = _apply_generated(
+                    updated.drop(*[g for g in gens]), meta, root
+                ).select(*[f.name for f in schema.fields])
+            _enforce_constraints(updated, meta, root)
+            bk = meta.get("bucketing")
+            stats_cols = _table_stats_cols(meta) or None
+            if bk:
+                new_entries = _stage_bucketed(
+                    spark, updated, root, fmt, list(bk["keys"]),
+                    int(bk["n_buckets"]), stats_cols=stats_cols,
+                )
+            else:
+                new_entries = _stage_files(
+                    spark, updated, root, fmt, stats_cols
+                )
+    out = _commit_dv_state(
+        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        hits, matched_n, files_touched, txn_id,
+        new_entries=new_entries, operation="UPDATE_DV",
+    )
+    return {
+        "updated_rows": out["deleted_rows"],
+        "files_touched": out["files_touched"],
+        "new_files": len(new_entries),
+        "dv_rows": out["dv_rows"],
+        "version": out["version"],
+    }
 
 
 def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:

@@ -117,3 +117,50 @@ def test_drop_last_column_and_missing_column_refused(spark, tmp_path):
         drop_column(spark, root, "k")
     with pytest.raises(KeyError):
         drop_column(spark, root, "nope")
+
+
+def test_merge_respects_tombstones_and_evolution_guard(spark, tmp_path):
+    """round-16 advice (high): merge_upsert_manifest must run the same
+    _evolved_schema_json guard as append — a merge batch carrying a
+    dropped column name would re-record the column while carried
+    pre-drop bucket files still hold its old bytes (silent
+    resurrection), and a same-name type conflict would record a schema
+    the carried buckets violate."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(k, k % 7, f"v{k}", k * 10) for k in range(0, 40)],
+        "k long, g long, s string, ord long",
+    )
+    merge_upsert_manifest(spark, base, root, keys=["k"], order_col="ord")
+    drop_column(spark, root, "s")
+    # a merge batch re-introducing the dropped name is refused BEFORE
+    # any bucket is rewritten (the same contract as append)
+    v_files = {e["name"] for e in manifest_files(spark, root)}
+    bad = spark.createDataFrame(
+        [(1, 1, "ghost", 999)], "k long, g long, s string, ord long"
+    )
+    with pytest.raises(ValueError, match="resurrect"):
+        merge_upsert_manifest(spark, bad, root, keys=["k"], order_col="ord")
+    assert {e["name"] for e in manifest_files(spark, root)} == v_files
+    # same-name type conflict refused (would record a schema half the
+    # carried files violate)
+    conflict = spark.createDataFrame(
+        [(1, "seven", 999)], "k long, g string, ord long"
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        merge_upsert_manifest(
+            spark, conflict, root, keys=["k"], order_col="ord"
+        )
+    # a legitimately NEW column evolves union-by-name: carried-bucket
+    # rows read NULL, the batch's rows carry values
+    add = spark.createDataFrame(
+        [(100, 2, 999, "x")], "k long, g long, ord long, extra string"
+    )
+    merge_upsert_manifest(spark, add, root, keys=["k"], order_col="ord")
+    got = read_manifest(spark, root)
+    assert got.filter("k = 100 and extra = 'x'").count() == 1
+    assert got.filter("k < 40 and extra is not null").count() == 0

@@ -58,9 +58,11 @@ def test_generated_fill_validate_and_history_gate(spark, tmp_path):
     with pytest.raises(GeneratedColumnViolationError):
         append_files(spark, bad, root)
     assert read_manifest(spark, root).count() == 65
-    # declaring a rule history violates is refused
+    # declaring a rule history violates is refused (a self-referencing
+    # rule like "k + 1" is refused even earlier — see
+    # test_generated_rule_may_not_reference_generated_column)
     with pytest.raises(GeneratedColumnViolationError):
-        add_generated_column(spark, root, "k", "k + 1")
+        add_generated_column(spark, root, "k", "CAST(0 AS BIGINT)")
     assert v == 2
 
 
@@ -137,3 +139,35 @@ def test_generated_rule_lifecycle(spark, tmp_path):
     assert read_manifest(spark, root).filter(
         "day = DATE '1999-01-01'"
     ).count() == 5
+
+
+def test_generated_rule_may_not_reference_generated_column(spark, tmp_path):
+    """round-16 advice: _apply_generated fills omitted rules in
+    sorted-name order, so a rule reading another generated column sees
+    it missing whenever a batch omits both — refused at declaration
+    (Delta documents the same restriction), in BOTH directions, plus
+    self-reference. A string literal containing the name is NOT a
+    reference."""
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 20).withColumn(
+        "day2", F.col("ts").cast("date")
+    ).withColumn("tag", F.concat(F.lit("day:"), F.col("k")))
+    publish_files(spark, df, root)
+    add_generated_column(spark, root, "day", "CAST(ts AS DATE)")
+    # forward: new rule reads an existing generated column
+    with pytest.raises(ValueError, match="references generated column"):
+        add_generated_column(spark, root, "day2", "day")
+    # reverse: an existing rule reads the would-be generated column
+    drop_generated_column_rule(spark, root, "day")
+    add_generated_column(spark, root, "day2", "CAST(day AS DATE)")
+    with pytest.raises(ValueError, match="references 'day'"):
+        add_generated_column(spark, root, "day", "CAST(ts AS DATE)")
+    drop_generated_column_rule(spark, root, "day2")
+    # self-reference refused
+    with pytest.raises(ValueError, match="references itself"):
+        add_generated_column(spark, root, "day", "date_add(day, 0)")
+    # a name inside a string literal is not a reference
+    add_generated_column(spark, root, "day", "CAST(ts AS DATE)")
+    add_generated_column(
+        spark, root, "tag", "concat('day:', CAST(k AS STRING))"
+    )
