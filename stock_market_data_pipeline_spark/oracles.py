@@ -3911,6 +3911,81 @@ GROUP BY event_type
 """
 
 
+# X150 DV-backed UPDATE: two compounding range-scoped updates as a
+# nested CASE rewrite — the second matches on price_cents, so it sees
+# the first's postimages (merge-on-read/file-set/CDF properties are
+# runtime-asserted on the Spark side).
+ORACLES["dv_update_equality"] = """
+WITH half AS (
+  SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) AS h FROM orders
+),
+s0 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+),
+s1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3
+                   AND o_orderkey <= (SELECT h FROM half)
+              THEN 'DV-RESTATED' ELSE o_orderpriority
+         END AS o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 3
+                   AND o_orderkey <= (SELECT h FROM half)
+              THEN price_cents + 7 ELSE price_cents
+         END AS price_cents
+  FROM s0
+)
+SELECT o_orderkey, o_orderpriority,
+       CAST(CASE WHEN price_cents % 97 = 11
+                      AND o_orderkey <= (SELECT h FROM half)
+                 THEN price_cents * 2 ELSE price_cents
+            END AS BIGINT) AS price_cents
+FROM s1
+"""
+
+
+# X151 streaming change feed: the full-history CDF stream fold —
+# inserts at their commit versions, click-update pre/postimages at v3,
+# and v4 deletes at POST-update values (replay-exactly-once and
+# stream==batch-per-commit are runtime-asserted on the Spark side).
+ORACLES["stream_cdf_parity"] = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+  WHERE event_id % 3 IN (0, 1)
+),
+feed AS (
+  SELECT event_id, event_type, value_cents,
+         'insert' AS change_type,
+         CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+           AS commit_version
+  FROM e
+  UNION ALL
+  SELECT event_id, event_type, value_cents,
+         'update_preimage', CAST(3 AS BIGINT)
+  FROM e WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type, value_cents + 1000000,
+         'update_postimage', CAST(3 AS BIGINT)
+  FROM e WHERE event_type = 'click'
+  UNION ALL
+  SELECT event_id, event_type,
+         value_cents + CASE WHEN event_type = 'click'
+                            THEN 1000000 ELSE 0 END,
+         'delete', CAST(4 AS BIGINT)
+  FROM e WHERE event_id % 7 = 3
+)
+SELECT change_type, commit_version, event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5('cdf:' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)) AS BIGINT) AS id_hash_sum,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents
+FROM feed
+GROUP BY change_type, commit_version, event_type
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -29,6 +29,27 @@ Contract mirrors Delta's streaming source:
 * Schema is the table's RECORDED schema at stream start; files written
   before a schema-evolving append read with NULLs in the added columns
   (the read path casts every file to the stream schema via Arrow).
+* ``.option("readChangeFeed", "true")`` (X151) streams the row-level
+  CHANGE FEED instead of raw appends — Delta's ``readChangeFeed``
+  streaming mode, the continuous half of ``read_manifest_changes``
+  (X136): each micro-batch walks the commit range one version at a
+  time and emits full rows tagged ``change_type`` ∈ {``insert``,
+  ``delete``, ``update_preimage``, ``update_postimage``} plus
+  ``commit_version`` (Delta's ``_change_type``/``_commit_version``).
+  Planning stays METADATA-SIZED and fully partition-local: an append
+  plans its added files as ``insert`` partitions; a ``DELETE_DV`` /
+  ``UPDATE_DV`` commit plans, per touched file, the positions newly
+  recorded in the version's DV sidecar (pre-images read by
+  ``Table.take`` on the raw file — positions ARE row indexes), and an
+  ``UPDATE_DV``'s appended files become ``update_postimage``
+  partitions; row-preserving maintenance (compaction, DV/column
+  purges, sidecar consolidation) emits nothing. No cross-file join
+  anywhere — the WRITER's commit discipline (one operation name + one
+  DV sidecar per version) is what makes the feed reconstructible from
+  metadata, the same reason Delta writes change files at commit time.
+  History-rewriting commits the feed cannot express row-exactly
+  (MERGE, replace/replaceWhere, retention, key delete, RESTORE) raise
+  mid-stream and point at the batch API, which key-joins them exactly.
 
 Scale posture: offset resolution is one metadata listing; planning is a
 file-set difference (O(changed files)); each planned file becomes one
@@ -106,6 +127,51 @@ class _FilePartition(InputPartition):
     arrow_schema_bytes: bytes  # serialized target schema (IPC)
 
 
+@dataclass
+class _CdfPartition(InputPartition):
+    """One change-feed unit: a whole added file (``positions is None``)
+    or the newly-DV'd positions of one surviving file. Positions ride
+    the partition (the planner already holds the sidecar rows, and a
+    DV delta is deleted-rows-sized by contract — metadata, not data)."""
+
+    path: str
+    arrow_schema_bytes: bytes
+    change_type: str
+    commit_version: int
+    positions: tuple | None  # None = whole file
+
+
+# commits that rewrite/drop files while preserving the visible row set —
+# the change feed emits NOTHING for them (rows merely moved between
+# files; Delta CDF likewise skips OPTIMIZE/REORG commits)
+_CDF_ROW_PRESERVING = {
+    "COMPACT",
+    "PURGE_DV",
+    "PURGE_COLUMNS",
+    "CONSOLIDATE_SIDECARS",
+}
+
+
+def _dv_positions(root: str, meta: dict) -> dict[str, set]:
+    """file -> deleted positions of a version's DV sidecar (driver-side
+    pyarrow read; the sidecar is deleted-rows-sized by the DV contract)."""
+    dv = meta.get("dv")
+    if not dv:
+        return {}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{root.rstrip('/')}/stats/{dv['sidecar']}",
+        columns=["file", "pos"],
+    )
+    out: dict[str, set] = {}
+    for f, p in zip(
+        t.column("file").to_pylist(), t.column("pos").to_pylist()
+    ):
+        out.setdefault(f, set()).add(p)
+    return out
+
+
 class ManifestStreamReader(DataSourceStreamReader):
     def __init__(self, root: str, schema, options: dict):
         import pyarrow as pa
@@ -125,6 +191,18 @@ class ManifestStreamReader(DataSourceStreamReader):
             or "false"
         )
         self._ignore_changes = flag.lower() == "true"
+        cdf = str(
+            options.get("readchangefeed")
+            or options.get("readChangeFeed")
+            or "false"
+        )
+        self._cdf = cdf.lower() == "true"
+        if self._cdf and self._ignore_changes:
+            raise ValueError(
+                "manifest_stream: readChangeFeed and ignoreChanges are "
+                "mutually exclusive — the change feed is exact or it "
+                "raises; ignoreChanges opts into inexactness"
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self._start_version}
@@ -137,6 +215,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         v0, v1 = int(start["version"]), int(end["version"])
         if v1 <= v0:
             return []
+        if self._cdf:
+            return self._cdf_partitions(v0, v1)
         old = (
             set(_entry_names(self._root, _load_meta(self._root, v0)))
             if v0 > 0
@@ -180,7 +260,78 @@ class ManifestStreamReader(DataSourceStreamReader):
             for n in sorted(set(new) - old)
         ]
 
-    def read(self, partition: _FilePartition):
+    def _cdf_partitions(self, v0: int, v1: int):
+        """Plan the change feed for (v0, v1] ONE VERSION AT A TIME —
+        change semantics are per-commit (a file appended at v then
+        DV-deleted at v+1 must emit its inserts AND those deletes), so
+        unlike the raw mode the range never collapses to an endpoint
+        diff. Cost: O(versions × entries) driver-side metadata."""
+        root = self._root
+        parts: list[_CdfPartition] = []
+        prev_meta = _load_meta(root, v0) if v0 > 0 else {}
+        prev_names = set(_entry_names(root, prev_meta)) if v0 > 0 else set()
+        prev_dv = _dv_positions(root, prev_meta) if v0 > 0 else {}
+        # walk COMMITTED versions only: a WAP version staged without a
+        # marker is invisible to readers and must stay invisible here
+        steps = [
+            v for v in _committed_versions(root) if v0 < v <= v1
+        ]
+        for v in steps:
+            meta = _load_meta(root, v)
+            ents = _entries(root, meta)
+            names = {e["name"] for e in ents}
+            op = str(meta.get("operation") or "commit")
+            if op in _CDF_ROW_PRESERVING:
+                # rows moved between files, none changed — emit nothing
+                prev_meta, prev_names = meta, names
+                prev_dv = _dv_positions(root, meta)
+                continue
+            removed = prev_names - names
+            if removed:
+                raise ValueError(
+                    f"manifest_stream[readChangeFeed]: v{v} of {root} "
+                    f"(operation {op}) rewrote or dropped "
+                    f"{len(removed)} files — this commit's row-level "
+                    "changes are not reconstructible from metadata; "
+                    "consume it with the batch API "
+                    "(read_manifest_changes) and restart the stream "
+                    "past it, or keep history-rewriting maintenance "
+                    "behind the stream"
+                )
+            data = f"{root.rstrip('/')}/data"
+            paths = {
+                e["name"]: (
+                    f"{_local(e['base'])}/{e['name']}"
+                    if e.get("base")
+                    else f"{data}/{e['name']}"
+                )
+                for e in ents
+            }
+            added_ct = "update_postimage" if op == "UPDATE_DV" else "insert"
+            for n in sorted(names - prev_names):
+                parts.append(
+                    _CdfPartition(
+                        paths[n], self._schema_bytes, added_ct, v, None
+                    )
+                )
+            dv = _dv_positions(root, meta)
+            dv_ct = "update_preimage" if op == "UPDATE_DV" else "delete"
+            for n in sorted(set(dv) & prev_names & names):
+                fresh = dv[n] - prev_dv.get(n, set())
+                if fresh:
+                    parts.append(
+                        _CdfPartition(
+                            paths[n],
+                            self._schema_bytes,
+                            dv_ct,
+                            v,
+                            tuple(sorted(fresh)),
+                        )
+                    )
+            prev_meta, prev_names, prev_dv = meta, names, dv
+        return parts
+
+    def read(self, partition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -188,9 +339,26 @@ class ManifestStreamReader(DataSourceStreamReader):
             pa.py_buffer(partition.arrow_schema_bytes)
         )
         t = pq.read_table(partition.path)
+        is_cdf = isinstance(partition, _CdfPartition)
+        if is_cdf and partition.positions is not None:
+            # DV positions ARE parquet row indexes: Table.take on the
+            # raw file yields exactly the changed rows, no join
+            t = t.take(list(partition.positions))
         cols = []
         for field in target:
-            if field.name in t.column_names:
+            if is_cdf and field.name == "change_type":
+                # constant columns via pa.repeat — never a file-sized
+                # Python list
+                cols.append(pa.repeat(
+                    pa.scalar(partition.change_type, type=field.type),
+                    t.num_rows,
+                ))
+            elif is_cdf and field.name == "commit_version":
+                cols.append(pa.repeat(
+                    pa.scalar(partition.commit_version, type=field.type),
+                    t.num_rows,
+                ))
+            elif field.name in t.column_names:
                 cols.append(t.column(field.name).cast(field.type))
             else:
                 # file pre-dates a schema-evolving append: NULL-fill,
@@ -221,7 +389,12 @@ class ManifestStreamDataSource(DataSource):
         return _local(path)
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
         root = self._root()
         vs = _committed_versions(root)
@@ -236,7 +409,27 @@ class ManifestStreamDataSource(DataSource):
                 f"manifest under {root} records no schema — rewrite via "
                 "publish_files to record one"
             )
-        return StructType.fromJson(json.loads(sj))
+        st = StructType.fromJson(json.loads(sj))
+        cdf = str(
+            self.options.get("readchangefeed")
+            or self.options.get("readChangeFeed")
+            or "false"
+        )
+        if cdf.lower() == "true":
+            # Delta's _change_type/_commit_version, unprefixed to match
+            # the batch feed's ``change_type`` column
+            for f in (
+                StructField("change_type", StringType(), False),
+                StructField("commit_version", LongType(), False),
+            ):
+                if f.name in [g.name for g in st.fields]:
+                    raise ValueError(
+                        f"table at {root} already has a column named "
+                        f"{f.name!r} — it collides with the change-feed "
+                        "metadata column"
+                    )
+                st = StructType(list(st.fields) + [f])
+        return st
 
     def streamReader(self, schema):
         return ManifestStreamReader(self._root(), schema, dict(self.options))

@@ -21,81 +21,29 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-15 plan: 5 new rows
-    (deletion vectors, CDF read, composed-prune flagship,
-    cluster-compact read, the manifest streaming source), then 3
-    code-touched re-certs (multi-column bloom rewrite; scoped commit
-    lock under plain commit and WAP promote), then ALL 35 deferred r11
-    rows (staleness exactly 4 — the budget edge, MANDATORY), then the
-    7 oldest r12 rows (the 42-row r12 wave starts draining). The 35
-    remaining r12 rows sit at positions 50:85 — r16's mandatory
-    front."""
+    rounds — SURVEY §2.10). Guard the round-16 plan: 2 new rows
+    (DV-backed row-level UPDATE, readChangeFeed streaming mode), then
+    3 code-touched re-certs (merge evolved-schema guard; the stream
+    source's CDF restructure; _commit_dv_state generalization), then
+    ALL 35 deferred r12 rows (staleness exactly 4 — the budget edge,
+    MANDATORY), then the 10 oldest r13 rows (the 38-row r13 wave
+    starts draining). The 28 remaining r13 rows sit at positions
+    50:78 — r17's mandatory front."""
     window = list(QUERIES)[:50]
-    # round-15 additions — never driver-checked — at the very front
-    assert window[:5] == [
-        "dv_delete_equality",
-        "cdf_read_equality",
-        "composed_prune_fingerprint",
-        "cluster_compact_read",
-        "manifest_stream_read_equality",
+    # round-16 additions — never driver-checked — at the very front
+    assert window[:2] == [
+        "dv_update_equality",
+        "stream_cdf_parity",
     ]
-    # code-touched re-certs (multi-col blooms; hold_commit_scope)
-    assert window[5:8] == [
-        "bloom_point_lookup",
+    # code-touched re-certs (merge schema guard; manifest_source CDF
+    # branch; _commit_dv_state postimage generalization)
+    assert window[2:5] == [
         "merge_manifest_state",
-        "wap_publish_equality",
+        "manifest_stream_read_equality",
+        "dv_delete_equality",
     ]
-    # ALL 35 deferred r11 rows (the r14 verdict's designated r15 front)
-    assert window[8:43] == [
-        "quantize_embeddings",
-        "user_set_ops",
-        "multimodal_audio_features",
-        "dead_letter_stats",
-        "multimodal_audio_windows",
-        "psi_drift",
-        "asof_join",
-        "asof_join_forward",
-        "asof_join_tolerance",
-        "apply_changelog",
-        "incremental_dedup",
-        "zorder_fingerprint",
-        "dedup_exact",
-        "pricing_summary",
-        "top_revenue_orders",
-        "region_revenue",
-        "order_priority_counts",
-        "revenue_forecast",
-        "customer_order_ranks",
-        "session_windows",
-        "corpus_curation",
-        "minhash_signatures",
-        "minhash_lsh_pairs",
-        "neardup_clusters",
-        "embedding_neardup_pairs",
-        "cosine_topk",
-        "robust_zscore",
-        "rollup_revenue",
-        "quantity_percentiles",
-        "linestatus_pivot",
-        "zscore_normalize",
-        "embedding_unit_norm",
-        "cube_order_stats",
-        "token_counts",
-        "text_quality",
-    ]
-    # the 7 oldest r12-green rows (r12 cohort due in full by r16)
-    assert window[43:50] == [
-        "supplier_late_blame",
-        "lang_id",
-        "doc_fingerprint",
-        "price_trend_regression",
-        "ngram_jaccard_pairs",
-        "simhash_neardup_pairs",
-        "cosine_topk_vectorized",
-    ]
-    # the 35 remaining r12 rows are the tail front — r16's mandatory
-    # front (they hit the 4-round budget edge at r16)
-    assert list(QUERIES)[50:85] == [
+    # ALL 35 deferred r12 rows (the r15 verdict's designated r16 front)
+    assert window[5:40] == [
         "lsh_cosine_topk",
         "ivf_cosine_topk",
         "multimodal_content_dedup",
@@ -131,6 +79,51 @@ def test_driver_window_composition():
         "stratified_sample",
         "gapfill_15m",
         "repetition_signals",
+    ]
+    # the 10 oldest r13-green rows (r13 cohort due in full by r17)
+    assert window[40:50] == [
+        "compact_equality",
+        "jsonl_quarantine",
+        "min_cost_supplier",
+        "important_parts",
+        "stream_stream_left_join_parity",
+        "gapfill_interpolate",
+        "macd_signal",
+        "stream_stream_join_parity",
+        "stream_incremental_dedup",
+        "stream_cdc_parity",
+    ]
+    # the 28 remaining r13 rows are the tail front — r17's mandatory
+    # front (they hit the 4-round budget edge at r17)
+    assert list(QUERIES)[50:78] == [
+        "stream_silence_parity",
+        "stream_dim_enrich_parity",
+        "stream_watermark_drop_parity",
+        "stream_batch_session_parity",
+        "stream_heavy_hitters_parity",
+        "corpus_curation_transitive",
+        "doc_chunks",
+        "multimodal_frame_sample",
+        "ngram_decontaminate",
+        "price_band_join",
+        "quota_sample",
+        "salted_symbol_volume",
+        "technical_indicators",
+        "tfidf_top_terms",
+        "windowed_analytics",
+        "trading_signals",
+        "multi_window_tumbling",
+        "multi_window_signals",
+        "unpivot_ohlcv",
+        "containment_pairs",
+        "hll_user_rollup",
+        "kmeans_iteration",
+        "last_touch_attribution",
+        "multimodal_image_features",
+        "multimodal_resize",
+        "packed_sequence_stats",
+        "quantized_topk_rerank",
+        "return_correlation",
     ]
 
 
