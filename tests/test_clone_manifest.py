@@ -160,3 +160,54 @@ def test_stream_source_resolves_clone_base_paths(spark, tmp_path):
         b.num_rows for p in parts for b in reader.read(p)
     )
     assert rows == 25
+
+
+def test_clone_of_identity_table_allocates_independently(spark, tmp_path):
+    """r16 (verdict item 7): identity rules ride _carry_constraints into
+    a clone, the clone's allocator starts at the source's high-water
+    mark AT CLONE TIME, and the two tables then allocate independently
+    — ids stay unique within each table, and neither side's appends
+    move the other's mark. (Cross-TABLE uniqueness is explicitly not a
+    goal: a clone is a fork, and Delta's identity semantics are
+    per-table.) Generated-column rules ride along too."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_generated_column,
+        add_identity_column,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish_files(
+        spark,
+        spark.createDataFrame([], "id long, v long, v2 long"),
+        src,
+    )
+    add_identity_column(spark, src, "id", start=100, step=10)
+    add_generated_column(spark, src, "v2", "v * 2")
+    batch = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    append_files(spark, batch, src)  # ids 100,110,120 -> next=130
+
+    clone_manifest(spark, src, dst)
+    d_src = describe_manifest(spark, src)
+    d_dst = describe_manifest(spark, dst)
+    assert d_dst["identity"] == d_src["identity"]
+    assert d_dst["identity"]["id"]["next"] == 130
+    assert d_dst["generated_cols"] == {"v2": "v * 2"}
+
+    # both sides append post-clone: allocation diverges without either
+    # side seeing the other's commits
+    append_files(spark, spark.createDataFrame([(4,), (5,)], "v long"), dst)
+    append_files(spark, spark.createDataFrame([(6,)], "v long"), src)
+    src_rows = read_manifest(spark, src).collect()
+    dst_rows = read_manifest(spark, dst).collect()
+    src_ids = sorted(r["id"] for r in src_rows)
+    dst_ids = sorted(r["id"] for r in dst_rows)
+    assert src_ids == [100, 110, 120, 130]
+    assert dst_ids == [100, 110, 120, 130, 140]
+    assert len(set(src_ids)) == len(src_ids)
+    assert len(set(dst_ids)) == len(dst_ids)
+    # marks moved independently
+    assert describe_manifest(spark, src)["identity"]["id"]["next"] == 140
+    assert describe_manifest(spark, dst)["identity"]["id"]["next"] == 150
+    # generated rule enforced on the clone's own appends
+    assert all(r["v2"] == r["v"] * 2 for r in dst_rows)
