@@ -68,3 +68,48 @@ def test_broken_query_does_not_erase_timings(
         if f.startswith("BENCH_FULL_")
     }
     assert after == before
+
+
+def test_transient_mover_reruns_once_and_self_corrects(
+    spark, sf_dir, monkeypatch, capsys, tmp_path
+):
+    """r16 interference guard: a query that regressed >1.5x (and >0.5 s)
+    vs the previous round's committed record re-runs once at sweep end;
+    both numbers land in ``queries_rerun`` and the headline takes the
+    better time — BENCH_FULL_r15's ten phantom movers (a transient load
+    window mid-sweep) could not recur silently."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def slowish(s, d):
+        # warm-up + sweep passes are slow — simulating transient
+        # load — the rerun is fast
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            _time.sleep(1.2)
+        return s.range(5).selectExpr("id")
+
+    def steady(s, d):
+        return s.range(5).selectExpr("id")
+
+    monkeypatch.setattr(bench, "QUERIES", {"slowish": slowish, "steady": steady})
+    monkeypatch.setattr(bench, "HEADLINE", ["slowish", "steady"])
+    monkeypatch.setattr(bench, "SF_DIR", sf_dir)
+    monkeypatch.setattr(bench, "CPUS", 4)
+    monkeypatch.setattr(bench, "ARTIFACT_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "99")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # previous round's committed record: both queries were fast
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"queries": {"slowish": 0.05, "steady": 0.05}})
+    )
+
+    bench.main()
+    artifact = json.loads((tmp_path / "BENCH_FULL_r99.json").read_text())
+    assert set(artifact["queries_rerun"]) == {"slowish"}
+    rr = artifact["queries_rerun"]["slowish"]
+    assert rr["sweep"] >= 1.2 and rr["rerun"] < rr["sweep"]
+    assert artifact["queries"]["slowish"] == rr["rerun"]
+    assert len(artifact["load_avg_start"]) == 3
+    assert len(artifact["load_avg_end"]) == 3
