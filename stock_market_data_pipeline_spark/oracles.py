@@ -3954,12 +3954,12 @@ WITH e AS (
   SELECT event_id, event_type,
          CAST(floor(value * 100) AS BIGINT) AS value_cents
   FROM events
-  WHERE event_id % 3 IN (0, 1)
+  WHERE event_id % 30 IN (0, 1)
 ),
 feed AS (
   SELECT event_id, event_type, value_cents,
          'insert' AS change_type,
-         CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         CAST(CASE WHEN event_id % 30 = 0 THEN 1 ELSE 2 END AS BIGINT)
            AS commit_version
   FROM e
   UNION ALL

@@ -195,3 +195,80 @@ def test_update_then_purge_materializes(spark, tmp_path):
     assert got.count() == 60
     assert got.filter("k < 10 and s not like '%!'").count() == 0
     assert got.filter("k >= 10 and s like '%!'").count() == 0
+
+
+def test_update_on_shallow_clone_stays_zero_copy(spark, tmp_path):
+    """X150 x X146: updating a shallow clone DVs positions in files it
+    references from the SOURCE's data dir (per-entry base) and stages
+    postimages in its OWN dir — the source table's files and rows are
+    untouched, and the clone's readChangeFeed stream emits the update
+    from the clone's own commit metadata."""
+    import glob
+    import os
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        clone_manifest,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    publish_files(spark, _df(spark, 0, 50), src)
+    src_files_before = sorted(glob.glob(f"{src}/data/*"))
+    v_clone = clone_manifest(spark, src, dst)
+    out = update_where_dv(spark, dst, {"x": "x + 500"}, "g = 4")
+    n = sum(1 for k in range(50) if k % 7 == 4)
+    assert out["updated_rows"] == n
+    # source bytes and rows untouched
+    assert sorted(glob.glob(f"{src}/data/*")) == src_files_before
+    assert read_manifest(spark, src).filter("x >= 500").count() == 0
+    # clone sees the update; postimage bytes live in the CLONE's dir
+    got = read_manifest(spark, dst)
+    assert got.count() == 50
+    assert got.filter("g = 4 and x < 500").count() == 0
+    staged = [
+        f for f in os.listdir(f"{dst}/data")
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    assert len(staged) == out["new_files"]
+    # the clone's change feed streams its own update commit
+    spark.dataSource.register(ManifestStreamDataSource)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", dst)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(v_clone))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    feed = spark.read.parquet(sink)
+    assert feed.count() == 2 * n
+    assert feed.filter(
+        "change_type = 'update_preimage' and x >= 500"
+    ).count() == 0
+    assert feed.filter(
+        "change_type = 'update_postimage' and x < 500"
+    ).count() == 0
+
+
+def test_update_refuses_incremental_read_across_it(spark, tmp_path):
+    """X150 x X130: the append-only incremental reader must refuse a
+    range containing an UPDATE_DV commit — visible rows changed without
+    an append-only explanation; the change feed is the right consumer."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest_incremental,
+    )
+
+    root = str(tmp_path / "t")
+    v1 = publish_files(spark, _df(spark, 0, 20), root)
+    out = update_where_dv(spark, root, {"g": "g + 50"}, "k < 5")
+    with pytest.raises(ValueError):
+        read_manifest_incremental(spark, root, v1, out["version"]).count()
