@@ -3986,6 +3986,38 @@ GROUP BY change_type, commit_version, event_type
 """
 
 
+# X152 CDC replication: the replica equals the source's CASE rewrite
+# (the v2 DV update) minus the v3 DV delete (replication fidelity and
+# the exactly-once replay are runtime-asserted on the Spark side).
+ORACLES["cdc_replicate_equality"] = """
+WITH half AS (
+  SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) AS h FROM orders
+  WHERE o_orderkey % 2 = 1
+),
+s0 AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_orderkey % 2 = 1
+),
+s1 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3
+                   AND o_orderkey <= (SELECT h FROM half)
+              THEN 'CDC-RESTATED' ELSE o_orderpriority
+         END AS o_orderpriority,
+         CAST(CASE WHEN o_orderkey % 10 = 3
+                        AND o_orderkey <= (SELECT h FROM half)
+                   THEN price_cents + 11 ELSE price_cents
+              END AS BIGINT) AS price_cents
+  FROM s0
+)
+SELECT o_orderkey, o_orderpriority, price_cents
+FROM s1
+WHERE o_orderkey % 9 <> 5
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

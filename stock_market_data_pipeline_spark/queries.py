@@ -4685,6 +4685,97 @@ def q_stream_cdf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 manifest-to-manifest CDC replication as a driver row: a
+    source orders table takes a DV UPDATE and a DV DELETE, then
+    ``replicate_changefeed`` folds the readChangeFeed stream into a
+    replica via merge/delete with per-batch txn watermarks. The
+    returned replica read must equal the oracle's CASE-rewrite +
+    delete-filter of orders. Runtime-asserts what the oracle cannot
+    see: the replica is row-identical to the SOURCE's current read
+    (both exceptAll directions empty — replication fidelity, not just
+    oracle agreement), and a second replication pass with no new
+    source commits adds ZERO replica versions (checkpoint offsets +
+    txn watermarks = exactly-once end to end)."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_where_dv,
+        manifest_history,
+        publish_files,
+        read_manifest,
+        update_where_dv,
+    )
+    from stock_market_data_pipeline_spark.streaming.cdc_replicate import (
+        replicate_changefeed,
+    )
+
+    # odd keys only (half of orders): the QA value is the fold/replay
+    # machinery, not snapshot volume — the initial batch is still a
+    # real table-sized merge
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 2 == 1
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    half = orders.agg(
+        F.floor(F.max("o_orderkey") / 2).cast("bigint")
+    ).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="smdp_cdcrep_")
+    src, dst, ckpt = f"{tmp}/src", f"{tmp}/dst", f"{tmp}/ckpt"
+    try:
+        publish_files(
+            spark,
+            orders.repartitionByRange(8, "o_orderkey"),
+            src,
+            stats_cols=["o_orderkey"],
+        )                                                            # v1
+        update_where_dv(
+            spark,
+            src,
+            {
+                "o_orderpriority": "'CDC-RESTATED'",
+                "price_cents": "price_cents + 11",
+            },
+            f"o_orderkey % 10 = 3 AND o_orderkey <= {half}",
+            ranges={"o_orderkey": (None, int(half))},
+        )                                                            # v2
+        delete_where_dv(spark, src, "o_orderkey % 9 = 5")            # v3
+        replicate_changefeed(
+            spark, src, dst, keys=["o_orderkey"], checkpoint=ckpt,
+            n_buckets=16,
+        )
+        replica = read_manifest(spark, dst).drop("_cdc_version")
+        source = read_manifest(spark, src)
+        if (
+            replica.exceptAll(source).count()
+            or source.exceptAll(replica).count()
+        ):
+            raise AssertionError(
+                "replica diverges from the source's current read"
+            )
+        n_versions = len(manifest_history(spark, dst))
+        replicate_changefeed(
+            spark, src, dst, keys=["o_orderkey"], checkpoint=ckpt,
+            n_buckets=16,
+        )
+        if len(manifest_history(spark, dst)) != n_versions:
+            raise AssertionError(
+                "replay pass with no new source commits committed new "
+                "replica versions — not exactly-once"
+            )
+        return read_manifest(spark, dst).drop(
+            "_cdc_version"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4694,31 +4785,34 @@ def q_stream_cdf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-16 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 2 round-16 additions (dv_update_equality — X150
+# don't trust prose): 3 round-16 additions (dv_update_equality — X150
 # DV-backed row-level UPDATE with compounding second update,
 # merge-on-read file-set, time-travel and CDF-pair runtime asserts;
 # stream_cdf_parity — X151 readChangeFeed streaming mode with
-# replay-exactly-once and stream==batch-per-commit runtime asserts),
-# then 3 code-touched re-certs (merge_manifest_state: merge now runs
+# replay-exactly-once and stream==batch-per-commit runtime asserts;
+# cdc_replicate_equality — X152 manifest-to-manifest CDC replication
+# with replica≡source and zero-new-versions-on-replay runtime
+# asserts), then 3 code-touched re-certs (merge_manifest_state: merge now runs
 # the _evolved_schema_json tombstone/type-conflict guard — the r16
 # high-advice fix; manifest_stream_read_equality: manifest_source.py
 # gained the CDF branch and its read()/partitions() were restructured;
 # dv_delete_equality: _commit_dv_state generalized to carry UPDATE
 # postimage entries). Then ALL 35 deferred r12 rows (staleness exactly
-# 4 = the budget edge — MANDATORY this round), then the 10 oldest r13
-# rows (the 38-row r13 wave starts draining). Past the window: the 28
-# remaining r13 rows at [50:78] (r17's mandatory front), then the 47
-# r14 rows, then the 47 r15 rows not re-certed here — r17 = 28 r13 +
-# ~20 r14, r18 = 27 r14 + r15 rows, every cohort inside the 4-round
-# budget. Registry 170 + 2 new = 172; net growth 2 ≤ the ≤+5 target
+# 4 = the budget edge — MANDATORY this round), then the 9 oldest r13
+# rows (the 38-row r13 wave starts draining). Past the window: the 29
+# remaining r13 rows at [50:79] (r17's mandatory front), then the 47
+# r14 rows, then the 47 r15 rows not re-certed here — r17 = 29 r13 +
+# ~18 r14, r18 = 29 r14 + r15 rows, every cohort inside the 4-round
+# budget. Registry 170 + 3 new = 173; net growth 3 ≤ the ≤+5 target
 # the r15 verdict pinned (≤180 at r16 close).
 # NEXT ROUND (17): lead with round-17 additions/code-touched rows, then
-# the 28 deferred r13 rows at [50:78] (budget-mandatory), then the
+# the 29 deferred r13 rows at [50:79] (budget-mandatory), then the
 # oldest r14 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dv_update_equality": q_dv_update_equality,
     "stream_cdf_parity": q_stream_cdf_parity,
+    "cdc_replicate_equality": q_cdc_replicate_equality,
     "merge_manifest_state": q_merge_manifest_state,
     "manifest_stream_read_equality": q_manifest_stream_read_equality,
     "dv_delete_equality": q_dv_delete_equality,

@@ -1,0 +1,152 @@
+"""Manifest-to-manifest CDC replication (X152): a readChangeFeed stream
+over a source manifest table applied continuously to a replica table —
+the lakehouse "materialized replica" story, end-to-end exactly-once.
+
+The composition is three existing pieces, each already scale-audited:
+
+* the X151 ``readChangeFeed`` stream source plans each source commit
+  from metadata (added files + DV-sidecar deltas) — O(changed rows);
+* ``merge_upsert_manifest`` applies inserts/update-postimages at
+  O(touched buckets) with last-writer-wins on ``commit_version``;
+* ``delete_keys_manifest`` removes deleted keys at O(touched buckets).
+
+Exactly-once rides TWO cooperating idempotence layers, the same pair
+Delta recommends for foreachBatch sinks: the stream checkpoint replays
+a failed micro-batch with the SAME batch_id and contents (version-range
+offsets over immutable files), and both table writes carry
+``txn_id=(app, batch_id)`` watermarks, so the replayed half of a
+crashed batch no-ops while the unapplied half lands. Merge and delete
+use DISTINCT txn apps — a crash between them replays the batch, the
+merge watermark short-circuits, and only the missing delete applies.
+
+Within one micro-batch a key may change several times (insert at v2,
+update at v3, delete at v4 when the trigger spans commits): the
+handler folds the feed to each key's FINAL state by ``commit_version``
+before touching the replica — preimages are dropped, the winner per
+key is the highest-version change, delete winners leave, everything
+else merges. The replica carries the winning ``commit_version`` as its
+merge order column (``_cdc_version``), which is also what makes a
+REPLAYED apply idempotent at the row level: last-writer-wins can never
+regress a newer replica row to an older image.
+
+At 100 TB: the stream moves only changed rows, the replica writes only
+touched buckets, and nothing in the path is O(table) — the replica's
+first batch (the source's full history at ``startingVersion=0``) is
+the one deliberately table-sized step, exactly like Delta's initial
+snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CDC_VERSION = "_cdc_version"
+
+
+def apply_changefeed_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    dst_root: str,
+    keys: list[str],
+    n_buckets: int = 64,
+    app_id: str = "cdc-replicate",
+) -> dict[str, int]:
+    """Apply one micro-batch of change-feed rows to the replica table.
+    Exposed separately from the stream wiring so batch backfills
+    (``read_manifest_changes`` output) and tests drive the same code.
+    Returns ``{"upserted", "deleted"}`` (post-fold winner counts)."""
+    from stock_market_data_pipeline_spark.operators.dedup import (
+        dedup_keep_last,
+    )
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        merge_upsert_manifest,
+    )
+
+    # fold to each key's FINAL state in this batch: drop preimages,
+    # keep the highest-commit_version change per key (ties impossible:
+    # one commit emits at most one non-preimage change per key)
+    winners = dedup_keep_last(
+        batch.filter(F.col("change_type") != "update_preimage"),
+        keys=keys,
+        order=["commit_version"],
+    ).localCheckpoint(eager=True)  # two passes (split + apply) must
+    # see the same winners; batch-sized by the change-feed contract
+    dels = winners.filter(F.col("change_type") == "delete")
+    ups = (
+        winners.filter(F.col("change_type") != "delete")
+        .withColumnRenamed("commit_version", _CDC_VERSION)
+        .drop("change_type")
+    )
+    n_up = ups.count()
+    n_del = dels.count()
+    if n_up:
+        merge_upsert_manifest(
+            spark, ups, dst_root, keys=keys, order_col=_CDC_VERSION,
+            n_buckets=n_buckets, txn_id=(f"{app_id}-m", int(batch_id)),
+        )
+    if n_del:
+        try:
+            delete_keys_manifest(
+                spark, dels.select(*keys), dst_root, keys=keys,
+                n_buckets=n_buckets, txn_id=(f"{app_id}-d", int(batch_id)),
+            )
+        except FileNotFoundError:
+            if n_up:
+                raise  # merge just committed — a missing table is a bug
+            # replica has no committed version yet (every key in this
+            # batch was inserted AND deleted within it): deleting from
+            # an empty replica is a no-op, not an error
+    return {"upserted": n_up, "deleted": n_del}
+
+
+def replicate_changefeed(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    keys: list[str],
+    checkpoint: str,
+    n_buckets: int = 64,
+    starting_version: int = 0,
+    app_id: str = "cdc-replicate",
+    timeout: int = 300,
+) -> None:
+    """Run one availableNow replication pass: stream the source's
+    change feed from the checkpoint's position (or
+    ``starting_version`` on first run) and fold it into the replica.
+    Call repeatedly (cron-style) or swap the trigger for a continuous
+    deployment — the checkpoint + txn watermarks make either shape
+    exactly-once. Raises on timeout instead of leaving a half-applied
+    sink unreported."""
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+
+    def _handle(batch: DataFrame, batch_id: int) -> None:
+        apply_changefeed_batch(
+            batch.sparkSession, batch, batch_id, dst_root, keys,
+            n_buckets=n_buckets, app_id=app_id,
+        )
+
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", src_root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", str(starting_version))
+        .load()
+        .writeStream.foreachBatch(_handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"cdc replication {src_root} -> {dst_root} still running "
+            f"after {timeout}s — partial state is retry-safe (txn "
+            "watermarks), but this pass did not complete"
+        )
