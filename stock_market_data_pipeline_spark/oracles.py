@@ -4018,6 +4018,53 @@ WHERE o_orderkey % 9 <> 5
 """
 
 
+# X153 write-time change sidecars: the stream from the enabling
+# version = the merge's update pairs + inserts at v3 and the delete's
+# rows at POST-merge values at v4 (replay-exactly-once and
+# stream==batch-per-commit are runtime-asserted on the Spark side).
+ORACLES["stream_cdf_merge_parity"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+u AS (
+  SELECT k FROM (SELECT k FROM o WHERE k % 7 = 0 ORDER BY k LIMIT 6)
+  UNION ALL
+  SELECT k FROM (SELECT k FROM o WHERE k % 7 <> 0 ORDER BY k LIMIT 6)
+),
+d AS (SELECT k FROM o WHERE k % 2 = 0 ORDER BY k LIMIT 6),
+base AS (
+  SELECT k, prio, cents,
+         k IN (SELECT k FROM u) AS in_u,
+         k IN (SELECT k FROM d) AS in_d,
+         (k % 7) <> 0 AS in_v1
+  FROM o
+),
+feed AS (
+  SELECT k, 'CDF-RESTATED' AS prio, CAST(cents + 1 AS BIGINT) AS cents,
+         'insert' AS change_type, CAST(3 AS BIGINT) AS commit_version
+  FROM base WHERE in_u AND NOT in_v1
+  UNION ALL
+  SELECT k, prio, cents, 'update_preimage', CAST(3 AS BIGINT)
+  FROM base WHERE in_u AND in_v1
+  UNION ALL
+  SELECT k, 'CDF-RESTATED', CAST(cents + 1 AS BIGINT),
+         'update_postimage', CAST(3 AS BIGINT)
+  FROM base WHERE in_u AND in_v1
+  UNION ALL
+  SELECT k,
+         CASE WHEN in_u THEN 'CDF-RESTATED' ELSE prio END,
+         CAST(CASE WHEN in_u THEN cents + 1 ELSE cents END AS BIGINT),
+         'delete', CAST(4 AS BIGINT)
+  FROM base WHERE in_d AND (in_v1 OR in_u)
+)
+SELECT k AS o_orderkey, prio AS o_orderpriority,
+       cents AS price_cents, change_type, commit_version
+FROM feed
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

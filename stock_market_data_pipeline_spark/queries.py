@@ -4776,6 +4776,127 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X153 write-time change-data sidecars as a driver row: a keyed
+    orders table (the ``cdf_read_equality`` fixture shape) ENABLES the
+    change_feed property, then takes a MERGE (6 restatements + 6
+    inserts) and a key DELETE — commits that rewrite bucket files and
+    previously broke the readChangeFeed stream. With the property on,
+    each commit records its row-level changes in a ``cdf-`` sidecar at
+    write time (Delta's ``_change_data`` files), and the stream from
+    the enabling version emits exactly those changes: update
+    pre/postimages and inserts at the merge version, deletes at
+    POST-merge values at the delete version. The oracle reconstructs
+    the whole feed from the slice definitions. Runtime-asserts what it
+    cannot see: replay adds ZERO rows, and each streamed commit equals
+    the batch feed (``read_manifest_changes``) for the same step."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        enable_change_feed,
+        merge_upsert_manifest,
+        read_manifest_changes,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 7 != 0).withColumn("seq", F.lit(0))
+    update_batch = (
+        orders.filter(k % 7 == 0).orderBy("o_orderkey").limit(6)
+        .unionByName(
+            orders.filter(k % 7 != 0).orderBy("o_orderkey").limit(6)
+        )
+        .withColumn("o_orderpriority", F.lit("CDF-RESTATED"))
+        .withColumn(
+            "price_cents", (F.col("price_cents") + 1).cast("bigint")
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    dels = (
+        orders.filter(k % 2 == 0)
+        .orderBy("o_orderkey")
+        .limit(6)
+        .select("o_orderkey")
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_scdfm_")
+    root, sink, ckpt = f"{tmp}/table", f"{tmp}/sink", f"{tmp}/ckpt"
+    try:
+        merge_upsert_manifest(
+            spark, v1, root, keys=["o_orderkey"], order_col="seq",
+            n_buckets=32,
+        )                                                            # v1
+        v_en = enable_change_feed(spark, root)                       # v2
+        merge_upsert_manifest(
+            spark, update_batch, root, keys=["o_orderkey"],
+            order_col="seq", n_buckets=32,
+        )                                                            # v3
+        delete_keys_manifest(
+            spark, dels, root, keys=["o_orderkey"], n_buckets=32
+        )                                                            # v4
+
+        def run_stream():
+            q = (
+                spark.readStream.format("manifest_stream")
+                .option("path", root)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(v_en))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+
+        run_stream()
+        cols = [
+            "o_orderkey", "o_orderpriority", "price_cents",
+            "change_type",
+        ]
+        feed = spark.read.parquet(sink)
+        n_first = feed.count()
+        run_stream()  # replay: exactly-once -> zero new rows
+        if spark.read.parquet(sink).count() != n_first:
+            raise AssertionError(
+                "replay added rows — sidecar CDF offsets not "
+                "exactly-once"
+            )
+        for v in (v_en + 1, v_en + 2):
+            batch = read_manifest_changes(
+                spark, root, v - 1, v, keys=["o_orderkey"],
+                compare_cols=["o_orderpriority", "price_cents"],
+            ).select(*cols)
+            streamed = feed.filter(
+                F.col("commit_version") == v
+            ).select(*cols)
+            if (
+                streamed.exceptAll(batch).count()
+                or batch.exceptAll(streamed).count()
+            ):
+                raise AssertionError(
+                    f"sidecar-streamed CDF of v{v} disagrees with "
+                    "read_manifest_changes for the same step"
+                )
+        return feed.select(
+            *cols, "commit_version"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4785,34 +4906,37 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-16 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 3 round-16 additions (dv_update_equality — X150
+# don't trust prose): 4 round-16 additions (dv_update_equality — X150
 # DV-backed row-level UPDATE with compounding second update,
 # merge-on-read file-set, time-travel and CDF-pair runtime asserts;
 # stream_cdf_parity — X151 readChangeFeed streaming mode with
 # replay-exactly-once and stream==batch-per-commit runtime asserts;
 # cdc_replicate_equality — X152 manifest-to-manifest CDC replication
 # with replica≡source and zero-new-versions-on-replay runtime
-# asserts), then 3 code-touched re-certs (merge_manifest_state: merge now runs
+# asserts; stream_cdf_merge_parity — X153 write-time change-data
+# sidecars letting the stream flow across MERGE/key-delete commits),
+# then 3 code-touched re-certs (merge_manifest_state: merge now runs
 # the _evolved_schema_json tombstone/type-conflict guard — the r16
 # high-advice fix; manifest_stream_read_equality: manifest_source.py
 # gained the CDF branch and its read()/partitions() were restructured;
 # dv_delete_equality: _commit_dv_state generalized to carry UPDATE
 # postimage entries). Then ALL 35 deferred r12 rows (staleness exactly
-# 4 = the budget edge — MANDATORY this round), then the 9 oldest r13
-# rows (the 38-row r13 wave starts draining). Past the window: the 29
-# remaining r13 rows at [50:79] (r17's mandatory front), then the 47
-# r14 rows, then the 47 r15 rows not re-certed here — r17 = 29 r13 +
-# ~18 r14, r18 = 29 r14 + r15 rows, every cohort inside the 4-round
-# budget. Registry 170 + 3 new = 173; net growth 3 ≤ the ≤+5 target
+# 4 = the budget edge — MANDATORY this round), then the 8 oldest r13
+# rows (the 38-row r13 wave starts draining). Past the window: the 30
+# remaining r13 rows at [50:80] (r17's mandatory front), then the 47
+# r14 rows, then the 47 r15 rows not re-certed here — r17 = 30 r13 +
+# ~17 r14, r18 = 30 r14 + r15 rows, every cohort inside the 4-round
+# budget. Registry 170 + 4 new = 174; net growth 4 ≤ the ≤+5 target
 # the r15 verdict pinned (≤180 at r16 close).
 # NEXT ROUND (17): lead with round-17 additions/code-touched rows, then
-# the 29 deferred r13 rows at [50:79] (budget-mandatory), then the
+# the 30 deferred r13 rows at [50:80] (budget-mandatory), then the
 # oldest r14 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dv_update_equality": q_dv_update_equality,
     "stream_cdf_parity": q_stream_cdf_parity,
     "cdc_replicate_equality": q_cdc_replicate_equality,
+    "stream_cdf_merge_parity": q_stream_cdf_merge_parity,
     "merge_manifest_state": q_merge_manifest_state,
     "manifest_stream_read_equality": q_manifest_stream_read_equality,
     "dv_delete_equality": q_dv_delete_equality,

@@ -1010,6 +1010,13 @@ def _carry_extensions(meta: dict) -> dict | None:
         # intentionally sheds them — a replaced file set contains no
         # pre-drop bytes, so the name is safe to reuse
         out["dropped_cols"] = list(dropped)
+    if meta.get("change_feed"):
+        # table property (X153): history-rewriting writes record
+        # change-data sidecars. NOTE the per-version "cdf" sidecar ref
+        # is deliberately NOT carried — it describes ONE commit's
+        # changes; carrying it would make every later version claim
+        # the same change set
+        out["change_feed"] = True
     return out or None
 
 
@@ -1028,6 +1035,9 @@ def _carry_constraints(meta: dict) -> dict | None:
     ident = meta.get("identity")
     if ident:
         out["identity"] = {c: dict(v) for c, v in ident.items()}
+    if meta.get("change_feed"):
+        out["change_feed"] = True  # Delta's enableChangeDataFeed is a
+        # table property: it survives a full replace like constraints
     return out or None
 
 
@@ -2358,6 +2368,110 @@ def drop_table_constraint(
     )
 
 
+def _set_change_feed(spark: SparkSession, root: str, on: bool) -> int:
+    fs = _HadoopFS(spark, root)
+    cur_v, meta = _resolve_manifest(fs, root, None)
+    ext = _carry_extensions(meta) or {}
+    if on:
+        ext["change_feed"] = True
+    else:
+        ext.pop("change_feed", None)
+    reused, loose = _plan_segment_reuse(fs, root, meta, set())
+    return _commit(
+        spark,
+        root,
+        loose,
+        meta.get("fmt", "parquet"),
+        expected_prev=cur_v,
+        txns=dict(meta.get("txns") or {}),
+        schema_json=meta.get("schema"),
+        stats_cols=_table_stats_cols(meta) or None,
+        bucketing=meta.get("bucketing"),
+        reuse_segments=reused,
+        extra_meta=ext or None,
+        operation="SET_CHANGE_FEED" if on else "UNSET_CHANGE_FEED",
+    )
+
+
+def enable_change_feed(spark: SparkSession, root: str) -> int:
+    """Turn on write-time change-data recording (X153) — Delta's
+    ``delta.enableChangeDataFeed`` table property: from the NEXT
+    version on, history-rewriting keyed writes (``merge_upsert_
+    manifest``, ``delete_keys_manifest``) record their row-level
+    changes in a ``cdf-`` sidecar at commit time, which is what lets
+    the streaming change feed (``readChangeFeed``) flow CONTINUOUSLY
+    across them instead of raising toward the batch API. Appends and
+    DV commits never need a sidecar (their changes are already exact
+    from commit metadata), and versions written BEFORE the property
+    was set have no sidecar — a stream spanning them still raises,
+    exactly Delta's "CDF is available from the enabling version"
+    contract. Pure-metadata commit; survives a full replace (table
+    property). Returns the new version."""
+    return _set_change_feed(spark, root, True)
+
+
+def disable_change_feed(spark: SparkSession, root: str) -> int:
+    """Stop recording change-data sidecars (existing sidecars stay
+    readable for their versions until vacuumed)."""
+    return _set_change_feed(spark, root, False)
+
+
+def _change_rows(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Row-level changes between the OLD and NEW states of the touched
+    key space — the write-time twin of ``read_manifest_changes``'s
+    emit (same vocabulary, same no-op cancellation): one full-outer
+    key join, explode factor ≤ 2, carried-unchanged rows emit nothing.
+    Both inputs are bucket-scoped (O(touched), never O(table)); the
+    caller persists the result as the commit's ``cdf-`` sidecar."""
+    cc = [c for c in old.columns if c in set(new.columns) and c not in keys]
+    o = old.select(*keys, F.struct(*cc).alias("_vo"), F.lit(1).alias("_po"))
+    n = new.select(*keys, F.struct(*cc).alias("_vn"), F.lit(1).alias("_pn"))
+    j = o.join(n, keys, "full_outer")
+    img = lambda ct, v: F.struct(  # noqa: E731 — local plan builder
+        F.lit(ct).alias("ct"), F.col(v).alias("img")
+    )
+    empty = F.filter(
+        F.array(img("carried", "_vo")), lambda _: F.lit(False)
+    )
+    emit = (
+        F.when(F.col("_po").isNull(), F.array(img("insert", "_vn")))
+        .when(F.col("_pn").isNull(), F.array(img("delete", "_vo")))
+        .when(
+            ~F.col("_vo").eqNullSafe(F.col("_vn")),
+            F.array(
+                img("update_preimage", "_vo"),
+                img("update_postimage", "_vn"),
+            ),
+        )
+        .otherwise(empty)
+    )
+    return j.select(*keys, F.explode(emit).alias("_e")).select(
+        *keys,
+        *[F.col(f"_e.img.{c}").alias(c) for c in cc],
+        F.col("_e.ct").alias("change_type"),
+    )
+
+
+def _write_cdf_sidecar(
+    spark: SparkSession, root: str, changes: DataFrame
+) -> dict:
+    """Persist a commit's change rows as its ``cdf-`` sidecar and
+    return the version-scoped ref ``{"sidecar", "rows"}`` (sidecar
+    None when the commit changed nothing — e.g. a merge restating
+    identical values). Changed-rows-sized by contract."""
+    sidecar = f"cdf-{uuid.uuid4().hex}"
+    changes.coalesce(1).write.mode("overwrite").parquet(
+        f"{_stats_dir(root)}/{sidecar}"
+    )
+    n = spark.read.parquet(f"{_stats_dir(root)}/{sidecar}").count()
+    if n == 0:
+        _HadoopFS(spark, root).delete(f"{_stats_dir(root)}/{sidecar}")
+        return {"sidecar": None, "rows": 0}
+    return {"sidecar": sidecar, "rows": int(n)}
+
+
 def drop_column(spark: SparkSession, root: str, col: str) -> int:
     """``ALTER TABLE DROP COLUMN`` (X145) as a metadata-only commit: the
     recorded schema loses the column, and since every read projects
@@ -2630,6 +2744,14 @@ def describe_manifest(
         # and how many entries still reference another table's bytes
         "clone_of": meta.get("clone_of"),
         "external_files": sum(1 for e in entries if e.get("base")),
+        # write-time change-data recording (X153) + this version's
+        # own change sidecar row count (None when not a CDF commit)
+        "change_feed": bool(meta.get("change_feed")),
+        "cdf": (
+            {"rows": int(meta["cdf"].get("rows") or 0)}
+            if meta.get("cdf") is not None
+            else None
+        ),
     }
 
 
@@ -2720,6 +2842,12 @@ def vacuum_manifest(
         # that references it
         if (meta.get("dv") or {}).get("sidecar"):
             ref_stats.add(meta["dv"]["sidecar"])
+        # a retained version's change-data sidecar (X153) must survive
+        # for change-feed reads over that version range; sidecars of
+        # vacuumed versions die with them — Delta documents the same
+        # CDF-vs-VACUUM interaction
+        if (meta.get("cdf") or {}).get("sidecar"):
+            ref_stats.add(meta["cdf"]["sidecar"])
         ref_segs |= {s["name"] for s in meta.get("segments") or []}
     mdel = 0
     for v in known:
@@ -3242,6 +3370,29 @@ def merge_upsert_manifest(
     for p in parts[1:]:
         merged = merged.unionByName(p, allowMissingColumns=True)
     winners = dedup_keep_last(merged, keys=keys, order=[order_col])
+    # write-time change data (X153): with the change_feed property on,
+    # the merge's row-level changes (insert / update pre+post; carried
+    # rows cancel) persist as this commit's cdf- sidecar — the same
+    # key-join the batch feed would do later, done HERE where both
+    # sides are already in hand at O(touched buckets). This is what
+    # lets a readChangeFeed stream flow across the rewrite.
+    cdf_ref = None
+    if meta.get("change_feed"):
+        if len(parts) > 1:
+            # align the OLD side to the evolved column set (a
+            # schema-evolving merge's new columns read NULL in
+            # preimages) so the sidecar carries the FULL post-commit
+            # schema — intersecting instead would silently drop the
+            # new column from every change row
+            old_side = parts[1].unionByName(
+                winners.limit(0), allowMissingColumns=True
+            )
+            changes = _change_rows(old_side, winners, list(keys))
+        else:
+            changes = winners.withColumn(
+                "change_type", F.lit("insert")
+            )
+        cdf_ref = _write_cdf_sidecar(spark, root, changes)
     stats_cols = (_table_stats_cols(meta) if committed else []) or None
     new_entries = _stage_bucketed(
         spark, winners, root, fmt, keys, n_buckets, stats_cols=stats_cols
@@ -3264,7 +3415,11 @@ def merge_upsert_manifest(
         stats_cols=stats_cols,
         bucketing={"keys": list(keys), "n_buckets": int(n_buckets)},
         reuse_segments=reused,
-        extra_meta=_carry_extensions(meta),
+        extra_meta=(
+            {**(_carry_extensions(meta) or {}), "cdf": cdf_ref}
+            if cdf_ref is not None
+            else _carry_extensions(meta)
+        ),
         operation="MERGE",
     )
     return {
@@ -3342,15 +3497,27 @@ def delete_keys_manifest(
             old_touched.append(e)
     new_entries: list[dict[str, Any]] = []
     stats_cols = _table_stats_cols(meta) or None
+    cdf_ref = None
     if old_touched:
         paths = list(_entry_paths(root, old_touched).values())
-        survivors = _load_table_files(spark, meta, paths, root).join(
+        touched_rows = _load_table_files(spark, meta, paths, root)
+        survivors = touched_rows.join(
             F.broadcast(dk.drop(_BUCKET)), keys, "left_anti"
         )
+        # write-time change data (X153): the deleted rows — computed
+        # from the same touched-bucket read the rewrite pays anyway —
+        # persist as this commit's cdf- sidecar
+        if meta.get("change_feed"):
+            deleted = touched_rows.join(
+                F.broadcast(dk.drop(_BUCKET)), keys, "left_semi"
+            ).withColumn("change_type", F.lit("delete"))
+            cdf_ref = _write_cdf_sidecar(spark, root, deleted)
         new_entries = _stage_bucketed(
             spark, survivors, root, fmt, keys, n_buckets,
             stats_cols=stats_cols,
         )
+    elif meta.get("change_feed"):
+        cdf_ref = {"sidecar": None, "rows": 0}
     changed = {e["name"] for e in old_touched}
     reused, loose = _plan_segment_reuse(fs, root, meta, changed)
     loose_carried = [e for e in loose if e["name"] not in changed]
@@ -3365,7 +3532,11 @@ def delete_keys_manifest(
         stats_cols=stats_cols,
         bucketing=bk,
         reuse_segments=reused,
-        extra_meta=_carry_extensions(meta),
+        extra_meta=(
+            {**(_carry_extensions(meta) or {}), "cdf": cdf_ref}
+            if cdf_ref is not None
+            else _carry_extensions(meta)
+        ),
         operation="DELETE_KEYS",
     )
     return {

@@ -47,9 +47,16 @@ Contract mirrors Delta's streaming source:
   anywhere — the WRITER's commit discipline (one operation name + one
   DV sidecar per version) is what makes the feed reconstructible from
   metadata, the same reason Delta writes change files at commit time.
-  History-rewriting commits the feed cannot express row-exactly
-  (MERGE, replace/replaceWhere, retention, key delete, RESTORE) raise
-  mid-stream and point at the batch API, which key-joins them exactly.
+  With the table's ``change_feed`` property on (X153,
+  ``enable_change_feed`` — Delta's ``enableChangeDataFeed``), keyed
+  MERGE and key-delete commits record their row-level changes in a
+  ``cdf-`` sidecar at COMMIT time (Delta's ``_change_data`` files),
+  and the stream plans that sidecar as the commit's authoritative
+  change set — flowing continuously across the rewrite. Remaining
+  history-rewriting commits the feed cannot express row-exactly
+  (replace/replaceWhere, retention, RESTORE — or merges/deletes from
+  before the property was set) raise mid-stream and point at the
+  batch API, which key-joins them exactly.
 
 Scale posture: offset resolution is one metadata listing; planning is a
 file-set difference (O(changed files)); each planned file becomes one
@@ -286,17 +293,46 @@ class ManifestStreamReader(DataSourceStreamReader):
                 prev_meta, prev_names = meta, names
                 prev_dv = _dv_positions(root, meta)
                 continue
+            if meta.get("cdf") is not None:
+                # the WRITER recorded this commit's change rows at
+                # commit time (X153, change_feed property — Delta's
+                # _change_data files): the sidecar is AUTHORITATIVE
+                # for the whole commit, so neither the added files nor
+                # the DV delta plan separately (a merge's added bucket
+                # files are mostly carried rows — planning them as
+                # inserts would double-count)
+                sc = (meta["cdf"] or {}).get("sidecar")
+                if sc:
+                    sdir = f"{root.rstrip('/')}/stats/{sc}"
+                    for fn in sorted(os.listdir(sdir)):
+                        if fn.startswith((".", "_")) or not fn.endswith(
+                            ".parquet"
+                        ):
+                            continue
+                        parts.append(
+                            _CdfPartition(
+                                f"{sdir}/{fn}",
+                                self._schema_bytes,
+                                None,  # change_type rides IN the file
+                                v,
+                                None,
+                            )
+                        )
+                prev_meta, prev_names = meta, names
+                prev_dv = _dv_positions(root, meta)
+                continue
             removed = prev_names - names
             if removed:
                 raise ValueError(
                     f"manifest_stream[readChangeFeed]: v{v} of {root} "
                     f"(operation {op}) rewrote or dropped "
-                    f"{len(removed)} files — this commit's row-level "
-                    "changes are not reconstructible from metadata; "
-                    "consume it with the batch API "
-                    "(read_manifest_changes) and restart the stream "
-                    "past it, or keep history-rewriting maintenance "
-                    "behind the stream"
+                    f"{len(removed)} files and recorded no change-data "
+                    "sidecar — this commit's row-level changes are not "
+                    "reconstructible from metadata; enable_change_feed "
+                    "BEFORE such writes (keyed merges/deletes then "
+                    "record cdf- sidecars, X153), or consume this "
+                    "range with the batch API (read_manifest_changes) "
+                    "and restart the stream past it"
                 )
             data = f"{root.rstrip('/')}/data"
             paths = {
@@ -347,6 +383,13 @@ class ManifestStreamReader(DataSourceStreamReader):
         cols = []
         for field in target:
             if is_cdf and field.name == "change_type":
+                if partition.change_type is None:
+                    # X153 sidecar partition: the change type rides in
+                    # the recorded change rows themselves
+                    cols.append(
+                        t.column("change_type").cast(field.type)
+                    )
+                    continue
                 # constant columns via pa.repeat — never a file-sized
                 # Python list
                 cols.append(pa.repeat(

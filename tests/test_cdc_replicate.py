@@ -132,3 +132,48 @@ def test_first_batch_all_inserted_then_deleted(spark, tmp_path):
     assert out == {"upserted": 0, "deleted": 1}
     with pytest.raises(FileNotFoundError):
         read_manifest(spark, dst)
+
+
+def test_replicate_merge_maintained_source_with_sidecars(spark, tmp_path):
+    """X152 x X153: with the source's change_feed property on, a
+    merge/key-delete-maintained source streams its sidecars and the
+    replica converges — the composition that makes the replica work
+    for tables maintained by MERGE, not just append/DV writers."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        enable_change_feed,
+        merge_upsert_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    base = _df(spark, 0, 30).withColumn("seq", F.lit(0))
+    merge_upsert_manifest(
+        spark, base, src, keys=["k"], order_col="seq", n_buckets=4,
+    )                                                                # v1
+    enable_change_feed(spark, src)                                   # v2
+    upd = (
+        _df(spark, 0, 5)
+        .withColumn("x", F.col("x") + 100.0)
+        .withColumn("seq", F.lit(1))
+    )
+    merge_upsert_manifest(
+        spark, upd, src, keys=["k"], order_col="seq", n_buckets=4,
+    )                                                                # v3
+    delete_keys_manifest(
+        spark, spark.createDataFrame([(7,), (8,)], "k long"), src,
+        keys=["k"], n_buckets=4,
+    )                                                                # v4
+
+    replicate_changefeed(spark, src, dst, keys=["k"], checkpoint=ckpt)
+    src_rows = {
+        (r["k"], r["g"], r["x"], r["seq"])
+        for r in read_manifest(spark, src).collect()
+    }
+    dst_rows = {
+        (r["k"], r["g"], r["x"], r["seq"])
+        for r in read_manifest(spark, dst).drop("_cdc_version").collect()
+    }
+    assert dst_rows == src_rows
+    assert len(dst_rows) == 28

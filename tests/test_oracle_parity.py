@@ -21,30 +21,32 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-16 plan: 3 new rows
+    rounds — SURVEY §2.10). Guard the round-16 plan: 4 new rows
     (DV-backed row-level UPDATE, readChangeFeed streaming mode, CDC
-    replication), then 3 code-touched re-certs (merge evolved-schema
-    guard; the stream source's CDF restructure; _commit_dv_state
-    generalization), then ALL 35 deferred r12 rows (staleness exactly
-    4 — the budget edge, MANDATORY), then the 9 oldest r13 rows (the
-    38-row r13 wave starts draining). The 29 remaining r13 rows sit
-    at positions 50:79 — r17's mandatory front."""
+    replication, write-time change sidecars), then 3 code-touched
+    re-certs (merge evolved-schema guard; the stream source's CDF
+    restructure; _commit_dv_state generalization), then ALL 35
+    deferred r12 rows (staleness exactly 4 — the budget edge,
+    MANDATORY), then the 8 oldest r13 rows (the 38-row r13 wave
+    starts draining). The 30 remaining r13 rows sit at positions
+    50:80 — r17's mandatory front."""
     window = list(QUERIES)[:50]
     # round-16 additions — never driver-checked — at the very front
-    assert window[:3] == [
+    assert window[:4] == [
         "dv_update_equality",
         "stream_cdf_parity",
         "cdc_replicate_equality",
+        "stream_cdf_merge_parity",
     ]
     # code-touched re-certs (merge schema guard; manifest_source CDF
     # branch; _commit_dv_state postimage generalization)
-    assert window[3:6] == [
+    assert window[4:7] == [
         "merge_manifest_state",
         "manifest_stream_read_equality",
         "dv_delete_equality",
     ]
     # ALL 35 deferred r12 rows (the r15 verdict's designated r16 front)
-    assert window[6:41] == [
+    assert window[7:42] == [
         "lsh_cosine_topk",
         "ivf_cosine_topk",
         "multimodal_content_dedup",
@@ -81,8 +83,8 @@ def test_driver_window_composition():
         "gapfill_15m",
         "repetition_signals",
     ]
-    # the 9 oldest r13-green rows (r13 cohort due in full by r17)
-    assert window[41:50] == [
+    # the 8 oldest r13-green rows (r13 cohort due in full by r17)
+    assert window[42:50] == [
         "compact_equality",
         "jsonl_quarantine",
         "min_cost_supplier",
@@ -91,11 +93,11 @@ def test_driver_window_composition():
         "gapfill_interpolate",
         "macd_signal",
         "stream_stream_join_parity",
-        "stream_incremental_dedup",
     ]
-    # the 29 remaining r13 rows are the tail front — r17's mandatory
+    # the 30 remaining r13 rows are the tail front — r17's mandatory
     # front (they hit the 4-round budget edge at r17)
-    assert list(QUERIES)[50:79] == [
+    assert list(QUERIES)[50:80] == [
+        "stream_incremental_dedup",
         "stream_cdc_parity",
         "stream_silence_parity",
         "stream_dim_enrich_parity",
