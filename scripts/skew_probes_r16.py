@@ -122,7 +122,12 @@ def main():
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError(
+                    "cdf stream probe still running after 300s — "
+                    "refusing to record a partial-sink timing"
+                )
             sec_stream = round(time.perf_counter() - t0, 3)
             n_feed = spark.read.parquet(sink).count()
             assert n_feed == 2 * r["updated_rows"], n_feed

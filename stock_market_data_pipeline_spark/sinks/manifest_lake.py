@@ -1167,8 +1167,16 @@ def add_generated_column(
     # directions: the new expression referencing an existing rule's
     # column, and an existing expression referencing the new column.
     def _refs(expr_s: str, col: str) -> bool:
-        bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr_s)  # not literals
-        return re.search(rf"(?<![A-Za-z0-9_`]){re.escape(col)}(?![A-Za-z0-9_])", bare) is not None
+        # strip string literals, then normalize backtick quoting away
+        # (`a` references column a) and match case-insensitively (Spark
+        # resolves columns case-insensitively); a name followed by '('
+        # is a FUNCTION call, not a column reference (r16 review)
+        bare = re.sub(r"'[^']*'|\"[^\"]*\"", "", expr_s).replace("`", "")
+        return re.search(
+            rf"(?<![A-Za-z0-9_]){re.escape(col)}(?![A-Za-z0-9_])(?!\s*\()",
+            bare,
+            re.IGNORECASE,
+        ) is not None
 
     for other in sorted(gens):
         if _refs(expr, other):
@@ -3378,6 +3386,14 @@ def merge_upsert_manifest(
     # lets a readChangeFeed stream flow across the rewrite.
     cdf_ref = None
     if meta.get("change_feed"):
+        # winners is consumed TWICE on this path (sidecar write, then
+        # staging): pin it so dedup tie-breaking cannot pick different
+        # winners per job — the sidecar is authoritative for streams
+        # and replicas, so recording a postimage the commit didn't
+        # stage would corrupt every downstream consumer (same
+        # discipline as apply_changefeed_batch / update_where_dv).
+        # Also removes the guaranteed second dedup/join pass.
+        winners = winners.localCheckpoint(eager=True)
         if len(parts) > 1:
             # align the OLD side to the evolved column set (a
             # schema-evolving merge's new columns read NULL in

@@ -278,6 +278,19 @@ class ManifestStreamReader(DataSourceStreamReader):
         prev_meta = _load_meta(root, v0) if v0 > 0 else {}
         prev_names = set(_entry_names(root, prev_meta)) if v0 > 0 else set()
         prev_dv = _dv_positions(root, prev_meta) if v0 > 0 else {}
+        prev_dv_name = (prev_meta.get("dv") or {}).get("sidecar")
+
+        def _dv_step(meta):
+            # most commits carry the dv ref verbatim: re-reading the
+            # FULL cumulative sidecar per version step would make a
+            # long catch-up batch O(versions x dv_rows) driver-side
+            # (r16 review) — reload only when the sidecar name moved
+            nonlocal prev_dv, prev_dv_name
+            name = (meta.get("dv") or {}).get("sidecar")
+            if name != prev_dv_name:
+                prev_dv = _dv_positions(root, meta)
+                prev_dv_name = name
+            return prev_dv
         # walk COMMITTED versions only: a WAP version staged without a
         # marker is invisible to readers and must stay invisible here
         steps = [
@@ -291,7 +304,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             if op in _CDF_ROW_PRESERVING:
                 # rows moved between files, none changed — emit nothing
                 prev_meta, prev_names = meta, names
-                prev_dv = _dv_positions(root, meta)
+                _dv_step(meta)
                 continue
             if meta.get("cdf") is not None:
                 # the WRITER recorded this commit's change rows at
@@ -319,7 +332,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                             )
                         )
                 prev_meta, prev_names = meta, names
-                prev_dv = _dv_positions(root, meta)
+                _dv_step(meta)
                 continue
             removed = prev_names - names
             if removed:
@@ -350,10 +363,11 @@ class ManifestStreamReader(DataSourceStreamReader):
                         paths[n], self._schema_bytes, added_ct, v, None
                     )
                 )
-            dv = _dv_positions(root, meta)
+            old_dv = dict(prev_dv)  # pre-step snapshot for the delta
+            dv = _dv_step(meta)
             dv_ct = "update_preimage" if op == "UPDATE_DV" else "delete"
             for n in sorted(set(dv) & prev_names & names):
-                fresh = dv[n] - prev_dv.get(n, set())
+                fresh = dv[n] - old_dv.get(n, set())
                 if fresh:
                     parts.append(
                         _CdfPartition(
@@ -364,7 +378,7 @@ class ManifestStreamReader(DataSourceStreamReader):
                             tuple(sorted(fresh)),
                         )
                     )
-            prev_meta, prev_names, prev_dv = meta, names, dv
+            prev_meta, prev_names = meta, names
         return parts
 
     def read(self, partition):

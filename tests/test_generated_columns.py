@@ -171,3 +171,22 @@ def test_generated_rule_may_not_reference_generated_column(spark, tmp_path):
     add_generated_column(
         spark, root, "tag", "concat('day:', CAST(k AS STRING))"
     )
+
+
+def test_generated_reference_guard_sees_through_quoting_and_case(
+    spark, tmp_path
+):
+    """r16 review: the rule-over-rule guard must catch backtick-quoted
+    and case-differing references (Spark resolves columns
+    case-insensitively) and must NOT flag a FUNCTION named like a
+    column."""
+    root = str(tmp_path / "t")
+    df = _df(spark, 0, 10).withColumn("day2", F.col("ts").cast("date"))
+    publish_files(spark, df, root)
+    add_generated_column(spark, root, "day", "CAST(ts AS DATE)")
+    with pytest.raises(ValueError, match="references generated column"):
+        add_generated_column(spark, root, "day2", "CAST(`day` AS DATE)")
+    with pytest.raises(ValueError, match="references generated column"):
+        add_generated_column(spark, root, "day2", "CAST(DAY AS DATE)")
+    # day(ts) is the SQL function, not the generated column
+    add_generated_column(spark, root, "day2", "make_date(2026, 1, day(ts))")
