@@ -3992,13 +3992,13 @@ GROUP BY change_type, commit_version, event_type
 ORACLES["cdc_replicate_equality"] = """
 WITH half AS (
   SELECT CAST(floor(max(o_orderkey) / 2) AS BIGINT) AS h FROM orders
-  WHERE o_orderkey % 2 = 1
+  WHERE o_orderkey % 7 = 1
 ),
 s0 AS (
   SELECT o_orderkey, o_orderpriority,
          CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
   FROM orders
-  WHERE o_orderkey % 2 = 1
+  WHERE o_orderkey % 7 = 1
 ),
 s1 AS (
   SELECT o_orderkey,

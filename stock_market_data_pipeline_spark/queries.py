@@ -4711,11 +4711,12 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         replicate_changefeed,
     )
 
-    # odd keys only (half of orders): the QA value is the fold/replay
-    # machinery, not snapshot volume — the initial batch is still a
-    # real table-sized merge
+    # a 1/7 key slice: the QA value is the fold/replay machinery,
+    # not snapshot volume — the initial batch is still a real
+    # table-sized merge (closing bench showed the half-slice fixture
+    # at 33 s; the asserts are volume-independent)
     orders = read_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 2 == 1
+        F.col("o_orderkey") % 7 == 1
     ).select(
         "o_orderkey",
         "o_orderpriority",
@@ -4748,7 +4749,7 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_where_dv(spark, src, "o_orderkey % 9 = 5")            # v3
         replicate_changefeed(
             spark, src, dst, keys=["o_orderkey"], checkpoint=ckpt,
-            n_buckets=16,
+            n_buckets=8,
         )
         replica = read_manifest(spark, dst).drop("_cdc_version")
         source = read_manifest(spark, src)
@@ -4762,7 +4763,7 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_versions = len(manifest_history(spark, dst))
         replicate_changefeed(
             spark, src, dst, keys=["o_orderkey"], checkpoint=ckpt,
-            n_buckets=16,
+            n_buckets=8,
         )
         if len(manifest_history(spark, dst)) != n_versions:
             raise AssertionError(
