@@ -4916,21 +4916,22 @@ def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with replica≡source and zero-new-versions-on-replay runtime
 # asserts; stream_cdf_merge_parity — X153 write-time change-data
 # sidecars letting the stream flow across MERGE/key-delete commits),
-# then 3 code-touched re-certs (merge_manifest_state: merge now runs
+# then 4 code-touched re-certs (merge_manifest_state: merge now runs
 # the _evolved_schema_json tombstone/type-conflict guard — the r16
 # high-advice fix; manifest_stream_read_equality: manifest_source.py
 # gained the CDF branch and its read()/partitions() were restructured;
 # dv_delete_equality: _commit_dv_state generalized to carry UPDATE
-# postimage entries). Then ALL 35 deferred r12 rows (staleness exactly
-# 4 = the budget edge — MANDATORY this round), then the 8 oldest r13
-# rows (the 38-row r13 wave starts draining). Past the window: the 30
-# remaining r13 rows at [50:80] (r17's mandatory front), then the 47
-# r14 rows, then the 47 r15 rows not re-certed here — r17 = 30 r13 +
-# ~17 r14, r18 = 30 r14 + r15 rows, every cohort inside the 4-round
-# budget. Registry 170 + 4 new = 174; net growth 4 ≤ the ≤+5 target
-# the r15 verdict pinned (≤180 at r16 close).
+# postimage entries; retention_revenue: retention_delete gained X153
+# change-sidecar recording). Then ALL 35 deferred r12 rows (staleness exactly
+# 4 = the budget edge — MANDATORY this round), then the 7 oldest r13
+# rows (the 38-row r13 wave starts draining). Past the window: the 31
+# remaining r13 rows at [50:81] (r17's mandatory front), then the 46
+# remaining r14 rows, then the 47 r15 rows not re-certed here — r17 =
+# 31 r13 + ~16 r14, r18 = 30 r14 + r15 rows, every cohort inside the
+# 4-round budget. Registry 170 + 4 new = 174; net growth 4 ≤ the ≤+5
+# target the r15 verdict pinned (≤180 at r16 close).
 # NEXT ROUND (17): lead with round-17 additions/code-touched rows, then
-# the 30 deferred r13 rows at [50:80] (budget-mandatory), then the
+# the 31 deferred r13 rows at [50:81] (budget-mandatory), then the
 # oldest r14 rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -4941,6 +4942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_manifest_state": q_merge_manifest_state,
     "manifest_stream_read_equality": q_manifest_stream_read_equality,
     "dv_delete_equality": q_dv_delete_equality,
+    "retention_revenue": q_retention_revenue,
     "lsh_cosine_topk": q_lsh_cosine_topk,
     "ivf_cosine_topk": q_ivf_cosine_topk,
     "multimodal_content_dedup": q_multimodal_content_dedup,
@@ -5025,7 +5027,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_key_delete": q_manifest_key_delete,
     "manifest_sharded_scan": q_manifest_sharded_scan,
     "manifest_rollback_diff": q_manifest_rollback_diff,
-    "retention_revenue": q_retention_revenue,
     "pruned_scan_revenue": q_pruned_scan_revenue,
     "approx_stats": q_approx_stats,
     "corpus_report": q_corpus_report,

@@ -1445,8 +1445,7 @@ def retention_delete(
     all_entries = _manifest_entries(fs, root, meta)
     file_stats = _load_stats(spark, root, all_entries)
     kcut = _stat_key(cutoff)
-    carried, to_rewrite = [], []
-    dropped = 0
+    carried, to_rewrite, dropped_entries = [], [], []
     for e in all_entries:
         fstat = file_stats.get(e["name"], {})
         st = fstat.get("stats", {}).get(col)
@@ -1467,9 +1466,39 @@ def retention_delete(
             and kmx[1] < kcut[1]
             and nulls == 0
         ):
-            dropped += 1
+            dropped_entries.append(e)
         else:
             to_rewrite.append(e)
+    dropped = len(dropped_entries)
+    # write-time change data (X153): with the change_feed property on,
+    # the sweep's expired rows (whole dropped files ∪ the expired slice
+    # of straddlers, both DV-applied) persist as this commit's cdf-
+    # sidecar — the same affected-file reads the sweep pays anyway, so
+    # a readChangeFeed stream flows across nightly retention instead
+    # of raising. NULL-col rows are never expired and never emitted.
+    cdf_ref = None
+    if meta.get("change_feed"):
+        del_parts = []
+        if dropped_entries:
+            dp = list(_entry_paths(root, dropped_entries).values())
+            del_parts.append(_load_table_files(spark, meta, dp, root))
+        if to_rewrite:
+            rp = list(_entry_paths(root, to_rewrite).values())
+            del_parts.append(
+                _load_table_files(spark, meta, rp, root).filter(
+                    F.col(col) < F.lit(cutoff)
+                )
+            )
+        if del_parts:
+            expired = del_parts[0]
+            for p in del_parts[1:]:
+                expired = expired.unionByName(p)
+            cdf_ref = _write_cdf_sidecar(
+                spark, root,
+                expired.withColumn("change_type", F.lit("delete")),
+            )
+        else:
+            cdf_ref = {"sidecar": None, "rows": 0}
     # metadata cost mirrors the data cost: segments whose files are all
     # carried are reused by reference; only boundary-touched segments
     # (plus the inline list) are re-sharded
@@ -1501,7 +1530,11 @@ def retention_delete(
         stats_cols=sorted(set(stats_cols or []) | set(_table_stats_cols(meta))),
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
-        extra_meta=_carry_extensions(meta),
+        extra_meta=(
+            {**(_carry_extensions(meta) or {}), "cdf": cdf_ref}
+            if cdf_ref is not None
+            else _carry_extensions(meta)
+        ),
         operation="RETENTION_DELETE",
     )
     return {

@@ -231,3 +231,57 @@ def test_sidecar_carries_evolved_columns(spark, tmp_path):
         (1, "update_postimage", "tagged", 50.0),
         (200, "insert", "new", 200.0),
     }
+
+
+def test_retention_sweep_records_and_streams_expired_rows(spark, tmp_path):
+    """X153 x retention: with the property on, the nightly TTL sweep's
+    expired rows land in the commit's sidecar — whole dropped files
+    plus the expired slice of the boundary straddler, DV-applied,
+    NULL-col rows never emitted — and the change-feed stream flows
+    across the sweep, agreeing with the batch feed."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        retention_delete,
+    )
+
+    root = str(tmp_path / "t")
+    rows = [(k, float(k), k % 9) for k in range(40)]
+    rows.append((100, None, 1))  # NULL ts: never expired
+    df = spark.createDataFrame(rows, "k long, ts double, g long")
+    publish_files(
+        spark, df.repartitionByRange(8, "ts"), root, stats_cols=["ts"]
+    )                                                                # v1
+    enable_change_feed(spark, root)                                  # v2
+    out = retention_delete(spark, root, "ts", 17.0)                  # v3
+    assert out["dropped"] >= 1 and out["rewritten"] >= 1
+    assert describe_manifest(spark, root)["cdf"] == {"rows": 17}
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_cdf_generic = _run_cdf  # same runner; table has its own cols
+    spark.dataSource.register(ManifestStreamDataSource)
+    q = (
+        spark.readStream.format("manifest_stream")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["k"], r["change_type"], r["commit_version"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(k, "delete", 3) for k in range(17)}
+    # NULL-ts row survived and never appeared in the feed
+    assert read_manifest(spark, root).filter("k = 100").count() == 1
+    # stream ≡ batch feed for the sweep
+    batch = {
+        (r["k"], r["change_type"], 3)
+        for r in read_manifest_changes(
+            spark, root, 2, 3, keys=["k"]
+        ).collect()
+    }
+    assert got == batch

@@ -23,13 +23,14 @@ def test_driver_window_composition():
     (rotation contract, see the comment above QUERIES; budget = 4
     rounds — SURVEY §2.10). Guard the round-16 plan: 4 new rows
     (DV-backed row-level UPDATE, readChangeFeed streaming mode, CDC
-    replication, write-time change sidecars), then 3 code-touched
+    replication, write-time change sidecars), then 4 code-touched
     re-certs (merge evolved-schema guard; the stream source's CDF
-    restructure; _commit_dv_state generalization), then ALL 35
-    deferred r12 rows (staleness exactly 4 — the budget edge,
-    MANDATORY), then the 8 oldest r13 rows (the 38-row r13 wave
-    starts draining). The 30 remaining r13 rows sit at positions
-    50:80 — r17's mandatory front."""
+    restructure; _commit_dv_state generalization; retention_delete
+    gained change-sidecar recording), then ALL 35 deferred r12 rows
+    (staleness exactly 4 — the budget edge, MANDATORY), then the 7
+    oldest r13 rows (the 38-row r13 wave starts draining). The 31
+    remaining r13 rows sit at positions 50:81 — r17's mandatory
+    front."""
     window = list(QUERIES)[:50]
     # round-16 additions — never driver-checked — at the very front
     assert window[:4] == [
@@ -39,14 +40,16 @@ def test_driver_window_composition():
         "stream_cdf_merge_parity",
     ]
     # code-touched re-certs (merge schema guard; manifest_source CDF
-    # branch; _commit_dv_state postimage generalization)
-    assert window[4:7] == [
+    # branch; _commit_dv_state postimage generalization; retention
+    # change-sidecar recording)
+    assert window[4:8] == [
         "merge_manifest_state",
         "manifest_stream_read_equality",
         "dv_delete_equality",
+        "retention_revenue",
     ]
     # ALL 35 deferred r12 rows (the r15 verdict's designated r16 front)
-    assert window[7:42] == [
+    assert window[8:43] == [
         "lsh_cosine_topk",
         "ivf_cosine_topk",
         "multimodal_content_dedup",
@@ -83,8 +86,8 @@ def test_driver_window_composition():
         "gapfill_15m",
         "repetition_signals",
     ]
-    # the 8 oldest r13-green rows (r13 cohort due in full by r17)
-    assert window[42:50] == [
+    # the 7 oldest r13-green rows (r13 cohort due in full by r17)
+    assert window[43:50] == [
         "compact_equality",
         "jsonl_quarantine",
         "min_cost_supplier",
@@ -92,11 +95,11 @@ def test_driver_window_composition():
         "stream_stream_left_join_parity",
         "gapfill_interpolate",
         "macd_signal",
-        "stream_stream_join_parity",
     ]
-    # the 30 remaining r13 rows are the tail front — r17's mandatory
+    # the 31 remaining r13 rows are the tail front — r17's mandatory
     # front (they hit the 4-round budget edge at r17)
-    assert list(QUERIES)[50:80] == [
+    assert list(QUERIES)[50:81] == [
+        "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
         "stream_silence_parity",
