@@ -113,3 +113,46 @@ def test_transient_mover_reruns_once_and_self_corrects(
     assert artifact["queries"]["slowish"] == rr["rerun"]
     assert len(artifact["load_avg_start"]) == 3
     assert len(artifact["load_avg_end"]) == 3
+
+
+def test_phantom_prior_entry_cannot_mask_a_mover(
+    spark, sf_dir, monkeypatch, capsys, tmp_path
+):
+    """r16 verdict finding: the guard baselined against ONLY the newest
+    prior BENCH_FULL, so a transient-inflated timing committed in round
+    N-1 became round N's baseline and a still-slow query looked fine
+    (r15's phantom retention_revenue 21.68 s masked adjudication of the
+    r16 4.43 s vs the 2.29 s steady state). The baseline is now the
+    per-query MIN over the last TWO rounds' records: the honest N-2
+    number keeps the bar where it belongs and the rerun fires."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def slowish(s, d):
+        calls["n"] += 1
+        if calls["n"] <= 2:  # warm-up + sweep slow, rerun fast
+            _time.sleep(1.2)
+        return s.range(5).selectExpr("id")
+
+    monkeypatch.setattr(bench, "QUERIES", {"slowish": slowish})
+    monkeypatch.setattr(bench, "HEADLINE", ["slowish"])
+    monkeypatch.setattr(bench, "SF_DIR", sf_dir)
+    monkeypatch.setattr(bench, "CPUS", 4)
+    monkeypatch.setattr(bench, "ARTIFACT_DIR", str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "99")
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    # N-2 holds the honest steady state; N-1 holds a phantom — under a
+    # newest-only baseline the 1.2 s sweep would NOT look like a mover
+    (tmp_path / "BENCH_FULL_r97.json").write_text(
+        json.dumps({"queries": {"slowish": 0.05}})
+    )
+    (tmp_path / "BENCH_FULL_r98.json").write_text(
+        json.dumps({"queries": {"slowish": 21.68}})
+    )
+
+    bench.main()
+    artifact = json.loads((tmp_path / "BENCH_FULL_r99.json").read_text())
+    assert set(artifact["queries_rerun"]) == {"slowish"}
+    rr = artifact["queries_rerun"]["slowish"]
+    assert artifact["queries"]["slowish"] == min(rr["sweep"], rr["rerun"])
