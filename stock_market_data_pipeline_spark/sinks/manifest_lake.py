@@ -1473,9 +1473,13 @@ def retention_delete(
     # write-time change data (X153): with the change_feed property on,
     # the sweep's expired rows (whole dropped files ∪ the expired slice
     # of straddlers, both DV-applied) persist as this commit's cdf-
-    # sidecar — the same affected-file reads the sweep pays anyway, so
-    # a readChangeFeed stream flows across nightly retention instead
-    # of raising. NULL-col rows are never expired and never emitted.
+    # sidecar, so a readChangeFeed stream flows across nightly
+    # retention instead of raising. Cost is honest but NOT free
+    # (r16 advice): straddlers are reads the rewrite pays anyway, but
+    # whole-dropped files were previously dropped on stats alone with
+    # ZERO data IO — under change_feed they are now fully read once to
+    # record their rows (see PERF_NOTES.md). NULL-col rows are never
+    # expired and never emitted.
     cdf_ref = None
     if meta.get("change_feed"):
         del_parts = []
@@ -1577,8 +1581,17 @@ def replace_where_manifest(
     too. Rewrites and the insert preserve the table's format, stats
     columns, bucket layout, txn watermarks, and schema (evolved
     union-by-name for the incoming frame); ``txn_id`` gives replay
-    idempotence like ``append_files``. Returns ``{"carried", "dropped",
-    "rewritten", "inserted_files", "version"}``."""
+    idempotence like ``append_files``.
+
+    With the ``change_feed`` property on, the commit records a ``cdf-``
+    sidecar with Delta's replaceWhere CDF semantics — every matched old
+    row as ``delete`` ∪ every incoming row as ``insert``, UNCANCELLED
+    (no key join: replaceWhere has no key contract, so a row restated
+    with identical values still emits a delete+insert pair — this
+    deliberately diverges from the keyed feed's no-op cancellation) —
+    which lets a ``readChangeFeed`` stream flow across backfills.
+    Returns ``{"carried", "dropped", "rewritten", "inserted_files",
+    "version"}``."""
     fs = _HadoopFS(spark, root)
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
@@ -1610,10 +1623,16 @@ def replace_where_manifest(
     if id_bumps:
         _bump_identity(meta, id_bumps)
     _enforce_constraints(df, meta, root)
+    if meta.get("change_feed"):
+        # the incoming frame is consumed TWICE on this path (sidecar
+        # recording, then staging): pin it so a nondeterministic
+        # source cannot record an insert image the commit didn't
+        # stage — the sidecar is authoritative for streams and
+        # replicas (same discipline as merge's winners pin)
+        df = df.localCheckpoint(eager=True)
     file_stats = _load_stats(spark, root, all_entries)
     klo, khi = _stat_key(lo), _stat_key(hi)
-    carried, to_rewrite = [], []
-    dropped = 0
+    carried, to_rewrite, dropped_entries = [], [], []
     for e in all_entries:
         fstat = file_stats.get(e["name"], {})
         st = fstat.get("stats", {}).get(col)
@@ -1633,9 +1652,42 @@ def replace_where_manifest(
             and kmx[1] <= khi[1]
             and nulls == 0
         ):
-            dropped += 1
+            dropped_entries.append(e)
         else:
             to_rewrite.append(e)
+    dropped = len(dropped_entries)
+    # write-time change data (X153 across replaceWhere): with the
+    # change_feed property on, the commit records Delta's replaceWhere
+    # CDF semantics — ALL matched old rows as `delete` ∪ ALL incoming
+    # rows as `insert`, with NO key-join cancellation (a row restated
+    # with identical values still emits a delete+insert pair). This
+    # DELIBERATELY diverges from the keyed feed's no-op cancellation
+    # (_change_rows): replaceWhere is a predicate-scoped
+    # delete-all+insert-all, not a keyed upsert — there is no key
+    # contract to cancel on, and Delta emits exactly this. IO cost:
+    # straddlers are reads the rewrite pays anyway; whole-dropped
+    # files are newly read once (same deal as retention_delete's
+    # sidecar, see PERF_NOTES.md).
+    cdf_ref = None
+    if meta.get("change_feed"):
+        del_parts = []
+        if dropped_entries:
+            dp = list(_entry_paths(root, dropped_entries).values())
+            del_parts.append(_load_table_files(spark, meta, dp, root))
+        if to_rewrite:
+            rp = list(_entry_paths(root, to_rewrite).values())
+            del_parts.append(
+                _load_table_files(spark, meta, rp, root).filter(
+                    c.between(F.lit(lo), F.lit(hi))
+                )
+            )
+        changes = df.withColumn("change_type", F.lit("insert"))
+        for p in del_parts:
+            changes = changes.unionByName(
+                p.withColumn("change_type", F.lit("delete")),
+                allowMissingColumns=True,  # evolved cols NULL-fill in deletes
+            )
+        cdf_ref = _write_cdf_sidecar(spark, root, changes)
     changed = {e["name"] for e in all_entries} - {
         e["name"] for e in carried
     }
@@ -1663,7 +1715,11 @@ def replace_where_manifest(
         stats_cols=stats_cols,
         bucketing=meta.get("bucketing"),
         reuse_segments=reused,
-        extra_meta=_carry_extensions(meta),
+        extra_meta=(
+            {**(_carry_extensions(meta) or {}), "cdf": cdf_ref}
+            if cdf_ref is not None
+            else _carry_extensions(meta)
+        ),
         operation="REPLACE_WHERE",
     )
     return {
@@ -2139,46 +2195,14 @@ def read_manifest_changes(
         } & (names_from & names_to)
     removed = _side(meta_from, ents_from, (names_from - names_to) | dv_extra)
     added = _side(meta_to, ents_to, (names_to - names_from) | dv_extra)
-    if compare_cols is None:
-        compare_cols = [
-            c
-            for c in removed.columns
-            if c in set(added.columns) and c not in keys
-        ]
-    cc = list(compare_cols)
-    o = removed.select(
-        *keys, F.struct(*cc).alias("_vo"), F.lit(1).alias("_po")
-    )
-    n = added.select(
-        *keys, F.struct(*cc).alias("_vn"), F.lit(1).alias("_pn")
-    )
-    j = o.join(n, keys, "full_outer")
-    img = lambda ct, v: F.struct(  # noqa: E731 — local plan builder
-        F.lit(ct).alias("ct"), F.col(v).alias("img")
-    )
-    upd_imgs = (
-        [img("update_preimage", "_vo"), img("update_postimage", "_vn")]
-        if include_preimage
-        else [img("update_postimage", "_vn")]
-    )
-    # one join pass, explode factor <= 2: each joined key emits exactly
-    # its change images (none when a rewrite carried the row unchanged)
-    empty = F.filter(  # typed empty array<struct<ct,img>>
-        F.array(img("carried", "_vo")), lambda _: F.lit(False)
-    )
-    emit = (
-        F.when(F.col("_po").isNull(), F.array(img("insert", "_vn")))
-        .when(F.col("_pn").isNull(), F.array(img("delete", "_vo")))
-        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), F.array(*upd_imgs))
-        .otherwise(empty)
-    )
-    return (
-        j.select(*keys, F.explode(emit).alias("_e"))
-        .select(
-            *keys,
-            *[F.col(f"_e.img.{c}").alias(c) for c in cc],
-            F.col("_e.ct").alias("change_type"),
-        )
+    # one join pass through the SHARED emitter (same code path the
+    # write-time sidecar recorders use — the two feeds cannot drift)
+    return _change_rows(
+        removed,
+        added,
+        list(keys),
+        compare_cols=compare_cols,
+        include_preimage=include_preimage,
     )
 
 
@@ -2458,41 +2482,84 @@ def disable_change_feed(spark: SparkSession, root: str) -> int:
 
 
 def _change_rows(
-    old: DataFrame, new: DataFrame, keys: list[str]
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_preimage: bool = True,
 ) -> DataFrame:
-    """Row-level changes between the OLD and NEW states of the touched
-    key space — the write-time twin of ``read_manifest_changes``'s
-    emit (same vocabulary, same no-op cancellation): one full-outer
+    """THE change-row emitter — the single implementation of the
+    insert / delete / update_preimage / update_postimage vocabulary,
+    shared by the write-time sidecar recorders (``merge_upsert_
+    manifest`` / ``delete_keys_manifest`` / ``retention_delete``) and
+    the batch feed's version diff (``read_manifest_changes``), so the
+    two CDF paths cannot drift (r16 verdict item 3): one full-outer
     key join, explode factor ≤ 2, carried-unchanged rows emit nothing.
-    Both inputs are bucket-scoped (O(touched), never O(table)); the
-    caller persists the result as the commit's ``cdf-`` sidecar."""
-    cc = [c for c in old.columns if c in set(new.columns) and c not in keys]
-    o = old.select(*keys, F.struct(*cc).alias("_vo"), F.lit(1).alias("_po"))
-    n = new.select(*keys, F.struct(*cc).alias("_vn"), F.lit(1).alias("_pn"))
-    j = o.join(n, keys, "full_outer")
+    Both inputs are changed-file/bucket-scoped (O(touched), never
+    O(table)).
+
+    Keys join NULL-SAFELY (``eqNullSafe``): a plain name-list join
+    never matches NULL key values, so an unchanged null-key row
+    carried through a rewrite would emit a spurious delete+insert
+    pair — ``dedup_keep_last``'s ``Window.partitionBy`` groups NULL
+    keys, and the feed must agree with the write it describes
+    (r16 advice). ``compare_cols`` defaults to every non-key column
+    present on both sides; preimage rows are skipped with
+    ``include_preimage=False``."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c in set(new.columns) and c not in keys
+        ]
+    cc = list(compare_cols)
+    o = old.select(
+        *[F.col(k).alias(f"_ko_{k}") for k in keys],
+        F.struct(*cc).alias("_vo"),
+        F.lit(1).alias("_po"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_kn_{k}") for k in keys],
+        F.struct(*cc).alias("_vn"),
+        F.lit(1).alias("_pn"),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_ko_{k}").eqNullSafe(F.col(f"_kn_{k}"))
+    j = o.join(n, cond, "full_outer")
     img = lambda ct, v: F.struct(  # noqa: E731 — local plan builder
         F.lit(ct).alias("ct"), F.col(v).alias("img")
     )
-    empty = F.filter(
+    upd_imgs = (
+        [img("update_preimage", "_vo"), img("update_postimage", "_vn")]
+        if include_preimage
+        else [img("update_postimage", "_vn")]
+    )
+    empty = F.filter(  # typed empty array<struct<ct,img>>
         F.array(img("carried", "_vo")), lambda _: F.lit(False)
     )
+    # _po/_pn (not the key columns) discriminate the sides: a NULL key
+    # value on a present row must not read as "row absent"
     emit = (
         F.when(F.col("_po").isNull(), F.array(img("insert", "_vn")))
         .when(F.col("_pn").isNull(), F.array(img("delete", "_vo")))
-        .when(
-            ~F.col("_vo").eqNullSafe(F.col("_vn")),
-            F.array(
-                img("update_preimage", "_vo"),
-                img("update_postimage", "_vn"),
-            ),
-        )
+        .when(~F.col("_vo").eqNullSafe(F.col("_vn")), F.array(*upd_imgs))
         .otherwise(empty)
     )
-    return j.select(*keys, F.explode(emit).alias("_e")).select(
+    key_out = [
+        F.coalesce(F.col(f"_ko_{k}"), F.col(f"_kn_{k}")).alias(k)
+        for k in keys
+    ]
+    return j.select(*key_out, F.explode(emit).alias("_e")).select(
         *keys,
         *[F.col(f"_e.img.{c}").alias(c) for c in cc],
         F.col("_e.ct").alias("change_type"),
     )
+
+
+# rows per sidecar part file — a micro-batch commit's handful of change
+# rows stays ONE file, while a backfill-sized MERGE's change set fans out
+# across tasks instead of serializing through a single straggler
+# (r16 advice; the reader consumes the directory either way)
+_CDF_ROWS_PER_FILE = 1 << 20
 
 
 def _write_cdf_sidecar(
@@ -2501,15 +2568,20 @@ def _write_cdf_sidecar(
     """Persist a commit's change rows as its ``cdf-`` sidecar and
     return the version-scoped ref ``{"sidecar", "rows"}`` (sidecar
     None when the commit changed nothing — e.g. a merge restating
-    identical values). Changed-rows-sized by contract."""
-    sidecar = f"cdf-{uuid.uuid4().hex}"
-    changes.coalesce(1).write.mode("overwrite").parquet(
-        f"{_stats_dir(root)}/{sidecar}"
-    )
-    n = spark.read.parquet(f"{_stats_dir(root)}/{sidecar}").count()
+    identical values). Changed-rows-sized by contract; the change set
+    is pinned once (localCheckpoint), counted, and written as
+    ``ceil(rows / _CDF_ROWS_PER_FILE)`` part files — same total
+    compute as the old write-then-count, but a table-scale change set
+    no longer funnels through one ``coalesce(1)`` task, and an empty
+    change set never touches disk."""
+    changes = changes.localCheckpoint(eager=True)
+    n = changes.count()
     if n == 0:
-        _HadoopFS(spark, root).delete(f"{_stats_dir(root)}/{sidecar}")
         return {"sidecar": None, "rows": 0}
+    parts = -(-n // _CDF_ROWS_PER_FILE)  # ceil
+    out = changes.coalesce(1) if parts == 1 else changes.repartition(parts)
+    sidecar = f"cdf-{uuid.uuid4().hex}"
+    out.write.mode("overwrite").parquet(f"{_stats_dir(root)}/{sidecar}")
     return {"sidecar": sidecar, "rows": int(n)}
 
 

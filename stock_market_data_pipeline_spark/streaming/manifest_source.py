@@ -342,7 +342,8 @@ class ManifestStreamReader(DataSourceStreamReader):
                     f"{len(removed)} files and recorded no change-data "
                     "sidecar — this commit's row-level changes are not "
                     "reconstructible from metadata; enable_change_feed "
-                    "BEFORE such writes (keyed merges/deletes then "
+                    "BEFORE such writes (keyed merges/deletes, "
+                    "retention sweeps and replaceWhere backfills then "
                     "record cdf- sidecars, X153), or consume this "
                     "range with the batch API (read_manifest_changes) "
                     "and restart the stream past it"

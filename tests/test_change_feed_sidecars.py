@@ -285,3 +285,215 @@ def test_retention_sweep_records_and_streams_expired_rows(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_null_key_rows_cancel_in_the_shared_emitter(spark, tmp_path):
+    """r16 advice: a plain name-list full-outer join never matches NULL
+    key values, so an unchanged null-key row carried through a rewrite
+    emitted a spurious delete+insert pair. The shared emitter joins
+    keys null-safely — agreeing with dedup_keep_last's
+    Window.partitionBy, which groups NULL keys — so null-key rows
+    cancel when unchanged and pair up as update pre/post when changed.
+    Exercised at BOTH call sites: _change_rows directly (the write-time
+    sidecar path) and read_manifest_changes across a compaction (the
+    batch-feed path)."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _change_rows,
+        append_files,
+        compact_manifest,
+    )
+
+    schema = "k long, s string, x double"
+    old = spark.createDataFrame(
+        [(None, "a", 1.0), (None, "b", 2.0), (1, "c", 3.0)], schema
+    )
+    new = spark.createDataFrame(
+        [(None, "a", 1.0), (None, "b", 20.0), (1, "c", 3.0)], schema
+    )
+    # BUT: two distinct null-key rows ("a" and "b") must not cross-pair;
+    # with a single NULL key on both sides the join explodes 2x2 — the
+    # emitter's contract (like dedup_keep_last's) is that NULL forms ONE
+    # key group, so this fixture keys on (k, s) to stay row-identified.
+    got = {
+        tuple(r)
+        for r in _change_rows(old, new, ["k", "s"]).collect()
+    }
+    assert got == {
+        (None, "b", 2.0, "update_preimage"),
+        (None, "b", 20.0, "update_postimage"),
+    }
+
+    # batch feed across a pure rewrite: null-key rows carried unchanged
+    # through compaction emit nothing
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(None, "a", 1.0), (None, "b", 2.0), (7, "c", 3.0)], schema
+    )
+    publish_files(spark, df.repartition(3), root)                    # v1
+    compact_manifest(spark, root)                                    # v2
+    feed = read_manifest_changes(spark, root, v_from=1, v_to=2,
+                                 keys=["k", "s"])
+    assert feed.count() == 0
+
+
+def test_large_change_set_writes_multi_part_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """r16 advice: _write_cdf_sidecar forced coalesce(1), so a
+    backfill-sized MERGE's change set serialized through one task. The
+    writer now fans out above _CDF_ROWS_PER_FILE rows; the stream
+    reader already consumes the sidecar DIRECTORY, so a multi-part
+    sidecar feeds identically."""
+    import os
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ml
+
+    monkeypatch.setattr(ml, "_CDF_ROWS_PER_FILE", 100)
+    root = str(tmp_path / "t")
+    merge_upsert_manifest(
+        spark, _df(spark, 0, 300), root, keys=["k"], order_col="seq",
+        n_buckets=4,
+    )                                                                # v1
+    enable_change_feed(spark, root)                                  # v2
+    merge_upsert_manifest(
+        spark,
+        _df(spark, 0, 300, seq=1).withColumn("x", F.col("x") + 1000.0),
+        root, keys=["k"], order_col="seq", n_buckets=4,
+    )                                                                # v3
+    d = describe_manifest(spark, root)
+    assert d["cdf"] == {"rows": 600}  # 300 pre + 300 post images
+    scs = [
+        f for f in os.listdir(f"{root}/stats") if f.startswith("cdf-")
+    ]
+    assert len(scs) == 1
+    parts = [
+        f for f in os.listdir(f"{root}/stats/{scs[0]}")
+        if f.endswith(".parquet")
+    ]
+    assert len(parts) >= 6  # 600 rows / 100-row cap
+
+    # the stream consumes the multi-part sidecar exactly like a
+    # single-part one
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_cdf(spark, root, sink, ckpt, starting=2)
+    got = spark.read.parquet(sink)
+    assert got.count() == 600
+    assert set(
+        r[0] for r in got.select("change_type").distinct().collect()
+    ) == {"update_preimage", "update_postimage"}
+
+
+def test_replace_where_records_uncancelled_sidecar_and_streams(
+    spark, tmp_path
+):
+    """r16 verdict item 2 — the last general write mode the change feed
+    refused. With the property on, replace_where_manifest records
+    Delta's replaceWhere CDF semantics: ALL matched old rows as
+    `delete` ∪ ALL incoming rows as `insert`, UNCANCELLED — a row
+    restated with identical values still emits a delete+insert pair
+    (replaceWhere has no key contract to cancel on). A readChangeFeed
+    stream flows across the backfill and feeds exactly the sidecar;
+    the keyed batch feed (read_manifest_changes) keeps its no-op
+    cancellation — the divergence is deliberate and asserted here."""
+    import os
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    schema = "d long, s string, x double"
+    base = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(1, 21)], schema
+    )
+    publish_files(spark, base.repartition(4), root)                  # v1
+    enable_change_feed(spark, root)                                  # v2
+    # restate [1, 10]: row d=1 is IDENTICAL to its old self (the
+    # uncancelled-semantics probe), d=2..5 change value, d=6..10
+    # disappear, d=101..103 are new rows inside the predicate? no —
+    # the predicate is on d, so new rows must satisfy d in [1,10]:
+    # use d=6..8 with new s values instead.
+    incoming = spark.createDataFrame(
+        [(1, "s1", 1.0)]
+        + [(i, f"r{i}", float(i) * 10) for i in range(2, 6)]
+        + [(i, f"n{i}", float(i) * 100) for i in range(6, 9)],
+        schema,
+    )
+    res = replace_where_manifest(spark, incoming, root, "d", 1, 10)  # v3
+    assert res["version"] == 3
+    d = describe_manifest(spark, root)
+    # 10 matched old rows (d=1..10) + 8 incoming rows
+    assert d["cdf"] == {"rows": 18}
+
+    # the stream feeds exactly the sidecar — uncancelled
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    _run_cdf(spark, root, sink, ckpt, starting=2)
+    got = spark.read.parquet(sink)
+    assert got.count() == 18
+    by_type = {
+        (r["change_type"], r["d"], r["s"], r["x"])
+        for r in got.collect()
+    }
+    # the identical restatement of d=1 emits BOTH images
+    assert ("delete", 1, "s1", 1.0) in by_type
+    assert ("insert", 1, "s1", 1.0) in by_type
+    # vanished rows emit deletes; new values emit inserts
+    assert ("delete", 10, "s10", 10.0) in by_type
+    assert ("insert", 2, "r2", 20.0) in by_type
+    assert all(r["commit_version"] == 3 for r in got.collect())
+    # untouched rows (d=11..20) never appear
+    assert got.filter(F.col("d") > 10).count() == 0
+
+    # deliberate divergence: the KEYED batch feed cancels the
+    # identical restatement of d=1 (update pre/post for d=2..5,
+    # delete for 6..10 minus reinserted 6..8 which changed, insert
+    # for nothing new outside the key set)
+    feed = read_manifest_changes(spark, root, v_from=2, v_to=3,
+                                 keys=["d"])
+    assert feed.filter(F.col("d") == 1).count() == 0
+
+
+def test_replace_where_sidecar_evolved_column_and_off_property(
+    spark, tmp_path
+):
+    """A schema-evolving replaceWhere NULL-fills the new column in its
+    delete images (full post-commit schema, same contract as the merge
+    sidecar); with the property OFF no sidecar is recorded and the
+    stream keeps its documented raise."""
+    import os
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        replace_where_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "d long, x double"
+    )
+    publish_files(spark, base, root)                                 # v1
+    enable_change_feed(spark, root)                                  # v2
+    evolved = spark.createDataFrame(
+        [(1, 100.0, "new")], "d long, x double, tag string"
+    )
+    replace_where_manifest(spark, evolved, root, "d", 1, 5)          # v3
+    scs = [f for f in os.listdir(f"{root}/stats") if f.startswith("cdf-")]
+    assert len(scs) == 1
+    rows = spark.read.parquet(f"{root}/stats/{scs[0]}")
+    assert rows.count() == 6  # 5 deletes + 1 insert
+    dels = rows.filter(F.col("change_type") == "delete")
+    assert dels.count() == 5
+    assert dels.filter(F.col("tag").isNull()).count() == 5
+    ins = rows.filter(F.col("change_type") == "insert").collect()
+    assert [(r["d"], r["x"], r["tag"]) for r in ins] == [(1, 100.0, "new")]
+
+    # property off: no sidecar, stream raises across the rewrite
+    root2 = str(tmp_path / "t2")
+    publish_files(spark, base, root2)                                # v1
+    replace_where_manifest(
+        spark,
+        spark.createDataFrame([(1, 50.0)], "d long, x double"),
+        root2, "d", 1, 5,
+    )                                                                # v2
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    with pytest.raises(Exception, match="change-data sidecar"):
+        _run_cdf(spark, root2, sink2, ckpt2, starting=1)
