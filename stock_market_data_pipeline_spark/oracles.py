@@ -4065,6 +4065,33 @@ FROM feed
 """
 
 
+ORACLES["stream_cdf_replace_parity"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+m AS (SELECT * FROM o WHERE k BETWEEN 1 AND 600),
+feed AS (
+  -- Delta replaceWhere CDF: ALL matched old rows delete, ALL incoming
+  -- rows insert, UNCANCELLED (identical restatements emit both images)
+  SELECT k, prio, cents, 'delete' AS change_type,
+         CAST(3 AS BIGINT) AS commit_version
+  FROM m
+  UNION ALL
+  SELECT k,
+         CASE WHEN k % 3 = 0 THEN prio ELSE 'RW-RESTATED' END,
+         CAST(CASE WHEN k % 3 = 0 THEN cents ELSE cents + 7 END
+              AS BIGINT),
+         'insert', CAST(3 AS BIGINT)
+  FROM m WHERE k % 5 <> 0
+)
+SELECT k AS o_orderkey, prio AS o_orderpriority, cents AS price_cents,
+       change_type, commit_version
+FROM feed
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

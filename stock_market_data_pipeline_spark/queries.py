@@ -4898,6 +4898,152 @@ def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_cdf_replace_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X154 change feed across ``replaceWhere`` — the last general
+    write mode that killed a ``readChangeFeed`` stream. An orders
+    projection publishes as a manifest table, enables the change_feed
+    property, then ``replace_where_manifest`` restates the key range
+    [1, 600]: rows with ``k % 5 = 0`` vanish, ``k % 3 = 0`` survivors
+    restate IDENTICAL values (the uncancelled-semantics probe), the
+    rest change. The commit records Delta's replaceWhere CDF — ALL
+    matched old rows as ``delete`` ∪ ALL incoming rows as ``insert``,
+    NO key-join cancellation — and the stream from the enabling
+    version emits exactly that sidecar. Runtime-asserts what the
+    oracle cannot see: replay adds ZERO rows (exactly-once), the
+    stream equals the recorded sidecar both ways, an
+    identically-restated key emits BOTH images, and the KEYED batch
+    feed (``read_manifest_changes``) cancels that same key — the
+    documented, deliberate divergence between the two vocabularies."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        enable_change_feed,
+        publish_files,
+        read_manifest_changes,
+        replace_where_manifest,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    matched = orders.filter(k.between(1, 600))
+    incoming = matched.filter(k % 5 != 0).select(
+        "o_orderkey",
+        F.when(k % 3 == 0, F.col("o_orderpriority"))
+        .otherwise(F.lit("RW-RESTATED"))
+        .alias("o_orderpriority"),
+        F.when(k % 3 == 0, F.col("price_cents"))
+        .otherwise(F.col("price_cents") + 7)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_scdfr_")
+    root, sink, ckpt = f"{tmp}/table", f"{tmp}/sink", f"{tmp}/ckpt"
+    try:
+        publish_files(
+            spark, orders.repartitionByRange(8, "o_orderkey"), root
+        )                                                            # v1
+        v_en = enable_change_feed(spark, root)                       # v2
+        replace_where_manifest(
+            spark, incoming, root, "o_orderkey", 1, 600
+        )                                                            # v3
+
+        def run_stream():
+            q = (
+                spark.readStream.format("manifest_stream")
+                .option("path", root)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(v_en))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+
+        run_stream()
+        feed = spark.read.parquet(sink)
+        n_first = feed.count()
+        run_stream()  # replay: exactly-once -> zero new rows
+        if spark.read.parquet(sink).count() != n_first:
+            raise AssertionError(
+                "replay added rows — sidecar CDF offsets not "
+                "exactly-once"
+            )
+        cols = [
+            "o_orderkey", "o_orderpriority", "price_cents",
+            "change_type",
+        ]
+        # the stream IS the sidecar, both directions
+        import os as _os
+
+        scs = [
+            f
+            for f in _os.listdir(f"{root}/stats")
+            if f.startswith("cdf-")
+        ]
+        if len(scs) != 1:
+            raise AssertionError(
+                f"expected exactly one cdf- sidecar, found {scs}"
+            )
+        sidecar = spark.read.parquet(f"{root}/stats/{scs[0]}").select(
+            *cols
+        )
+        streamed = feed.select(*cols)
+        if (
+            streamed.exceptAll(sidecar).count()
+            or sidecar.exceptAll(streamed).count()
+        ):
+            raise AssertionError(
+                "stream disagrees with the recorded replaceWhere "
+                "sidecar"
+            )
+        # uncancelled probe: an identically-restated key (k%3=0,
+        # k%5<>0, inside [1,600]) emits BOTH a delete and an insert
+        # with EQUAL values in the stream, yet cancels entirely in the
+        # keyed batch feed
+        probe = feed.filter(
+            (k % 3 == 0) & (k % 5 != 0) & k.between(1, 600)
+        )
+        n_probe_types = (
+            probe.select("change_type").distinct().count()
+        )
+        if probe.count() == 0 or n_probe_types != 2:
+            raise AssertionError(
+                "identically-restated rows must emit delete AND "
+                "insert images (uncancelled replaceWhere semantics)"
+            )
+        probe_key = probe.agg(F.min("o_orderkey")).first()[0]
+        batch = read_manifest_changes(
+            spark, root, v_en, v_en + 1, keys=["o_orderkey"],
+            compare_cols=["o_orderpriority", "price_cents"],
+        )
+        if batch.filter(k == probe_key).count() != 0:
+            raise AssertionError(
+                "keyed batch feed must CANCEL an identical "
+                "restatement — divergence contract broken"
+            )
+        return feed.select(
+            *cols, "commit_version"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -4906,39 +5052,80 @@ def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stalest once-green rows, then newer-green rows. Everything — in or out
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-16 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 4 round-16 additions (dv_update_equality — X150
-# DV-backed row-level UPDATE with compounding second update,
-# merge-on-read file-set, time-travel and CDF-pair runtime asserts;
-# stream_cdf_parity — X151 readChangeFeed streaming mode with
-# replay-exactly-once and stream==batch-per-commit runtime asserts;
-# cdc_replicate_equality — X152 manifest-to-manifest CDC replication
-# with replica≡source and zero-new-versions-on-replay runtime
-# asserts; stream_cdf_merge_parity — X153 write-time change-data
-# sidecars letting the stream flow across MERGE/key-delete commits),
-# then 4 code-touched re-certs (merge_manifest_state: merge now runs
-# the _evolved_schema_json tombstone/type-conflict guard — the r16
-# high-advice fix; manifest_stream_read_equality: manifest_source.py
-# gained the CDF branch and its read()/partitions() were restructured;
-# dv_delete_equality: _commit_dv_state generalized to carry UPDATE
-# postimage entries; retention_revenue: retention_delete gained X153
-# change-sidecar recording). Then ALL 35 deferred r12 rows (staleness exactly
-# 4 = the budget edge — MANDATORY this round), then the 7 oldest r13
-# rows (the 38-row r13 wave starts draining). Past the window: the 31
-# remaining r13 rows at [50:81] (r17's mandatory front), then the 46
-# remaining r14 rows, then the 47 r15 rows not re-certed here — r17 =
-# 31 r13 + ~16 r14, r18 = 30 r14 + r15 rows, every cohort inside the
-# 4-round budget. Registry 170 + 4 new = 174; net growth 4 ≤ the ≤+5
-# target the r15 verdict pinned (≤180 at r16 close).
-# NEXT ROUND (17): lead with round-17 additions/code-touched rows, then
-# the 31 deferred r13 rows at [50:81] (budget-mandatory), then the
-# oldest r14 rows; update
+# ROUND-17 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 1 round-17 addition (stream_cdf_replace_parity —
+# X154 change feed across replaceWhere: Delta's uncancelled
+# delete-all ∪ insert-all sidecar, stream≡sidecar + exactly-once +
+# batch-feed-divergence runtime asserts), then 3 code-touched re-certs
+# (stream_cdf_parity and stream_cdf_merge_parity: the batch feed and the
+# write-time recorders now share ONE change-row emitter with null-safe
+# key joins, and _write_cdf_sidecar fans out above 1M rows;
+# cdc_replicate_equality: consumes the restructured feed end-to-end).
+# Then ALL 31 deferred r13 rows (staleness exactly 4 = the budget edge —
+# MANDATORY this round), then 15 r14 rows (the 46-row r14 wave starts
+# draining; replace_where_equality leads — its write path gained CDF
+# recording — then the manifest-format rows the emitter refactor
+# neighbors, then stream/dedup/stats rows). Past the window: the 31
+# remaining r14 rows (r18's mandatory front — ALL due at r18, leaving
+# r18 ~19 free slots), then the r15/r16 rows — every cohort inside the
+# 4-round budget. Registry 174 + 1 new = 175; net growth 1 ≤ the ≤+5
+# target (≤180 at r17 close).
+# NEXT ROUND (18): lead with round-18 additions/code-touched rows, then
+# the 31 remaining r14 rows (budget-mandatory), then the oldest r15
+# rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "dv_update_equality": q_dv_update_equality,
+    "stream_cdf_replace_parity": q_stream_cdf_replace_parity,
     "stream_cdf_parity": q_stream_cdf_parity,
-    "cdc_replicate_equality": q_cdc_replicate_equality,
     "stream_cdf_merge_parity": q_stream_cdf_merge_parity,
+    "cdc_replicate_equality": q_cdc_replicate_equality,
+    "stream_stream_join_parity": q_stream_stream_join_parity,
+    "stream_incremental_dedup": q_stream_incremental_dedup,
+    "stream_cdc_parity": q_stream_cdc_parity,
+    "stream_silence_parity": q_stream_silence_parity,
+    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
+    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
+    "stream_batch_session_parity": q_stream_batch_session_parity,
+    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
+    "corpus_curation_transitive": q_corpus_curation_transitive,
+    "doc_chunks": q_doc_chunks,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "price_band_join": q_price_band_join,
+    "quota_sample": q_quota_sample,
+    "salted_symbol_volume": q_salted_symbol_volume,
+    "technical_indicators": q_technical_indicators,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "windowed_analytics": q_windowed_analytics,
+    "trading_signals": q_trading_signals,
+    "multi_window_tumbling": q_multi_window_tumbling,
+    "multi_window_signals": q_multi_window_signals,
+    "unpivot_ohlcv": q_unpivot_ohlcv,
+    "containment_pairs": q_containment_pairs,
+    "hll_user_rollup": q_hll_user_rollup,
+    "kmeans_iteration": q_kmeans_iteration,
+    "last_touch_attribution": q_last_touch_attribution,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_resize": q_multimodal_resize,
+    "packed_sequence_stats": q_packed_sequence_stats,
+    "quantized_topk_rerank": q_quantized_topk_rerank,
+    "return_correlation": q_return_correlation,
+    "replace_where_equality": q_replace_where_equality,
+    "manifest_key_delete": q_manifest_key_delete,
+    "version_diff": q_version_diff,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
+    "incremental_read_equality": q_incremental_read_equality,
+    "manifest_schema_evolution": q_manifest_schema_evolution,
+    "manifest_sharded_scan": q_manifest_sharded_scan,
+    "scd2_history": q_scd2_history,
+    "time_travel_read": q_time_travel_read,
+    "clustered_scan_fingerprint": q_clustered_scan_fingerprint,
+    "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_decontaminate": q_semantic_decontaminate,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "approx_stats": q_approx_stats,
+    "dv_update_equality": q_dv_update_equality,
     "merge_manifest_state": q_merge_manifest_state,
     "manifest_stream_read_equality": q_manifest_stream_read_equality,
     "dv_delete_equality": q_dv_delete_equality,
@@ -4985,50 +5172,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
     "gapfill_interpolate": q_gapfill_interpolate,
     "macd_signal": q_macd_signal,
-    "stream_stream_join_parity": q_stream_stream_join_parity,
-    "stream_incremental_dedup": q_stream_incremental_dedup,
-    "stream_cdc_parity": q_stream_cdc_parity,
-    "stream_silence_parity": q_stream_silence_parity,
-    "stream_dim_enrich_parity": q_stream_dim_enrich_parity,
-    "stream_watermark_drop_parity": q_stream_watermark_drop_parity,
-    "stream_batch_session_parity": q_stream_batch_session_parity,
-    "stream_heavy_hitters_parity": q_stream_heavy_hitters_parity,
-    "corpus_curation_transitive": q_corpus_curation_transitive,
-    "doc_chunks": q_doc_chunks,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
-    "ngram_decontaminate": q_ngram_decontaminate,
-    "price_band_join": q_price_band_join,
-    "quota_sample": q_quota_sample,
-    "salted_symbol_volume": q_salted_symbol_volume,
-    "technical_indicators": q_technical_indicators,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "windowed_analytics": q_windowed_analytics,
-    "trading_signals": q_trading_signals,
-    "multi_window_tumbling": q_multi_window_tumbling,
-    "multi_window_signals": q_multi_window_signals,
-    "unpivot_ohlcv": q_unpivot_ohlcv,
-    "containment_pairs": q_containment_pairs,
-    "hll_user_rollup": q_hll_user_rollup,
-    "kmeans_iteration": q_kmeans_iteration,
-    "last_touch_attribution": q_last_touch_attribution,
-    "multimodal_image_features": q_multimodal_image_features,
-    "multimodal_resize": q_multimodal_resize,
-    "packed_sequence_stats": q_packed_sequence_stats,
-    "quantized_topk_rerank": q_quantized_topk_rerank,
-    "return_correlation": q_return_correlation,
-    "clustered_scan_fingerprint": q_clustered_scan_fingerprint,
-    "time_travel_read": q_time_travel_read,
-    "stream_dedup_keyed_parity": q_stream_dedup_keyed_parity,
-    "replace_where_equality": q_replace_where_equality,
-    "incremental_read_equality": q_incremental_read_equality,
     "countmin_user_topk": q_countmin_user_topk,
     "rank_fusion_topk": q_rank_fusion_topk,
-    "manifest_schema_evolution": q_manifest_schema_evolution,
-    "manifest_key_delete": q_manifest_key_delete,
-    "manifest_sharded_scan": q_manifest_sharded_scan,
-    "manifest_rollback_diff": q_manifest_rollback_diff,
     "pruned_scan_revenue": q_pruned_scan_revenue,
-    "approx_stats": q_approx_stats,
     "corpus_report": q_corpus_report,
     "customer_order_distribution": q_customer_order_distribution,
     "customer_value_deciles": q_customer_value_deciles,
@@ -5039,9 +5185,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "product_profit": q_product_profit,
     "promo_revenue_pct": q_promo_revenue_pct,
     "returned_item_customers": q_returned_item_customers,
-    "scd2_history": q_scd2_history,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
     "sequence_packing": q_sequence_packing,
     "session_peak_overlap": q_session_peak_overlap,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -5053,10 +5196,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_mix_report": q_training_mix_report,
     "unigram_logprob": q_unigram_logprob,
     "upsample_mix": q_upsample_mix,
-    "version_diff": q_version_diff,
     "wealthy_inactive_customers": q_wealthy_inactive_customers,
     "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
-    "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "clean_cast_filter": q_clean_cast_filter,
     "curriculum_packing": q_curriculum_packing,
     "data_expectations": q_data_expectations,

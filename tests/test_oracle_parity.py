@@ -21,84 +21,26 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-16 plan: 4 new rows
-    (DV-backed row-level UPDATE, readChangeFeed streaming mode, CDC
-    replication, write-time change sidecars), then 4 code-touched
-    re-certs (merge evolved-schema guard; the stream source's CDF
-    restructure; _commit_dv_state generalization; retention_delete
-    gained change-sidecar recording), then ALL 35 deferred r12 rows
-    (staleness exactly 4 — the budget edge, MANDATORY), then the 7
-    oldest r13 rows (the 38-row r13 wave starts draining). The 31
-    remaining r13 rows sit at positions 50:81 — r17's mandatory
-    front."""
+    rounds — SURVEY §2.10). Guard the round-17 plan: 1 new row (X154
+    change feed across replaceWhere — Delta's uncancelled
+    delete-all ∪ insert-all sidecar), then 3 code-touched re-certs
+    (the shared change-row emitter with null-safe key joins rewired
+    both CDF paths; _write_cdf_sidecar fans out above 1M rows; the
+    CDC replicator consumes the restructured feed), then ALL 31
+    deferred r13 rows (staleness exactly 4 — the budget edge,
+    MANDATORY), then 15 r14 rows (the 46-row r14 wave starts
+    draining; ALL remaining 31 are r18's mandatory front)."""
     window = list(QUERIES)[:50]
-    # round-16 additions — never driver-checked — at the very front
-    assert window[:4] == [
-        "dv_update_equality",
+    # round-17 addition — never driver-checked — at the very front
+    assert window[0] == "stream_cdf_replace_parity"
+    # code-touched re-certs (shared emitter + multi-part sidecars)
+    assert window[1:4] == [
         "stream_cdf_parity",
-        "cdc_replicate_equality",
         "stream_cdf_merge_parity",
+        "cdc_replicate_equality",
     ]
-    # code-touched re-certs (merge schema guard; manifest_source CDF
-    # branch; _commit_dv_state postimage generalization; retention
-    # change-sidecar recording)
-    assert window[4:8] == [
-        "merge_manifest_state",
-        "manifest_stream_read_equality",
-        "dv_delete_equality",
-        "retention_revenue",
-    ]
-    # ALL 35 deferred r12 rows (the r15 verdict's designated r16 front)
-    assert window[8:43] == [
-        "lsh_cosine_topk",
-        "ivf_cosine_topk",
-        "multimodal_content_dedup",
-        "rolling_frames",
-        "interval_merge",
-        "bm25_topk",
-        "bpe_merge_candidates",
-        "bucket_fingerprint_diff",
-        "entity_clusters",
-        "weighted_sample",
-        "fk_integrity",
-        "time_range_rolling",
-        "line_dedup",
-        "incremental_ohlcv",
-        "ewma",
-        "daily_ohlcv",
-        "daily_change_close_over_close",
-        "dedup_keep_last",
-        "null_fill_defaults",
-        "event_transitions",
-        "winsorize_prices",
-        "event_funnel_windowed",
-        "alpha_sample",
-        "market_beta",
-        "risk_metrics",
-        "daily_vwap",
-        "chunk_dedup_stats",
-        "event_funnel",
-        "retention_cohorts",
-        "event_json_stats",
-        "pii_redaction",
-        "ann_recall",
-        "stratified_sample",
-        "gapfill_15m",
-        "repetition_signals",
-    ]
-    # the 7 oldest r13-green rows (r13 cohort due in full by r17)
-    assert window[43:50] == [
-        "compact_equality",
-        "jsonl_quarantine",
-        "min_cost_supplier",
-        "important_parts",
-        "stream_stream_left_join_parity",
-        "gapfill_interpolate",
-        "macd_signal",
-    ]
-    # the 31 remaining r13 rows are the tail front — r17's mandatory
-    # front (they hit the 4-round budget edge at r17)
-    assert list(QUERIES)[50:81] == [
+    # ALL 31 deferred r13 rows (the r16 verdict's designated r17 front)
+    assert window[4:35] == [
         "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
@@ -130,6 +72,26 @@ def test_driver_window_composition():
         "packed_sequence_stats",
         "quantized_topk_rerank",
         "return_correlation",
+    ]
+    # 15 r14 rows: replace_where_equality first (its write path gained
+    # CDF recording this round), then manifest-format neighbors of the
+    # emitter refactor, then stream/dedup/stats rows
+    assert window[35:50] == [
+        "replace_where_equality",
+        "manifest_key_delete",
+        "version_diff",
+        "manifest_rollback_diff",
+        "incremental_read_equality",
+        "manifest_schema_evolution",
+        "manifest_sharded_scan",
+        "scd2_history",
+        "time_travel_read",
+        "clustered_scan_fingerprint",
+        "stream_dedup_keyed_parity",
+        "semantic_dedup",
+        "semantic_decontaminate",
+        "fuzzy_name_pairs",
+        "approx_stats",
     ]
 
 
