@@ -23,8 +23,10 @@ Within one micro-batch a key may change several times (insert at v2,
 update at v3, delete at v4 when the trigger spans commits): the
 handler folds the feed to each key's FINAL state by ``commit_version``
 before touching the replica — preimages are dropped, the winner per
-key is the highest-version change, delete winners leave, everything
-else merges. The replica carries the winning ``commit_version`` as its
+key is the highest-version change (at equal versions the insert
+outranks the delete: a replaceWhere commit's uncancelled feed emits
+both for an identically-restated key, and its net effect is the
+insert), delete winners leave, everything else merges. The replica carries the winning ``commit_version`` as its
 merge order column (``_cdc_version``), which is also what makes a
 REPLAYED apply idempotent at the row level: last-writer-wins can never
 regress a newer replica row to an older image.
@@ -66,14 +68,26 @@ def apply_changefeed_batch(
     )
 
     # fold to each key's FINAL state in this batch: drop preimages,
-    # keep the highest-commit_version change per key (ties impossible:
-    # one commit emits at most one non-preimage change per key)
+    # keep the highest-commit_version change per key. Keyed commits
+    # emit at most one non-preimage change per key per version, but a
+    # replaceWhere commit's UNCANCELLED feed (X154) emits delete AND
+    # insert for an identically-restated key at the SAME version — the
+    # commit's net effect is delete-then-insert, so at equal versions
+    # the insert/postimage outranks the delete (without the tiebreak
+    # the fold could arbitrarily pick the delete and drop a live row
+    # from the replica)
     winners = dedup_keep_last(
-        batch.filter(F.col("change_type") != "update_preimage"),
+        batch.filter(F.col("change_type") != "update_preimage")
+        .withColumn(
+            "_cdc_rank",
+            F.when(F.col("change_type") == "delete", F.lit(0))
+            .otherwise(F.lit(1)),
+        ),
         keys=keys,
-        order=["commit_version"],
-    ).localCheckpoint(eager=True)  # two passes (split + apply) must
-    # see the same winners; batch-sized by the change-feed contract
+        order=["commit_version", "_cdc_rank"],
+    ).drop("_cdc_rank").localCheckpoint(eager=True)
+    # two passes (split + apply) must see the same winners;
+    # batch-sized by the change-feed contract
     dels = winners.filter(F.col("change_type") == "delete")
     ups = (
         winners.filter(F.col("change_type") != "delete")

@@ -177,3 +177,70 @@ def test_replicate_merge_maintained_source_with_sidecars(spark, tmp_path):
     }
     assert dst_rows == src_rows
     assert len(dst_rows) == 28
+
+
+def test_replicate_across_replace_where_uncancelled_feed(spark, tmp_path):
+    """X152 x X154: a replaceWhere-maintained source streams its
+    UNCANCELLED sidecar (identically-restated keys emit delete AND
+    insert at the SAME commit_version). The fold's equal-version
+    tiebreak must pick the insert — without it the replica could drop
+    a live row — and the replica converges to the source exactly."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        enable_change_feed,
+        replace_where_manifest,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    publish_files(spark, _df(spark, 0, 40), src)                     # v1
+    enable_change_feed(spark, src)                                   # v2
+    # restate k in [0, 20): k=0..4 keep IDENTICAL values (the
+    # tiebreak probe), k=5..14 change x, k=15..19 vanish
+    incoming = _df(spark, 0, 15).withColumn(
+        "x",
+        F.when(F.col("k") < 5, F.col("x")).otherwise(F.col("x") + 50.0),
+    )
+    replace_where_manifest(spark, incoming, src, "k", 0, 19)         # v3
+
+    replicate_changefeed(spark, src, dst, keys=["k"], checkpoint=ckpt)
+    assert _state(spark, dst) == _state(spark, src)
+    # the identically-restated keys survived the delete+insert pair
+    assert {
+        r["k"] for r in read_manifest(spark, dst)
+        .filter(F.col("k") < 5).collect()
+    } == {0, 1, 2, 3, 4}
+    # the vanished slice is gone
+    assert read_manifest(spark, dst).filter(
+        (F.col("k") >= 15) & (F.col("k") < 20)
+    ).count() == 0
+
+    # a further replaceWhere on the next pass converges too
+    replace_where_manifest(
+        spark, _df(spark, 30, 35).withColumn("x", F.lit(-1.0)),
+        src, "k", 30, 39,
+    )                                                                # v4
+    replicate_changefeed(spark, src, dst, keys=["k"], checkpoint=ckpt)
+    assert _state(spark, dst) == _state(spark, src)
+
+
+def test_fold_tiebreak_insert_outranks_delete_at_equal_version(
+    spark, tmp_path
+):
+    """Direct probe of the equal-version fold: a batch carrying BOTH a
+    delete and an insert for one key at the same commit_version (the
+    replaceWhere uncancelled pair) must apply the insert."""
+    dst = str(tmp_path / "dst")
+    batch = spark.createDataFrame(
+        [
+            (1, 0, 1.0, "delete", 3),
+            (1, 0, 1.0, "insert", 3),
+            (2, 0, 2.0, "insert", 3),
+            (2, 0, 2.0, "delete", 3),  # input order must not matter
+        ],
+        "k long, g long, x double, change_type string, "
+        "commit_version long",
+    )
+    r = apply_changefeed_batch(spark, batch, 0, dst, keys=["k"])
+    assert r == {"upserted": 2, "deleted": 0}
+    assert _state(spark, dst) == {(1, 0, 1.0), (2, 0, 2.0)}
