@@ -85,6 +85,14 @@ def main():
         os.path.abspath(__file__))), "SKEW_BENCH.json")
     out = json.load(open(out_path))
 
+    # untimed warm-up: the session's FIRST replace_where pays JVM/codegen
+    # warm-up (~7 s observed) that would otherwise pollute the 1x pair
+    warm = tempfile.mkdtemp(prefix="smdp_rwcdf_warm_")
+    try:
+        _replace_once(spark, warm, 200_000, True)
+    finally:
+        shutil.rmtree(warm, ignore_errors=True)
+
     rw = {}
     for label, n in (("1x", 400_000), ("10x", 4_000_000)):
         tmp = tempfile.mkdtemp(prefix=f"smdp_rwcdf_probe_{label}_")
