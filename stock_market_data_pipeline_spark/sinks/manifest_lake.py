@@ -1475,9 +1475,10 @@ def retention_delete(
     # of straddlers, both DV-applied) persist as this commit's cdf-
     # sidecar, so a readChangeFeed stream flows across nightly
     # retention instead of raising. Cost is honest but NOT free
-    # (r16 advice): straddlers are reads the rewrite pays anyway, but
-    # whole-dropped files were previously dropped on stats alone with
-    # ZERO data IO — under change_feed they are now fully read once to
+    # (r16 advice, r17 review): straddlers are read a SECOND time
+    # here (the survivors rewrite below reads them again with the
+    # inverse filter), and whole-dropped files — previously dropped
+    # on stats alone with ZERO data IO — are now fully read once to
     # record their rows (see PERF_NOTES.md). NULL-col rows are never
     # expired and never emitted.
     cdf_ref = None
@@ -1664,10 +1665,12 @@ def replace_where_manifest(
     # DELIBERATELY diverges from the keyed feed's no-op cancellation
     # (_change_rows): replaceWhere is a predicate-scoped
     # delete-all+insert-all, not a keyed upsert — there is no key
-    # contract to cancel on, and Delta emits exactly this. IO cost:
-    # straddlers are reads the rewrite pays anyway; whole-dropped
-    # files are newly read once (same deal as retention_delete's
-    # sidecar, see PERF_NOTES.md).
+    # contract to cancel on, and Delta emits exactly this. IO cost,
+    # honestly (r17 review): straddlers are read a SECOND time here
+    # (the survivors rewrite below reads them again with the inverse
+    # filter); whole-dropped files are newly read once (with the
+    # property off they drop on stats alone, zero IO). Same profile
+    # as retention_delete's sidecar — see PERF_NOTES.md.
     cdf_ref = None
     if meta.get("change_feed"):
         del_parts = []
@@ -2131,9 +2134,15 @@ def read_manifest_changes(
     tables maintained via ``merge_upsert_manifest`` / ``delete_keys_
     manifest`` / ``replace_where_manifest`` are exact by construction.
 
-    ``keys`` is required (a row-level changelog is keyed by definition);
-    ``compare_cols`` defaults to every non-key column recorded on both
-    versions. ``v_to`` defaults to the latest committed version."""
+    ``keys`` is required (a row-level changelog is keyed by definition)
+    and key values must be UNIQUE per version — NULL forms one key
+    group like any other value (matching ``dedup_keep_last``'s write
+    semantics), so a table holding many distinct rows under one key
+    value (NULL included) is not keyed by these columns and the diff
+    join degenerates on that hot key exactly as any keyed operation
+    would. ``compare_cols`` defaults to every non-key column recorded
+    on both versions. ``v_to`` defaults to the latest committed
+    version."""
     if not keys:
         raise ValueError("read_manifest_changes requires key columns")
     fs = _HadoopFS(spark, root)
@@ -2503,9 +2512,16 @@ def _change_rows(
     carried through a rewrite would emit a spurious delete+insert
     pair — ``dedup_keep_last``'s ``Window.partitionBy`` groups NULL
     keys, and the feed must agree with the write it describes
-    (r16 advice). ``compare_cols`` defaults to every non-key column
-    present on both sides; preimage rows are skipped with
-    ``include_preimage=False``."""
+    (r16 advice). NULL therefore forms ONE key group, which makes the
+    keyed contract explicit: key values — NULL included — must be
+    UNIQUE per side. A duplicated key value (any value, not just
+    NULL) cross-joins within its group like any hot join key and
+    emits cross-pair noise; keyed writers guarantee uniqueness by
+    construction (``dedup_keep_last`` collapses each group, the NULL
+    group included, to one winner), and ``read_manifest_changes``
+    documents the same requirement for caller-supplied keys.
+    ``compare_cols`` defaults to every non-key column present on both
+    sides; preimage rows are skipped with ``include_preimage=False``."""
     if compare_cols is None:
         compare_cols = [
             c for c in old.columns if c in set(new.columns) and c not in keys
@@ -2568,20 +2584,25 @@ def _write_cdf_sidecar(
     """Persist a commit's change rows as its ``cdf-`` sidecar and
     return the version-scoped ref ``{"sidecar", "rows"}`` (sidecar
     None when the commit changed nothing — e.g. a merge restating
-    identical values). Changed-rows-sized by contract; the change set
-    is pinned once (localCheckpoint), counted, and written as
-    ``ceil(rows / _CDF_ROWS_PER_FILE)`` part files — same total
-    compute as the old write-then-count, but a table-scale change set
-    no longer funnels through one ``coalesce(1)`` task, and an empty
-    change set never touches disk."""
-    changes = changes.localCheckpoint(eager=True)
-    n = changes.count()
-    if n == 0:
-        return {"sidecar": None, "rows": 0}
-    parts = -(-n // _CDF_ROWS_PER_FILE)  # ceil
-    out = changes.coalesce(1) if parts == 1 else changes.repartition(parts)
+    identical values). Changed-rows-sized by contract, written in ONE
+    streaming pass: ``maxRecordsPerFile`` caps part sizes so a
+    table-scale change set never funnels through a ``coalesce(1)``
+    straggler NOR gets pinned whole in block storage (the r17 review
+    killed an intermediate localCheckpoint design for exactly that
+    double-materialization), while AQE partition coalescing keeps a
+    micro-commit's join-origin change set at one small file. The row
+    count reads back parquet FOOTERS only (metadata-sized); an empty
+    write is deleted."""
     sidecar = f"cdf-{uuid.uuid4().hex}"
-    out.write.mode("overwrite").parquet(f"{_stats_dir(root)}/{sidecar}")
+    (
+        changes.write.mode("overwrite")
+        .option("maxRecordsPerFile", _CDF_ROWS_PER_FILE)
+        .parquet(f"{_stats_dir(root)}/{sidecar}")
+    )
+    n = spark.read.parquet(f"{_stats_dir(root)}/{sidecar}").count()
+    if n == 0:
+        _HadoopFS(spark, root).delete(f"{_stats_dir(root)}/{sidecar}")
+        return {"sidecar": None, "rows": 0}
     return {"sidecar": sidecar, "rows": int(n)}
 
 

@@ -67,6 +67,29 @@ def apply_changefeed_batch(
         merge_upsert_manifest,
     )
 
+    # a keyed replica requires the SOURCE to satisfy key uniqueness.
+    # replaceWhere has no key contract (X154), so a source commit can
+    # legally stage the same key twice with different payloads — its
+    # feed then carries two inserts for one key at one commit_version,
+    # and folding them would pick an arbitrary winner: the replica
+    # would complete successfully while diverging from the source.
+    # Refuse loudly instead (one batch-sized aggregate; r17 review).
+    dup = (
+        batch.filter(
+            F.col("change_type").isin("insert", "update_postimage")
+        )
+        .groupBy(*keys, "commit_version")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    if dup.limit(1).count():
+        raise ValueError(
+            "apply_changefeed_batch: the change feed carries more than "
+            "one insert/postimage for a single key within one commit — "
+            "the source table violates key uniqueness on "
+            f"{keys} (a replaceWhere staging duplicate keys?); a keyed "
+            "replica of a non-keyed source is undefined"
+        )
     # fold to each key's FINAL state in this batch: drop preimages,
     # keep the highest-commit_version change per key. Keyed commits
     # emit at most one non-preimage change per key per version, but a

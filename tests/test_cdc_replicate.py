@@ -244,3 +244,21 @@ def test_fold_tiebreak_insert_outranks_delete_at_equal_version(
     r = apply_changefeed_batch(spark, batch, 0, dst, keys=["k"])
     assert r == {"upserted": 2, "deleted": 0}
     assert _state(spark, dst) == {(1, 0, 1.0), (2, 0, 2.0)}
+
+
+def test_duplicate_key_feed_is_refused(spark, tmp_path):
+    """r17 review: replaceWhere has no key contract, so a source can
+    stage the same key twice — its feed then carries two inserts for
+    one key at one commit_version, and a silent arbitrary-winner fold
+    would let the replica diverge. The apply refuses loudly."""
+    dst = str(tmp_path / "dst")
+    batch = spark.createDataFrame(
+        [
+            (1, 0, 1.0, "insert", 3),
+            (1, 0, 99.0, "insert", 3),  # duplicate key, same commit
+        ],
+        "k long, g long, x double, change_type string, "
+        "commit_version long",
+    )
+    with pytest.raises(ValueError, match="key uniqueness"):
+        apply_changefeed_batch(spark, batch, 0, dst, keys=["k"])
