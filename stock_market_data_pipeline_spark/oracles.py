@@ -4065,6 +4065,55 @@ FROM feed
 """
 
 
+ORACLES["table_changes_parity"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+u AS (SELECT k FROM o WHERE k % 7 <> 0 ORDER BY k LIMIT 6),
+n AS (SELECT k FROM o WHERE k % 7 = 0 ORDER BY k LIMIT 6),
+b AS (
+  SELECT k, prio, cents,
+         k IN (SELECT k FROM u) AS in_u,
+         k IN (SELECT k FROM n) AS in_n
+  FROM o
+),
+feed AS (
+  -- v2 (pre-property merge, reconstructed as a keyed diff)
+  SELECT k, prio, cents, CAST(0 AS BIGINT) AS seq,
+         'update_preimage' AS ct, CAST(2 AS BIGINT) AS cv
+  FROM b WHERE in_u
+  UNION ALL
+  SELECT k, 'TCA', CAST(cents + 1 AS BIGINT), CAST(1 AS BIGINT),
+         'update_postimage', CAST(2 AS BIGINT)
+  FROM b WHERE in_u
+  UNION ALL
+  SELECT k, 'TCA', CAST(cents + 1 AS BIGINT), CAST(1 AS BIGINT),
+         'insert', CAST(2 AS BIGINT)
+  FROM b WHERE in_n
+  -- v3 (property flip) contributes nothing
+  -- v4 (sidecar-recorded merge)
+  UNION ALL
+  SELECT k, 'TCA', CAST(cents + 1 AS BIGINT), CAST(1 AS BIGINT),
+         'update_preimage', CAST(4 AS BIGINT)
+  FROM b WHERE in_u
+  UNION ALL
+  SELECT k, 'TCB', CAST(cents + 2 AS BIGINT), CAST(2 AS BIGINT),
+         'update_postimage', CAST(4 AS BIGINT)
+  FROM b WHERE in_u
+  -- v5 (sidecar-recorded key delete, at post-v2 values)
+  UNION ALL
+  SELECT k, 'TCA', CAST(cents + 1 AS BIGINT), CAST(1 AS BIGINT),
+         'delete', CAST(5 AS BIGINT)
+  FROM b WHERE in_n
+)
+SELECT k AS o_orderkey, prio AS o_orderpriority, cents AS price_cents,
+       seq, ct AS change_type, cv AS commit_version
+FROM feed
+"""
+
+
 ORACLES["stream_cdf_replace_parity"] = """
 WITH o AS (
   SELECT o_orderkey AS k, o_orderpriority AS prio,

@@ -5044,6 +5044,119 @@ def q_stream_cdf_replace_parity(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 per-commit batch change feed (Delta's ``table_changes``):
+    a keyed orders table takes a MERGE BEFORE ``enable_change_feed``
+    (6 restatements + 6 inserts — the commit class the STREAM refuses
+    outright), the property flip, a second MERGE (sidecar-recorded),
+    and a key DELETE (sidecar-recorded). ``read_manifest_table_
+    changes(v_from=1)`` walks the commits: the pre-property merge
+    reconstructs as a single-step keyed diff through the shared
+    emitter, the property flip contributes nothing, the post-property
+    commits read their sidecars verbatim — one concatenated feed
+    tagged ``commit_version``. Runtime-asserts the user story the
+    endpoint diff cannot serve: a replica seeded with the v1 snapshot
+    and folded forward through ``apply_changefeed_batch`` on this
+    feed equals the source exactly."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_keys_manifest,
+        enable_change_feed,
+        merge_upsert_manifest,
+        read_manifest,
+        read_manifest_table_changes,
+    )
+    from stock_market_data_pipeline_spark.streaming.cdc_replicate import (
+        apply_changefeed_batch,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+    v1 = orders.filter(k % 7 != 0).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    u6 = orders.filter(k % 7 != 0).orderBy("o_orderkey").limit(6)
+    n6 = orders.filter(k % 7 == 0).orderBy("o_orderkey").limit(6)
+
+    def restated(base, prio, cents_add, seq):
+        return base.select(
+            "o_orderkey",
+            F.lit(prio).alias("o_orderpriority"),
+            (F.col("price_cents") + cents_add)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="smdp_tchg_")
+    root, dst = f"{tmp}/table", f"{tmp}/replica"
+    try:
+        merge_upsert_manifest(
+            spark, v1, root, keys=["o_orderkey"], order_col="seq",
+            n_buckets=32,
+        )                                                            # v1
+        merge_upsert_manifest(
+            spark,
+            restated(u6, "TCA", 1, 1).unionByName(
+                restated(n6, "TCA", 1, 1)
+            ),
+            root, keys=["o_orderkey"], order_col="seq", n_buckets=32,
+        )                                                            # v2 pre-property
+        enable_change_feed(spark, root)                              # v3
+        merge_upsert_manifest(
+            spark, restated(u6, "TCB", 2, 2), root,
+            keys=["o_orderkey"], order_col="seq", n_buckets=32,
+        )                                                            # v4 sidecar
+        delete_keys_manifest(
+            spark, n6.select("o_orderkey"), root, keys=["o_orderkey"],
+            n_buckets=32,
+        )                                                            # v5 sidecar
+
+        feed = read_manifest_table_changes(
+            spark, root, v_from=1, keys=["o_orderkey"]
+        ).localCheckpoint(eager=True)
+        if feed.filter(F.col("commit_version") == 3).count():
+            raise AssertionError(
+                "the property-flip commit changed no rows and must "
+                "contribute nothing"
+            )
+        # the backfill story: v1 snapshot + this feed == the source
+        seed = read_manifest(spark, root, version=1).withColumn(
+            "_cdc_version", F.lit(1).cast("long")
+        )
+        merge_upsert_manifest(
+            spark, seed, dst, keys=["o_orderkey"],
+            order_col="_cdc_version", n_buckets=32,
+        )
+        apply_changefeed_batch(
+            spark, feed, 0, dst, keys=["o_orderkey"], n_buckets=32
+        )
+        src_now = read_manifest(spark, root)
+        dst_now = read_manifest(spark, dst).drop("_cdc_version")
+        if (
+            dst_now.exceptAll(src_now).count()
+            or src_now.exceptAll(dst_now).count()
+        ):
+            raise AssertionError(
+                "replica seeded at v1 + per-commit feed does not "
+                "equal the source"
+            )
+        return feed.select(
+            "o_orderkey", "o_orderpriority", "price_cents", "seq",
+            "change_type", "commit_version",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -5053,29 +5166,33 @@ def q_stream_cdf_replace_parity(
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
 # ROUND-17 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 1 round-17 addition (stream_cdf_replace_parity —
+# don't trust prose): 2 round-17 additions (stream_cdf_replace_parity —
 # X154 change feed across replaceWhere: Delta's uncancelled
 # delete-all ∪ insert-all sidecar, stream≡sidecar + exactly-once +
-# batch-feed-divergence runtime asserts), then 3 code-touched re-certs
+# batch-feed-divergence runtime asserts; table_changes_parity — X155
+# per-commit batch table_changes: pre-property commits reconstruct as
+# keyed diffs, sidecars read verbatim, with a v1-snapshot + feed ==
+# source replica-backfill runtime assert), then 3 code-touched re-certs
 # (stream_cdf_parity and stream_cdf_merge_parity: the batch feed and the
 # write-time recorders now share ONE change-row emitter with null-safe
 # key joins, and _write_cdf_sidecar fans out above 1M rows;
 # cdc_replicate_equality: consumes the restructured feed end-to-end).
 # Then ALL 31 deferred r13 rows (staleness exactly 4 = the budget edge —
-# MANDATORY this round), then 15 r14 rows (the 46-row r14 wave starts
-# draining; replace_where_equality leads — its write path gained CDF
-# recording — then the manifest-format rows the emitter refactor
-# neighbors, then stream/dedup/stats rows). Past the window: the 31
-# remaining r14 rows (r18's mandatory front — ALL due at r18, leaving
-# r18 ~19 free slots), then the r15/r16 rows — every cohort inside the
-# 4-round budget. Registry 174 + 1 new = 175; net growth 1 ≤ the ≤+5
-# target (≤180 at r17 close).
+# MANDATORY this round), then 14 r14 rows (the 46-row r14 wave starts
+# draining, ≥10 required; replace_where_equality leads — its write path
+# gained CDF recording — then the manifest-format rows the emitter
+# refactor neighbors, then stream/dedup rows). Past the window: the 32
+# remaining r14 rows starting with approx_stats (r18's mandatory front —
+# ALL due at r18, leaving r18 ~18 free slots), then the r15/r16 rows —
+# every cohort inside the 4-round budget. Registry 174 + 2 new = 176;
+# net growth 2 ≤ the ≤+5 target (≤180 at r17 close).
 # NEXT ROUND (18): lead with round-18 additions/code-touched rows, then
-# the 31 remaining r14 rows (budget-mandatory), then the oldest r15
+# the 32 remaining r14 rows (budget-mandatory), then the oldest r15
 # rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdf_replace_parity": q_stream_cdf_replace_parity,
+    "table_changes_parity": q_table_changes_parity,
     "stream_cdf_parity": q_stream_cdf_parity,
     "stream_cdf_merge_parity": q_stream_cdf_merge_parity,
     "cdc_replicate_equality": q_cdc_replicate_equality,

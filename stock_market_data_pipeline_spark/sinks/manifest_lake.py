@@ -2215,6 +2215,123 @@ def read_manifest_changes(
     )
 
 
+# maintenance commits that move rows between files without changing any
+# row: contribute nothing to a per-commit change feed (the keyed diff
+# would cancel to zero anyway — this set just skips the IO). Mirrors
+# the stream planner's classification in streaming/manifest_source.py.
+_CDF_ROW_PRESERVING_OPS = {
+    "COMPACT",
+    "PURGE_DV",
+    "PURGE_COLUMNS",
+    "CONSOLIDATE_SIDECARS",
+}
+
+
+def read_manifest_table_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int | None = None,
+    keys: list[str] | None = None,
+    include_preimage: bool = True,
+) -> DataFrame:
+    """Delta's ``table_changes(start, end)`` — the PER-COMMIT batch
+    change feed (X155), the third leg of the CDF story next to the
+    endpoint diff (``read_manifest_changes``) and the stream
+    (``readChangeFeed``): every committed version in ``(v_from,
+    v_to]`` contributes ITS OWN change rows tagged ``commit_version``,
+    concatenated. Unlike the endpoint diff, intermediate states are
+    visible — a row inserted at v2 and deleted at v4 appears twice —
+    which is exactly what a replica backfill needs: the output
+    carries ``commit_version`` and feeds ``apply_changefeed_batch``
+    directly (the endpoint diff's output deliberately lacks it).
+
+    Per-commit sourcing mirrors the stream's planner: a recorded
+    ``cdf-`` sidecar is AUTHORITATIVE for its commit (so a
+    replaceWhere contributes its uncancelled delete-all ∪ insert-all,
+    X154); row-preserving maintenance (compaction / DV purge / column
+    purge / sidecar consolidation) contributes nothing; any other
+    commit — including every pre-``enable_change_feed`` keyed write —
+    reconstructs its changes as a SINGLE-STEP keyed diff through the
+    shared emitter (requires ``keys``; costs O(that commit's changed
+    files), never O(table)). This is what the stream cannot offer:
+    it refuses sidecar-less rewrites outright, while the batch walk
+    reconstructs them — use this API to backfill history written
+    before the property was enabled, then stream from there.
+
+    Full-backfill recipe (the CDC story): seed the replica with
+    ``read_manifest(root, version=v1)`` tagged ``_cdc_version = v1``,
+    then apply this feed from ``v_from = v1`` — the driver row
+    ``table_changes_parity`` runs exactly that end-to-end. Schema
+    evolution across commits union-by-name NULL-fills older commits'
+    missing columns."""
+    fs = _HadoopFS(spark, root)
+    v_from_r, _ = _resolve_manifest(fs, root, v_from)
+    v_to_r, meta_to = _resolve_manifest(fs, root, v_to)
+    if v_to_r < v_from_r:
+        raise ValueError(
+            f"read_manifest_table_changes: v_to ({v_to_r}) precedes "
+            f"v_from ({v_from_r})"
+        )
+    committed, _ = _list_manifests(fs, root)
+    steps = [v for v in committed if v_from_r < v <= v_to_r]
+    parts: list[DataFrame] = []
+    prev = v_from_r
+    for v in steps:
+        meta = _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(v)}"))
+        op = str(meta.get("operation") or "commit")
+        if op in _CDF_ROW_PRESERVING_OPS:
+            prev = v
+            continue
+        cdf = meta.get("cdf")
+        if cdf is not None:
+            sc = (cdf or {}).get("sidecar")
+            if sc:
+                df = spark.read.parquet(f"{_stats_dir(root)}/{sc}")
+                if not include_preimage:
+                    df = df.filter(
+                        F.col("change_type") != "update_preimage"
+                    )
+                parts.append(
+                    df.withColumn(
+                        "commit_version", F.lit(int(v)).cast("long")
+                    )
+                )
+            prev = v
+            continue
+        if keys is None:
+            raise ValueError(
+                f"read_manifest_table_changes: v{v} of {root} "
+                f"(operation {op}) recorded no change-data sidecar — "
+                "per-commit reconstruction needs keys=[...] (or "
+                "enable_change_feed before such writes)"
+            )
+        step = read_manifest_changes(
+            spark, root, prev, v, keys=keys,
+            include_preimage=include_preimage,
+        )
+        parts.append(
+            step.withColumn("commit_version", F.lit(int(v)).cast("long"))
+        )
+        prev = v
+    if not parts:
+        schema = _recorded_schema(meta_to)
+        if schema is None:
+            raise FileNotFoundError(
+                f"manifest under {root} records no schema — cannot "
+                "type an empty change feed"
+            )
+        return (
+            spark.createDataFrame([], schema)
+            .withColumn("change_type", F.lit(None).cast("string"))
+            .withColumn("commit_version", F.lit(None).cast("long"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def clone_manifest(
     spark: SparkSession,
     src_root: str,

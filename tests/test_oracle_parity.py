@@ -21,26 +21,32 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-17 plan: 1 new row (X154
+    rounds — SURVEY §2.10). Guard the round-17 plan: 2 new rows (X154
     change feed across replaceWhere — Delta's uncancelled
-    delete-all ∪ insert-all sidecar), then 3 code-touched re-certs
+    delete-all ∪ insert-all sidecar; X155 per-commit batch
+    table_changes with replica-backfill runtime assert), then 3
+    code-touched re-certs
     (the shared change-row emitter with null-safe key joins rewired
     both CDF paths; _write_cdf_sidecar fans out above 1M rows; the
     CDC replicator consumes the restructured feed), then ALL 31
     deferred r13 rows (staleness exactly 4 — the budget edge,
-    MANDATORY), then 15 r14 rows (the 46-row r14 wave starts
-    draining; ALL remaining 31 are r18's mandatory front)."""
+    MANDATORY), then 14 r14 rows (the 46-row r14 wave starts
+    draining — >= 10 required; ALL remaining 32 are r18's mandatory
+    front)."""
     window = list(QUERIES)[:50]
-    # round-17 addition — never driver-checked — at the very front
-    assert window[0] == "stream_cdf_replace_parity"
+    # round-17 additions — never driver-checked — at the very front
+    assert window[:2] == [
+        "stream_cdf_replace_parity",
+        "table_changes_parity",
+    ]
     # code-touched re-certs (shared emitter + multi-part sidecars)
-    assert window[1:4] == [
+    assert window[2:5] == [
         "stream_cdf_parity",
         "stream_cdf_merge_parity",
         "cdc_replicate_equality",
     ]
     # ALL 31 deferred r13 rows (the r16 verdict's designated r17 front)
-    assert window[4:35] == [
+    assert window[5:36] == [
         "stream_stream_join_parity",
         "stream_incremental_dedup",
         "stream_cdc_parity",
@@ -73,10 +79,11 @@ def test_driver_window_composition():
         "quantized_topk_rerank",
         "return_correlation",
     ]
-    # 15 r14 rows: replace_where_equality first (its write path gained
+    # 14 r14 rows: replace_where_equality first (its write path gained
     # CDF recording this round), then manifest-format neighbors of the
-    # emitter refactor, then stream/dedup/stats rows
-    assert window[35:50] == [
+    # emitter refactor, then stream/dedup rows (approx_stats rolls to
+    # the front of r18's mandatory r14 block — drain stays >= 10)
+    assert window[36:50] == [
         "replace_where_equality",
         "manifest_key_delete",
         "version_diff",
@@ -91,7 +98,6 @@ def test_driver_window_composition():
         "semantic_dedup",
         "semantic_decontaminate",
         "fuzzy_name_pairs",
-        "approx_stats",
     ]
 
 
