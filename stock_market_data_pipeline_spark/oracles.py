@@ -4069,7 +4069,7 @@ ORACLES["table_changes_parity"] = """
 WITH o AS (
   SELECT o_orderkey AS k, o_orderpriority AS prio,
          CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders
+  FROM orders WHERE o_orderkey <= 60000
 ),
 u AS (SELECT k FROM o WHERE k % 7 <> 0 ORDER BY k LIMIT 6),
 n AS (SELECT k FROM o WHERE k % 7 = 0 ORDER BY k LIMIT 6),
