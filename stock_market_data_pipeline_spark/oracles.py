@@ -4080,9 +4080,14 @@ b AS (
   FROM o
 ),
 feed AS (
-  -- v2 (pre-property merge, reconstructed as a keyed diff)
+  -- v1 (full history from v_from=0: the first commit's rows as inserts)
   SELECT k, prio, cents, CAST(0 AS BIGINT) AS seq,
-         'update_preimage' AS ct, CAST(2 AS BIGINT) AS cv
+         'insert' AS ct, CAST(1 AS BIGINT) AS cv
+  FROM b WHERE k % 7 <> 0
+  -- v2 (pre-property merge, reconstructed as a keyed diff)
+  UNION ALL
+  SELECT k, prio, cents, CAST(0 AS BIGINT), 'update_preimage',
+         CAST(2 AS BIGINT)
   FROM b WHERE in_u
   UNION ALL
   SELECT k, 'TCA', CAST(cents + 1 AS BIGINT), CAST(1 AS BIGINT),

@@ -5126,22 +5126,19 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_buckets=8,
         )                                                            # v5 sidecar
 
+        # v_from=0: the COMPLETE history — v1's rows feed as inserts
+        # (the keyless pure-append path), v2 reconstructs as a keyed
+        # diff, v4/v5 read their sidecars
         feed = read_manifest_table_changes(
-            spark, root, v_from=1, keys=["o_orderkey"]
+            spark, root, v_from=0, keys=["o_orderkey"]
         ).localCheckpoint(eager=True)
         if feed.filter(F.col("commit_version") == 3).count():
             raise AssertionError(
                 "the property-flip commit changed no rows and must "
                 "contribute nothing"
             )
-        # the backfill story: v1 snapshot + this feed == the source
-        seed = read_manifest(spark, root, version=1).withColumn(
-            "_cdc_version", F.lit(1).cast("long")
-        )
-        merge_upsert_manifest(
-            spark, seed, dst, keys=["o_orderkey"],
-            order_col="_cdc_version", n_buckets=8,
-        )
+        # the backfill story: NO seed — fold the full-history feed
+        # into an empty replica and equal the source
         apply_changefeed_batch(
             spark, feed, 0, dst, keys=["o_orderkey"], n_buckets=8
         )
@@ -5152,13 +5149,13 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             or src_now.exceptAll(dst_now).count()
         ):
             raise AssertionError(
-                "replica seeded at v1 + per-commit feed does not "
-                "equal the source"
+                "per-commit feed folded from v_from=0 does not equal "
+                "the source"
             )
         return feed.select(
             "o_orderkey", "o_orderpriority", "price_cents", "seq",
             "change_type", "commit_version",
-        ).localCheckpoint(eager=True)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -2153,14 +2153,44 @@ def read_manifest_changes(
             f"read_manifest_changes: v_to ({v_to_r}) precedes v_from "
             f"({v_from_r})"
         )
-    ents_from = _manifest_entries(fs, root, meta_from)
+    return _manifest_version_diff(
+        spark, fs, root, meta_from, meta_to, keys,
+        compare_cols=compare_cols, include_preimage=include_preimage,
+    )
+
+
+def _manifest_version_diff(
+    spark: SparkSession,
+    fs: "_HadoopFS",
+    root: str,
+    meta_from: dict | None,
+    meta_to: dict,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_preimage: bool = True,
+) -> DataFrame:
+    """The diff body behind ``read_manifest_changes``, taking
+    ALREADY-RESOLVED metas so per-commit walkers
+    (``read_manifest_table_changes``) don't pay two redundant
+    directory listings + meta reads per step (r17 review).
+    ``meta_from=None`` means "before the first commit" — the empty
+    side, every to-side row an insert."""
+    ents_from = (
+        _manifest_entries(fs, root, meta_from)
+        if meta_from is not None
+        else []
+    )
     ents_to = _manifest_entries(fs, root, meta_to)
     names_from = {e["name"] for e in ents_from}
     names_to = {e["name"] for e in ents_to}
+    if meta_from is None:
+        meta_from = {}
 
     def _side(meta: dict, ents: list[dict], names: set[str]) -> DataFrame:
         if not names:
-            schema = _recorded_schema(meta)
+            # the pre-first-commit side ({}) types itself from the TO
+            # side's recorded schema
+            schema = _recorded_schema(meta) or _recorded_schema(meta_to)
             if schema is None:
                 raise FileNotFoundError(
                     f"manifest under {root} records no schema — cannot "
@@ -2204,6 +2234,21 @@ def read_manifest_changes(
         } & (names_from & names_to)
     removed = _side(meta_from, ents_from, (names_from - names_to) | dv_extra)
     added = _side(meta_to, ents_to, (names_to - names_from) | dv_extra)
+    # schema evolution between the versions: align BOTH sides to the
+    # column UNION (NULL-fill the missing side) so a column added
+    # between v_from and v_to carries its real values in postimages —
+    # intersecting instead silently dropped it from every change row
+    # (r17 review), diverging from the write-time sidecar's contract
+    # (schema-evolving merges NULL-fill preimages, X153). A row carried
+    # unchanged through the evolution still cancels: its rewritten
+    # bytes read NULL in the new column on both sides.
+    if set(removed.columns) != set(added.columns):
+        removed = removed.unionByName(
+            added.limit(0), allowMissingColumns=True
+        )
+        added = added.unionByName(
+            removed.limit(0), allowMissingColumns=True
+        )
     # one join pass through the SHARED emitter (same code path the
     # write-time sidecar recorders use — the two feeds cannot drift)
     return _change_rows(
@@ -2240,51 +2285,81 @@ def read_manifest_table_changes(
     endpoint diff (``read_manifest_changes``) and the stream
     (``readChangeFeed``): every committed version in ``(v_from,
     v_to]`` contributes ITS OWN change rows tagged ``commit_version``,
-    concatenated. Unlike the endpoint diff, intermediate states are
-    visible — a row inserted at v2 and deleted at v4 appears twice —
-    which is exactly what a replica backfill needs: the output
-    carries ``commit_version`` and feeds ``apply_changefeed_batch``
-    directly (the endpoint diff's output deliberately lacks it).
+    concatenated. ``v_from=0`` means "from the beginning" (the first
+    commit's rows feed as inserts — Delta's ``table_changes(0, ...)``).
+    Unlike the endpoint diff, intermediate states are visible — a row
+    inserted at v2 and deleted at v4 appears twice — which is exactly
+    what a replica backfill needs: the output carries
+    ``commit_version`` and feeds ``apply_changefeed_batch`` directly
+    (the endpoint diff's output deliberately lacks it).
 
-    Per-commit sourcing mirrors the stream's planner: a recorded
-    ``cdf-`` sidecar is AUTHORITATIVE for its commit (so a
-    replaceWhere contributes its uncancelled delete-all ∪ insert-all,
-    X154); row-preserving maintenance (compaction / DV purge / column
-    purge / sidecar consolidation) contributes nothing; any other
-    commit — including every pre-``enable_change_feed`` keyed write —
-    reconstructs its changes as a SINGLE-STEP keyed diff through the
-    shared emitter (requires ``keys``; costs O(that commit's changed
-    files), never O(table)). This is what the stream cannot offer:
-    it refuses sidecar-less rewrites outright, while the batch walk
-    reconstructs them — use this API to backfill history written
-    before the property was enabled, then stream from there.
+    Per-commit sourcing, routed by what each commit DID (file-set +
+    DV-sidecar comparison against its predecessor, metadata-sized):
 
-    Full-backfill recipe (the CDC story): seed the replica with
-    ``read_manifest(root, version=v1)`` tagged ``_cdc_version = v1``,
-    then apply this feed from ``v_from = v1`` — the driver row
-    ``table_changes_parity`` runs exactly that end-to-end. Schema
+    * recorded ``cdf-`` sidecar → AUTHORITATIVE, read verbatim (so a
+      replaceWhere contributes its uncancelled delete-all ∪
+      insert-all, X154);
+    * row-preserving maintenance (compaction / DV purge / column purge
+      / sidecar consolidation) and pure-metadata commits (property
+      flips, constraints, blooms) → contribute nothing, no IO;
+    * pure appends (files added, none removed, DV unchanged) → added
+      files' rows as ``insert`` — NO keys needed, mirroring the
+      stream planner;
+    * anything that rewrote files or moved DV state — including every
+      pre-``enable_change_feed`` keyed write the stream refuses — →
+      a single-step keyed diff through the shared emitter (requires
+      ``keys``; O(that commit's changed files), never O(table)).
+
+    Use this API to backfill history written before the property was
+    enabled, then stream from there: seed nothing, walk from
+    ``v_from=0``, fold through ``apply_changefeed_batch`` — the driver
+    row ``table_changes_parity`` runs the recipe end-to-end. Schema
     evolution across commits union-by-name NULL-fills older commits'
-    missing columns."""
+    missing columns (and the per-step diff carries an added column's
+    real postimage values). ``change_type`` / ``commit_version`` are
+    reserved output names — a table already carrying either raises
+    rather than silently clobbering user data (r17 review)."""
     fs = _HadoopFS(spark, root)
-    v_from_r, _ = _resolve_manifest(fs, root, v_from)
+    if v_from == 0:
+        v_from_r, meta_prev = 0, None
+    else:
+        v_from_r, meta_prev = _resolve_manifest(fs, root, v_from)
     v_to_r, meta_to = _resolve_manifest(fs, root, v_to)
     if v_to_r < v_from_r:
         raise ValueError(
             f"read_manifest_table_changes: v_to ({v_to_r}) precedes "
             f"v_from ({v_from_r})"
         )
+    schema_to = _recorded_schema(meta_to)
+    reserved = {"change_type", "commit_version"} & (
+        {f.name for f in schema_to.fields} if schema_to else set()
+    )
+    if reserved:
+        raise ValueError(
+            f"read_manifest_table_changes: table columns {sorted(reserved)} "
+            "collide with the feed's reserved output columns — rename "
+            "them (the feed would silently clobber their values)"
+        )
     committed, _ = _list_manifests(fs, root)
     steps = [v for v in committed if v_from_r < v <= v_to_r]
     parts: list[DataFrame] = []
-    prev = v_from_r
+    prev_names = (
+        {e["name"] for e in _manifest_entries(fs, root, meta_prev)}
+        if meta_prev is not None
+        else set()
+    )
+    prev_dv = ((meta_prev or {}).get("dv") or {}).get("sidecar")
     for v in steps:
         meta = _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(v)}"))
         op = str(meta.get("operation") or "commit")
-        if op in _CDF_ROW_PRESERVING_OPS:
-            prev = v
-            continue
+        names = {e["name"] for e in _manifest_entries(fs, root, meta)}
+        dv = (meta.get("dv") or {}).get("sidecar")
         cdf = meta.get("cdf")
-        if cdf is not None:
+        row_preserving = op in _CDF_ROW_PRESERVING_OPS
+        metadata_only = names == prev_names and dv == prev_dv
+        if row_preserving or (metadata_only and cdf is None):
+            pass  # rows unchanged (or moved between files): no feed rows
+        elif cdf is not None:
             sc = (cdf or {}).get("sidecar")
             if sc:
                 df = spark.read.parquet(f"{_stats_dir(root)}/{sc}")
@@ -2297,32 +2372,55 @@ def read_manifest_table_changes(
                         "commit_version", F.lit(int(v)).cast("long")
                     )
                 )
-            prev = v
-            continue
-        if keys is None:
-            raise ValueError(
-                f"read_manifest_table_changes: v{v} of {root} "
-                f"(operation {op}) recorded no change-data sidecar — "
-                "per-commit reconstruction needs keys=[...] (or "
-                "enable_change_feed before such writes)"
+        elif not (prev_names - names) and dv == prev_dv:
+            # pure append: added files' rows are inserts — keyless,
+            # exactly the stream planner's treatment
+            ents = [
+                e
+                for e in _manifest_entries(fs, root, meta)
+                if e["name"] in (names - prev_names)
+            ]
+            pm = _entry_paths(root, ents)
+            added = _load_table_files(
+                spark, meta, [pm[n] for n in sorted(pm)], root
             )
-        step = read_manifest_changes(
-            spark, root, prev, v, keys=keys,
-            include_preimage=include_preimage,
-        )
-        parts.append(
-            step.withColumn("commit_version", F.lit(int(v)).cast("long"))
-        )
-        prev = v
+            parts.append(
+                added.withColumn(
+                    "change_type", F.lit("insert")
+                ).withColumn(
+                    "commit_version", F.lit(int(v)).cast("long")
+                )
+            )
+        else:
+            # files rewritten/dropped or DV state moved without a
+            # sidecar: reconstruct as a single-step keyed diff
+            if keys is None:
+                raise ValueError(
+                    f"read_manifest_table_changes: v{v} of {root} "
+                    f"(operation {op}) rewrote files or moved deletion-"
+                    "vector state and recorded no change-data sidecar — "
+                    "reconstructing its row-level changes needs "
+                    "keys=[...]; enable_change_feed before such writes "
+                    "to record sidecars instead"
+                )
+            step = _manifest_version_diff(
+                spark, fs, root, meta_prev, meta, keys,
+                include_preimage=include_preimage,
+            )
+            parts.append(
+                step.withColumn(
+                    "commit_version", F.lit(int(v)).cast("long")
+                )
+            )
+        meta_prev, prev_names, prev_dv = meta, names, dv
     if not parts:
-        schema = _recorded_schema(meta_to)
-        if schema is None:
+        if schema_to is None:
             raise FileNotFoundError(
                 f"manifest under {root} records no schema — cannot "
                 "type an empty change feed"
             )
         return (
-            spark.createDataFrame([], schema)
+            spark.createDataFrame([], schema_to)
             .withColumn("change_type", F.lit(None).cast("string"))
             .withColumn("commit_version", F.lit(None).cast("long"))
         )
@@ -2330,6 +2428,7 @@ def read_manifest_table_changes(
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
 
 
 def clone_manifest(

@@ -47,16 +47,18 @@ Contract mirrors Delta's streaming source:
   anywhere — the WRITER's commit discipline (one operation name + one
   DV sidecar per version) is what makes the feed reconstructible from
   metadata, the same reason Delta writes change files at commit time.
-  With the table's ``change_feed`` property on (X153,
+  With the table's ``change_feed`` property on (X153/X154,
   ``enable_change_feed`` — Delta's ``enableChangeDataFeed``), keyed
-  MERGE and key-delete commits record their row-level changes in a
-  ``cdf-`` sidecar at COMMIT time (Delta's ``_change_data`` files),
-  and the stream plans that sidecar as the commit's authoritative
-  change set — flowing continuously across the rewrite. Remaining
-  history-rewriting commits the feed cannot express row-exactly
-  (replace/replaceWhere, retention, RESTORE — or merges/deletes from
-  before the property was set) raise mid-stream and point at the
-  batch API, which key-joins them exactly.
+  MERGE, key-delete, retention-sweep and replaceWhere commits record
+  their row-level changes in a ``cdf-`` sidecar at COMMIT time
+  (Delta's ``_change_data`` files), and the stream plans that sidecar
+  as the commit's authoritative change set — flowing continuously
+  across the rewrite. Remaining history-rewriting commits the feed
+  cannot express row-exactly (full replace, RESTORE — or rewrites
+  from before the property was set) raise mid-stream and point at
+  the batch APIs (``read_manifest_changes`` endpoint diff;
+  ``read_manifest_table_changes`` per-commit walk, X155), which
+  key-join them exactly.
 
 Scale posture: offset resolution is one metadata listing; planning is a
 file-set difference (O(changed files)); each planned file becomes one
@@ -151,12 +153,18 @@ class _CdfPartition(InputPartition):
 # commits that rewrite/drop files while preserving the visible row set —
 # the change feed emits NOTHING for them (rows merely moved between
 # files; Delta CDF likewise skips OPTIMIZE/REORG commits)
-_CDF_ROW_PRESERVING = {
-    "COMPACT",
-    "PURGE_DV",
-    "PURGE_COLUMNS",
-    "CONSOLIDATE_SIDECARS",
-}
+# the row-preserving commit classification is owned by the sink module
+# (sinks/manifest_lake.py:_CDF_ROW_PRESERVING_OPS) and imported lazily
+# — planning runs driver-side only, so executors never import the sink
+# module; a single shared set means a new commit type picks its
+# classification ONCE for both the stream and the per-commit batch
+# walk (r17 review)
+def _row_preserving() -> set:
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _CDF_ROW_PRESERVING_OPS,
+    )
+
+    return _CDF_ROW_PRESERVING_OPS
 
 
 def _dv_positions(root: str, meta: dict) -> dict[str, set]:
@@ -301,7 +309,7 @@ class ManifestStreamReader(DataSourceStreamReader):
             ents = _entries(root, meta)
             names = {e["name"] for e in ents}
             op = str(meta.get("operation") or "commit")
-            if op in _CDF_ROW_PRESERVING:
+            if op in _row_preserving():
                 # rows moved between files, none changed — emit nothing
                 prev_meta, prev_names = meta, names
                 _dv_step(meta)

@@ -170,3 +170,89 @@ def test_backfill_feed_reconstructs_a_replica(spark, tmp_path):
     }
     assert dst_rows == src_rows
     assert len(dst_rows) == 28
+
+
+def test_from_zero_keyless_appends_and_metadata_commits(spark, tmp_path):
+    """v_from=0 walks the COMPLETE history (Delta table_changes(0, …));
+    pure appends feed keylessly as inserts (the stream planner's
+    treatment) and pure-metadata commits (property flips, constraints)
+    contribute nothing — no keys required for any of them."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        add_table_constraint,
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 10), root)                    # v1
+    append_files(spark, _df(spark, 10, 15), root)                    # v2
+    add_table_constraint(spark, root, "x_nonneg", "x >= 0")          # v3
+    enable_change_feed(spark, root)                                  # v4
+    # NO keys passed: publish-from-empty, append and the two metadata
+    # commits all route keylessly
+    feed = read_manifest_table_changes(spark, root, v_from=0)
+    got = _rows(feed)
+    expect = {
+        (k, f"s{k}", float(k), 0, "insert", 1) for k in range(0, 10)
+    } | {
+        (k, f"s{k}", float(k), 0, "insert", 2) for k in range(10, 15)
+    }
+    assert got == expect
+
+
+def test_schema_evolving_precdf_commit_keeps_new_column_values(
+    spark, tmp_path
+):
+    """r17 review finding: the keyed-diff reconstruction projected
+    through the column INTERSECTION, silently NULLing a newly added
+    column's real values out of every change row. The diff now aligns
+    both sides to the column UNION: preimages read NULL in the new
+    column (the sidecar contract), postimages carry the REAL values —
+    and the v_from=0 backfill converges bit-for-bit."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    base = spark.createDataFrame(
+        [(k, f"s{k}", 0) for k in range(8)], "k long, s string, seq long"
+    )
+    merge_upsert_manifest(
+        spark, base, src, keys=["k"], order_col="seq", n_buckets=2,
+    )                                                                # v1
+    evolved = spark.createDataFrame(
+        [(k, f"e{k}", 1, float(k) * 2) for k in range(0, 3)],
+        "k long, s string, seq long, x double",
+    )
+    merge_upsert_manifest(  # pre-property, schema-evolving
+        spark, evolved, src, keys=["k"], order_col="seq", n_buckets=2,
+    )                                                                # v2
+    feed = read_manifest_table_changes(spark, src, v_from=0, keys=["k"])
+    posts = {
+        (r["k"], r["s"], r["x"])
+        for r in feed.filter(
+            F.col("change_type") == "update_postimage"
+        ).collect()
+    }
+    assert posts == {(0, "e0", 0.0), (1, "e1", 2.0), (2, "e2", 4.0)}
+    pres = feed.filter(F.col("change_type") == "update_preimage")
+    assert pres.filter(F.col("x").isNull()).count() == 3
+
+    apply_changefeed_batch(spark, feed, 0, dst, keys=["k"], n_buckets=2)
+    src_rows = {
+        tuple(r) for r in read_manifest(spark, src).collect()
+    }
+    dst_rows = {
+        tuple(r)
+        for r in read_manifest(spark, dst).drop("_cdc_version").collect()
+    }
+    assert dst_rows == src_rows
+
+
+def test_reserved_output_columns_raise(spark, tmp_path):
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame(
+            [(1, 5)], "k long, commit_version long"
+        ),
+        root,
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
