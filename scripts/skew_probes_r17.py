@@ -9,7 +9,16 @@
    one changed-rows-sized write) stays flat while the table grows 10x.
    Both timings recorded; the receipt is the flat ON-OFF delta.
 
-2. ``r17_multipart_sidecar`` — the r16 advice fix: above
+2. ``r17_table_changes_scale`` — X155: the per-commit batch walk
+   (``read_manifest_table_changes``) read two ways. KEYED-DIFF
+   reconstruction (pre-property history) costs O(touched bucket-file
+   BYTES per commit) — a hash-bucketed merge touching all buckets
+   makes each step table-sized, the honest fallback — while the
+   SIDECAR-backed walk (property on) reads recorded change rows and
+   stays flat across a 10x table growth. The pair is the receipt for
+   WHY write-time sidecars exist.
+
+3. ``r17_multipart_sidecar`` — the r16 advice fix: above
    ``_CDF_ROWS_PER_FILE`` rows the sidecar write fans out across
    tasks (``ceil(rows / cap)`` part files) instead of serializing
    through ``coalesce(1)``. Probed with the cap pinned to 100k over a
@@ -122,6 +131,60 @@ def main():
         "costs O(matched + incoming), never O(table)"
     )
     out["r17_replace_where_cdf_scale"] = rw
+
+    # --- per-commit walk scales with changed files, not table size ---
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest_table_changes,
+    )
+
+    tc = {}
+    for label, n in (("1x", 400_000), ("10x", 4_000_000)):
+        tmp = tempfile.mkdtemp(prefix=f"smdp_tchg_probe_{label}_")
+        try:
+            entry = {"rows": n, "commits_walked": 4}
+            for mode in ("keyed_diff", "sidecar"):
+                root = f"{tmp}/t_{mode}"
+                merge_upsert_manifest(
+                    spark,
+                    kv_table(spark, n).withColumn("seq", F.lit(0)),
+                    root, keys=["k"], order_col="seq", n_buckets=32,
+                )                                                    # v1
+                if mode == "sidecar":
+                    enable_change_feed(spark, root)
+                for step in range(1, 5):                      # v2..v5
+                    batch = (
+                        kv_table(spark, 2_000)
+                        .withColumn("flag", F.col("flag") + 1000 * step)
+                        .withColumn("seq", F.lit(step))
+                    )
+                    merge_upsert_manifest(
+                        spark, batch, root, keys=["k"], order_col="seq",
+                        n_buckets=32,
+                    )
+                v0 = 1 if mode == "keyed_diff" else 2
+                t0 = time.perf_counter()
+                feed = read_manifest_table_changes(
+                    spark, root, v_from=v0, keys=["k"]
+                )
+                n_feed = feed.count()
+                sec = round(time.perf_counter() - t0, 3)
+                # 4 commits x 2000 update pairs at BOTH scales
+                assert n_feed == 4 * 2 * 2_000, (mode, n_feed)
+                entry[f"sec_walk_{mode}"] = sec
+                entry["feed_rows"] = n_feed
+            tc[label] = entry
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    tc["note"] = (
+        "four 2000-key restatement commits walked per-commit, two "
+        "ways: the KEYED-DIFF fallback (pre-property history) reads "
+        "each commit's touched bucket-file BYTES — all 32 hash "
+        "buckets here, so it grows with the table — while the "
+        "SIDECAR walk reads recorded change rows and stays flat at "
+        "10x; the gap is the case for enable_change_feed on "
+        "merge-maintained tables"
+    )
+    out["r17_table_changes_scale"] = tc
 
     # --- multi-part sidecar fan-out (cap pinned to 100k) ---
     cap_orig = ml._CDF_ROWS_PER_FILE

@@ -2308,7 +2308,13 @@ def read_manifest_table_changes(
     * anything that rewrote files or moved DV state — including every
       pre-``enable_change_feed`` keyed write the stream refuses — →
       a single-step keyed diff through the shared emitter (requires
-      ``keys``; O(that commit's changed files), never O(table)).
+      ``keys``). Cost model, honestly: the diff reads that commit's
+      touched file BYTES — a hash-bucketed merge touching all buckets
+      makes the step table-sized — while sidecar-recorded commits
+      read only their change rows (SKEW ``r17_table_changes_scale``:
+      0.6 s flat vs 4.6→11.4 s across a 10x table growth); the gap
+      is the case for ``enable_change_feed`` on merge-maintained
+      tables.
 
     Use this API to backfill history written before the property was
     enabled, then stream from there: seed nothing, walk from
