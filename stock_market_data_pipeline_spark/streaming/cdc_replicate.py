@@ -56,9 +56,12 @@ def apply_changefeed_batch(
     app_id: str = "cdc-replicate",
 ) -> dict[str, int]:
     """Apply one micro-batch of change-feed rows to the replica table.
-    Exposed separately from the stream wiring so batch backfills
-    (``read_manifest_changes`` output) and tests drive the same code.
-    Returns ``{"upserted", "deleted"}`` (post-fold winner counts)."""
+    Exposed separately from the stream wiring so batch backfills and
+    tests drive the same code — the batch feed that fits is
+    ``read_manifest_table_changes`` (X155), whose output carries the
+    ``commit_version`` the fold orders by (the endpoint diff's output
+    deliberately lacks it). Returns ``{"upserted", "deleted"}``
+    (post-fold winner counts)."""
     from stock_market_data_pipeline_spark.operators.dedup import (
         dedup_keep_last,
     )
