@@ -4146,6 +4146,36 @@ FROM feed
 """
 
 
+ORACLES["stream_cdf_restore_parity"] = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey <= 1200
+),
+r AS (
+  SELECT k, 'RST-NEW' AS prio, CAST(cents + 11 AS BIGINT) AS cents
+  FROM o WHERE k % 2 = 0
+),
+feed AS (
+  -- v3 full REPLACE: every prior visible row delete, every incoming
+  -- row insert, uncancelled (X154's semantics table-wide)
+  SELECT k, prio, cents, 'delete' AS change_type,
+         CAST(3 AS BIGINT) AS commit_version FROM o
+  UNION ALL
+  SELECT k, prio, cents, 'insert', CAST(3 AS BIGINT) FROM r
+  -- v4 RESTORE to v1: file-granular diff — the replace's files out,
+  -- the restored version's files back (disjoint sets: the full flip)
+  UNION ALL
+  SELECT k, prio, cents, 'delete', CAST(4 AS BIGINT) FROM r
+  UNION ALL
+  SELECT k, prio, cents, 'insert', CAST(4 AS BIGINT) FROM o
+)
+SELECT k AS o_orderkey, prio AS o_orderpriority, cents AS price_cents,
+       change_type, commit_version
+FROM feed
+"""
+
+
 # Apply the cross-engine rounding bias to EVERY registered oracle (see
 # _bias_rounds; uppercase ROUND( is the decimal-space opt-out). This MUST
 # stay the last statement in the module.

@@ -5050,14 +5050,15 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6 restatements + 6 inserts — the commit class the STREAM refuses
     outright), the property flip, a second MERGE (sidecar-recorded),
     and a key DELETE (sidecar-recorded). ``read_manifest_table_
-    changes(v_from=1)`` walks the commits: the pre-property merge
+    changes(v_from=0)`` walks the COMPLETE history: v1's rows feed as
+    KEYLESS inserts (the pure-append path), the pre-property merge
     reconstructs as a single-step keyed diff through the shared
     emitter, the property flip contributes nothing, the post-property
     commits read their sidecars verbatim — one concatenated feed
     tagged ``commit_version``. Runtime-asserts the user story the
-    endpoint diff cannot serve: a replica seeded with the v1 snapshot
-    and folded forward through ``apply_changefeed_batch`` on this
-    feed equals the source exactly."""
+    endpoint diff cannot serve: the NO-SEED backfill — fold this
+    v_from=0 feed through ``apply_changefeed_batch`` into an EMPTY
+    replica and equal the source exactly."""
     import shutil
     import tempfile
 
@@ -5160,6 +5161,113 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_cdf_restore_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X156 change feed across full REPLACE and RESTORE — the last two
+    commit classes that killed a ``readChangeFeed`` stream. An orders
+    projection (keys ≤ 1200 — SF-capped fixture) publishes as a
+    manifest table, enables the property, then a full
+    ``publish_files`` REPLACE restates the even keys only (sidecar:
+    EVERY prior visible row as ``delete`` ∪ every incoming row as
+    ``insert``, uncancelled — X154's replaceWhere semantics
+    table-wide) and ``rollback_manifest`` RESTOREs v1 (sidecar:
+    Delta's file-granular diff — rows of files only the clobbered
+    latest holds as ``delete``, rows of files only the target holds as
+    ``insert``; here the sets are disjoint, so the full flip).
+    The stream from the enabling version flows across BOTH where it
+    previously raised toward the batch API. Runtime-asserts what the
+    oracle cannot see: replay adds ZERO rows (exactly-once) and the
+    stream ≡ the per-commit batch feed
+    (``read_manifest_table_changes``, walked KEYLESSLY) both ways."""
+    import shutil
+    import tempfile
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        enable_change_feed,
+        publish_files,
+        read_manifest_table_changes,
+        rollback_manifest,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    spark.dataSource.register(ManifestStreamDataSource)
+    k = F.col("o_orderkey")
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+        .filter(k <= 1200)
+    )
+    repl = base.filter(k % 2 == 0).select(
+        "o_orderkey",
+        F.lit("RST-NEW").alias("o_orderpriority"),
+        (F.col("price_cents") + 11).cast("bigint").alias("price_cents"),
+    )
+    tmp = tempfile.mkdtemp(prefix="smdp_scdfrst_")
+    root, sink, ckpt = f"{tmp}/table", f"{tmp}/sink", f"{tmp}/ckpt"
+    try:
+        publish_files(
+            spark, base.repartitionByRange(4, "o_orderkey"), root
+        )                                                            # v1
+        v_en = enable_change_feed(spark, root)                       # v2
+        publish_files(
+            spark, repl.repartitionByRange(4, "o_orderkey"), root
+        )                                                            # v3 REPLACE
+        rollback_manifest(spark, root, 1)                            # v4 RESTORE
+
+        def run_stream():
+            q = (
+                spark.readStream.format("manifest_stream")
+                .option("path", root)
+                .option("readChangeFeed", "true")
+                .option("startingVersion", str(v_en))
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _await_stream(q)
+
+        run_stream()
+        feed = spark.read.parquet(sink)
+        n_first = feed.count()
+        run_stream()  # replay: exactly-once -> zero new rows
+        if spark.read.parquet(sink).count() != n_first:
+            raise AssertionError(
+                "replay added rows — replace/restore sidecar offsets "
+                "not exactly-once"
+            )
+        cols = [
+            "o_orderkey", "o_orderpriority", "price_cents",
+            "change_type", "commit_version",
+        ]
+        streamed = feed.select(*cols)
+        batch = read_manifest_table_changes(
+            spark, root, v_from=v_en
+        ).select(*cols)
+        if (
+            streamed.exceptAll(batch).count()
+            or batch.exceptAll(streamed).count()
+        ):
+            raise AssertionError(
+                "stream across REPLACE/RESTORE disagrees with the "
+                "per-commit batch feed"
+            )
+        return streamed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Registry ORDER is part of the driver contract: the driver's oracle sweep
 # checks exactly the first 50 entries (proven: CORRECTNESS_r02-r13 == dict
 # keys[0:50] every round). Rotation policy (budget 4 rounds — SURVEY §2.10
@@ -5168,37 +5276,80 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stalest once-green rows, then newer-green rows. Everything — in or out
 # of the window — is still covered by the local oracle-parity suite
 # (tests/test_oracle_parity.py sweeps the whole dict).
-# ROUND-17 WINDOW (the first 50 dict entries ARE the window; count them,
-# don't trust prose): 2 round-17 additions (stream_cdf_replace_parity —
-# X154 change feed across replaceWhere: Delta's uncancelled
-# delete-all ∪ insert-all sidecar, stream≡sidecar + exactly-once +
-# batch-feed-divergence runtime asserts; table_changes_parity — X155
-# per-commit batch table_changes: pre-property commits reconstruct as
-# keyed diffs, sidecars read verbatim, with a v1-snapshot + feed ==
-# source replica-backfill runtime assert), then 3 code-touched re-certs
-# (stream_cdf_parity and stream_cdf_merge_parity: the batch feed and the
-# write-time recorders now share ONE change-row emitter with null-safe
-# key joins, and _write_cdf_sidecar fans out above 1M rows;
-# cdc_replicate_equality: consumes the restructured feed end-to-end).
-# Then ALL 31 deferred r13 rows (staleness exactly 4 = the budget edge —
-# MANDATORY this round), then 14 r14 rows (the 46-row r14 wave starts
-# draining, ≥10 required; replace_where_equality leads — its write path
-# gained CDF recording — then the manifest-format rows the emitter
-# refactor neighbors, then stream/dedup rows). Past the window: the 32
-# remaining r14 rows starting with approx_stats (r18's mandatory front —
-# ALL due at r18, leaving r18 ~18 free slots), then the r15/r16 rows —
-# every cohort inside the 4-round budget. Registry 174 + 2 new = 176;
-# net growth 2 ≤ the ≤+5 target (≤180 at r17 close).
-# NEXT ROUND (18): lead with round-18 additions/code-touched rows, then
-# the 32 remaining r14 rows (budget-mandatory), then the oldest r15
+# ROUND-18 WINDOW (the first 50 dict entries ARE the window; count them,
+# don't trust prose): 1 round-18 addition (stream_cdf_restore_parity —
+# X156 change feed across full REPLACE and RESTORE: publish_files
+# records delete-all ∪ insert-all, rollback_manifest the file-granular
+# diff; stream ≡ per-commit batch feed + exactly-once runtime asserts),
+# then 8 code-touched re-certs (table_changes_parity: the walk now
+# batch-reads manifests, one-scans all sidecars and groups appends —
+# the r17 O(commits) union chain is gone; stream_cdf_replace_parity /
+# stream_cdf_parity / stream_cdf_merge_parity: the CDF commit classes
+# and the protocol-versioned resolve/commit paths (X157) under them;
+# cdc_replicate_equality: the reserved _cdc_rank/_cdc_version guard;
+# manifest_rollback_diff: rollback gained the restore sidecar recorder;
+# wap_publish_equality: publish paths under the format field;
+# composed_prune_fingerprint: the stats writer now truncates string
+# bounds). Then ALL 32 remaining r14 rows (staleness exactly 4 = the
+# budget edge — MANDATORY this round), then 9 oldest r15 rows (the
+# 47-row r15 wave starts draining; 36 r15 rows remain as r19's
+# mandatory front, leaving r19 ~14 free slots). Registry 176 + 1 new =
+# 177; net growth 1 ≤ the ≤+5 target (≤182 at r18 close).
+# NEXT ROUND (19): lead with round-19 additions/code-touched rows, then
+# the 36 remaining r15 rows (budget-mandatory), then the oldest r16
 # rows; update
 # tests/test_oracle_parity.py:test_driver_window_composition in lockstep.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "stream_cdf_replace_parity": q_stream_cdf_replace_parity,
+    "stream_cdf_restore_parity": q_stream_cdf_restore_parity,
     "table_changes_parity": q_table_changes_parity,
+    "stream_cdf_replace_parity": q_stream_cdf_replace_parity,
     "stream_cdf_parity": q_stream_cdf_parity,
     "stream_cdf_merge_parity": q_stream_cdf_merge_parity,
     "cdc_replicate_equality": q_cdc_replicate_equality,
+    "manifest_rollback_diff": q_manifest_rollback_diff,
+    "wap_publish_equality": q_wap_publish_equality,
+    "composed_prune_fingerprint": q_composed_prune_fingerprint,
+    "approx_stats": q_approx_stats,
+    "countmin_user_topk": q_countmin_user_topk,
+    "rank_fusion_topk": q_rank_fusion_topk,
+    "pruned_scan_revenue": q_pruned_scan_revenue,
+    "corpus_report": q_corpus_report,
+    "customer_order_distribution": q_customer_order_distribution,
+    "customer_value_deciles": q_customer_value_deciles,
+    "discounted_revenue": q_discounted_revenue,
+    "large_volume_orders": q_large_volume_orders,
+    "nation_trade_volume": q_nation_trade_volume,
+    "national_market_share": q_national_market_share,
+    "product_profit": q_product_profit,
+    "promo_revenue_pct": q_promo_revenue_pct,
+    "returned_item_customers": q_returned_item_customers,
+    "sequence_packing": q_sequence_packing,
+    "session_peak_overlap": q_session_peak_overlap,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "soft_dedup": q_soft_dedup,
+    "split_assign": q_split_assign,
+    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
+    "supplier_pagerank": q_supplier_pagerank,
+    "top_supplier_revenue": q_top_supplier_revenue,
+    "training_mix_report": q_training_mix_report,
+    "unigram_logprob": q_unigram_logprob,
+    "upsample_mix": q_upsample_mix,
+    "wealthy_inactive_customers": q_wealthy_inactive_customers,
+    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
+    "clean_cast_filter": q_clean_cast_filter,
+    "curriculum_packing": q_curriculum_packing,
+    "data_expectations": q_data_expectations,
+    "event_sessionization": q_event_sessionization,
+    "price_histogram": q_price_histogram,
+    "apply_changelog": q_apply_changelog,
+    "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
+    "asof_join_tolerance": q_asof_join_tolerance,
+    "bloom_point_lookup": q_bloom_point_lookup,
+    "cdf_read_equality": q_cdf_read_equality,
+    "cluster_compact_read": q_cluster_compact_read,
+    "corpus_curation": q_corpus_curation,
+    "cosine_topk": q_cosine_topk,
     "stream_stream_join_parity": q_stream_stream_join_parity,
     "stream_incremental_dedup": q_stream_incremental_dedup,
     "stream_cdc_parity": q_stream_cdc_parity,
@@ -5233,7 +5384,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replace_where_equality": q_replace_where_equality,
     "manifest_key_delete": q_manifest_key_delete,
     "version_diff": q_version_diff,
-    "manifest_rollback_diff": q_manifest_rollback_diff,
     "incremental_read_equality": q_incremental_read_equality,
     "manifest_schema_evolution": q_manifest_schema_evolution,
     "manifest_sharded_scan": q_manifest_sharded_scan,
@@ -5244,7 +5394,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_decontaminate": q_semantic_decontaminate,
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
-    "approx_stats": q_approx_stats,
     "dv_update_equality": q_dv_update_equality,
     "merge_manifest_state": q_merge_manifest_state,
     "manifest_stream_read_equality": q_manifest_stream_read_equality,
@@ -5292,52 +5441,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_stream_left_join_parity": q_stream_stream_left_join_parity,
     "gapfill_interpolate": q_gapfill_interpolate,
     "macd_signal": q_macd_signal,
-    "countmin_user_topk": q_countmin_user_topk,
-    "rank_fusion_topk": q_rank_fusion_topk,
-    "pruned_scan_revenue": q_pruned_scan_revenue,
-    "corpus_report": q_corpus_report,
-    "customer_order_distribution": q_customer_order_distribution,
-    "customer_value_deciles": q_customer_value_deciles,
-    "discounted_revenue": q_discounted_revenue,
-    "large_volume_orders": q_large_volume_orders,
-    "nation_trade_volume": q_nation_trade_volume,
-    "national_market_share": q_national_market_share,
-    "product_profit": q_product_profit,
-    "promo_revenue_pct": q_promo_revenue_pct,
-    "returned_item_customers": q_returned_item_customers,
-    "sequence_packing": q_sequence_packing,
-    "session_peak_overlap": q_session_peak_overlap,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "soft_dedup": q_soft_dedup,
-    "split_assign": q_split_assign,
-    "supplier_count_by_part_attrs": q_supplier_count_by_part_attrs,
-    "supplier_pagerank": q_supplier_pagerank,
-    "top_supplier_revenue": q_top_supplier_revenue,
-    "training_mix_report": q_training_mix_report,
-    "unigram_logprob": q_unigram_logprob,
-    "upsample_mix": q_upsample_mix,
-    "wealthy_inactive_customers": q_wealthy_inactive_customers,
-    "fuzzy_name_pairs_multiblock": q_fuzzy_name_pairs_multiblock,
-    "clean_cast_filter": q_clean_cast_filter,
-    "curriculum_packing": q_curriculum_packing,
-    "data_expectations": q_data_expectations,
-    "event_sessionization": q_event_sessionization,
-    "price_histogram": q_price_histogram,
-    "cdf_read_equality": q_cdf_read_equality,
-    "composed_prune_fingerprint": q_composed_prune_fingerprint,
-    "cluster_compact_read": q_cluster_compact_read,
-    "bloom_point_lookup": q_bloom_point_lookup,
-    "wap_publish_equality": q_wap_publish_equality,
     "quantize_embeddings": q_quantize_embeddings,
     "user_set_ops": q_user_set_ops,
     "multimodal_audio_features": q_multimodal_audio_features,
     "dead_letter_stats": q_dead_letter_stats,
     "multimodal_audio_windows": q_multimodal_audio_windows,
     "psi_drift": q_psi_drift,
-    "asof_join": q_asof_join,
-    "asof_join_forward": q_asof_join_forward,
-    "asof_join_tolerance": q_asof_join_tolerance,
-    "apply_changelog": q_apply_changelog,
     "incremental_dedup": q_incremental_dedup,
     "zorder_fingerprint": q_zorder_fingerprint,
     "dedup_exact": q_dedup_exact,
@@ -5348,12 +5457,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_forecast": q_revenue_forecast,
     "customer_order_ranks": q_customer_order_ranks,
     "session_windows": q_session_windows,
-    "corpus_curation": q_corpus_curation,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "neardup_clusters": q_neardup_clusters,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    "cosine_topk": q_cosine_topk,
     "robust_zscore": q_robust_zscore,
     "rollup_revenue": q_rollup_revenue,
     "quantity_percentiles": q_quantity_percentiles,

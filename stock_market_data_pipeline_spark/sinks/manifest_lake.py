@@ -97,6 +97,11 @@ from stock_market_data_pipeline_spark.sinks.lake import (
 _MF_RE = re.compile(r"^v(\d{8})\.json$")
 _COMMIT_SUFFIX = "._COMMITTED"
 
+# String vmin/vmax prefix length in stats sidecars (Delta's 32-char
+# truncation): corpus text columns must not embed whole documents in
+# metadata. See _write_stats_sidecar for the bound-validity rules.
+_STRING_STAT_LEN = 32
+
 # Up to this many entries the version JSON carries its file list inline
 # (one metadata read, the original single-level layout); past it the list
 # shards into immutable shared segment files so commit metadata IO stays
@@ -256,6 +261,68 @@ def _list_manifests(fs: _HadoopFS, root: str) -> tuple[list[int], list[int]]:
     return committed, known
 
 
+# --------------------------------------------------------------------------
+# protocol versioning (X157 — Delta's minReader/WriterVersion + table
+# features, Iceberg's format-version): every commit records the format
+# version plus the feature lists a consumer MUST implement to use the
+# table correctly, and every consumer checks them BEFORE interpreting
+# anything else — so a build predating a feature refuses LOUDLY instead
+# of silently misreading (a reader ignoring deletion vectors resurrects
+# deleted rows; one ignoring segment refs misses files; a writer
+# ignoring generated-column rules commits rows that violate them).
+# Tables written before r18 carry no "format" key and read as version 1
+# with no features — nothing they contain needs one.
+# --------------------------------------------------------------------------
+
+_FORMAT_VERSION = 1
+# features that make PLAIN READS wrong if unimplemented
+_READER_FEATURES = {
+    "deletion-vectors",   # dv sidecar subtraction (X143)
+    "manifest-segments",  # entry lists sharded into segment files
+    "shallow-clone",      # per-entry base dirs (X146)
+    "column-tombstones",  # dropped_cols resurrection guard (X145)
+}
+# features that make WRITES wrong if unimplemented (reads stay safe)
+_WRITER_FEATURES = {
+    "check-constraints",   # X against every batch (X119)
+    "generated-columns",   # recompute on write (X147)
+    "identity-columns",    # high-water allocation (X148)
+    "change-data-feed",    # sidecar recording property (X153)
+    "bucketed-layout",     # hash-bucketed merge layout
+}
+
+
+def _require_features(
+    meta: dict, root: str | None, write: bool = False
+) -> None:
+    """Refuse a table this build cannot interpret. Reader features gate
+    every read (``_resolve_manifest``, ``_read_manifests_batch``, the
+    streaming source's meta loads); writer features additionally gate
+    the carry-state derivation every writer performs
+    (``write=True`` from ``_carry_extensions`` / ``_carry_constraints``)
+    — per Delta's contract an unknown WRITER feature never blocks pure
+    reads."""
+    where = f"table at {root}" if root else "this table"
+    fv = meta.get("format") or {}
+    v = int(fv.get("version", 1))
+    if v > _FORMAT_VERSION:
+        raise ValueError(
+            f"{where} records manifest format version {v}; this "
+            f"build implements {_FORMAT_VERSION} — upgrade before "
+            "touching it (misreading a newer format silently corrupts)"
+        )
+    unknown = set(fv.get("reader_features") or []) - _READER_FEATURES
+    if not unknown and write:
+        unknown = set(fv.get("writer_features") or []) - _WRITER_FEATURES
+    if unknown:
+        raise ValueError(
+            f"{where} requires {sorted(unknown)} which this "
+            "build does not implement — refusing rather than silently "
+            "misreading (resurrected deletes, missed files, violated "
+            "write rules)"
+        )
+
+
 def _resolve_manifest(
     fs: _HadoopFS, root: str, version: int | None = None
 ) -> tuple[int, dict]:
@@ -272,7 +339,71 @@ def _resolve_manifest(
     meta = _json.loads(
         fs.read_text(f"{_mf_dir(root)}/{_mf_name(version)}")
     )
+    # reader-feature gate on the resolve every consumer funnels
+    # through; WRITER features are additionally gated where every
+    # writer derives its carried state (_carry_extensions /
+    # _carry_constraints) — per Delta's contract an unknown writer
+    # feature never blocks pure reads
+    _require_features(meta, root)
     return version, meta
+
+
+# Below this many manifests a walk reads them serially through the
+# driver's FS handle (no Spark-job overhead); at or above it the reads
+# go executor-parallel in chunks — on an object store each serial
+# driver round-trip is ~50-100 ms, so a 10 k-commit history walk would
+# spend minutes in metadata IO alone before touching a data byte.
+_MANIFEST_BATCH_MIN = 16
+_MANIFEST_BATCH_CHUNK = 256
+
+
+def _read_manifests_batch(
+    spark: SparkSession, fs: _HadoopFS, root: str, versions: list[int]
+) -> dict[int, dict]:
+    """version → parsed manifest JSON for MANY committed versions at
+    once. Long histories read executor-parallel via ``spark.read.text``
+    (wholetext), chunked so the driver never holds more than
+    ``_MANIFEST_BATCH_CHUNK`` raw manifest texts at a time — inline
+    file lists cap at ``MAX_INLINE_ENTRIES`` (~1 MB JSON), so a chunk
+    peaks at a few hundred MB worst-case and a few MB typically."""
+    if not versions:
+        return {}
+    mdir = _mf_dir(root)
+    out: dict[int, dict] = {}
+    if len(versions) < _MANIFEST_BATCH_MIN:
+        out = {
+            v: _json.loads(fs.read_text(f"{mdir}/{_mf_name(v)}"))
+            for v in versions
+        }
+        for m in out.values():
+            _require_features(m, root)
+        return out
+    for i in range(0, len(versions), _MANIFEST_BATCH_CHUNK):
+        chunk = versions[i : i + _MANIFEST_BATCH_CHUNK]
+        rows = (
+            spark.read.option("wholetext", "true")
+            .text([f"{mdir}/{_mf_name(v)}" for v in chunk])
+            .select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("f"),
+                "value",
+            )
+            .collect()
+        )
+        for r in rows:
+            m = _MF_RE.match(r["f"])
+            if m is None:  # pragma: no cover - paths are ours
+                raise RuntimeError(f"unexpected manifest name {r['f']!r}")
+            out[int(m.group(1))] = _json.loads(r["value"])
+    missing = set(versions) - set(out)
+    if missing:  # pragma: no cover - listed as committed moments ago
+        raise FileNotFoundError(
+            f"manifests {sorted(missing)} vanished under {root} mid-walk"
+        )
+    for m in out.values():  # pure-read path: reader features only
+        _require_features(m, root)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -311,7 +442,20 @@ def _write_stats_sidecar(
     round-8 stats-mixup the advisor flagged. Nothing is collected to the
     driver: stats rows go straight from executors to the sidecar (the
     coalesce(1) is a documented metadata-sized write — files x cols
-    rows)."""
+    rows).
+
+    STRING stats are TRUNCATED to a ``_STRING_STAT_LEN``-char (32)
+    prefix (r18, Delta's convention): declaring ``stats_cols`` on a
+    corpus text column must not embed two full documents per file per
+    column in a metadata-sized sidecar. The min side truncates plainly
+    (a prefix is always a valid lower bound); the max side keeps a
+    VALID upper bound by incrementing the prefix's last character —
+    only when that character is plain ASCII (Spark's ``char()`` wraps
+    at 256, so a general code-point increment can't be expressed
+    JVM-side) — and records NULL otherwise, "unbounded above". Both
+    degradations are conservative: range consumers kind-match via
+    ``_stat_key``, which already excludes plain strings from pruning,
+    and a NULL bound never skips a file."""
     if not stats_cols or not final_paths:
         return None
     loaded = spark.read.format(fmt).load(final_paths)
@@ -329,12 +473,35 @@ def _write_stats_sidecar(
     agg = loaded.groupBy(
         F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file")
     ).agg(*aggs)
+
+    def _vmin(c: str):
+        v = F.col(f"__min_{c}").cast("string")
+        if dtypes[c] != "string":
+            return v
+        return F.substring(v, 1, _STRING_STAT_LEN)
+
+    def _vmax(c: str):
+        v = F.col(f"__max_{c}").cast("string")
+        if dtypes[c] != "string":
+            return v
+        last = F.ascii(F.substring(v, _STRING_STAT_LEN, 1))
+        return F.when(F.length(v) <= _STRING_STAT_LEN, v).when(
+            (last >= F.lit(0)) & (last < F.lit(127)),
+            F.concat(
+                F.substring(v, 1, _STRING_STAT_LEN - 1),
+                F.expr(
+                    f"char(ascii(substring(`__max_{c}`, "
+                    f"{_STRING_STAT_LEN}, 1)) + 1)"
+                ),
+            ),
+        ).otherwise(F.lit(None).cast("string"))
+
     structs = [
         F.struct(
             F.lit(c).alias("col"),
             F.lit(dtypes[c]).alias("dtype"),
-            F.col(f"__min_{c}").cast("string").alias("vmin"),
-            F.col(f"__max_{c}").cast("string").alias("vmax"),
+            _vmin(c).alias("vmin"),
+            _vmax(c).alias("vmax"),
             F.col(f"__nulls_{c}").cast("bigint").alias("nulls"),
         )
         for c in stats_cols
@@ -679,6 +846,41 @@ def _commit_locked(
     # omits them intentionally drops them (``publish_files``: the full
     # replace shares no files with the old index)
     payload.update(extra_meta or {})
+    # protocol versioning (X157): record the format version + the
+    # feature lists a consumer must implement, derived from what this
+    # commit actually contains, UNIONED with the carried lists
+    # (_carry_extensions carries "format" verbatim — monotone like
+    # Delta's protocol, so a feature used once stays declared even
+    # when e.g. a DV purge retires its data; publish_files resets by
+    # not carrying, since a full replace sheds all data-scoped state)
+    carried_fmt = payload.pop("format", None) or {}
+    rf = set(carried_fmt.get("reader_features") or [])
+    wf = set(carried_fmt.get("writer_features") or [])
+    if payload.get("dv"):
+        rf.add("deletion-vectors")
+    if seg_refs:
+        rf.add("manifest-segments")
+    if payload.get("dropped_cols"):
+        rf.add("column-tombstones")
+    # base detection scans the entries in hand (inline case: all of
+    # them); segment-resident clone bases are covered by the carry
+    if any(e.get("base") for e in (inline_files or entries)):
+        rf.add("shallow-clone")
+    if payload.get("constraints"):
+        wf.add("check-constraints")
+    if payload.get("generated_cols"):
+        wf.add("generated-columns")
+    if payload.get("identity"):
+        wf.add("identity-columns")
+    if payload.get("change_feed"):
+        wf.add("change-data-feed")
+    if payload.get("bucketing"):
+        wf.add("bucketed-layout")
+    payload["format"] = {
+        "version": _FORMAT_VERSION,
+        "reader_features": sorted(rf),
+        "writer_features": sorted(wf),
+    }
     body = _json.dumps(payload, default=str)
     try:
         fs.write_text_exclusive(mpath, body)
@@ -718,7 +920,20 @@ def publish_files(
     constraints survive an overwrite too). The bloom indexes are
     intentionally dropped: the replaced file set shares nothing with the
     old index. Returns the version number.
-    """
+
+    With the ``change_feed`` property on (X156 — the property itself
+    survives the replace), the commit records a ``cdf-`` sidecar with
+    Delta's overwrite CDF semantics: EVERY prior visible row as
+    ``delete`` ∪ every incoming row as ``insert``, uncancelled (a full
+    replace has no key contract — X154's replaceWhere argument,
+    table-wide). The insert side re-reads the freshly STAGED files
+    rather than re-evaluating ``df`` (identity/generated values must
+    match what was published bit-for-bit); the delete side reads the
+    clobbered version through its own DV. Cost, honestly: the sidecar
+    is O(old + new table bytes) — full-replace change data is
+    inherently table-sized; on tables too large for that, disable the
+    property before replacing and let consumers re-seed (the batch
+    feed's keyed diff remains available)."""
     fs = _HadoopFS(spark, root)
     committed, _ = _list_manifests(fs, root)
     txns: dict[str, int] = {}
@@ -732,6 +947,37 @@ def publish_files(
         _bump_identity(meta, id_bumps)
     _enforce_constraints(df, meta, root)
     entries = _stage_files(spark, df, root, fmt, stats_cols)
+    extra = _carry_constraints(meta)
+    if meta.get("change_feed"):
+        parts = []
+        old_ents = _manifest_entries(fs, root, meta)
+        if old_ents:
+            pm = _entry_paths(root, old_ents)
+            parts.append(
+                _load_table_files(
+                    spark, meta, [pm[n] for n in sorted(pm)], root
+                ).withColumn("change_type", F.lit("delete"))
+            )
+        if entries:
+            pm = _entry_paths(root, entries)
+            parts.append(
+                _load_table_files(
+                    spark,
+                    {"fmt": fmt, "schema": df.schema.json()},
+                    [pm[n] for n in sorted(pm)],
+                    root,
+                ).withColumn("change_type", F.lit("insert"))
+            )
+        if parts:
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(
+                    p, allowMissingColumns=True  # overwrite may reshape
+                )
+            cdf_ref = _write_cdf_sidecar(spark, root, changes)
+        else:
+            cdf_ref = {"sidecar": None, "rows": 0}
+        extra = {**(extra or {}), "cdf": cdf_ref}
     return _commit(
         spark,
         root,
@@ -741,7 +987,7 @@ def publish_files(
         txns=txns,
         schema_json=df.schema.json(),
         stats_cols=stats_cols,
-        extra_meta=_carry_constraints(meta),
+        extra_meta=extra,
         operation="REPLACE",
     )
 
@@ -760,6 +1006,7 @@ def _load_table_files(
     meta: dict,
     paths: list[str],
     root: str | None = None,
+    tag_file_col: str | None = None,
 ):
     """Load committed table files THROUGH the recorded schema (round-13
     schema evolution, X118): after an evolving append, a table's files
@@ -783,13 +1030,29 @@ def _load_table_files(
     DV-carrying file physically materializes its deletes. Centralizing
     the subtraction here is the invariant that makes DVs safe: a read
     path that bypassed it would resurrect deleted rows. Tables without
-    a DV pay nothing (no extra plan nodes)."""
+    a DV pay nothing (no extra plan nodes).
+
+    ``tag_file_col`` carries each row's source file BASENAME
+    (``_metadata.file_name``) as a named output column — the hook that
+    lets a multi-commit walker (X155's batched append scan) read MANY
+    commits' files in ONE scan and re-attribute rows per commit via a
+    broadcast file→version map, without bypassing this funnel. It is
+    selected at the scan (before any DV anti-join), because
+    ``_metadata`` refs stop resolving once the plan is multi-source."""
     reader = spark.read.format(meta.get("fmt", "parquet"))
     schema = _recorded_schema(meta)
     if schema is not None:
         reader = reader.schema(schema)
     df = reader.load(paths)
+    if tag_file_col is not None and tag_file_col in df.columns:
+        raise ValueError(
+            f"tag_file_col {tag_file_col!r} collides with a table column"
+        )
     dv = meta.get("dv")
+    if not dv and tag_file_col is not None:
+        return df.select(
+            "*", F.col("_metadata.file_name").alias(tag_file_col)
+        )
     if dv:
         if root is None:
             raise ValueError(
@@ -797,10 +1060,17 @@ def _load_table_files(
                 "deletion vector sidecar cannot be resolved"
             )
         dvdf = spark.read.parquet(f"{_stats_dir(root)}/{dv['sidecar']}")
-        cols = df.columns
+        cols = df.columns + (
+            [tag_file_col] if tag_file_col is not None else []
+        )
         df = (
             df.select(
                 "*",
+                *(
+                    [F.col("_metadata.file_name").alias(tag_file_col)]
+                    if tag_file_col is not None
+                    else []
+                ),
                 F.col("_metadata.file_name").alias("__dv_file"),
                 F.col("_metadata.row_index").alias("__dv_pos"),
             )
@@ -987,6 +1257,10 @@ def _carry_extensions(meta: dict) -> dict | None:
     subtracts before the rewrite stages), so carrying the old sidecar
     verbatim is always correct; ``purge_deletion_vectors`` is the
     maintenance pass that retires it."""
+    # every carry-discipline writer derives its state here — the writer
+    # feature gate (X157): extending a table whose write rules this
+    # build doesn't implement would commit rows violating them
+    _require_features(meta, None, write=True)
     out: dict[str, Any] = {}
     idx = _bloom_indexes(meta)
     if idx:
@@ -1017,6 +1291,10 @@ def _carry_extensions(meta: dict) -> dict | None:
         # changes; carrying it would make every later version claim
         # the same change set
         out["change_feed"] = True
+    if meta.get("format"):
+        # protocol feature lists carry MONOTONE (X157): _commit unions
+        # them with what the new commit itself uses
+        out["format"] = dict(meta["format"])
     return out or None
 
 
@@ -1025,6 +1303,7 @@ def _carry_constraints(meta: dict) -> dict | None:
     CHECK constraints and generated-column rules (both Delta table
     properties) — unlike data-scoped metadata (blooms, DV, drop
     tombstones), which a replaced file set invalidates or sheds."""
+    _require_features(meta, None, write=True)  # writer gate (X157)
     out: dict[str, Any] = {}
     cons = _table_constraints(meta)
     if cons:
@@ -2031,7 +2310,22 @@ def rollback_manifest(
     post-target versions (still time-travelable) already hold; Delta
     documents the identical preservation on RESTORE. Raises
     ``FileNotFoundError`` when ``to_version`` was vacuumed away (the GC
-    window bounds how far back a restore can reach)."""
+    window bounds how far back a restore can reach).
+
+    With the ``change_feed`` property on at the CURRENT version (X156),
+    the commit records a ``cdf-`` sidecar so ``readChangeFeed`` streams
+    flow across the restore: rows of files only the clobbered latest
+    holds emit as ``delete``, rows of files only the target holds as
+    ``insert``, file-granular and uncancelled — files carried by BOTH
+    versions hold identical rows and emit nothing (Delta derives its
+    RESTORE CDF from the same add/remove file diff), except files whose
+    DV positions differ between the versions, which emit both sides.
+    The property follows the identity rule — monotone across a restore
+    (restoring to a pre-property version must not silently stop a
+    running stream's recording; ``disable_change_feed`` is the explicit
+    off switch). Cost, honestly: the "zero IO at any table size" claim
+    above then weakens to O(file-diff bytes) — the restore reads
+    exactly the files the two versions disagree on, once."""
     fs = _HadoopFS(spark, root)
     cur_v, cur = _resolve_manifest(fs, root, None)
     _, tgt = _resolve_manifest(fs, root, to_version)
@@ -2044,6 +2338,49 @@ def rollback_manifest(
             spec["next"] = max(int(spec["next"]), int(cv["next"]))
     if t_ident:
         ext["identity"] = t_ident
+    if cur.get("change_feed"):
+        ext["change_feed"] = True
+        cur_ents = _manifest_entries(fs, root, cur)
+        tgt_ents = _manifest_entries(fs, root, tgt)
+        cur_names = {e["name"] for e in cur_ents}
+        tgt_names = {e["name"] for e in tgt_ents}
+        dv_extra = _dv_changed_files(
+            spark,
+            root,
+            (cur.get("dv") or {}).get("sidecar"),
+            (tgt.get("dv") or {}).get("sidecar"),
+        ) & (cur_names & tgt_names)
+        del_names = (cur_names - tgt_names) | dv_extra
+        ins_names = (tgt_names - cur_names) | dv_extra
+        parts = []
+        if del_names:
+            pm = _entry_paths(
+                root, [e for e in cur_ents if e["name"] in del_names]
+            )
+            parts.append(
+                _load_table_files(
+                    spark, cur, [pm[n] for n in sorted(pm)], root
+                ).withColumn("change_type", F.lit("delete"))
+            )
+        if ins_names:
+            pm = _entry_paths(
+                root, [e for e in tgt_ents if e["name"] in ins_names]
+            )
+            parts.append(
+                _load_table_files(
+                    spark, tgt, [pm[n] for n in sorted(pm)], root
+                ).withColumn("change_type", F.lit("insert"))
+            )
+        if parts:
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(
+                    p, allowMissingColumns=True  # schemas may differ
+                )
+            cdf_ref = _write_cdf_sidecar(spark, root, changes)
+        else:
+            cdf_ref = {"sidecar": None, "rows": 0}
+        ext["cdf"] = cdf_ref
     return _commit(
         spark,
         root,
@@ -2159,6 +2496,31 @@ def read_manifest_changes(
     )
 
 
+def _dv_changed_files(
+    spark: SparkSession, root: str, dv_a: str | None, dv_b: str | None
+) -> set[str]:
+    """File names whose deletion-vector rows differ between two DV
+    sidecar refs (None = no DV). A DV move changes VISIBLE rows while
+    the file set stays identical — invisible to any name diff — so
+    version walkers (``_manifest_version_diff``, RESTORE's CDF
+    recorder) must treat these files as changed. Sidecars are
+    deleted-position-sized; the collect is the affected file-name
+    set."""
+    if dv_a == dv_b:
+        return set()
+
+    def _dv_df(sc: str | None):
+        return spark.read.parquet(f"{_stats_dir(root)}/{sc}") if sc else None
+
+    a, b = _dv_df(dv_a), _dv_df(dv_b)
+    diff = (
+        a.exceptAll(b).unionByName(b.exceptAll(a))
+        if a is not None and b is not None
+        else (a if b is None else b)
+    )
+    return {r[0] for r in diff.select("file").distinct().collect()}
+
+
 def _manifest_version_diff(
     spark: SparkSession,
     fs: "_HadoopFS",
@@ -2212,26 +2574,12 @@ def _manifest_version_diff(
     # via _load_table_files, so the key-diff emits the deletions and
     # carried rows cancel). Sidecars are deleted-position-sized; the
     # collect is the DV-affected file-name set.
-    dv_from = (meta_from.get("dv") or {}).get("sidecar")
-    dv_to = (meta_to.get("dv") or {}).get("sidecar")
-    dv_extra: set[str] = set()
-    if dv_from != dv_to:
-        def _dv_df(sc: str | None):
-            return (
-                spark.read.parquet(f"{_stats_dir(root)}/{sc}")
-                if sc
-                else None
-            )
-
-        a, b = _dv_df(dv_from), _dv_df(dv_to)
-        diff = (
-            a.exceptAll(b).unionByName(b.exceptAll(a))
-            if a is not None and b is not None
-            else (a if b is None else b)
-        )
-        dv_extra = {
-            r[0] for r in diff.select("file").distinct().collect()
-        } & (names_from & names_to)
+    dv_extra = _dv_changed_files(
+        spark,
+        root,
+        (meta_from.get("dv") or {}).get("sidecar"),
+        (meta_to.get("dv") or {}).get("sidecar"),
+    ) & (names_from & names_to)
     removed = _side(meta_from, ents_from, (names_from - names_to) | dv_extra)
     added = _side(meta_to, ents_to, (names_to - names_from) | dv_extra)
     # schema evolution between the versions: align BOTH sides to the
@@ -2271,6 +2619,14 @@ _CDF_ROW_PRESERVING_OPS = {
     "CONSOLIDATE_SIDECARS",
 }
 
+# Union-arm lineage-truncation cadence for read_manifest_table_changes.
+# Sidecars and appends batch into O(1) scans regardless of history
+# depth, so only sidecar-less keyed-diff steps accumulate arms — each
+# arm a multi-join plan; past this many, Catalyst analysis of the
+# growing union is the bottleneck, so the fold checkpoints (lazily)
+# to truncate lineage.
+_TABLE_CHANGES_FOLD_EVERY = 64
+
 
 def read_manifest_table_changes(
     spark: SparkSession,
@@ -2287,6 +2643,11 @@ def read_manifest_table_changes(
     v_to]`` contributes ITS OWN change rows tagged ``commit_version``,
     concatenated. ``v_from=0`` means "from the beginning" (the first
     commit's rows feed as inserts — Delta's ``table_changes(0, ...)``).
+    BOUNDARY — unlike Delta's ``table_changes``, whose ``start`` is
+    INCLUSIVE, ``v_from`` here is the BASE SNAPSHOT version and is
+    excluded: the feed holds the changes that take a reader FROM
+    ``v_from`` TO ``v_to``. A caller porting Delta code must pass
+    ``start - 1`` or it silently misses one commit's changes.
     Unlike the endpoint diff, intermediate states are visible — a row
     inserted at v2 and deleted at v4 appears twice — which is exactly
     what a replica backfill needs: the output carries
@@ -2323,8 +2684,25 @@ def read_manifest_table_changes(
     evolution across commits union-by-name NULL-fills older commits'
     missing columns (and the per-step diff carries an added column's
     real postimage values). ``change_type`` / ``commit_version`` are
-    reserved output names — a table already carrying either raises
-    rather than silently clobbering user data (r17 review)."""
+    reserved output names — a table that carried either in ANY walked
+    version's schema raises rather than silently clobbering user data
+    (r17 review; widened to per-step in r18).
+
+    Built to survive the walk its headline use implies — a
+    ``v_from=0`` backfill of a micro-batch-ingested table is TENS OF
+    THOUSANDS of commits (r18, closing the r17 scale finding):
+    manifests batch-read executor-parallel (``_read_manifests_batch``);
+    name-set routing diffs run at the metadata-container level so
+    shared segments are never opened; ALL recorded sidecars land in
+    ONE multi-path parquet scan with ``commit_version`` re-attached
+    via a broadcast dir→version map on ``input_file_name()``; appends
+    batch per (schema, fmt, dv) group into ONE
+    ``_load_table_files`` scan tagged by ``_metadata.file_name``.
+    Only genuine sidecar-less rewrites stay per-commit (each is a
+    keyed diff), with a lineage-truncation backstop every
+    ``_TABLE_CHANGES_FOLD_EVERY`` union arms so a pathological
+    all-rewrite pre-property history cannot blow up Catalyst
+    analysis."""
     fs = _HadoopFS(spark, root)
     if v_from == 0:
         v_from_r, meta_prev = 0, None
@@ -2337,65 +2715,85 @@ def read_manifest_table_changes(
             f"v_from ({v_from_r})"
         )
     schema_to = _recorded_schema(meta_to)
-    reserved = {"change_type", "commit_version"} & (
-        {f.name for f in schema_to.fields} if schema_to else set()
-    )
-    if reserved:
-        raise ValueError(
-            f"read_manifest_table_changes: table columns {sorted(reserved)} "
-            "collide with the feed's reserved output columns — rename "
-            "them (the feed would silently clobber their values)"
-        )
     committed, _ = _list_manifests(fs, root)
     steps = [v for v in committed if v_from_r < v <= v_to_r]
-    parts: list[DataFrame] = []
-    prev_names = (
-        {e["name"] for e in _manifest_entries(fs, root, meta_prev)}
-        if meta_prev is not None
-        else set()
+    metas = _read_manifests_batch(
+        spark, fs, root, [v for v in steps if v != v_to_r]
     )
-    prev_dv = ((meta_prev or {}).get("dv") or {}).get("sidecar")
+    if v_to_r in steps:
+        metas[v_to_r] = meta_to  # already parsed by the resolve above
+    # reserved-name guard over EVERY walked version's recorded schema,
+    # not just v_to's (r18 advice): a change_type/commit_version column
+    # carried historically and dropped before v_to would still get its
+    # real values clobbered in that step's feed rows.
     for v in steps:
-        meta = _json.loads(fs.read_text(f"{_mf_dir(root)}/{_mf_name(v)}"))
+        sj = metas[v].get("schema")
+        names = (
+            {f["name"] for f in _json.loads(sj)["fields"]} if sj else set()
+        )
+        reserved = {"change_type", "commit_version"} & names
+        if reserved:
+            raise ValueError(
+                f"read_manifest_table_changes: v{v} of {root} records "
+                f"table columns {sorted(reserved)} that collide with the "
+                "feed's reserved output columns — rename them (the feed "
+                "would silently clobber their values)"
+            )
+
+    # ---- routing pass: driver-side metadata only, no data IO --------
+    # Name-set diffs run at the metadata-CONTAINER level: segments are
+    # immutable and carried by reference, so one present on both sides
+    # contributes identical names and is never opened — only inline
+    # lists and each side's private segments are read (memoized). An
+    # append-heavy 10k-commit history routes with ~zero segment reads.
+    seg_cache: dict[str, list[dict]] = {}
+
+    def _seg(name: str) -> list[dict]:
+        ents = seg_cache.get(name)
+        if ents is None:
+            ents = seg_cache[name] = _read_segment(fs, root, name)
+        return ents
+
+    def _state(meta: dict | None) -> tuple[set[str], list[dict]]:
+        if meta is None:
+            return set(), []
+        segs = {r["name"] for r in (meta.get("segments") or [])}
+        return segs, list(meta.get("files") or [])
+
+    prev_segs, prev_inline = _state(meta_prev)
+    prev_dv = ((meta_prev or {}).get("dv") or {}).get("sidecar")
+    sidecar_steps: list[tuple[int, str]] = []
+    append_steps: list[tuple[int, dict, list[dict]]] = []
+    diff_steps: list[tuple[int, dict | None, dict]] = []
+    for v in steps:
+        meta = metas[v]
         op = str(meta.get("operation") or "commit")
-        names = {e["name"] for e in _manifest_entries(fs, root, meta)}
+        segs, inline = _state(meta)
         dv = (meta.get("dv") or {}).get("sidecar")
         cdf = meta.get("cdf")
+        shared = prev_segs & segs
+        prev_only = {e["name"] for e in prev_inline} | {
+            e["name"] for s in prev_segs - shared for e in _seg(s)
+        }
+        cur_ents = list(inline) + [
+            e for s in segs - shared for e in _seg(s)
+        ]
+        cur_only = {e["name"] for e in cur_ents}
+        removed = prev_only - cur_only
+        added = cur_only - prev_only
         row_preserving = op in _CDF_ROW_PRESERVING_OPS
-        metadata_only = names == prev_names and dv == prev_dv
+        metadata_only = not removed and not added and dv == prev_dv
         if row_preserving or (metadata_only and cdf is None):
             pass  # rows unchanged (or moved between files): no feed rows
         elif cdf is not None:
             sc = (cdf or {}).get("sidecar")
             if sc:
-                df = spark.read.parquet(f"{_stats_dir(root)}/{sc}")
-                if not include_preimage:
-                    df = df.filter(
-                        F.col("change_type") != "update_preimage"
-                    )
-                parts.append(
-                    df.withColumn(
-                        "commit_version", F.lit(int(v)).cast("long")
-                    )
-                )
-        elif not (prev_names - names) and dv == prev_dv:
+                sidecar_steps.append((v, sc))
+        elif not removed and dv == prev_dv:
             # pure append: added files' rows are inserts — keyless,
             # exactly the stream planner's treatment
-            ents = [
-                e
-                for e in _manifest_entries(fs, root, meta)
-                if e["name"] in (names - prev_names)
-            ]
-            pm = _entry_paths(root, ents)
-            added = _load_table_files(
-                spark, meta, [pm[n] for n in sorted(pm)], root
-            )
-            parts.append(
-                added.withColumn(
-                    "change_type", F.lit("insert")
-                ).withColumn(
-                    "commit_version", F.lit(int(v)).cast("long")
-                )
+            append_steps.append(
+                (v, meta, [e for e in cur_ents if e["name"] in added])
             )
         else:
             # files rewritten/dropped or DV state moved without a
@@ -2409,16 +2807,83 @@ def read_manifest_table_changes(
                     "keys=[...]; enable_change_feed before such writes "
                     "to record sidecars instead"
                 )
-            step = _manifest_version_diff(
-                spark, fs, root, meta_prev, meta, keys,
-                include_preimage=include_preimage,
+            diff_steps.append((v, meta_prev, meta))
+        meta_prev, prev_segs, prev_inline, prev_dv = meta, segs, inline, dv
+
+    parts: list[DataFrame] = []
+    # ---- ONE multi-path scan over every recorded cdf- sidecar -------
+    # commit_version re-attaches via a broadcast dir→version map on
+    # input_file_name() (the stats sidecar's own trick) instead of the
+    # r17 per-commit unionByName chain, whose Catalyst analysis cost
+    # grew with every walked commit. mergeSchema unions evolving
+    # sidecar schemas by name (footer-read cost only — sidecars are
+    # change-row-sized).
+    if sidecar_steps:
+        sdf = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(
+                *[f"{_stats_dir(root)}/{sc}" for _, sc in sidecar_steps]
             )
-            parts.append(
-                step.withColumn(
-                    "commit_version", F.lit(int(v)).cast("long")
-                )
+            .withColumn(
+                "__cdf_dir",
+                F.element_at(F.split(F.input_file_name(), "/"), -2),
             )
-        meta_prev, prev_names, prev_dv = meta, names, dv
+        )
+        vmap = spark.createDataFrame(
+            [(sc, int(v)) for v, sc in sidecar_steps],
+            "__cdf_dir string, commit_version long",
+        )
+        sdf = sdf.join(F.broadcast(vmap), "__cdf_dir").drop("__cdf_dir")
+        if not include_preimage:
+            sdf = sdf.filter(F.col("change_type") != "update_preimage")
+        parts.append(sdf)
+    # ---- appends batched per (schema, fmt, dv) group -----------------
+    # Each group's files load in ONE scan through _load_table_files
+    # (recorded-schema projection + DV funnel intact — groups keep the
+    # funnel honest by keying on exactly the fields it consumes); rows
+    # re-attribute to their commit via a broadcast basename→version map
+    # on the scan's _metadata.file_name tag. Appended files can never
+    # carry DV rows (append routing requires the DV sidecar unchanged,
+    # and a pre-existing DV cannot reference a file that did not yet
+    # exist), so the group's shared DV subtraction is a no-op on them
+    # by construction.
+    append_groups: dict[tuple, list[tuple[int, dict, list[dict]]]] = {}
+    for item in append_steps:
+        gk = (
+            item[1].get("schema"),
+            item[1].get("fmt", "parquet"),
+            (item[1].get("dv") or {}).get("sidecar"),
+        )
+        append_groups.setdefault(gk, []).append(item)
+    for members in append_groups.values():
+        paths: list[str] = []
+        pairs: list[tuple[str, int]] = []
+        for v, meta, ents in members:
+            pm = _entry_paths(root, ents)
+            for e in ents:
+                paths.append(pm[e["name"]])
+                pairs.append((e["name"].rsplit("/", 1)[-1], int(v)))
+        added_df = _load_table_files(
+            spark, members[-1][1], sorted(paths), root,
+            tag_file_col="__cdf_file",
+        )
+        fmap = spark.createDataFrame(
+            pairs, "__cdf_file string, commit_version long"
+        )
+        parts.append(
+            added_df.join(F.broadcast(fmap), "__cdf_file")
+            .drop("__cdf_file")
+            .withColumn("change_type", F.lit("insert"))
+        )
+    # ---- rare: sidecar-less rewrites, one keyed diff per commit ------
+    for v, m_prev, m in diff_steps:
+        step = _manifest_version_diff(
+            spark, fs, root, m_prev, m, keys,
+            include_preimage=include_preimage,
+        )
+        parts.append(
+            step.withColumn("commit_version", F.lit(int(v)).cast("long"))
+        )
     if not parts:
         if schema_to is None:
             raise FileNotFoundError(
@@ -2431,8 +2896,13 @@ def read_manifest_table_changes(
             .withColumn("commit_version", F.lit(None).cast("long"))
         )
     out = parts[0]
-    for p in parts[1:]:
+    for i, p in enumerate(parts[1:], start=2):
         out = out.unionByName(p, allowMissingColumns=True)
+        if i % _TABLE_CHANGES_FOLD_EVERY == 0:
+            # backstop for a pathological pre-property history (every
+            # commit a keyed rewrite): truncate lineage so Catalyst
+            # never analyzes an unbounded union-of-joins chain
+            out = out.localCheckpoint(eager=False)
     return out
 
 

@@ -70,6 +70,19 @@ def apply_changefeed_batch(
         merge_upsert_manifest,
     )
 
+    # reserved working names, guarded LOUDLY like the feed APIs guard
+    # change_type/commit_version (r18 advice): a source column named
+    # _cdc_rank would be silently overwritten and dropped by the fold's
+    # tiebreak helper (corrupting the fold), and _cdc_version is the
+    # replica's merge-order column (the rename below would collide)
+    reserved = {"_cdc_rank", _CDC_VERSION} & set(batch.columns)
+    if reserved:
+        raise ValueError(
+            f"apply_changefeed_batch: feed columns {sorted(reserved)} "
+            "collide with the replica's reserved working columns — "
+            "rename them on the source (the fold would silently "
+            "clobber their values)"
+        )
     # a keyed replica requires the SOURCE to satisfy key uniqueness.
     # replaceWhere has no key contract (X154), so a source commit can
     # legally stage the same key twice with different payloads — its

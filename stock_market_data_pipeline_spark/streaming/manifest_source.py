@@ -47,18 +47,18 @@ Contract mirrors Delta's streaming source:
   anywhere — the WRITER's commit discipline (one operation name + one
   DV sidecar per version) is what makes the feed reconstructible from
   metadata, the same reason Delta writes change files at commit time.
-  With the table's ``change_feed`` property on (X153/X154,
+  With the table's ``change_feed`` property on (X153/X154/X156,
   ``enable_change_feed`` — Delta's ``enableChangeDataFeed``), keyed
-  MERGE, key-delete, retention-sweep and replaceWhere commits record
-  their row-level changes in a ``cdf-`` sidecar at COMMIT time
-  (Delta's ``_change_data`` files), and the stream plans that sidecar
-  as the commit's authoritative change set — flowing continuously
-  across the rewrite. Remaining history-rewriting commits the feed
-  cannot express row-exactly (full replace, RESTORE — or rewrites
-  from before the property was set) raise mid-stream and point at
-  the batch APIs (``read_manifest_changes`` endpoint diff;
+  MERGE, key-delete, retention-sweep, replaceWhere, full-REPLACE and
+  RESTORE commits record their row-level changes in a ``cdf-``
+  sidecar at COMMIT time (Delta's ``_change_data`` files), and the
+  stream plans that sidecar as the commit's authoritative change set
+  — flowing continuously across every rewrite class. The remaining
+  raise is history written BEFORE the property was set (no sidecar
+  exists to read): the error points at the batch APIs
+  (``read_manifest_changes`` endpoint diff;
   ``read_manifest_table_changes`` per-commit walk, X155), which
-  key-join them exactly.
+  key-join such commits exactly.
 
 Scale posture: offset resolution is one metadata listing; planning is a
 file-set difference (O(changed files)); each planned file becomes one
@@ -115,7 +115,15 @@ def _committed_versions(root: str) -> list[int]:
 
 def _load_meta(root: str, version: int) -> dict:
     with open(f"{root.rstrip('/')}/mf/v{version:08d}.json") as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # protocol gate (X157) — pure-read path, reader features only;
+    # lazily imported like _row_preserving (one classification source)
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _require_features,
+    )
+
+    _require_features(meta, root)
+    return meta
 
 
 def _entries(root: str, meta: dict) -> list[dict]:
@@ -351,10 +359,12 @@ class ManifestStreamReader(DataSourceStreamReader):
                     "sidecar — this commit's row-level changes are not "
                     "reconstructible from metadata; enable_change_feed "
                     "BEFORE such writes (keyed merges/deletes, "
-                    "retention sweeps and replaceWhere backfills then "
-                    "record cdf- sidecars, X153), or consume this "
-                    "range with the batch API (read_manifest_changes) "
-                    "and restart the stream past it"
+                    "retention sweeps, replaceWhere backfills, full "
+                    "replaces and restores then record cdf- sidecars, "
+                    "X153/X154/X156), or consume this range with the "
+                    "batch APIs (read_manifest_changes endpoint diff / "
+                    "read_manifest_table_changes per-commit walk) and "
+                    "restart the stream past it"
                 )
             data = f"{root.rstrip('/')}/data"
             paths = {

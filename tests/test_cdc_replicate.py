@@ -262,3 +262,20 @@ def test_duplicate_key_feed_is_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="key uniqueness"):
         apply_changefeed_batch(spark, batch, 0, dst, keys=["k"])
+
+
+def test_reserved_working_columns_are_refused(spark, tmp_path):
+    """r18 advice: a feed column named _cdc_rank was silently
+    overwritten (and dropped) by the fold's tiebreak helper —
+    corrupting the fold — and _cdc_version collides with the replica's
+    merge-order column. Both now raise loudly, matching the feed APIs'
+    change_type/commit_version guards."""
+    dst = str(tmp_path / "dst")
+    for col in ("_cdc_rank", "_cdc_version"):
+        batch = spark.createDataFrame(
+            [(1, 1.0, 7, "insert", 3)],
+            f"k long, x double, `{col}` long, change_type string, "
+            "commit_version long",
+        )
+        with pytest.raises(ValueError, match="reserved working"):
+            apply_changefeed_batch(spark, batch, 0, dst, keys=["k"])

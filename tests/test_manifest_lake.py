@@ -2784,3 +2784,52 @@ def test_compact_zorder_refuses_string_dimension(spark, tmp_path):
         cluster_cols=["k", "tag"],
     )
     assert out["compacted"] == 6
+
+
+def test_string_stats_truncate_with_valid_bounds(spark, tmp_path):
+    """r18 (Delta's 32-char convention): stats_cols on a corpus text
+    column stays metadata-sized — vmin truncates to a 32-char prefix
+    (always a valid lower bound), vmax keeps a VALID upper bound by
+    incrementing the prefix's last ASCII char (NULL when it can't:
+    conservative, never skips). Non-string stats are untouched."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _load_stats,
+        _resolve_manifest,
+        publish_files,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    long_a = "a" * 500
+    long_z = "z" * 500
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_z)], "k long, body string"
+    ).repartition(1)
+    publish_files(spark, df, root, stats_cols=["k", "body"])
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root)
+    ents = meta["files"]
+    stats = _load_stats(spark, root, ents)
+    (st,) = stats.values()
+    vmin, vmax = st["stats"]["body"]
+    assert vmin == "a" * 32  # prefix: valid lower bound, 32 chars
+    assert vmax == "z" * 31 + "{"  # last char incremented: z+1 = '{'
+    assert vmin <= long_a and vmax >= long_z  # bounds stay VALID
+    assert st["stats"]["k"] == [1.0, 2.0]  # numeric stats untouched
+
+    # non-ASCII tail: no JVM-side increment exists — vmax degrades to
+    # NULL ("unbounded above"), never to an INVALID bound
+    root2 = str(tmp_path / "t2")
+    uni = "é" * 40
+    publish_files(
+        spark,
+        spark.createDataFrame([(1, uni)], "k long, body string")
+        .repartition(1),
+        root2,
+        stats_cols=["body"],
+    )
+    _, meta2 = _resolve_manifest(_HadoopFS(spark, root2), root2)
+    (st2,) = _load_stats(spark, root2, meta2["files"]).values()
+    vmin2, vmax2 = st2["stats"]["body"]
+    assert vmin2 == "é" * 32
+    assert vmax2 is None

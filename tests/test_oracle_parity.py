@@ -21,83 +21,76 @@ def test_registry_is_consistent():
 def test_driver_window_composition():
     """The driver oracle-checks exactly the first 50 registry entries
     (rotation contract, see the comment above QUERIES; budget = 4
-    rounds — SURVEY §2.10). Guard the round-17 plan: 2 new rows (X154
-    change feed across replaceWhere — Delta's uncancelled
-    delete-all ∪ insert-all sidecar; X155 per-commit batch
-    table_changes with replica-backfill runtime assert), then 3
-    code-touched re-certs
-    (the shared change-row emitter with null-safe key joins rewired
-    both CDF paths; _write_cdf_sidecar fans out above 1M rows; the
-    CDC replicator consumes the restructured feed), then ALL 31
-    deferred r13 rows (staleness exactly 4 — the budget edge,
-    MANDATORY), then 14 r14 rows (the 46-row r14 wave starts
-    draining — >= 10 required; ALL remaining 32 are r18's mandatory
-    front)."""
+    rounds — SURVEY §2.10). Guard the round-18 plan: 1 new row (X156
+    change feed across full REPLACE and RESTORE), then 8 code-touched
+    re-certs (the per-commit walk's one-scan rework; the CDF commit
+    classes and protocol-versioned resolve/commit paths; the CDC
+    replicator's reserved-name guard; rollback's new sidecar recorder;
+    publish under WAP; the truncating stats writer behind every
+    pruned scan), then ALL 32 remaining r14 rows (staleness exactly 4
+    — the budget edge, MANDATORY), then 9 oldest r15 rows (the 47-row
+    r15 wave starts draining — 36 left for r19's mandatory front)."""
     window = list(QUERIES)[:50]
-    # round-17 additions — never driver-checked — at the very front
-    assert window[:2] == [
-        "stream_cdf_replace_parity",
+    # round-18 addition — never driver-checked — at the very front
+    assert window[0] == "stream_cdf_restore_parity"
+    # code-touched re-certs
+    assert window[1:9] == [
         "table_changes_parity",
-    ]
-    # code-touched re-certs (shared emitter + multi-part sidecars)
-    assert window[2:5] == [
+        "stream_cdf_replace_parity",
         "stream_cdf_parity",
         "stream_cdf_merge_parity",
         "cdc_replicate_equality",
-    ]
-    # ALL 31 deferred r13 rows (the r16 verdict's designated r17 front)
-    assert window[5:36] == [
-        "stream_stream_join_parity",
-        "stream_incremental_dedup",
-        "stream_cdc_parity",
-        "stream_silence_parity",
-        "stream_dim_enrich_parity",
-        "stream_watermark_drop_parity",
-        "stream_batch_session_parity",
-        "stream_heavy_hitters_parity",
-        "corpus_curation_transitive",
-        "doc_chunks",
-        "multimodal_frame_sample",
-        "ngram_decontaminate",
-        "price_band_join",
-        "quota_sample",
-        "salted_symbol_volume",
-        "technical_indicators",
-        "tfidf_top_terms",
-        "windowed_analytics",
-        "trading_signals",
-        "multi_window_tumbling",
-        "multi_window_signals",
-        "unpivot_ohlcv",
-        "containment_pairs",
-        "hll_user_rollup",
-        "kmeans_iteration",
-        "last_touch_attribution",
-        "multimodal_image_features",
-        "multimodal_resize",
-        "packed_sequence_stats",
-        "quantized_topk_rerank",
-        "return_correlation",
-    ]
-    # 14 r14 rows: replace_where_equality first (its write path gained
-    # CDF recording this round), then manifest-format neighbors of the
-    # emitter refactor, then stream/dedup rows (approx_stats rolls to
-    # the front of r18's mandatory r14 block — drain stays >= 10)
-    assert window[36:50] == [
-        "replace_where_equality",
-        "manifest_key_delete",
-        "version_diff",
         "manifest_rollback_diff",
-        "incremental_read_equality",
-        "manifest_schema_evolution",
-        "manifest_sharded_scan",
-        "scd2_history",
-        "time_travel_read",
-        "clustered_scan_fingerprint",
-        "stream_dedup_keyed_parity",
-        "semantic_dedup",
-        "semantic_decontaminate",
-        "fuzzy_name_pairs",
+        "wap_publish_equality",
+        "composed_prune_fingerprint",
+    ]
+    # ALL 32 remaining r14 rows (the r17 verdict's designated r18
+    # front; age 4 at r18 = the rotation-budget edge)
+    assert window[9:41] == [
+        "approx_stats",
+        "countmin_user_topk",
+        "rank_fusion_topk",
+        "pruned_scan_revenue",
+        "corpus_report",
+        "customer_order_distribution",
+        "customer_value_deciles",
+        "discounted_revenue",
+        "large_volume_orders",
+        "nation_trade_volume",
+        "national_market_share",
+        "product_profit",
+        "promo_revenue_pct",
+        "returned_item_customers",
+        "sequence_packing",
+        "session_peak_overlap",
+        "small_quantity_revenue",
+        "soft_dedup",
+        "split_assign",
+        "supplier_count_by_part_attrs",
+        "supplier_pagerank",
+        "top_supplier_revenue",
+        "training_mix_report",
+        "unigram_logprob",
+        "upsample_mix",
+        "wealthy_inactive_customers",
+        "fuzzy_name_pairs_multiblock",
+        "clean_cast_filter",
+        "curriculum_packing",
+        "data_expectations",
+        "event_sessionization",
+        "price_histogram",
+    ]
+    # 9 oldest r15 rows start the r15 drain
+    assert window[41:50] == [
+        "apply_changelog",
+        "asof_join",
+        "asof_join_forward",
+        "asof_join_tolerance",
+        "bloom_point_lookup",
+        "cdf_read_equality",
+        "cluster_compact_read",
+        "corpus_curation",
+        "cosine_topk",
     ]
 
 

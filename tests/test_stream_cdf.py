@@ -141,6 +141,44 @@ def test_stream_cdf_skips_compaction_and_refuses_rewrites(spark, tmp_path):
         raise AssertionError("CDF stream survived a history rewrite")
 
 
+def test_stream_cdf_flows_across_replace_and_restore(spark, tmp_path):
+    """X156: with the property on, a full REPLACE and a RESTORE record
+    cdf- sidecars at commit time, and the readChangeFeed stream plans
+    them as those commits' authoritative change sets — flowing
+    continuously where it previously raised toward the batch API.
+    Stream rows ≡ the per-commit batch feed exactly."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        enable_change_feed,
+        read_manifest_table_changes,
+        rollback_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    publish_files(spark, _df(spark, 0, 10), root)                    # v1
+    enable_change_feed(spark, root)                                  # v2
+    append_files(spark, _df(spark, 10, 15), root)                    # v3
+    publish_files(spark, _df(spark, 100, 104), root)                 # v4 REPLACE
+    rollback_manifest(spark, root, 3)                                # v5 RESTORE
+    _run_cdf(spark, root, sink, ckpt)
+    got = _rows(spark, sink)
+    batch = {
+        (r["k"], r["g"], r["x"], r["change_type"], r["commit_version"])
+        for r in read_manifest_table_changes(
+            spark, root, v_from=0
+        ).collect()
+    }
+    assert got == batch
+    # replace: uncancelled delete-all ∪ insert-all
+    assert {(t[0], t[3]) for t in got if t[4] == 4} == {
+        (k, "delete") for k in range(15)
+    } | {(k, "insert") for k in range(100, 104)}
+    # restore: file-granular diff (v4's files out, v3's files back)
+    assert {(t[0], t[3]) for t in got if t[4] == 5} == {
+        (k, "delete") for k in range(100, 104)
+    } | {(k, "insert") for k in range(15)}
+
+
 def test_stream_cdf_option_guards(spark, tmp_path):
     root = str(tmp_path / "t")
     publish_files(spark, _df(spark, 0, 5), root)

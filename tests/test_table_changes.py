@@ -245,6 +245,214 @@ def test_schema_evolving_precdf_commit_keeps_new_column_values(
     assert dst_rows == src_rows
 
 
+def test_replace_and_restore_record_sidecars(spark, tmp_path):
+    """X156: with the property on, a full REPLACE records delete-all ∪
+    insert-all and a RESTORE records the file-granular diff (rows of
+    files only the clobbered latest holds as deletes, rows of files
+    only the target holds as inserts) — both walk KEYLESSLY through
+    the per-commit feed, and the no-seed v_from=0 backfill folds to
+    the restored state."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        read_manifest,
+        rollback_manifest,
+    )
+
+    src = str(tmp_path / "t")
+    dst = str(tmp_path / "dst")
+    publish_files(spark, _df(spark, 0, 10), src)                     # v1
+    enable_change_feed(spark, src)                                   # v2
+    append_files(spark, _df(spark, 10, 15), src)                     # v3
+    publish_files(spark, _df(spark, 20, 25, x_add=7.0), src)         # v4 REPLACE
+    rollback_manifest(spark, src, 3)                                 # v5 RESTORE
+
+    feed = read_manifest_table_changes(spark, src, v_from=0)  # keyless
+    pv = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert pv == {
+        (1, "insert"): 10,
+        (3, "insert"): 5,
+        (4, "delete"): 15,  # uncancelled: every prior visible row
+        (4, "insert"): 5,
+        (5, "delete"): 5,   # only-in-v4 files
+        (5, "insert"): 15,  # only-in-v3 files (the restored set)
+    }
+    # the no-seed backfill converges to the restored state
+    apply_changefeed_batch(spark, feed, 0, dst, keys=["k"], n_buckets=2)
+    src_rows = {tuple(r) for r in read_manifest(spark, src).collect()}
+    dst_rows = {
+        tuple(r)
+        for r in read_manifest(spark, dst).drop("_cdc_version").collect()
+    }
+    assert dst_rows == src_rows and len(src_rows) == 15
+
+
+def test_restore_across_dv_emits_both_sides_of_changed_files(
+    spark, tmp_path
+):
+    """A restore whose endpoint file sets are IDENTICAL but whose DV
+    positions differ must still emit change rows — the DV-changed
+    files contribute both sides (uncancelled, file-granular), so a
+    replica folding the feed resurrects exactly the rows the restore
+    brought back."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        delete_where_dv,
+        read_manifest,
+        rollback_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 10).repartition(1), root)     # v1
+    enable_change_feed(spark, root)                                  # v2
+    delete_where_dv(spark, root, "k < 3")                            # v3
+    rollback_manifest(spark, root, 2)                                # v4
+    feed = read_manifest_table_changes(spark, root, v_from=3)
+    got = {(r["k"], r["change_type"]) for r in feed.collect()}
+    assert got == {(k, "delete") for k in range(3, 10)} | {
+        (k, "insert") for k in range(0, 10)
+    }
+    assert read_manifest(spark, root).count() == 10
+
+
+def test_restore_keeps_change_feed_property_monotone(spark, tmp_path):
+    """Restoring to a PRE-property version must not silently stop
+    recording (a running readChangeFeed stream was promised
+    continuity) — the property follows the identity rule: monotone
+    across a restore, with disable_change_feed as the explicit off
+    switch."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _resolve_manifest,
+        rollback_manifest,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 5), root)                     # v1
+    enable_change_feed(spark, root)                                  # v2
+    rollback_manifest(spark, root, 1)                                # v3
+    fs = _HadoopFS(spark, root)
+    _, meta = _resolve_manifest(fs, root)
+    assert meta.get("change_feed") is True
+    # and the restore itself recorded its (here empty-diff) sidecar ref
+    assert "cdf" in meta
+    # a later keyed rewrite keeps recording: the feed walks it keylessly
+    replace_where_manifest(spark, _df(spark, 0, 2, x_add=5.0), root, "k", 0, 1)
+    feed = read_manifest_table_changes(spark, root, v_from=3)
+    assert feed.filter("change_type = 'insert'").count() == 2
+
+
+def test_deep_history_walk_batches_scans(spark, tmp_path):
+    """r18 (closing the r17 scale finding): the v_from=0 backfill this
+    API advertises walks a micro-batch-ingested table — tens of
+    thousands of commits. Pre-r18 the feed assembled one DataFrame arm
+    per commit (an O(commits) unionByName chain whose Catalyst
+    analysis blew up before a byte of data was read). Now every
+    recorded sidecar lands in ONE multi-path scan, appends batch per
+    schema group into ONE _load_table_files scan, and manifests
+    batch-read executor-parallel — plan size stays O(1) in history
+    depth. 220 REAL manifest commits (files staged once, committed
+    through the real _commit path), walked keylessly."""
+    import time as _time
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _carry_extensions,
+        _commit,
+        _resolve_manifest,
+        _stage_files,
+        enable_change_feed,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 10), root)                    # v1
+    enable_change_feed(spark, root)                                  # v2
+    fs = _HadoopFS(spark, root)
+    cur, meta = _resolve_manifest(fs, root)
+    n_rows = 210
+    big = spark.createDataFrame(
+        [(100 + i, f"a{i}", float(i), 0) for i in range(n_rows)],
+        "k long, s string, x double, seq long",
+    ).repartitionByRange(n_rows, "k")
+    staged = _stage_files(spark, big, root, "parquet", None)
+    # range partitioning of 210 distinct keys leaves few partitions
+    # empty (no file written); the walk depth is however many files
+    # materialized — at or past the 200-commit bar
+    n_appends = len(staged)
+    assert n_appends >= 200
+    entries = list(meta.get("files") or [])
+    carry = _carry_extensions(meta) or {}
+    schema_json = meta["schema"]
+    append_versions = []
+    for e in staged:
+        entries.append(e)
+        cur = _commit(
+            spark, root, list(entries), "parquet", expected_prev=cur,
+            schema_json=schema_json, extra_meta=dict(carry),
+            operation="APPEND",
+        )
+        append_versions.append(cur)
+    # two sidecar-recorded rewrites on top (property is on)
+    replace_where_manifest(
+        spark, _df(spark, 0, 3, seq=9, x_add=1.0), root, "k", 0, 2
+    )
+    rw1 = cur + 1
+    replace_where_manifest(
+        spark, _df(spark, 3, 6, seq=9, x_add=1.0), root, "k", 3, 5
+    )
+    rw2 = cur + 2
+
+    t0 = _time.monotonic()
+    feed = read_manifest_table_changes(spark, root, v_from=0)
+    build_s = _time.monotonic() - t0
+    # plan-shape receipt: scans don't scale with walked commits — one
+    # sidecar scan + the append-group scans (publish v1 may schema-key
+    # apart from the _commit appends) + two broadcast maps, NOT 224
+    # union arms. The analyzed plan would carry one Relation per arm
+    # pre-r18.
+    plan = feed._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Relation") <= 12, plan.count("Relation")
+    assert build_s < 20.0, build_s  # loose canary; pre-r18 this grew
+    per_version = {
+        r["commit_version"]: r["n"]
+        for r in feed.groupBy("commit_version").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_version[1] == 10  # publish-from-empty: keyless inserts
+    assert all(per_version[v] >= 1 for v in append_versions)
+    assert sum(per_version[v] for v in append_versions) == n_rows
+    # replaceWhere sidecars: uncancelled delete-all ∪ insert-all
+    assert per_version[rw1] == 3 + 3
+    assert per_version[rw2] == 3 + 3
+    assert sum(per_version.values()) == 10 + n_rows + 12
+    # re-attribution spot-check: the rows physically inside staged
+    # file i carry append version i's commit_version, for the first,
+    # a middle, and the last commit of the batched scan — one feed
+    # pass over the union of the three files' keys
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _data_dir,
+    )
+
+    probe = (0, n_appends // 2, n_appends - 1)
+    want = {}
+    for i in probe:
+        for r in spark.read.parquet(
+            f"{_data_dir(root)}/{staged[i]['name']}"
+        ).collect():
+            want[r["k"]] = append_versions[i]
+    got = {
+        r["k"]: r["commit_version"]
+        for r in feed.filter(F.col("k").isin(*want)).select(
+            "k", "commit_version"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_reserved_output_columns_raise(spark, tmp_path):
     root = str(tmp_path / "t")
     publish_files(
@@ -255,4 +463,25 @@ def test_reserved_output_columns_raise(spark, tmp_path):
         root,
     )
     with pytest.raises(ValueError, match="reserved"):
+        read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
+
+
+def test_reserved_column_in_historical_schema_raises(spark, tmp_path):
+    """r18 advice: the guard checked only v_to's schema — a table that
+    carried commit_version historically and DROPPED it before v_to
+    passed, and that step's rows got their real values clobbered by
+    the feed's tag column. The guard now validates every walked
+    version's schema."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        drop_column,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame([(1, 5)], "k long, commit_version long"),
+        root,
+    )                                                                # v1
+    drop_column(spark, root, "commit_version")                       # v2
+    with pytest.raises(ValueError, match="v1 .* reserved"):
         read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
