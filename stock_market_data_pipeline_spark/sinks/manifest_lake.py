@@ -799,11 +799,13 @@ def _commit_locked(
     total = len(entries) + sum(int(r["count"]) for r in reuse)
     inline_files: list[dict] = []
     seg_refs: list[dict] = []
+    kept_refs: list[dict] = []  # reused by reference, never opened here
     if total <= MAX_INLINE_ENTRIES:
         # small table: collapse everything back inline (one-read metadata)
         inline_files = list(entries)
         for r in reuse:
             inline_files.extend(_read_segment(fs, root, r["name"]))
+        scanned_entries = inline_files
     else:
         loose = list(entries)
         for r in reuse:
@@ -811,6 +813,7 @@ def _commit_locked(
                 loose.extend(_read_segment(fs, root, r["name"]))
             else:
                 seg_refs.append(r)
+        kept_refs = list(seg_refs)
         # segments are written BEFORE the version file; a loser of the
         # commit race (or a crash here) leaves uuid-named orphans that
         # vacuum_manifest collects — never a dangling committed reference
@@ -820,6 +823,7 @@ def _commit_locked(
                     fs, root, loose[i : i + MANIFEST_SEGMENT_ROWS]
                 )
             )
+        scanned_entries = loose
     nxt = (known[-1] + 1) if known else 1
     mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
     payload = {
@@ -862,9 +866,22 @@ def _commit_locked(
         rf.add("manifest-segments")
     if payload.get("dropped_cols"):
         rf.add("column-tombstones")
-    # base detection scans the entries in hand (inline case: all of
-    # them); segment-resident clone bases are covered by the carry
-    if any(e.get("base") for e in (inline_files or entries)):
+    # base detection scans every entry this commit materialized
+    # (inline case: all of them; segment case: the loose set incl.
+    # folded reused segments); bases resident in segments KEPT by
+    # reference are covered by the monotone carry — except on the
+    # first commit of a pre-versioning table, which has no format to
+    # inherit, so that one commit pays a one-time scan of the kept
+    # segments (r18 review: the upgrade path would otherwise
+    # under-declare shallow-clone forever)
+    has_base = any(e.get("base") for e in scanned_entries)
+    if not has_base and not carried_fmt and kept_refs:
+        has_base = any(
+            e.get("base")
+            for r in kept_refs
+            for e in _read_segment(fs, root, r["name"])
+        )
+    if has_base:
         rf.add("shallow-clone")
     if payload.get("constraints"):
         wf.add("check-constraints")
@@ -968,16 +985,10 @@ def publish_files(
                     root,
                 ).withColumn("change_type", F.lit("insert"))
             )
-        if parts:
-            changes = parts[0]
-            for p in parts[1:]:
-                changes = changes.unionByName(
-                    p, allowMissingColumns=True  # overwrite may reshape
-                )
-            cdf_ref = _write_cdf_sidecar(spark, root, changes)
-        else:
-            cdf_ref = {"sidecar": None, "rows": 0}
-        extra = {**(extra or {}), "cdf": cdf_ref}
+        extra = {
+            **(extra or {}),
+            "cdf": _record_cdf_sidecar(spark, root, parts),
+        }
     return _commit(
         spark,
         root,
@@ -2329,7 +2340,33 @@ def rollback_manifest(
     fs = _HadoopFS(spark, root)
     cur_v, cur = _resolve_manifest(fs, root, None)
     _, tgt = _resolve_manifest(fs, root, to_version)
+    # the restore commits a version DERIVED from the CURRENT state
+    # (txns, change_feed, the CDF delete frame) — writer-gate the
+    # current manifest too; the carry below only gates the target
+    # (r18 review: a build lacking a writer feature the table
+    # currently requires must refuse, not restore around it)
+    _require_features(cur, root, write=True)
     ext = _carry_extensions(tgt) or {}
+    # protocol features stay MONOTONE across a restore (the identity
+    # rule): carrying only the target's format would silently drop
+    # features the clobbered latest declared — an unguarded protocol
+    # downgrade a stale reader would then misread through
+    cf = cur.get("format") or {}
+    tf = ext.get("format") or {}
+    if cf or tf:
+        ext["format"] = {
+            "version": max(
+                int(cf.get("version", 1)), int(tf.get("version", 1))
+            ),
+            "reader_features": sorted(
+                set(cf.get("reader_features") or [])
+                | set(tf.get("reader_features") or [])
+            ),
+            "writer_features": sorted(
+                set(cf.get("writer_features") or [])
+                | set(tf.get("writer_features") or [])
+            ),
+        }
     t_ident = {c: dict(v) for c, v in (ext.get("identity") or {}).items()}
     cur_ident = cur.get("identity") or {}
     for c, spec in t_ident.items():
@@ -2371,16 +2408,7 @@ def rollback_manifest(
                     spark, tgt, [pm[n] for n in sorted(pm)], root
                 ).withColumn("change_type", F.lit("insert"))
             )
-        if parts:
-            changes = parts[0]
-            for p in parts[1:]:
-                changes = changes.unionByName(
-                    p, allowMissingColumns=True  # schemas may differ
-                )
-            cdf_ref = _write_cdf_sidecar(spark, root, changes)
-        else:
-            cdf_ref = {"sidecar": None, "rows": 0}
-        ext["cdf"] = cdf_ref
+        ext["cdf"] = _record_cdf_sidecar(spark, root, parts)
     return _commit(
         spark,
         root,
@@ -2731,13 +2759,19 @@ def read_manifest_table_changes(
         names = (
             {f["name"] for f in _json.loads(sj)["fields"]} if sj else set()
         )
-        reserved = {"change_type", "commit_version"} & names
+        # __cdf_dir/__cdf_file are the walk's internal tag columns —
+        # unguarded, a real column of either name would be silently
+        # overwritten and dropped by the one-scan re-attribution joins
+        # (r18 review: the same defect class as _cdc_rank)
+        reserved = {
+            "change_type", "commit_version", "__cdf_dir", "__cdf_file",
+        } & names
         if reserved:
             raise ValueError(
                 f"read_manifest_table_changes: v{v} of {root} records "
                 f"table columns {sorted(reserved)} that collide with the "
-                "feed's reserved output columns — rename them (the feed "
-                "would silently clobber their values)"
+                "feed's reserved output/working columns — rename them "
+                "(the feed would silently clobber their values)"
             )
 
     # ---- routing pass: driver-side metadata only, no data IO --------
@@ -2850,19 +2884,30 @@ def read_manifest_table_changes(
     append_groups: dict[tuple, list[tuple[int, dict, list[dict]]]] = {}
     for item in append_steps:
         gk = (
-            item[1].get("schema"),
+            # a SCHEMA-LESS (pre-round-8) meta must stay its own group:
+            # grouped it would scan unprojected with a schema inferred
+            # from a SUBSET of files, silently dropping other commits'
+            # evolved columns — per-commit inference (the r17 behavior)
+            # is the correct degradation (r18 review)
+            item[1].get("schema") or f"__inferred_v{item[0]}",
             item[1].get("fmt", "parquet"),
             (item[1].get("dv") or {}).get("sidecar"),
         )
         append_groups.setdefault(gk, []).append(item)
     for members in append_groups.values():
-        paths: list[str] = []
+        paths: set[str] = set()
         pairs: list[tuple[str, int]] = []
         for v, meta, ents in members:
             pm = _entry_paths(root, ents)
             for e in ents:
-                paths.append(pm[e["name"]])
+                paths.add(pm[e["name"]])
                 pairs.append((e["name"].rsplit("/", 1)[-1], int(v)))
+        # paths dedupe: the same file can be appended by TWO walked
+        # commits (dropped between, then re-added by a sidecar-less
+        # restore) — listing it twice would scan its rows twice, and
+        # the map join would then attribute each scanned copy to both
+        # versions (4x). One scan x the (file, version) fan-out of the
+        # broadcast map emits exactly one insert set per commit.
         added_df = _load_table_files(
             spark, members[-1][1], sorted(paths), root,
             tag_file_col="__cdf_file",
@@ -3296,6 +3341,25 @@ def _write_cdf_sidecar(
         _HadoopFS(spark, root).delete(f"{_stats_dir(root)}/{sidecar}")
         return {"sidecar": None, "rows": 0}
     return {"sidecar": sidecar, "rows": int(n)}
+
+
+def _record_cdf_sidecar(
+    spark: SparkSession, root: str, parts: list[DataFrame]
+) -> dict:
+    """Fold a commit's change-row frames — sides may disagree on
+    columns across an overwrite or schema evolution, so the union
+    NULL-fills by name — and persist them as the commit's ``cdf-``
+    sidecar. Empty ``parts`` records the explicit "changed nothing"
+    ref, so walkers still classify the commit as sidecar-recorded
+    (contributing no rows) instead of falling back to a keyed diff.
+    Shared by the REPLACE and RESTORE recorders (X156; r18 review
+    de-duplicated the scaffold)."""
+    if not parts:
+        return {"sidecar": None, "rows": 0}
+    changes = parts[0]
+    for p in parts[1:]:
+        changes = changes.unionByName(p, allowMissingColumns=True)
+    return _write_cdf_sidecar(spark, root, changes)
 
 
 def drop_column(spark: SparkSession, root: str, col: str) -> int:

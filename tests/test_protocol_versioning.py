@@ -159,3 +159,31 @@ def test_feature_survives_maintenance_monotone(spark, tmp_path):
     meta = _meta(spark, root)
     assert not meta.get("dv")
     assert "deletion-vectors" in meta["format"]["reader_features"]
+
+
+def test_restore_gates_current_writer_features_and_unions_format(
+    spark, tmp_path, monkeypatch
+):
+    """r18 review: a restore commits a version DERIVED from the
+    current state (txns, change_feed, the CDF delete frame), so it
+    must writer-gate the CURRENT manifest — not only the target the
+    carry reads — and the restored version's protocol lists must
+    UNION both sides (carrying only the target's would silently
+    downgrade features the clobbered latest declared)."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        rollback_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 5), root)                     # v1
+    enable_change_feed(spark, root)                                  # v2
+    rollback_manifest(spark, root, 1)                                # v3
+    fmt = _meta(spark, root)["format"]
+    assert "change-data-feed" in fmt["writer_features"]  # monotone
+    monkeypatch.setattr(
+        ml,
+        "_WRITER_FEATURES",
+        ml._WRITER_FEATURES - {"change-data-feed"},
+    )
+    with pytest.raises(ValueError, match="change-data-feed"):
+        rollback_manifest(spark, root, 1)

@@ -485,3 +485,89 @@ def test_reserved_column_in_historical_schema_raises(spark, tmp_path):
     drop_column(spark, root, "commit_version")                       # v2
     with pytest.raises(ValueError, match="v1 .* reserved"):
         read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
+
+
+def test_readded_file_attributes_to_both_commits_once(spark, tmp_path):
+    """r18 review: the same FILE can be appended by two walked commits
+    (a whole-file retention drop, then a sidecar-less restore re-adds
+    it). The batched append scan must read it ONCE and attribute its
+    rows to both versions exactly once each — listing the path twice
+    would scan the rows twice and double every insert."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        retention_delete,
+        rollback_manifest,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark, _df(spark, 0, 10).repartitionByRange(2, "k"), root,
+        stats_cols=["k"],
+    )                                                                # v1
+    retention_delete(spark, root, "k", 100)   # v2: whole-file drops
+    rollback_manifest(spark, root, 1)         # v3: re-adds v1's files
+    feed = read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
+    pv = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert pv == {
+        (1, "insert"): 10,
+        (2, "delete"): 10,
+        (3, "insert"): 10,
+    }
+
+
+def test_schema_less_appends_group_per_commit(spark, tmp_path):
+    """r18 review: pre-round-8 manifests record no schema; grouping
+    them into one unprojected scan would infer the schema from a
+    SUBSET of files and silently NULL another commit's evolved
+    column. Schema-less metas stay their own group — per-commit
+    inference, the pre-rework behavior."""
+    import json as _j
+
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _mf_dir,
+        _mf_name,
+        append_files,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(
+        spark, spark.createDataFrame([(1, 1.0)], "k long, x double"), root
+    )                                                                # v1
+    append_files(
+        spark,
+        spark.createDataFrame(
+            [(2, 2.0, "y2")], "k long, x double, y string"
+        ),
+        root,
+    )                                                                # v2
+    fs = _HadoopFS(spark, root)
+    for v in (1, 2):  # simulate a legacy schema-less history
+        p = f"{_mf_dir(root)}/{_mf_name(v)}"
+        meta = _j.loads(fs.read_text(p))
+        meta.pop("schema")
+        fs.write_text(p, _j.dumps(meta, default=str))
+    feed = read_manifest_table_changes(spark, root, v_from=0)
+    rows = {
+        (r["k"], r["y"], r["commit_version"]) for r in feed.collect()
+    }
+    assert rows == {(1, None, 1), (2, "y2", 2)}
+
+
+def test_internal_tag_column_collision_raises(spark, tmp_path):
+    """r18 review: __cdf_dir/__cdf_file are the one-scan walk's
+    internal tag columns — a real table column of either name would be
+    silently overwritten and dropped (the _cdc_rank defect class);
+    both now raise with the reserved names."""
+    root = str(tmp_path / "t")
+    publish_files(
+        spark,
+        spark.createDataFrame([(1, "d")], "k long, `__cdf_dir` string"),
+        root,
+    )
+    with pytest.raises(ValueError, match="__cdf_dir"):
+        read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
