@@ -2853,9 +2853,17 @@ def read_manifest_table_changes(
     # sidecar schemas by name (footer-read cost only — sidecars are
     # change-row-sized).
     if sidecar_steps:
+        # a sidecar's schema is its commit's table schema + change_type,
+        # so the recorded schemas (already in hand) decide whether the
+        # mergeSchema footer pass is needed at all — identical schemas
+        # across the walked sidecar commits (the common case) read off
+        # the first footer and skip one whole pass over the sidecar
+        # files (part of the shallow-walk fixed overhead)
+        reader = spark.read
+        if len({metas[v].get("schema") for v, _ in sidecar_steps}) > 1:
+            reader = reader.option("mergeSchema", "true")
         sdf = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(
+            reader.parquet(
                 *[f"{_stats_dir(root)}/{sc}" for _, sc in sidecar_steps]
             )
             .withColumn(

@@ -571,3 +571,37 @@ def test_internal_tag_column_collision_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="__cdf_dir"):
         read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
+
+
+def test_schema_evolving_sidecars_union_in_one_scan(spark, tmp_path):
+    """Two sidecar-recorded commits whose table schemas DIFFER (an
+    evolving merge between them) still land in the one multi-path
+    scan: the walk turns mergeSchema on exactly when the recorded
+    schemas disagree, and the older sidecar's rows NULL-fill the new
+    column."""
+    root = str(tmp_path / "t")
+    merge_upsert_manifest(
+        spark, _df(spark, 0, 6), root, keys=["k"], order_col="seq",
+        n_buckets=2,
+    )                                                                # v1
+    enable_change_feed(spark, root)                                  # v2
+    merge_upsert_manifest(
+        spark, _df(spark, 0, 2, seq=1, x_add=1.0), root, keys=["k"],
+        order_col="seq", n_buckets=2,
+    )                                                                # v3 sidecar (old schema)
+    evolved = spark.createDataFrame(
+        [(3, "e3", 9.0, 2, 42.0)],
+        "k long, s string, x double, seq long, extra double",
+    )
+    merge_upsert_manifest(
+        spark, evolved, root, keys=["k"], order_col="seq", n_buckets=2,
+    )                                                                # v4 sidecar (evolved)
+    feed = read_manifest_table_changes(spark, root, v_from=2, keys=["k"])
+    rows = {
+        (r["k"], r["change_type"], r["commit_version"], r["extra"])
+        for r in feed.collect()
+    }
+    assert (3, "update_postimage", 4, 42.0) in rows
+    # v3's sidecar predates the column: NULL-filled in the union
+    assert all(t[3] is None for t in rows if t[2] == 3)
+    assert {t[2] for t in rows} == {3, 4}
