@@ -605,3 +605,32 @@ def test_schema_evolving_sidecars_union_in_one_scan(spark, tmp_path):
     # v3's sidecar predates the column: NULL-filled in the union
     assert all(t[3] is None for t in rows if t[2] == 3)
     assert {t[2] for t in rows} == {3, 4}
+
+
+def test_append_after_dv_delete_batches_with_tag(spark, tmp_path):
+    """A pure append on a DV-carrying table batches through the tagged
+    _load_table_files path with the version's DV subtraction in the
+    plan (a no-op on the appended files by construction — a
+    pre-existing DV cannot reference them): covers the tag column
+    riding through the DV anti-join."""
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        delete_where_dv,
+    )
+
+    root = str(tmp_path / "t")
+    publish_files(spark, _df(spark, 0, 10).repartition(1), root)     # v1
+    delete_where_dv(spark, root, "k < 3")                            # v2 DV
+    append_files(spark, _df(spark, 10, 14), root)                    # v3
+    feed = read_manifest_table_changes(spark, root, v_from=0, keys=["k"])
+    pv = {
+        (r["commit_version"], r["change_type"]): r["n"]
+        for r in feed.groupBy("commit_version", "change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert pv == {
+        (1, "insert"): 10,
+        (2, "delete"): 3,
+        (3, "insert"): 4,
+    }
