@@ -4901,8 +4901,9 @@ def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_cdf_replace_parity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """X154 change feed across ``replaceWhere`` — the last general
-    write mode that killed a ``readChangeFeed`` stream. An orders
+    """X154 change feed across ``replaceWhere`` — at r17 the last
+    general write mode that killed a ``readChangeFeed`` stream (full
+    REPLACE and RESTORE followed in r18, X156). An orders
     projection publishes as a manifest table, enables the change_feed
     property, then ``replace_where_manifest`` restates the key range
     [1, 600]: rows with ``k % 5 = 0`` vanish, ``k % 3 = 0`` survivors

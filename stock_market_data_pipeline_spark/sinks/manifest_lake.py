@@ -3213,19 +3213,21 @@ def _set_change_feed(spark: SparkSession, root: str, on: bool) -> int:
 
 
 def enable_change_feed(spark: SparkSession, root: str) -> int:
-    """Turn on write-time change-data recording (X153) — Delta's
-    ``delta.enableChangeDataFeed`` table property: from the NEXT
-    version on, history-rewriting keyed writes (``merge_upsert_
-    manifest``, ``delete_keys_manifest``) record their row-level
-    changes in a ``cdf-`` sidecar at commit time, which is what lets
-    the streaming change feed (``readChangeFeed``) flow CONTINUOUSLY
-    across them instead of raising toward the batch API. Appends and
-    DV commits never need a sidecar (their changes are already exact
-    from commit metadata), and versions written BEFORE the property
-    was set have no sidecar — a stream spanning them still raises,
-    exactly Delta's "CDF is available from the enabling version"
-    contract. Pure-metadata commit; survives a full replace (table
-    property). Returns the new version."""
+    """Turn on write-time change-data recording (X153/X154/X156) —
+    Delta's ``delta.enableChangeDataFeed`` table property: from the
+    NEXT version on, every history-rewriting commit class — keyed
+    MERGE and key-delete, the retention sweep, ``replaceWhere``, full
+    ``publish_files`` REPLACE and ``rollback_manifest`` RESTORE —
+    records its row-level changes in a ``cdf-`` sidecar at commit
+    time, which is what lets the streaming change feed
+    (``readChangeFeed``) flow CONTINUOUSLY across all of them instead
+    of raising toward the batch API. Appends and DV commits never
+    need a sidecar (their changes are already exact from commit
+    metadata), and versions written BEFORE the property was set have
+    no sidecar — a stream spanning them still raises, exactly Delta's
+    "CDF is available from the enabling version" contract.
+    Pure-metadata commit; survives a full replace and rides monotone
+    across a restore (table property). Returns the new version."""
     return _set_change_feed(spark, root, True)
 
 
