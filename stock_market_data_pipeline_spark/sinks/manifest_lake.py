@@ -757,12 +757,29 @@ def _commit(
     )
 
     fs = _HadoopFS(spark, root)
+    # One-time pre-versioning upgrade scan OUTSIDE the lock (r18
+    # advice): the first post-upgrade commit of a table with no carried
+    # "format" must check the reused segments for shallow-clone bases,
+    # and doing that O(segments) read inside the critical section
+    # extends the lock hold for every contender. Scanning the caller's
+    # full reuse list here is a sound superset of the kept_refs set
+    # _commit_locked derives (a folded segment's base lands in the
+    # loose entries it scans anyway), so the hint short-circuits the
+    # in-lock walk entirely.
+    kept_base_hint: bool | None = None
+    if reuse_segments and not (extra_meta or {}).get("format"):
+        kept_base_hint = any(
+            e.get("base")
+            for r in reuse_segments
+            for e in _read_segment(fs, root, r["name"])
+        )
     try:
         with hold_commit_scope(_mf_dir(root)):
             return _commit_locked(
                 spark, fs, root, entries, fmt, expected_prev, txns,
                 schema_json, stats_cols, bucketing, reuse_segments,
                 extra_meta, write_marker, operation,
+                kept_base_hint=kept_base_hint,
             )
     except LockUnavailableError as exc:
         raise ManifestConflictError(
@@ -786,6 +803,7 @@ def _commit_locked(
     extra_meta: dict[str, Any] | None,
     write_marker: bool,
     operation: str,
+    kept_base_hint: bool | None = None,
 ) -> int:
     committed, known = _list_manifests(fs, root)
     cur = committed[-1] if committed else None
@@ -876,11 +894,17 @@ def _commit_locked(
     # under-declare shallow-clone forever)
     has_base = any(e.get("base") for e in scanned_entries)
     if not has_base and not carried_fmt and kept_refs:
-        has_base = any(
-            e.get("base")
-            for r in kept_refs
-            for e in _read_segment(fs, root, r["name"])
-        )
+        # _commit precomputes the hint OUTSIDE the lock (r18 advice);
+        # the in-lock segment walk remains only as a fallback for a
+        # caller that reached here without one
+        if kept_base_hint is not None:
+            has_base = kept_base_hint
+        else:
+            has_base = any(
+                e.get("base")
+                for r in kept_refs
+                for e in _read_segment(fs, root, r["name"])
+            )
     if has_base:
         rf.add("shallow-clone")
     if payload.get("constraints"):
@@ -2853,14 +2877,32 @@ def read_manifest_table_changes(
     # sidecar schemas by name (footer-read cost only — sidecars are
     # change-row-sized).
     if sidecar_steps:
-        # a sidecar's schema is its commit's table schema + change_type,
-        # so the recorded schemas (already in hand) decide whether the
-        # mergeSchema footer pass is needed at all — identical schemas
-        # across the walked sidecar commits (the common case) read off
-        # the first footer and skip one whole pass over the sidecar
-        # files (part of the shallow-walk fixed overhead)
+        # sidecars written since r19 record their OWN schema fingerprint
+        # in the cdf ref (``schema_fp``) — identical fingerprints across
+        # the walked sidecar commits (the common case) read off the
+        # first footer and skip one whole mergeSchema pass over the
+        # sidecar files (part of the shallow-walk fixed overhead).
+        # Comparing the commits' recorded TABLE schemas instead is
+        # unsound (r18 advice): REPLACE/RESTORE sidecars union the old
+        # AND new table schemas while the commit records only the
+        # target one, so a schema-narrowing replace could collapse the
+        # set to 1, skip mergeSchema, and silently NULL the wider
+        # sidecar's preimage columns. Legacy refs without a fingerprint
+        # fall back to the recorded schema ONLY for ops whose sidecar
+        # schema provably equals it; replace/restore-class legacy refs
+        # get a per-version sentinel, forcing the merge pass.
+        def _sc_key(v: int):
+            ref = metas[v].get("cdf") or {}
+            fp = ref.get("schema_fp")
+            if fp:
+                return fp
+            op = str(metas[v].get("operation") or "commit")
+            if op in ("REPLACE", "RESTORE", "REPLACE_WHERE"):
+                return f"__legacy_wide_v{v}"
+            return metas[v].get("schema")
+
         reader = spark.read
-        if len({metas[v].get("schema") for v, _ in sidecar_steps}) > 1:
+        if len({_sc_key(v) for v, _ in sidecar_steps}) > 1:
             reader = reader.option("mergeSchema", "true")
         sdf = (
             reader.parquet(
@@ -3325,21 +3367,40 @@ def _change_rows(
 _CDF_ROWS_PER_FILE = 1 << 20
 
 
+def _cdf_schema_fp(df: DataFrame) -> str:
+    """Order-insensitive fingerprint of a change-row frame's column
+    set + types. Recorded in the ``cdf`` ref at write time so the walk
+    (``read_manifest_table_changes``) decides its mergeSchema pass from
+    the sidecars' OWN schemas — comparing the commits' recorded table
+    schemas instead is unsound for REPLACE/RESTORE sidecars, which
+    union the old AND new table schemas while the commit records only
+    the target one (r18 advice: a schema-narrowing replace plus any
+    same-recorded-schema sidecar commit made the set size 1, skipped
+    mergeSchema, and silently NULLed the wider sidecar's preimage
+    columns)."""
+    import hashlib
+
+    pairs = sorted(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )
+    return hashlib.sha256(_json.dumps(pairs).encode()).hexdigest()[:16]
+
+
 def _write_cdf_sidecar(
     spark: SparkSession, root: str, changes: DataFrame
 ) -> dict:
     """Persist a commit's change rows as its ``cdf-`` sidecar and
-    return the version-scoped ref ``{"sidecar", "rows"}`` (sidecar
-    None when the commit changed nothing — e.g. a merge restating
-    identical values). Changed-rows-sized by contract, written in ONE
-    streaming pass: ``maxRecordsPerFile`` caps part sizes so a
-    table-scale change set never funnels through a ``coalesce(1)``
-    straggler NOR gets pinned whole in block storage (the r17 review
-    killed an intermediate localCheckpoint design for exactly that
-    double-materialization), while AQE partition coalescing keeps a
-    micro-commit's join-origin change set at one small file. The row
-    count reads back parquet FOOTERS only (metadata-sized); an empty
-    write is deleted."""
+    return the version-scoped ref ``{"sidecar", "rows", "schema_fp"}``
+    (sidecar None when the commit changed nothing — e.g. a merge
+    restating identical values). Changed-rows-sized by contract,
+    written in ONE streaming pass: ``maxRecordsPerFile`` caps part
+    sizes so a table-scale change set never funnels through a
+    ``coalesce(1)`` straggler NOR gets pinned whole in block storage
+    (the r17 review killed an intermediate localCheckpoint design for
+    exactly that double-materialization), while AQE partition
+    coalescing keeps a micro-commit's join-origin change set at one
+    small file. The row count reads back parquet FOOTERS only
+    (metadata-sized); an empty write is deleted."""
     sidecar = f"cdf-{uuid.uuid4().hex}"
     (
         changes.write.mode("overwrite")
@@ -3350,7 +3411,11 @@ def _write_cdf_sidecar(
     if n == 0:
         _HadoopFS(spark, root).delete(f"{_stats_dir(root)}/{sidecar}")
         return {"sidecar": None, "rows": 0}
-    return {"sidecar": sidecar, "rows": int(n)}
+    return {
+        "sidecar": sidecar,
+        "rows": int(n),
+        "schema_fp": _cdf_schema_fp(changes),
+    }
 
 
 def _record_cdf_sidecar(

@@ -291,6 +291,46 @@ def test_replace_and_restore_record_sidecars(spark, tmp_path):
     assert dst_rows == src_rows and len(src_rows) == 15
 
 
+def test_narrowing_replace_keeps_wide_sidecar_columns(spark, tmp_path):
+    """r18 advice (mergeSchema-skip unsoundness): a schema-NARROWING
+    REPLACE writes a sidecar that unions the old (wide) and new
+    (narrow) schemas, while the commit records only the narrow one.
+    If a later sidecar commit records the SAME narrow table schema,
+    a table-schema-keyed mergeSchema skip would read both sidecar
+    dirs through one arbitrary footer and could silently NULL the
+    wide sidecar's extra column in the replace's preimages. The cdf
+    ref now fingerprints the sidecar's OWN schema, so the walk merges
+    exactly when the actual sidecar schemas differ."""
+    root = str(tmp_path / "t")
+    wide = _df(spark, 0, 6).withColumn("extra", F.col("k") * 100)
+    publish_files(spark, wide, root)                                 # v1
+    enable_change_feed(spark, root)                                  # v2
+    # narrowing REPLACE: sidecar = deletes (wide) ∪ inserts (narrow)
+    publish_files(spark, _df(spark, 10, 13), root)                   # v3
+    # second sidecar commit whose RECORDED schema equals v3's narrow
+    # one — pre-fix this collapsed the schema-key set to 1
+    publish_files(spark, _df(spark, 20, 23, x_add=1.0), root)        # v4
+
+    feed = read_manifest_table_changes(spark, root, v_from=2)
+    assert "extra" in feed.columns
+    dels = feed.filter(
+        (F.col("commit_version") == 3)
+        & (F.col("change_type") == "delete")
+    )
+    got = {(r["k"], r["extra"]) for r in dels.select("k", "extra").collect()}
+    assert got == {(k, k * 100) for k in range(6)}
+    # schema_fp rides the ref; same-schema sidecars share one fp
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        _resolve_manifest,
+    )
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    fs = _HadoopFS(spark, root)
+    fp3 = _resolve_manifest(fs, root, 3)[1]["cdf"]["schema_fp"]
+    fp4 = _resolve_manifest(fs, root, 4)[1]["cdf"]["schema_fp"]
+    assert fp3 and fp4 and fp3 != fp4  # wide-union vs narrow-only
+
+
 def test_restore_across_dv_emits_both_sides_of_changed_files(
     spark, tmp_path
 ):
@@ -415,7 +455,10 @@ def test_deep_history_walk_batches_scans(spark, tmp_path):
     # pre-r18.
     plan = feed._jdf.queryExecution().analyzed().toString()
     assert plan.count("Relation") <= 12, plan.count("Relation")
-    assert build_s < 20.0, build_s  # loose canary; pre-r18 this grew
+    # Plan-relation count above is the real O(1)-shape receipt; the
+    # wall-clock canary stays only as a very loose backstop (r18 advice:
+    # a tight bound flakes on loaded CI hosts).
+    assert build_s < 120.0, build_s
     per_version = {
         r["commit_version"]: r["n"]
         for r in feed.groupBy("commit_version").agg(
