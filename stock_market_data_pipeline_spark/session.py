@@ -38,6 +38,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Write timestamps as INT64 micros, not Spark's legacy INT96: INT96
+    # carries no usable parquet statistics, which (a) defeats row-group
+    # min/max pruning on every timestamp predicate a reader pushes down
+    # and (b) blocks the manifest sinks' footer-harvested stats sidecars
+    # (guide §6 — predicate pushdown needs stats the writer actually
+    # records). Micros is also the parquet ecosystem's interchange type.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Timestamps in the synthetic lake are naive; keep NTZ inference so
     # Spark and the DuckDB oracle agree on wall-clock values.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "true",

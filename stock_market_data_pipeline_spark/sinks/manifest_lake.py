@@ -427,22 +427,247 @@ def _decode_stat(dtype: str, s: str | None):
     return s
 
 
+# Spark simpleString dtypes whose parquet FOOTER statistics this build
+# can harvest with bounds exactly as valid as the scan-based aggregate:
+# numerics render through str()/float() (consumers parse, never compare
+# representations), date/timestamp render ISO exactly like Spark's
+# string cast, strings apply the same 32-char truncation rules, and
+# booleans render Spark-cast lowercase. Decimals (pyarrow cannot extract
+# their stats), binary and nested types fall back to the scan.
+_FOOTER_STAT_DTYPES = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz", "string", "boolean",
+}
+# At or below this many staged files the footers are read on the driver
+# (zero Spark jobs — a tiny thread pool over metadata-sized reads);
+# above it one executor-parallel job reads them so a 10k-file backfill
+# commit never serializes footer IO through the driver.
+_FOOTER_STATS_DRIVER_MAX = 64
+
+
+def _footer_stat_render(dtype: str, v, is_max: bool) -> str | None:
+    """Render one parquet-footer stat value exactly the way the
+    scan-based sidecar's Spark string cast does, with the same string
+    truncation/bound-validity rules as ``_write_stats_sidecar``."""
+    import datetime as _dt
+    import math as _math
+
+    if v is None:
+        return None
+    if dtype == "boolean":
+        return "true" if v else "false"
+    if dtype in ("float", "double"):
+        f = float(v)
+        if _math.isnan(f):  # a NaN bound must never prune (kind-matched
+            return None     # NaN comparisons are all False anyway)
+        return repr(f)
+    if dtype in ("tinyint", "smallint", "int", "bigint"):
+        return str(int(v))
+    if dtype == "date":
+        return v.isoformat()
+    if dtype in ("timestamp", "timestamp_ntz"):
+        if v.tzinfo is not None:
+            # session timezone is pinned UTC (session.get_spark); render
+            # the aware stat in UTC like Spark's string cast would
+            v = v.astimezone(_dt.timezone.utc)
+        s = f"{v:%Y-%m-%d %H:%M:%S}"
+        if v.microsecond:
+            s += "." + f"{v.microsecond:06d}".rstrip("0")
+        return s
+    # string: same truncation as the Spark-side expressions — min is a
+    # plain 32-char prefix (always a valid lower bound); max keeps a
+    # valid upper bound by incrementing the prefix's last char when it
+    # is plain ASCII, else NULL ("unbounded above")
+    if len(v) <= _STRING_STAT_LEN:
+        return v
+    if not is_max:
+        return v[:_STRING_STAT_LEN]
+    last = ord(v[_STRING_STAT_LEN - 1])
+    if 0 <= last < 127:
+        return v[: _STRING_STAT_LEN - 1] + chr(last + 1)
+    return None
+
+
+def _footer_stats_for_file(
+    path: str, stats_cols: list[str], dtypes: dict[str, str]
+) -> list[dict]:
+    """(file, col, dtype, vmin, vmax, nulls) rows for ONE parquet file,
+    from its footer only. Raises if any needed statistic is absent or
+    unusable — the caller falls back to the scan-based aggregate, so a
+    raise here degrades cost, never correctness."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    base = path.rsplit("/", 1)[-1]
+    out: list[dict] = []
+    for c in stats_cols:
+        ci = names.index(c)  # raises ValueError when absent -> fallback
+        vmin = vmax = None
+        nulls = 0
+        have_bounds = True
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            if st is None or not st.has_null_count:
+                raise ValueError(f"no usable stats for {c} in {base}")
+            nulls += int(st.null_count)
+            n_vals = rg.num_rows - int(st.null_count)
+            if n_vals <= 0:
+                continue  # all-null group: bounds unaffected
+            if not st.has_min_max:
+                # non-null values with no recorded bounds (e.g. NaN-only
+                # float groups): the file's bounds degrade to NULL —
+                # valid ("unbounded"), never prunes
+                have_bounds = False
+                continue
+            gmin, gmax = st.min, st.max
+            vmin = gmin if vmin is None or gmin < vmin else vmin
+            vmax = gmax if vmax is None or gmax > vmax else vmax
+        if not have_bounds:
+            vmin = vmax = None
+        dt = dtypes[c]
+        out.append(
+            {
+                "file": base,
+                "col": c,
+                "dtype": dt,
+                "vmin": _footer_stat_render(dt, vmin, is_max=False),
+                "vmax": _footer_stat_render(dt, vmax, is_max=True),
+                "nulls": int(nulls),
+            }
+        )
+    return out
+
+
+_SIDECAR_SCHEMA = (
+    "file string, col string, dtype string, vmin string, vmax string, "
+    "nulls long"
+)
+
+
+def _write_stats_sidecar_footers(
+    spark: SparkSession,
+    root: str,
+    final_paths: list[str],
+    stats_cols: list[str],
+    dtypes: dict[str, str],
+) -> str | None:
+    """Harvest the per-file stats from the freshly written parquet
+    FOOTERS — O(footer bytes), never re-reading the commit's data — and
+    persist the sidecar. Small commits read footers on the driver
+    (zero Spark jobs) and write the metadata-sized sidecar directly via
+    pyarrow; large commits read them in ONE executor-parallel job.
+    Returns None when any footer lacks a usable statistic (the caller
+    then falls back to the scan-based aggregate) or when the root is
+    not locally addressable (object stores keep the scan path until the
+    fsspec swap documented on the streaming source)."""
+    try:
+        stats_local = _local_path(_stats_dir(root))
+    except ValueError:
+        return None
+    name = f"st-{uuid.uuid4().hex}"
+    if len(final_paths) <= _FOOTER_STATS_DRIVER_MAX:
+        from concurrent.futures import ThreadPoolExecutor
+
+        try:
+            locals_ = [_local_path(p) for p in final_paths]
+            with ThreadPoolExecutor(
+                max_workers=min(16, len(locals_))
+            ) as pool:
+                rows = [
+                    r
+                    for part in pool.map(
+                        lambda p: _footer_stats_for_file(
+                            p, stats_cols, dtypes
+                        ),
+                        locals_,
+                    )
+                    for r in part
+                ]
+        except Exception:  # noqa: BLE001 — degrade to the scan path
+            return None
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("file", pa.string()),
+                    ("col", pa.string()),
+                    ("dtype", pa.string()),
+                    ("vmin", pa.string()),
+                    ("vmax", pa.string()),
+                    ("nulls", pa.int64()),
+                ]
+            ),
+        )
+        _os.makedirs(f"{stats_local}/{name}", exist_ok=True)
+        pq.write_table(tbl, f"{stats_local}/{name}/part-00000.parquet")
+        return name
+    # large commit: one executor-parallel footer job (still no data read)
+    sc_cols, sc_dtypes = list(stats_cols), dict(dtypes)
+
+    def _read_footers(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            rows: list[dict] = []
+            for p in pdf["path"]:
+                rows.extend(
+                    _footer_stats_for_file(str(p), sc_cols, sc_dtypes)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "col", "dtype", "vmin", "vmax", "nulls"],
+            )
+
+    try:
+        paths_local = [(_local_path(p),) for p in final_paths]
+        n_slices = min(len(paths_local), spark.sparkContext.defaultParallelism)
+        (
+            spark.createDataFrame(paths_local, "path string")
+            .repartition(n_slices)
+            .mapInPandas(_read_footers, _SIDECAR_SCHEMA)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{_stats_dir(root)}/{name}")
+        )
+    except Exception:  # noqa: BLE001 — degrade to the scan path
+        return None
+    return name
+
+
 def _write_stats_sidecar(
     spark: SparkSession,
     root: str,
     fmt: str,
     final_paths: list[str],
     stats_cols: list[str],
+    dtypes: dict[str, str] | None = None,
 ) -> str | None:
-    """ONE distributed aggregate over the freshly moved data files ->
-    parquet sidecar of (file, col, dtype, vmin, vmax, nulls) rows. Runs
-    AFTER the rename to unique names, so the grouping key (basename) can
-    never collide — Spark's dynamic-partition writes give files in
-    different partition dirs identical basenames, which is exactly the
-    round-8 stats-mixup the advisor flagged. Nothing is collected to the
-    driver: stats rows go straight from executors to the sidecar (the
-    coalesce(1) is a documented metadata-sized write — files x cols
-    rows).
+    """Per-file (file, col, dtype, vmin, vmax, nulls) stats -> parquet
+    sidecar. Runs AFTER the rename to unique names, so the grouping key
+    (basename) can never collide — Spark's dynamic-partition writes give
+    files in different partition dirs identical basenames, which is
+    exactly the round-8 stats-mixup the advisor flagged.
+
+    Parquet commits with footer-expressible stats columns harvest the
+    values from the freshly written FOOTERS (r19, guide §6): the parquet
+    writer already computed the min/max/null-count per row group, so
+    re-scanning the commit's own data to recompute them paid O(commit
+    bytes) of read amplification on EVERY write — at 100 TB-scale
+    ingest that is a full second read of everything written. The
+    harvested bounds are exactly as valid as the scanned ones
+    (row-group mins/maxes aggregate conservatively; NaN and stat-less
+    groups degrade to NULL = "unbounded", which never prunes). CSV
+    commits, decimal/binary/nested stats columns and non-local schemes
+    keep the ONE distributed aggregate over the moved files (nothing
+    collected to the driver; the coalesce(1) is a documented
+    metadata-sized write — files x cols rows).
 
     STRING stats are TRUNCATED to a ``_STRING_STAT_LEN``-char (32)
     prefix (r18, Delta's convention): declaring ``stats_cols`` on a
@@ -458,6 +683,18 @@ def _write_stats_sidecar(
     and a NULL bound never skips a file."""
     if not stats_cols or not final_paths:
         return None
+    if dtypes is not None:
+        missing = [c for c in stats_cols if c not in dtypes]
+        if missing:
+            raise ValueError(f"stats_cols not in data schema: {missing}")
+        if fmt == "parquet" and all(
+            dtypes[c] in _FOOTER_STAT_DTYPES for c in stats_cols
+        ):
+            name = _write_stats_sidecar_footers(
+                spark, root, final_paths, stats_cols, dtypes
+            )
+            if name is not None:
+                return name
     loaded = spark.read.format(fmt).load(final_paths)
     dtypes = {f.name: f.dataType.simpleString() for f in loaded.schema.fields}
     missing = [c for c in stats_cols if c not in dtypes]
@@ -701,7 +938,8 @@ def _stage_files(
         entries.append({"name": new_name, "bytes": sz})
     fs.delete(stage)
     sidecar = _write_stats_sidecar(
-        spark, root, fmt, final_paths, stats_cols or []
+        spark, root, fmt, final_paths, stats_cols or [],
+        dtypes={f.name: f.dataType.simpleString() for f in df.schema.fields},
     )
     if sidecar:
         for e in entries:
@@ -4218,7 +4456,8 @@ def _stage_bucketed(
         entries.append({"name": new_name, "bytes": sz, "bucket": bucket})
     fs.delete(stage)
     sidecar = _write_stats_sidecar(
-        spark, root, fmt, final_paths, stats_cols or []
+        spark, root, fmt, final_paths, stats_cols or [],
+        dtypes={f.name: f.dataType.simpleString() for f in df.schema.fields},
     )
     if sidecar:
         for e in entries:

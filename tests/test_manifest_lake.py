@@ -2786,6 +2786,87 @@ def test_compact_zorder_refuses_string_dimension(spark, tmp_path):
     assert out["compacted"] == 6
 
 
+def test_footer_stats_match_scan_stats(spark, tmp_path):
+    """r19 optimization: parquet commits harvest per-file stats from
+    the freshly written FOOTERS instead of re-scanning the commit's own
+    data (O(footer) vs O(commit bytes) read amplification). The
+    harvested sidecar must carry value-identical bounds and null counts
+    to the scan-based aggregate for every footer-expressible dtype —
+    numerics, date, timestamp (micros), strings incl. the 32-char
+    truncation rules — and unsupported dtypes (decimal) must fall back
+    to the scan, not degrade."""
+    import datetime as dt
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    rows = [
+        (1, 1.5, "alpha", dt.date(2024, 3, 5),
+         dt.datetime(2024, 3, 5, 12, 34, 56, 123456), None),
+        (2, float("nan"), "z" * 200, dt.date(2025, 12, 31),
+         dt.datetime(2025, 1, 1, 0, 0, 0), 7),
+    ]
+    schema = (
+        "k long, x double, s string, d date, ts timestamp, n int"
+    )
+    cols = ["k", "x", "s", "d", "ts", "n"]
+    df = spark.createDataFrame(rows, schema).repartition(1)
+
+    # footer-harvested sidecar (the default parquet path)
+    root_f = str(tmp_path / "footer")
+    calls = {"n": 0}
+    orig = ML._write_stats_sidecar_footers
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        if r is not None:
+            calls["n"] += 1
+        return r
+
+    ML._write_stats_sidecar_footers = spy
+    try:
+        ML.publish_files(spark, df, root_f, stats_cols=cols)
+        # scan-based sidecar (footer path disabled)
+        ML._write_stats_sidecar_footers = lambda *a, **kw: None
+        root_s = str(tmp_path / "scan")
+        ML.publish_files(spark, df, root_s, stats_cols=cols)
+    finally:
+        ML._write_stats_sidecar_footers = orig
+    assert calls["n"] == 1  # the footer path actually engaged
+
+    def one(root):
+        fs = _HadoopFS(spark, root)
+        _, meta = ML._resolve_manifest(fs, root)
+        (st,) = ML._load_stats(spark, root, meta["files"]).values()
+        return st
+
+    sf, ss = one(root_f), one(root_s)
+    assert sf["nulls"] == ss["nulls"] == {c: (1 if c == "n" else 0)
+                                          for c in cols}
+    for c in ("k", "s", "d", "ts", "n"):
+        assert sf["stats"][c] == ss["stats"][c], (c, sf["stats"][c],
+                                                  ss["stats"][c])
+    # the NaN column: both paths must yield bounds that never prune a
+    # NaN row — footer harvest degrades to NULL ("unbounded"), the scan
+    # records Spark's NaN-as-max; _stat_key excludes NaN either way
+    fmin, fmax = sf["stats"]["x"]
+    assert fmin is None or fmin <= 1.5
+    import math
+
+    smin, smax = ss["stats"]["x"]
+    assert smin == 1.5 and math.isnan(smax)
+
+    # decimal stats col: pyarrow can't extract footer stats — the
+    # publish must still succeed via the scan fallback
+    root_d = str(tmp_path / "dec")
+    ddf = spark.createDataFrame(
+        [(1, "12.34"), (2, "99.99")], "k long, v string"
+    ).selectExpr("k", "CAST(v AS DECIMAL(10,2)) AS v").repartition(1)
+    ML.publish_files(spark, ddf, root_d, stats_cols=["v"])
+    (std,) = one(root_d),
+    assert std["stats"]["v"] == ["12.34", "99.99"]
+
+
 def test_string_stats_truncate_with_valid_bounds(spark, tmp_path):
     """r18 (Delta's 32-char convention): stats_cols on a corpus text
     column stays metadata-sized — vmin truncates to a 32-char prefix
