@@ -38,6 +38,62 @@ EXCLUDED: dict[str, str] = {}
 HEADLINE = sorted(QUERIES)
 
 
+def _warm_runtime_paths(spark) -> None:
+    """One tiny pass through each heavyweight runtime path on synthetic
+    tempdir data: a manifest publish/merge lifecycle, one Python-
+    datasource availableNow stream, and one pandas-UDF job (spawns the
+    Arrow worker pool). Everything lands in a tempdir that is deleted
+    before timing starts."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        merge_upsert_manifest,
+        publish_files,
+    )
+    from stock_market_data_pipeline_spark.streaming.manifest_source import (
+        ManifestStreamDataSource,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="smdp_bench_warm_")
+    try:
+        df = spark.range(100).withColumn("v", F.col("id") * 2)
+        root = f"{tmp}/t"
+        publish_files(spark, df, root, stats_cols=["id"])
+        merge_upsert_manifest(
+            spark, df.withColumn("seq", F.lit(0)), root,
+            keys=["id"], order_col="seq", n_buckets=4,
+        )
+        spark.dataSource.register(ManifestStreamDataSource)
+        q = (
+            spark.readStream.format("manifest_stream")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        def _ident(it):
+            for pdf in it:
+                yield pdf
+
+        (
+            spark.range(1000)
+            .mapInPandas(_ident, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(
         app_name="smdp-bench",
@@ -51,6 +107,22 @@ def main() -> None:
     try:
         QUERIES[warm](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001 — warm-up failure is re-reported below
+        pass
+    # r19 measurement fix (guide §1: time the computation, not runtime
+    # bring-up): the sweep runs alphabetically, so whichever queries
+    # happen to sort first also paid one-time SESSION costs the others
+    # never see — JIT/codegen of the write paths, the Python-datasource
+    # streaming runner spawn (measured 18.4 s for the first
+    # manifest_stream lifecycle vs 3.6 s steady) and the pandas/Arrow
+    # executor worker pool import storm (ann_recall recorded 95.8 s in
+    # the r19 baseline sweep vs 15.3 s on its own rerun). Exercise each
+    # runtime path ONCE on tiny synthetic tempdir data before timing
+    # starts. Nothing derived from SF_DIR is computed or cached here —
+    # per-query methodology (noop sink, one timed run, rerun guard) is
+    # unchanged; see OPTIMIZATION_r19.md.
+    try:
+        _warm_runtime_paths(spark)
+    except Exception:  # noqa: BLE001 — a warm-up failure must not kill the sweep
         pass
 
     # One broken query must not erase the other timings (round-3 lesson:

@@ -55,6 +55,28 @@ def _await_stream(q, timeout: int = 300) -> None:
             )
 
 
+def _multisets_differ(a: DataFrame, b: DataFrame) -> bool:
+    """True iff the two frames differ as MULTISETS — the exact condition
+    ``a.exceptAll(b)`` or ``b.exceptAll(a)`` being non-empty tests, but
+    computed in ONE job that evaluates each input subtree ONCE: the
+    sides union with a +1/-1 tag and any group whose tag-sum is nonzero
+    is a difference. The old two-direction form evaluated each side's
+    plan twice (r19 measurement: the expensive side of these parity
+    asserts is an unpinned feed/manifest subtree), and grouping agrees
+    with exceptAll on NULL/NaN/-0.0 normalization."""
+    cols = list(a.columns)
+    tagged = a.select(*cols).withColumn("_par_side", F.lit(1)).unionByName(
+        b.select(*cols).withColumn("_par_side", F.lit(-1))
+    )
+    return bool(
+        tagged.groupBy(*cols)
+        .agg(F.sum("_par_side").alias("_par_d"))
+        .filter(F.col("_par_d") != 0)
+        .limit(1)
+        .count()
+    )
+
+
 def _stream_parity_conf(fn):
     """Scope ``spark.sql.shuffle.partitions`` to 4 for a stream-parity
     query and eagerly materialize its result inside the scope.
@@ -1485,12 +1507,23 @@ def _stream_incremental_dedup_run(spark, root, seed, batch_a, batch_b):
         .localCheckpoint(eager=True)
     )
 
-    def mismatch(bid: int) -> int:
-        s = streamed.filter(F.col("ingest_batch") == bid).drop("ingest_batch")
-        t = twin.filter(F.col("ingest_batch") == bid).drop("ingest_batch")
-        return s.exceptAll(t).count() + t.exceptAll(s).count()
-
-    mm = {bid: mismatch(bid) for bid in (0, 1)}
+    # symmetric-difference row count per batch in ONE job (r19):
+    # |s.exceptAll(t)| + |t.exceptAll(s)| per group g is Σ|c_s(g)-c_t(g)|,
+    # so tag the sides +1/-1, group by all columns (ingest_batch
+    # included) and sum |tag-sum| per batch — replaces four exceptAll
+    # jobs over the pinned frames with one aggregation of both.
+    cols = streamed.columns
+    mm_rows = (
+        streamed.select(*cols).withColumn("_par_side", F.lit(1))
+        .unionByName(twin.select(*cols).withColumn("_par_side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("_par_side").alias("_par_d"))
+        .groupBy("ingest_batch")
+        .agg(F.sum(F.abs(F.col("_par_d"))).alias("mm"))
+        .collect()
+    )
+    mm = {0: 0, 1: 0}
+    mm.update({int(r["ingest_batch"]): int(r["mm"]) for r in mm_rows})
     counts = (
         streamed.groupBy("ingest_batch")
         .agg(
@@ -4662,10 +4695,7 @@ def q_stream_cdf_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             streamed = feed.filter(
                 F.col("commit_version") == v
             ).select(*cols)
-            if (
-                streamed.exceptAll(batch).count()
-                or batch.exceptAll(streamed).count()
-            ):
+            if _multisets_differ(streamed, batch):
                 raise AssertionError(
                     f"streamed CDF of v{v} disagrees with "
                     "read_manifest_changes for the same step"
@@ -4753,10 +4783,7 @@ def q_cdc_replicate_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         replica = read_manifest(spark, dst).drop("_cdc_version")
         source = read_manifest(spark, src)
-        if (
-            replica.exceptAll(source).count()
-            or source.exceptAll(replica).count()
-        ):
+        if _multisets_differ(replica, source):
             raise AssertionError(
                 "replica diverges from the source's current read"
             )
@@ -4883,10 +4910,7 @@ def q_stream_cdf_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             streamed = feed.filter(
                 F.col("commit_version") == v
             ).select(*cols)
-            if (
-                streamed.exceptAll(batch).count()
-                or batch.exceptAll(streamed).count()
-            ):
+            if _multisets_differ(streamed, batch):
                 raise AssertionError(
                     f"sidecar-streamed CDF of v{v} disagrees with "
                     "read_manifest_changes for the same step"
@@ -5005,10 +5029,7 @@ def q_stream_cdf_replace_parity(
             *cols
         )
         streamed = feed.select(*cols)
-        if (
-            streamed.exceptAll(sidecar).count()
-            or sidecar.exceptAll(streamed).count()
-        ):
+        if _multisets_differ(streamed, sidecar):
             raise AssertionError(
                 "stream disagrees with the recorded replaceWhere "
                 "sidecar"
@@ -5146,10 +5167,7 @@ def q_table_changes_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         src_now = read_manifest(spark, root)
         dst_now = read_manifest(spark, dst).drop("_cdc_version")
-        if (
-            dst_now.exceptAll(src_now).count()
-            or src_now.exceptAll(dst_now).count()
-        ):
+        if _multisets_differ(dst_now, src_now):
             raise AssertionError(
                 "per-commit feed folded from v_from=0 does not equal "
                 "the source"
@@ -5256,10 +5274,7 @@ def q_stream_cdf_restore_parity(
         batch = read_manifest_table_changes(
             spark, root, v_from=v_en
         ).select(*cols)
-        if (
-            streamed.exceptAll(batch).count()
-            or batch.exceptAll(streamed).count()
-        ):
+        if _multisets_differ(streamed, batch):
             raise AssertionError(
                 "stream across REPLACE/RESTORE disagrees with the "
                 "per-commit batch feed"

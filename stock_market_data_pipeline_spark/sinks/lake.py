@@ -296,6 +296,12 @@ class _HadoopFS:
         self._conf = spark._jsc.hadoopConfiguration()
         self._jpath = self._jvm.org.apache.hadoop.fs.Path(path)
         self.fs = self._jpath.getFileSystem(self._conf)
+        # cached once: the local fast paths below (rename,
+        # list_data_files) must only treat scheme-less paths as local
+        # when the resolved filesystem actually IS the local one — on a
+        # cluster whose defaultFS is HDFS a bare "/data/..." path
+        # belongs to HDFS, not the driver's disk
+        self._is_local = str(self.fs.getScheme()) == "file"
 
     def path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -319,6 +325,26 @@ class _HadoopFS:
         return int(self.fs.getFileStatus(self.path(p)).getModificationTime())
 
     def rename(self, src: str, dst: str) -> None:
+        # Local fast path (r19): staging moves rename every part file
+        # through one py4j round-trip each (~2 ms × files per commit).
+        # os.rename only when BOTH paths are plainly local and dst does
+        # not exist — Hadoop's into-existing-dir semantics differ from
+        # POSIX, so anything else keeps the JVM call.
+        import os as _os
+        import re as _re
+
+        if (
+            self._is_local
+            and not _re.match(r"^[a-z][a-z0-9+.-]*://", src)
+            and not _re.match(r"^[a-z][a-z0-9+.-]*://", dst)
+            and not _os.path.lexists(dst)
+            and _os.path.lexists(src)
+        ):
+            try:
+                _os.rename(src, dst)
+                return
+            except OSError:
+                pass  # cross-device / racing layout: JVM path decides
         # Hadoop rename reports failure via a False return, not an exception.
         if not self.fs.rename(self.path(src), self.path(dst)):
             raise IOError(f"rename {src} -> {dst} failed")
@@ -412,7 +438,35 @@ class _HadoopFS:
         checkpoints). Paths come back scheme-stripped (URI path component)
         so callers can do relative-path math; works identically on
         file://, hdfs:// and s3a:// — this is what lets the orchestration
-        sensors see object stores (round-6 verdict)."""
+        sensors see object stores (round-6 verdict).
+
+        Locally addressable paths list via ``os`` directly (r19: the
+        Hadoop RemoteIterator costs ~8 py4j round-trips PER FILE, ~0.2 s
+        per staging pass at 32 files — pure driver overhead that every
+        manifest commit paid); remote schemes keep the Hadoop walk."""
+        import os as _os
+        import re as _re
+
+        if (
+            self._is_local and not _re.match(r"^[a-z][a-z0-9+.-]*://", p)
+        ) or p.startswith("file:"):
+            local = p[len("file://"):] if p.startswith("file://") else (
+                p[len("file:"):] if p.startswith("file:") else p
+            )
+            if not _os.path.exists(local):
+                return []
+            out_l: list[tuple[str, int]] = []
+            for dirpath, dirnames, files in _os.walk(local):
+                # the _/. skip applies to FILE basenames only, exactly
+                # like the Hadoop listFiles walk below — directories
+                # named __mf_bucket=N etc. must still be descended
+                dirnames.sort()
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
+                    fp = _os.path.join(dirpath, f)
+                    out_l.append((fp, _os.path.getsize(fp)))
+            return out_l
         jp = self.path(p)
         if not self.fs.exists(jp):
             return []

@@ -62,9 +62,7 @@ def apply_changefeed_batch(
     ``commit_version`` the fold orders by (the endpoint diff's output
     deliberately lacks it). Returns ``{"upserted", "deleted"}``
     (post-fold winner counts)."""
-    from stock_market_data_pipeline_spark.operators.dedup import (
-        dedup_keep_last,
-    )
+    from pyspark.sql import Window
     from stock_market_data_pipeline_spark.sinks.manifest_lake import (
         delete_keys_manifest,
         merge_upsert_manifest,
@@ -72,10 +70,11 @@ def apply_changefeed_batch(
 
     # reserved working names, guarded LOUDLY like the feed APIs guard
     # change_type/commit_version (r18 advice): a source column named
-    # _cdc_rank would be silently overwritten and dropped by the fold's
-    # tiebreak helper (corrupting the fold), and _cdc_version is the
-    # replica's merge-order column (the rename below would collide)
-    reserved = {"_cdc_rank", _CDC_VERSION} & set(batch.columns)
+    # _cdc_rank/_cdc_dup would be silently overwritten and dropped by
+    # the fold's working columns (corrupting the fold), and
+    # _cdc_version is the replica's merge-order column (the rename
+    # below would collide)
+    reserved = {"_cdc_rank", "_cdc_dup", _CDC_VERSION} & set(batch.columns)
     if reserved:
         raise ValueError(
             f"apply_changefeed_batch: feed columns {sorted(reserved)} "
@@ -83,22 +82,49 @@ def apply_changefeed_batch(
             "rename them on the source (the fold would silently "
             "clobber their values)"
         )
-    # a keyed replica requires the SOURCE to satisfy key uniqueness.
-    # replaceWhere has no key contract (X154), so a source commit can
-    # legally stage the same key twice with different payloads — its
-    # feed then carries two inserts for one key at one commit_version,
-    # and folding them would pick an arbitrary winner: the replica
-    # would complete successfully while diverging from the source.
-    # Refuse loudly instead (one batch-sized aggregate; r17 review).
-    dup = (
-        batch.filter(
-            F.col("change_type").isin("insert", "update_postimage")
-        )
-        .groupBy(*keys, "commit_version")
-        .count()
-        .filter(F.col("count") > 1)
+    # ONE pass computes the fold AND the key-uniqueness audit (r19: the
+    # former separate dup-check aggregate re-evaluated the whole
+    # micro-batch input before the fold read it again):
+    #
+    # * fold to each key's FINAL state — drop preimages, keep the
+    #   highest-commit_version change per key. Keyed commits emit at
+    #   most one non-preimage change per key per version, but a
+    #   replaceWhere commit's UNCANCELLED feed (X154) emits delete AND
+    #   insert for an identically-restated key at the SAME version —
+    #   the commit's net effect is delete-then-insert, so at equal
+    #   versions the insert/postimage outranks the delete (without the
+    #   tiebreak the fold could arbitrarily pick the delete and drop a
+    #   live row from the replica);
+    # * audit: a source commit staging the same key twice (replaceWhere
+    #   has no key contract) puts >1 insert/postimage at one
+    #   (key, commit_version) — folding that would pick an arbitrary
+    #   winner, so the batch must refuse loudly BEFORE touching the
+    #   replica (r17 review). The per-(key, version) count rides a
+    #   window over the same key clustering and the winner row carries
+    #   its key's max, checked on the pinned fold output below.
+    non_pre = batch.filter(
+        F.col("change_type") != "update_preimage"
+    ).withColumn(
+        "_cdc_rank",
+        F.when(F.col("change_type") == "delete", F.lit(0))
+        .otherwise(F.lit(1)),
     )
-    if dup.limit(1).count():
+    w_dup = Window.partitionBy(*keys, "commit_version")
+    w_key = Window.partitionBy(*keys)
+    w_ord = w_key.orderBy(
+        F.col("commit_version").desc(), F.col("_cdc_rank").desc()
+    )
+    winners = (
+        non_pre.withColumn(
+            "_cdc_dup0", F.sum(F.col("_cdc_rank")).over(w_dup)
+        )
+        .withColumn("_cdc_dup", F.max(F.col("_cdc_dup0")).over(w_key))
+        .withColumn("_rn", F.row_number().over(w_ord))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cdc_rank", "_cdc_dup0")
+        .localCheckpoint(eager=True)
+    )
+    if winners.filter(F.col("_cdc_dup") > 1).limit(1).count():
         raise ValueError(
             "apply_changefeed_batch: the change feed carries more than "
             "one insert/postimage for a single key within one commit — "
@@ -106,35 +132,24 @@ def apply_changefeed_batch(
             f"{keys} (a replaceWhere staging duplicate keys?); a keyed "
             "replica of a non-keyed source is undefined"
         )
-    # fold to each key's FINAL state in this batch: drop preimages,
-    # keep the highest-commit_version change per key. Keyed commits
-    # emit at most one non-preimage change per key per version, but a
-    # replaceWhere commit's UNCANCELLED feed (X154) emits delete AND
-    # insert for an identically-restated key at the SAME version — the
-    # commit's net effect is delete-then-insert, so at equal versions
-    # the insert/postimage outranks the delete (without the tiebreak
-    # the fold could arbitrarily pick the delete and drop a live row
-    # from the replica)
-    winners = dedup_keep_last(
-        batch.filter(F.col("change_type") != "update_preimage")
-        .withColumn(
-            "_cdc_rank",
-            F.when(F.col("change_type") == "delete", F.lit(0))
-            .otherwise(F.lit(1)),
-        ),
-        keys=keys,
-        order=["commit_version", "_cdc_rank"],
-    ).drop("_cdc_rank").localCheckpoint(eager=True)
-    # two passes (split + apply) must see the same winners;
-    # batch-sized by the change-feed contract
+    winners = winners.drop("_cdc_dup")
+    # two passes (split + apply) must see the same winners — pinned
+    # above; batch-sized by the change-feed contract
     dels = winners.filter(F.col("change_type") == "delete")
     ups = (
         winners.filter(F.col("change_type") != "delete")
         .withColumnRenamed("commit_version", _CDC_VERSION)
         .drop("change_type")
     )
-    n_up = ups.count()
-    n_del = dels.count()
+    # one count job over the pinned winners instead of two
+    by_type = {
+        bool(r["_is_del"]): int(r["n"])
+        for r in winners.groupBy(
+            (F.col("change_type") == "delete").alias("_is_del")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_up = by_type.get(False, 0)
+    n_del = by_type.get(True, 0)
     if n_up:
         merge_upsert_manifest(
             spark, ups, dst_root, keys=keys, order_col=_CDC_VERSION,

@@ -2786,6 +2786,69 @@ def test_compact_zorder_refuses_string_dimension(spark, tmp_path):
     assert out["compacted"] == 6
 
 
+def test_small_table_skip_verdicts_match_distributed(spark, tmp_path):
+    """r19: pruned reads on SMALL tables evaluate their skip verdicts
+    driver-side from a pyarrow read of the sidecars (no Spark job per
+    range predicate); the kept file set must be identical to the
+    distributed Spark-side scan for every kind — numeric, date,
+    timestamp, and the never-prunes exclusions (strings)."""
+    import datetime as dt
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+
+    root = str(tmp_path / "t")
+    rows = [
+        (i, float(i), f"s{i:03d}", dt.date(2024, 1, 1 + i % 27),
+         dt.datetime(2024, 1, 1 + i % 27, i % 24, 0, 0))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, x double, s string, d date, ts timestamp"
+    ).repartitionByRange(8, "k")
+    ML.publish_files(spark, df, root, stats_cols=["k", "x", "s", "d", "ts"])
+
+    cases = [
+        ("k", 10, 20), ("x", None, 5.0), ("d", dt.date(2024, 1, 20), None),
+        ("ts", dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 15)),
+        ("s", "s010", "s020"),  # plain strings: excluded, never prunes
+    ]
+    for col, lo, hi in cases:
+        pruned = ML.read_manifest_pruned(spark, root, col, lo, hi)
+        # the driver path must be the one engaged (small table)
+        want = {
+            tuple(r)
+            for r in ML.read_manifest(spark, root)
+            .filter(
+                (F.lit(True) if lo is None else F.col(col) >= F.lit(lo))
+                & (F.lit(True) if hi is None else F.col(col) <= F.lit(hi))
+            )
+            .collect()
+        }
+        got = {tuple(r) for r in pruned.collect()}
+        assert got == want, (col, lo, hi)
+        # and the two verdict engines agree file-for-file
+        fs = ML._HadoopFS(spark, root)
+        _, meta = ML._resolve_manifest(fs, root)
+        ents = ML._manifest_entries(fs, root, meta)
+        klo = ML._stat_key(lo) if lo is not None else None
+        khi = ML._stat_key(hi) if hi is not None else None
+        scs = sorted({e["stats_file"] for e in ents if e.get("stats_file")})
+        local = ML._sidecar_skip_decisions_local(root, scs, col, klo, khi)
+        assert local is not None
+        old_max = ML._SKIP_DECISIONS_DRIVER_MAX
+        ML._SKIP_DECISIONS_DRIVER_MAX = -1  # force the distributed scan
+        try:
+            dist = ML._sidecar_skip_decisions(
+                spark, root, ents, col, klo, khi, set()
+            )
+        finally:
+            ML._SKIP_DECISIONS_DRIVER_MAX = old_max
+        # distributed returns only skipped names; local returns all
+        assert {f for f, s in local.items() if s} == {
+            f for f, s in dist.items() if s
+        }, (col, lo, hi)
+
+
 def test_footer_stats_match_scan_stats(spark, tmp_path):
     """r19 optimization: parquet commits harvest per-file stats from
     the freshly written FOOTERS instead of re-scanning the commit's own
