@@ -95,6 +95,10 @@ def _warm_runtime_paths(spark) -> None:
 
 
 def main() -> None:
+    # capture BEFORE the session/warm-up: the bench's own warm-up jobs
+    # inflate loadavg, and the point of this number is to flag OTHER
+    # work on the host (r19 verdict item 5)
+    load_start = os.getloadavg()
     spark = get_spark(
         app_name="smdp-bench",
         master=f"local[{CPUS}]",
@@ -128,7 +132,6 @@ def main() -> None:
     # One broken query must not erase the other timings (round-3 lesson:
     # a single AnalysisException zeroed the whole artifact). Errors are
     # recorded per-query and surfaced in the JSON line.
-    load_start = os.getloadavg()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -189,17 +192,32 @@ def main() -> None:
         n for n, t in timings.items()
         if n in prev_q and t > 1.5 * prev_q[n] and t - prev_q[n] > 0.5
     )
+    # r20 (r19 verdict item 5): movers re-run TWICE and the headline
+    # takes the MEDIAN of {sweep, rerun1, rerun2} — one rerun landing
+    # inside the same load transient used to leave the fiction in the
+    # record, and min-of-two biases the other way. All three numbers
+    # land in `queries_rerun` so the artifact stays auditable.
     for name in movers[:25]:  # bound the tail; 25 >> any honest round
-        t0 = time.perf_counter()
-        try:
-            QUERIES[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:  # noqa: BLE001 — keep the sweep timing
+        laps = [timings[name]]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            try:
+                QUERIES[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — keep the sweep timing
+                break
+            laps.append(round(time.perf_counter() - t0, 3))
+        if len(laps) == 1:
             continue
-        t_rerun = round(time.perf_counter() - t0, 3)
-        queries_rerun[name] = {"sweep": timings[name], "rerun": t_rerun}
-        timings[name] = min(timings[name], t_rerun)
+        queries_rerun[name] = {
+            "sweep": laps[0],
+            "rerun": laps[1],
+            **({"rerun2": laps[2]} if len(laps) > 2 else {}),
+        }
+        timings[name] = sorted(laps)[len(laps) // 2] if len(
+            laps
+        ) == 3 else min(laps)
 
     payload = {
         "metric": "headline_queries_total",
@@ -211,8 +229,17 @@ def main() -> None:
         "sf": float(sf),
         "load_avg_start": [round(x, 2) for x in load_start],
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+        # r20 (r19 verdict item 5): a sweep started on a busy host is
+        # loudly self-identifying — r19's official record was taken at
+        # loadavg 6.0 and carried ±20% of interference both directions.
+        "load_suspect": load_start[0] > 2.0,
         "queries_rerun": queries_rerun,
     }
+    if payload["load_suspect"]:
+        sys.stderr.write(
+            f"bench: WARNING start loadavg {load_start[0]:.2f} > 2 — "
+            "timings are load-suspect; prefer an idle host\n"
+        )
     # The driver's BENCH_r{N}.json artifact keeps only a ~2000-char tail of
     # this line, hiding half the registry's timings from round-over-round
     # comparison — so ALSO persist the complete dict as a committed file

@@ -1,0 +1,239 @@
+"""r20 scale receipts (r19 verdict item 2): prove parallel scaling.
+
+The driver's bench at sf0.1 (~17 MB) is dominated by fixed costs —
+streaming lifecycles, commit machinery, py4j, per-task scheduling — so
+its 8-core/32-core ratios sit at or below 1 and cannot evidence the
+100 TB-parallel behavior the brief claims. This probe times one
+representative operator per top family at ~10× the sf0.1 row volume
+(synthetic, generated in-probe, setup untimed) under local[8] and
+local[$SPARK_GRAFT_CPUS], and records the ratio t8/t32:
+
+  * tpch_join      — 6M-row lineitem-shaped ⋈ 1.5M orders-shaped +
+                     group-by (sort-merge/shuffled-hash regime, the
+                     relational family's shape)
+  * dedup          — dedup_keep_last over 6M keyed rows (window +
+                     row_number, the dedup family's shape)
+  * manifest_ingest— publish_files of a 6M-row table (staging write
+                     job + footer stats + commit)
+  * cdf_walk       — read_manifest_table_changes over a 10-commit
+                     600k-rows-per-commit history (change-feed family)
+
+Methodology: per session each probe runs twice and the WARM (second)
+lap is recorded — JIT/codegen warm-up must not be billed to whichever
+core count runs first. Timed region = computation through the noop
+sink (guide §1.4); data generation and table building are untimed.
+
+Receipt target: ratio ≥ 2 for the data-parallel operators at this
+volume (4× the cores should at least halve the time); operators that
+stay ≈ 1 are called out with the bounding cost named.
+
+Merges ``r20_scale_receipt`` into SKEW_BENCH.json.
+Run alone (no concurrent Spark):  python scripts/scale_probes_r20.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from stock_market_data_pipeline_spark.session import get_spark
+
+CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS_LOW = 8
+SCALE = float(os.environ.get("SCALE_PROBE_SCALE", "1.0"))
+
+N_LINE = int(6_000_000 * SCALE)
+N_ORD = int(1_500_000 * SCALE)
+N_DEDUP = int(6_000_000 * SCALE)
+N_INGEST = int(6_000_000 * SCALE)
+N_CDF_COMMITS = 10
+N_CDF_ROWS = int(600_000 * SCALE)
+
+
+def noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def synth_lineitem(spark, n):
+    return spark.range(n).select(
+        (F.col("id") % (n // 4)).alias("l_orderkey"),
+        (F.col("id") % 200_000).alias("l_partkey"),
+        (F.col("id") % 7 + 1.0).alias("l_quantity"),
+        (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias(
+            "l_extendedprice"
+        ),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) / 100.0).alias(
+            "l_discount"
+        ),
+    )
+
+
+def synth_orders(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % 150_000).alias("o_custkey"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            F.pmod(F.xxhash64("id"), F.lit(365)).cast("int"),
+        ).alias("o_orderdate"),
+    )
+
+
+def probe_tpch_join(spark):
+    li = synth_lineitem(spark, N_LINE)
+    orders = synth_orders(spark, N_ORD)
+    noop(
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def probe_dedup(spark):
+    from stock_market_data_pipeline_spark.operators.dedup import (
+        dedup_keep_last,
+    )
+
+    df = spark.range(N_DEDUP).select(
+        (F.col("id") % (N_DEDUP // 3)).alias("k"),
+        F.col("id").alias("seq"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    noop(dedup_keep_last(df, keys=["k"], order=["seq"]))
+
+
+def probe_manifest_ingest(spark, tmp):
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        publish_files,
+    )
+
+    root = f"{tmp}/ingest-{time.monotonic_ns()}"
+    df = spark.range(N_INGEST).select(
+        F.col("id").alias("k"),
+        F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("v"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(32)
+    publish_files(spark, df, root, stats_cols=["k", "v"])
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def build_cdf_history(spark, tmp) -> str:
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        publish_files,
+    )
+
+    root = f"{tmp}/cdf"
+    base = spark.range(N_CDF_ROWS).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    publish_files(spark, base, root)
+    for i in range(1, N_CDF_COMMITS):
+        append_files(
+            spark,
+            base.withColumn("k", F.col("k") + i * N_CDF_ROWS),
+            root,
+        )
+    return root
+
+
+def probe_cdf_walk(spark, root):
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        read_manifest_table_changes,
+    )
+
+    noop(
+        read_manifest_table_changes(spark, root, 0)
+        .groupBy("commit_version", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("ksum"))
+    )
+
+
+def run_session(cpus: int, tmp: str) -> dict:
+    spark = get_spark(
+        app_name=f"scale-probes-r20-c{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {}
+    cdf_root = build_cdf_history(spark, f"{tmp}/c{cpus}")
+    probes = {
+        "tpch_join": lambda: probe_tpch_join(spark),
+        "dedup": lambda: probe_dedup(spark),
+        "manifest_ingest": lambda: probe_manifest_ingest(
+            spark, f"{tmp}/c{cpus}"
+        ),
+        "cdf_walk": lambda: probe_cdf_walk(spark, cdf_root),
+    }
+    for name, fn in probes.items():
+        laps = []
+        for lap in range(2):  # lap 0 warms JIT/codegen; lap 1 recorded
+            spark.sparkContext.setJobDescription(
+                f"r20_scale:{name} c{cpus} lap{lap}"
+            )
+            t0 = time.perf_counter()
+            fn()
+            laps.append(round(time.perf_counter() - t0, 3))
+        out[name] = {"cold": laps[0], "warm": laps[1]}
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    tmp = tempfile.mkdtemp(prefix="smdp_scale_r20_")
+    try:
+        high = run_session(CPUS_HIGH, tmp)
+        low = run_session(CPUS_LOW, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    rec: dict = {
+        "cpus_high": CPUS_HIGH,
+        "cpus_low": CPUS_LOW,
+        "volume": {
+            "join_rows": N_LINE,
+            "dedup_rows": N_DEDUP,
+            "ingest_rows": N_INGEST,
+            "cdf_rows": N_CDF_COMMITS * N_CDF_ROWS,
+        },
+        "per_probe": {},
+    }
+    for name in high:
+        t_hi, t_lo = high[name]["warm"], low[name]["warm"]
+        rec["per_probe"][name] = {
+            f"sec_c{CPUS_HIGH}": t_hi,
+            f"sec_c{CPUS_LOW}": t_lo,
+            "ratio_low_over_high": round(t_lo / t_hi, 2) if t_hi else None,
+            "cold_high": high[name]["cold"],
+            "cold_low": low[name]["cold"],
+        }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SKEW_BENCH.json",
+    )
+    try:
+        with open(path) as fh:
+            merged = json.load(fh)
+    except (OSError, ValueError):
+        merged = {}
+    merged["r20_scale_receipt"] = rec
+    with open(path, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+    print(json.dumps({"r20_scale_receipt": rec}))
+
+
+if __name__ == "__main__":
+    main()

@@ -327,9 +327,13 @@ class _HadoopFS:
     def rename(self, src: str, dst: str) -> None:
         # Local fast path (r19): staging moves rename every part file
         # through one py4j round-trip each (~2 ms × files per commit).
-        # os.rename only when BOTH paths are plainly local and dst does
-        # not exist — Hadoop's into-existing-dir semantics differ from
-        # POSIX, so anything else keeps the JVM call.
+        # Only for REGULAR FILES, via link+unlink — os.rename silently
+        # REPLACES a dst created between a lexists check and the rename,
+        # where Hadoop rename returns False and callers raise (r19
+        # advice: the versioned-lake swap paths rely on that failure as
+        # a race guard). hard-link creation is atomically no-replace, so
+        # a racing dst loses the window entirely; directories and
+        # anything unusual keep the JVM call and its exact semantics.
         import os as _os
         import re as _re
 
@@ -338,16 +342,51 @@ class _HadoopFS:
             and not _re.match(r"^[a-z][a-z0-9+.-]*://", src)
             and not _re.match(r"^[a-z][a-z0-9+.-]*://", dst)
             and not _os.path.lexists(dst)
-            and _os.path.lexists(src)
+            and _os.path.isfile(src)
+            and not _os.path.islink(src)
         ):
             try:
-                _os.rename(src, dst)
+                _os.link(src, dst)   # atomic, fails if dst appeared
+                _os.unlink(src)
                 return
             except OSError:
-                pass  # cross-device / racing layout: JVM path decides
+                pass  # cross-device / racing dst / odd FS: JVM decides
         # Hadoop rename reports failure via a False return, not an exception.
         if not self.fs.rename(self.path(src), self.path(dst)):
             raise IOError(f"rename {src} -> {dst} failed")
+
+    def rename_many(self, pairs: list[tuple[str, str]]) -> None:
+        """Rename many (src, dst) pairs — the staging-move hot loop.
+        Local filesystems take the per-pair fast path inline (no JVM).
+        Remote schemes used to pay one SERIAL py4j+store round-trip per
+        file (~0.3 s per 32-file commit locally, far worse against an
+        object store at ~50-100 ms/rename); the Hadoop FileSystem API
+        has no bulk rename and a pure-PySpark package cannot ship a JVM
+        helper, so the round-trips are issued from a driver THREAD POOL
+        instead — py4j gives each Python thread its own gateway
+        connection and Hadoop FileSystem instances are thread-safe, so
+        wall time drops from O(files) to O(files / pool) while each
+        rename keeps its exact Hadoop semantics. Order is immaterial:
+        staging targets are uuid-unique and never collide. Raises the
+        FIRST failure after the pool drains (no torn half: callers
+        treat any raise as a failed commit and the staged files as
+        vacuum-collectable orphans)."""
+        if not pairs:
+            return
+        if self._is_local or len(pairs) <= 2:
+            for s, d in pairs:
+                self.rename(s, d)
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(pairs))
+        ) as pool:
+            futures = [
+                pool.submit(self.rename, s, d) for s, d in pairs
+            ]
+            for f in futures:
+                f.result()
 
     def delete(self, p: str) -> None:
         self.fs.delete(self.path(p), True)

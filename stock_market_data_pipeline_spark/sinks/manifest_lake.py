@@ -262,6 +262,113 @@ def _list_manifests(fs: _HadoopFS, root: str) -> tuple[list[int], list[int]]:
 
 
 # --------------------------------------------------------------------------
+# latest-version pointer (r20 — Delta's `_last_checkpoint` shape)
+#
+# `_list_manifests` pays one full directory listing per resolve; on an
+# object store with a 100k-commit CDF-retaining history that is ~100
+# paginated LISTs on EVERY read/walk/stream cycle — O(retained versions)
+# metadata IO for an O(1) question ("what is the latest committed
+# version?"). The pointer file records (latest committed, highest
+# allocated) and is ADVISORY: the create-exclusive version JSON + marker
+# stay the only commit arbiters, every consumer falls back to the full
+# listing on any anomaly, and a stale pointer is recovered by probing
+# FORWARD (manifest numbers are allocated contiguously upward, so
+# existence probes from the recorded high-water mark find everything a
+# crashed pointer update failed to record).
+#
+# Soundness of the forward probe rests on two invariants kept below:
+#  * allocation never goes BELOW a readable pointer's known+1
+#    (`_commit_locked`), so a vacuumed uncommitted slot under the
+#    pointer is never reused for a commit the probe cannot see;
+#  * `vacuum_manifest` refreshes the pointer BEFORE deleting manifests
+#    and never deletes the highest known version JSON, so the listing's
+#    own high-water mark can't move backward either.
+# --------------------------------------------------------------------------
+
+_LATEST_PTR = "_latest"
+# a pointer staler than this many versions falls back to the listing —
+# probing further serially would cost more metadata round-trips than
+# the one LIST it avoids
+_PTR_PROBE_MAX = 64
+
+
+def _write_latest_pointer(
+    fs: _HadoopFS, root: str, committed_v: int | None, known_v: int
+) -> None:
+    """Best-effort advisory pointer update; never fails the commit."""
+    try:
+        fs.write_text(
+            f"{_mf_dir(root)}/{_LATEST_PTR}",
+            _json.dumps({"committed": committed_v, "known": known_v}),
+        )
+    except Exception:  # noqa: BLE001 — advisory only
+        pass
+
+
+def _pointer_state(
+    fs: _HadoopFS, root: str
+) -> tuple[int | None, int] | None:
+    """(latest committed, highest known) from the advisory pointer plus
+    a bounded forward existence probe; ``None`` = no/unusable pointer —
+    the caller lists. The probe walks manifest numbers upward from the
+    recorded high-water mark (allocation is contiguous), so commits
+    whose pointer update was lost to a crash are still found; each
+    newly found version's marker check classifies it committed or
+    in-flight exactly like the listing would."""
+    try:
+        d = _json.loads(fs.read_text(f"{_mf_dir(root)}/{_LATEST_PTR}"))
+        c = d["committed"]
+        c = int(c) if c is not None else None
+        k = int(d["known"])
+    except FileNotFoundError:
+        return None
+    except Exception:  # noqa: BLE001 — torn/corrupt pointer: list
+        return None
+    if k < 1 or (c is not None and c > k):
+        return None
+    mdir = _mf_dir(root)
+    if c is not None and not fs.exists(
+        f"{mdir}/{_mf_name(c)}{_COMMIT_SUFFIX}"
+    ):
+        return None  # invariant breach (unexpected): trust the listing
+    if k - (c or 0) > _PTR_PROBE_MAX:
+        return None
+    # versions in (c, k] were marker-less stagings when the pointer was
+    # written; any of them may have been PROMOTED since — or vacuumed
+    # and its number reused by a later commit — so re-check their
+    # markers (the span is 0 in the no-WAP common case)
+    for w in range((c or 0) + 1, k + 1):
+        if fs.exists(f"{mdir}/{_mf_name(w)}{_COMMIT_SUFFIX}"):
+            c = w
+    v = k
+    while fs.exists(f"{mdir}/{_mf_name(v + 1)}"):
+        v += 1
+        if v - k > _PTR_PROBE_MAX:
+            return None
+        if fs.exists(f"{mdir}/{_mf_name(v)}{_COMMIT_SUFFIX}"):
+            c = v
+    return c, v
+
+
+def _latest_committed(
+    fs: _HadoopFS, root: str
+) -> tuple[int | None, int]:
+    """(latest committed version | None, highest known version) — the
+    pointer fast path with the full listing as fallback. The ONLY
+    question most read paths and every optimistic-concurrency check
+    ask; history/time-travel walks, which need the full committed
+    list, keep calling ``_list_manifests``."""
+    st = _pointer_state(fs, root)
+    if st is not None:
+        return st
+    committed, known = _list_manifests(fs, root)
+    return (
+        committed[-1] if committed else None,
+        known[-1] if known else 0,
+    )
+
+
+# --------------------------------------------------------------------------
 # protocol versioning (X157 — Delta's minReader/WriterVersion + table
 # features, Iceberg's format-version): every commit records the format
 # version plus the feature lists a consumer MUST implement to use the
@@ -326,16 +433,27 @@ def _require_features(
 def _resolve_manifest(
     fs: _HadoopFS, root: str, version: int | None = None
 ) -> tuple[int, dict]:
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
     if version is None:
-        version = committed[-1]
-    elif version not in committed:
-        raise FileNotFoundError(
-            f"manifest v{version} not committed under {root} "
-            f"(have {committed})"
-        )
+        # the hot path of EVERY read/walk/stream cycle: latest-committed
+        # via the pointer (O(1) metadata reads) instead of a full
+        # O(retained versions) directory listing (r20)
+        cur, _known = _latest_committed(fs, root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed manifest under {root}")
+        version = cur
+    else:
+        # time travel: committedness of ONE version is two existence
+        # probes, not a listing; the listing runs only to build the
+        # error message on the failure path
+        mp = f"{_mf_dir(root)}/{_mf_name(version)}"
+        if not (
+            fs.exists(f"{mp}{_COMMIT_SUFFIX}") and fs.exists(mp)
+        ):
+            committed, _ = _list_manifests(fs, root)
+            raise FileNotFoundError(
+                f"manifest v{version} not committed under {root} "
+                f"(have {committed})"
+            )
     meta = _json.loads(
         fs.read_text(f"{_mf_dir(root)}/{_mf_name(version)}")
     )
@@ -432,12 +550,20 @@ def _decode_stat(dtype: str, s: str | None):
 # numerics render through str()/float() (consumers parse, never compare
 # representations), date/timestamp render ISO exactly like Spark's
 # string cast, strings apply the same 32-char truncation rules, and
-# booleans render Spark-cast lowercase. Decimals (pyarrow cannot extract
-# their stats), binary and nested types fall back to the scan.
+# booleans render Spark-cast lowercase. Decimals (r20 — pyarrow ≥ 16
+# decodes decimal stats to scale-exact ``Decimal`` for every physical
+# encoding Spark writes: int32/int64-backed small precisions and
+# FIXED_LEN_BYTE_ARRAY; ``str()`` renders identically to Spark's string
+# cast) are matched by prefix below. Binary and nested types fall back
+# to the scan.
 _FOOTER_STAT_DTYPES = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
     "date", "timestamp", "timestamp_ntz", "string", "boolean",
 }
+
+
+def _footer_stat_dtype_ok(dtype: str) -> bool:
+    return dtype in _FOOTER_STAT_DTYPES or dtype.startswith("decimal(")
 # At or below this many staged files the footers are read on the driver
 # (zero Spark jobs — a tiny thread pool over metadata-sized reads);
 # above it one executor-parallel job reads them so a 10k-file backfill
@@ -463,6 +589,18 @@ def _footer_stat_render(dtype: str, v, is_max: bool) -> str | None:
         return repr(f)
     if dtype in ("tinyint", "smallint", "int", "bigint"):
         return str(int(v))
+    if dtype.startswith("decimal("):
+        # scale-exact Decimal (pyarrow-decoded, or raw-unscaled decoded
+        # by _footer_min_max); render PLAIN fixed-point — Spark's string
+        # cast is BigDecimal.toPlainString, so '1E-8' must come out as
+        # '0.00000001' ('f' keeps the stored scale's trailing zeros).
+        # Anything else (unexpected raw bytes from an exotic writer)
+        # -> raise, caller falls back to the scan.
+        import decimal as _dec
+
+        if not isinstance(v, _dec.Decimal):
+            raise ValueError(f"non-Decimal footer stat for {dtype}")
+        return format(v, "f")
     if dtype == "date":
         return v.isoformat()
     if dtype in ("timestamp", "timestamp_ntz"):
@@ -488,6 +626,31 @@ def _footer_stat_render(dtype: str, v, is_max: bool) -> str | None:
     return None
 
 
+def _footer_min_max(st, dtype: str):
+    """Decoded (min, max) of one row group's statistics. Decimal
+    columns Spark writes int32/int64-backed (precision ≤ 18) raise
+    ``ArrowNotImplementedError`` from pyarrow's decoded accessors; the
+    RAW statistics are the unscaled integers, so decode them with the
+    declared scale (``Decimal(raw) × 10^-scale`` — scale-exact, the
+    same rendering as the FLBA-backed decode). Any other failure
+    propagates and the caller falls back to the scan."""
+    try:
+        return st.min, st.max
+    except Exception:
+        if not dtype.startswith("decimal("):
+            raise
+        import decimal as _dec
+
+        scale = int(dtype.rstrip(")").split(",")[1])
+        lo, hi = st.min_raw, st.max_raw
+        if not isinstance(lo, int) or not isinstance(hi, int):
+            raise
+        return (
+            _dec.Decimal(lo).scaleb(-scale),
+            _dec.Decimal(hi).scaleb(-scale),
+        )
+
+
 def _footer_stats_for_file(
     path: str, stats_cols: list[str], dtypes: dict[str, str]
 ) -> list[dict]:
@@ -498,7 +661,13 @@ def _footer_stats_for_file(
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    # Match on the full DOTTED path, not the leaf name: a nested field
+    # whose leaf name equals a top-level stats column (struct s.k beside
+    # column k) would otherwise supply the NESTED leaf's bounds as the
+    # top-level column's — invalid bounds that make pruned reads skip
+    # files containing matching rows (r19 advice, high). A top-level
+    # flat column's path IS its name; shadowed leaves carry dots.
+    names = [md.schema.column(i).path for i in range(md.num_columns)]
     base = path.rsplit("/", 1)[-1]
     out: list[dict] = []
     for c in stats_cols:
@@ -521,7 +690,7 @@ def _footer_stats_for_file(
                 # valid ("unbounded"), never prunes
                 have_bounds = False
                 continue
-            gmin, gmax = st.min, st.max
+            gmin, gmax = _footer_min_max(st, dtypes[c])
             vmin = gmin if vmin is None or gmin < vmin else vmin
             vmax = gmax if vmax is None or gmax > vmax else vmax
         if not have_bounds:
@@ -708,8 +877,18 @@ def _write_stats_sidecar(
         missing = [c for c in stats_cols if c not in dtypes]
         if missing:
             raise ValueError(f"stats_cols not in data schema: {missing}")
-        if fmt == "parquet" and all(
-            dtypes[c] in _FOOTER_STAT_DTYPES for c in stats_cols
+        # tz-aware timestamp footer stats render in UTC; the scan path
+        # renders in the SESSION timezone. session.get_spark pins UTC,
+        # but a caller-built session with another zone would shift the
+        # two representations apart and prune wrongly — gate the footer
+        # path on the session actually being UTC (r19 advice).
+        tz_ok = "timestamp" not in {
+            dtypes[c] for c in stats_cols
+        } or spark.conf.get("spark.sql.session.timeZone", "UTC") in (
+            "UTC", "Etc/UTC", "Z",
+        )
+        if fmt == "parquet" and tz_ok and all(
+            _footer_stat_dtype_ok(dtypes[c]) for c in stats_cols
         ):
             name = _write_stats_sidecar_footers(
                 spark, root, final_paths, stats_cols, dtypes
@@ -1048,12 +1227,16 @@ def _stage_files(
     prefix = uuid.uuid4().hex[:12]
     entries: list[dict[str, Any]] = []
     final_paths: list[str] = []
+    moves: list[tuple[str, str]] = []
     for p, sz in fs.list_data_files(stage):
         base = p.rsplit("/", 1)[-1]
         new_name = f"{prefix}-{base}"
-        fs.rename(f"{stage}/{base}", f"{_data_dir(root)}/{new_name}")
+        moves.append((f"{stage}/{base}", f"{_data_dir(root)}/{new_name}"))
         final_paths.append(f"{_data_dir(root)}/{new_name}")
         entries.append({"name": new_name, "bytes": sz})
+    # one pooled pass (r20): remote schemes issue the per-file Hadoop
+    # renames concurrently instead of one serial round-trip per file
+    fs.rename_many(moves)
     fs.delete(stage)
     sidecar = _write_stats_sidecar(
         spark, root, fmt, final_paths, stats_cols or [],
@@ -1161,8 +1344,15 @@ def _commit_locked(
     operation: str,
     kept_base_hint: bool | None = None,
 ) -> int:
-    committed, known = _list_manifests(fs, root)
-    cur = committed[-1] if committed else None
+    # pointer fast path (r20): the conflict check needs only the latest
+    # committed version and the allocator only the known high-water
+    # mark — both O(1) via `_latest_committed` instead of the full
+    # directory listing this critical section used to pay while holding
+    # the table lock. Correctness is unchanged: the create-exclusive
+    # JSON/marker writes below remain the arbiter, so even a wrong
+    # answer here degrades to a ManifestConflictError retry, never a
+    # silent clobber.
+    cur, known_max = _latest_committed(fs, root)
     if cur != expected_prev:
         raise ManifestConflictError(
             f"table at {root} moved to v{cur} while this operation worked "
@@ -1198,7 +1388,7 @@ def _commit_locked(
                 )
             )
         scanned_entries = loose
-    nxt = (known[-1] + 1) if known else 1
+    nxt = known_max + 1
     mpath = f"{_mf_dir(root)}/{_mf_name(nxt)}"
     payload = {
         "fmt": fmt,
@@ -1298,6 +1488,12 @@ def _commit_locked(
             f"lost the commit race for {mpath} — retry against the new "
             "state"
         ) from exc
+    # advisory pointer (r20): record the new high-water marks while
+    # still under the table lock. A marker-less WAP staging bumps only
+    # the KNOWN mark; the committed mark stays the version this commit
+    # was derived from. Best-effort — a crash before this line leaves a
+    # stale pointer the next consumer's forward probe recovers from.
+    _write_latest_pointer(fs, root, nxt if write_marker else cur, nxt)
     return nxt
 
 
@@ -1332,12 +1528,13 @@ def publish_files(
     property before replacing and let consumers re-seed (the batch
     feed's keyed diff remains available)."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    txns: dict[str, int] = {}
-    meta: dict = {}
-    if committed:
-        _, meta = _resolve_manifest(fs, root, None)
-        txns = dict(meta.get("txns") or {})
+    # latest state via ONE pointer-backed resolve (r20) — no full
+    # directory listing; FileNotFoundError = publishing the first version
+    try:
+        cur_v, meta = _resolve_manifest(fs, root, None)
+    except FileNotFoundError:
+        cur_v, meta = None, {}
+    txns: dict[str, int] = dict(meta.get("txns") or {})
     df = _apply_generated(df, meta, root)
     df, id_bumps = _apply_identity(df, meta, root)
     if id_bumps:
@@ -1374,7 +1571,7 @@ def publish_files(
         root,
         entries,
         fmt,
-        expected_prev=committed[-1] if committed else None,
+        expected_prev=cur_v,
         txns=txns,
         schema_json=df.schema.json(),
         stats_cols=stats_cols,
@@ -3389,13 +3586,11 @@ def clone_manifest(
     appends stay no-ops on the clone. Returns the clone's version (1).
     """
     sfs = _HadoopFS(spark, src_root)
-    committed, _ = _list_manifests(sfs, src_root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {src_root}")
+    # pointer-backed resolve (r20): raises FileNotFoundError itself
+    # when the source holds nothing committed
     v, meta = _resolve_manifest(sfs, src_root, version)
     dfs = _HadoopFS(spark, dst_root)
-    dcommitted, _ = _list_manifests(dfs, dst_root)
-    if dcommitted:
+    if _latest_committed(dfs, dst_root)[0] is not None:
         raise FileExistsError(
             f"clone target {dst_root} already holds a committed table"
         )
@@ -3913,9 +4108,8 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
     tables; other formats rewrite everything. Returns
     ``{"files_rewritten", "carried_files", "version"}``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     entries = _manifest_entries(fs, root, meta)
@@ -3924,7 +4118,7 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
         return {
             "files_rewritten": 0,
             "carried_files": len(entries),
-            "version": committed[-1],
+            "version": cur_v,
         }
     dirty: list[str] = []
     if fmt == "parquet":
@@ -3952,7 +4146,7 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
         reused, loose = _plan_segment_reuse(fs, root, meta, set())
         v = _commit(
             spark, root, loose, fmt,
-            expected_prev=committed[-1],
+            expected_prev=cur_v,
             txns=txns,
             schema_json=meta.get("schema"),
             stats_cols=stats_cols,
@@ -3980,7 +4174,7 @@ def purge_dropped_columns(spark: SparkSession, root: str) -> dict[str, int]:
         root,
         loose_carried + new_entries,
         fmt,
-        expected_prev=committed[-1],
+        expected_prev=cur_v,
         txns=txns,
         schema_json=meta.get("schema"),
         stats_cols=stats_cols,
@@ -4170,18 +4364,38 @@ def vacuum_manifest(
         if (meta.get("cdf") or {}).get("sidecar"):
             ref_stats.add(meta["cdf"]["sidecar"])
         ref_segs |= {s["name"] for s in meta.get("segments") or []}
+    # Manifest deletions interact with the r20 latest-version pointer:
+    # the forward probe assumes manifest numbers above the pointer's
+    # KNOWN mark exist contiguously. Refresh the pointer to this
+    # vacuum's own view BEFORE any manifest deletion, under the table
+    # commit scope: a crash mid-phase then leaves a fresh pointer and
+    # undeleted garbage — never a stale pointer whose probe would stop
+    # at a vacuum-created gap — and the scope serializes this pointer
+    # write against committers' (with NoOpCommitLock the module's
+    # documented single-writer contract is unchanged). Deleting an
+    # expired uncommitted staging ABOVE the latest committed version
+    # lets the allocator reuse its number; `_pointer_state` re-checks
+    # markers across the pointer's (committed, known] span, so such a
+    # reused slot's later commit is always seen.
+    from stock_market_data_pipeline_spark.sinks.lake import (
+        hold_commit_scope,
+    )
+
     mdel = 0
-    for v in known:
-        if v in retained:
-            continue
-        mpath = f"{_mf_dir(root)}/{_mf_name(v)}"
-        # uncommitted manifests may be a commit mid-flight (JSON written,
-        # marker not yet): only expired ones are orphans
-        if v not in committed and not _expired(mpath):
-            continue
-        _delete(f"{mpath}{_COMMIT_SUFFIX}")
-        _delete(mpath)
-        mdel += 1
+    with hold_commit_scope(_mf_dir(root)):
+        if not dry_run:
+            _write_latest_pointer(fs, root, committed[-1], known[-1])
+        for v in known:
+            if v in retained:
+                continue
+            mpath = f"{_mf_dir(root)}/{_mf_name(v)}"
+            # uncommitted manifests may be a commit mid-flight (JSON
+            # written, marker not yet): only expired ones are orphans
+            if v not in committed and not _expired(mpath):
+                continue
+            _delete(f"{mpath}{_COMMIT_SUFFIX}")
+            _delete(mpath)
+            mdel += 1
     gdel = 0
     gdir = _seg_dir(root)
     if fs.is_dir(gdir):
@@ -4264,14 +4478,16 @@ def append_files(
     staged_ident: tuple = ()
     id_bumps: dict[str, int] = {}
     for attempt in range(max_rebase_retries + 1):
-        committed, _ = _list_manifests(fs, root)
+        # ONE pointer-backed resolve per attempt (r20), no full listing
+        try:
+            cur_v, meta = _resolve_manifest(fs, root, None)
+        except FileNotFoundError:
+            cur_v, meta = None, {}
         prev_inline: list[dict[str, Any]] = []
         prev_segments: list[dict[str, Any]] = []
         txns: dict[str, int] = {}
-        meta: dict = {}
         cur_fmt = fmt
-        if committed:
-            _, meta = _resolve_manifest(fs, root, None)
+        if cur_v is not None:
             prev_inline = list(meta.get("files") or [])
             prev_segments = list(meta.get("segments") or [])
             txns = dict(meta.get("txns") or {})
@@ -4282,7 +4498,7 @@ def append_files(
                 # already committed (possibly by a concurrent instance
                 # we raced): replay no-op; any files staged before the
                 # lost race are invisible orphans vacuum collects
-                return committed[-1]
+                return cur_v
             txns[app] = n
         # union-by-name evolution (type conflicts raise) BEFORE staging;
         # CHECK constraints re-read per attempt, so a constraint a rival
@@ -4325,7 +4541,7 @@ def append_files(
                 root,
                 prev_inline + staged,
                 cur_fmt,
-                expected_prev=committed[-1] if committed else None,
+                expected_prev=cur_v,
                 txns=txns,
                 schema_json=schema_json,
                 stats_cols=sorted(
@@ -4367,7 +4583,7 @@ def _promote_manifest(
     mpath = f"{_mf_dir(root)}/{_mf_name(version)}"
     try:
         with hold_commit_scope(_mf_dir(root)):
-            committed, _ = _list_manifests(fs, root)
+            committed, known = _list_manifests(fs, root)
             cur = committed[-1] if committed else None
             if cur != expected_prev:
                 raise ManifestConflictError(
@@ -4385,6 +4601,12 @@ def _promote_manifest(
                 )
             fs.write_text_exclusive(
                 f"{mpath}{_COMMIT_SUFFIX}", _mf_name(version)
+            )
+            # promotion moves the latest COMMITTED version without going
+            # through _commit_locked — keep the advisory pointer fresh
+            # (still under the table lock; known never goes backward)
+            _write_latest_pointer(
+                fs, root, version, max(known[-1] if known else 0, version)
             )
     except (FileExistsError, LockUnavailableError) as exc:
         raise ManifestConflictError(
@@ -4430,18 +4652,19 @@ def publish_files_wap(
     ``ManifestConflictError`` rather than committing a deleted version).
     Returns the promoted version."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
+    # ONE pointer-backed resolve (r20), no full listing
+    try:
+        expected_prev, meta = _resolve_manifest(fs, root, None)
+    except FileNotFoundError:
+        expected_prev, meta = None, {}
     prev_inline: list[dict[str, Any]] = []
     prev_segments: list[dict[str, Any]] = []
     txns: dict[str, int] = {}
-    meta: dict = {}
-    if committed:
-        _, meta = _resolve_manifest(fs, root, None)
+    if expected_prev is not None:
         prev_inline = list(meta.get("files") or [])
         prev_segments = list(meta.get("segments") or [])
         txns = dict(meta.get("txns") or {})
         fmt = meta.get("fmt", fmt)
-    expected_prev = committed[-1] if committed else None
     if txn_id is not None:
         app, n = txn_id
         if txns.get(app) is not None and int(txns[app]) >= n:
@@ -4561,17 +4784,21 @@ def _stage_bucketed(
     prefix = uuid.uuid4().hex[:12]
     entries: list[dict[str, Any]] = []
     final_paths: list[str] = []
+    moves: list[tuple[str, str]] = []
     for p, sz in fs.list_data_files(stage):
         rel = p.split("stage-", 1)[-1].split("/", 1)[-1]
         bucket = int(rel.split(f"{_BUCKET}=", 1)[1].split("/", 1)[0])
         base = rel.rsplit("/", 1)[-1]
         new_name = f"{prefix}-b{bucket:05d}-{base}"
-        fs.rename(
+        moves.append((
             f"{stage}/{_BUCKET}={bucket}/{base}",
             f"{_data_dir(root)}/{new_name}",
-        )
+        ))
         final_paths.append(f"{_data_dir(root)}/{new_name}")
         entries.append({"name": new_name, "bytes": sz, "bucket": bucket})
+    # one pooled pass (r20): remote schemes issue the per-file Hadoop
+    # renames concurrently instead of one serial round-trip per file
+    fs.rename_many(moves)
     fs.delete(stage)
     sidecar = _write_stats_sidecar(
         spark, root, fmt, final_paths, stats_cols or [],
@@ -4625,12 +4852,14 @@ def merge_upsert_manifest(
     )
 
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
+    # ONE pointer-backed resolve (r20), no full listing
+    try:
+        cur_v, meta = _resolve_manifest(fs, root, None)
+    except FileNotFoundError:
+        cur_v, meta = None, {}
     prev_entries: list[dict[str, Any]] = []
     txns: dict[str, int] = {}
-    meta: dict = {}
-    if committed:
-        _, meta = _resolve_manifest(fs, root, None)
+    if cur_v is not None:
         prev_entries = _manifest_entries(fs, root, meta)
         txns = dict(meta.get("txns") or {})
         fmt = meta.get("fmt", fmt)
@@ -4723,7 +4952,9 @@ def merge_upsert_manifest(
                 "change_type", F.lit("insert")
             )
         cdf_ref = _write_cdf_sidecar(spark, root, changes)
-    stats_cols = (_table_stats_cols(meta) if committed else []) or None
+    stats_cols = (
+        _table_stats_cols(meta) if cur_v is not None else []
+    ) or None
     new_entries = _stage_bucketed(
         spark, winners, root, fmt, keys, n_buckets, stats_cols=stats_cols
     )
@@ -4731,7 +4962,9 @@ def merge_upsert_manifest(
     # like the data IO, the metadata IO is O(touched buckets)
     changed = {e["name"] for e in old_touched}
     reused, loose = (
-        _plan_segment_reuse(fs, root, meta, changed) if committed else ([], [])
+        _plan_segment_reuse(fs, root, meta, changed)
+        if cur_v is not None
+        else ([], [])
     )
     loose_carried = [e for e in loose if e["name"] not in changed]
     _commit(
@@ -4739,7 +4972,7 @@ def merge_upsert_manifest(
         root,
         loose_carried + new_entries,
         fmt,
-        expected_prev=committed[-1] if committed else None,
+        expected_prev=cur_v,
         txns=txns,
         schema_json=evolved_sj or winners.schema.json(),
         stats_cols=stats_cols,
@@ -4787,10 +5020,9 @@ def delete_keys_manifest(
     "carried_files", "rewritten_files", "version"}``.
     """
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
-    _, meta = _resolve_manifest(fs, root, None)
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
+    cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     txns = dict(meta.get("txns") or {})
     bk = meta.get("bucketing")
@@ -4809,7 +5041,7 @@ def delete_keys_manifest(
                 "touched_buckets": 0,
                 "carried_files": len(prev_entries),
                 "rewritten_files": 0,
-                "version": committed[-1],
+                "version": cur_v,
             }
         txns[app] = n
     dk = (
@@ -4856,7 +5088,7 @@ def delete_keys_manifest(
         root,
         loose_carried + new_entries,
         fmt,
-        expected_prev=committed[-1],
+        expected_prev=cur_v,
         txns=txns,
         schema_json=meta.get("schema"),
         stats_cols=stats_cols,
@@ -4916,9 +5148,8 @@ def delete_where_dv(
     a parquet metadata column). Returns ``{"deleted_rows",
     "files_touched", "dv_rows", "version"}``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     if fmt != "parquet":
@@ -4937,7 +5168,7 @@ def delete_where_dv(
                 "deleted_rows": 0,
                 "files_touched": 0,
                 "dv_rows": int((old_dv or {}).get("rows") or 0),
-                "version": committed[-1],
+                "version": cur_v,
             }
         txns[app] = n
     entries = _manifest_entries(fs, root, meta)
@@ -4972,7 +5203,7 @@ def delete_where_dv(
         matched = hits.count()
         files_touched = hits.select("file").distinct().count()
     return _commit_dv_state(
-        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        spark, fs, root, meta, cur_v, fmt, txns, old_dv, prev, live,
         hits, matched, files_touched, txn_id,
     )
 
@@ -5017,7 +5248,7 @@ def _commit_dv_state(
     fs: _HadoopFS,
     root: str,
     meta: dict,
-    committed: list[int],
+    cur_v: int,
     fmt: str,
     txns: dict[str, int],
     old_dv: dict | None,
@@ -5041,7 +5272,7 @@ def _commit_dv_state(
             "deleted_rows": 0,
             "files_touched": 0,
             "dv_rows": int((old_dv or {}).get("rows") or 0),
-            "version": committed[-1],
+            "version": cur_v,
         }
     new_dv = old_dv
     if matched:
@@ -5074,7 +5305,7 @@ def _commit_dv_state(
         root,
         loose + list(new_entries or []),
         fmt,
-        expected_prev=committed[-1],
+        expected_prev=cur_v,
         txns=txns,
         schema_json=meta.get("schema"),
         stats_cols=_table_stats_cols(meta) or None,
@@ -5113,10 +5344,9 @@ def delete_keys_dv(
     replay semantics as ``delete_keys_manifest``. Returns
     ``{"deleted_rows", "files_touched", "dv_rows", "version"}``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
-    _, meta = _resolve_manifest(fs, root, None)
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
+    cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     if fmt != "parquet":
         raise ValueError(
@@ -5141,7 +5371,7 @@ def delete_keys_dv(
                 "deleted_rows": 0,
                 "files_touched": 0,
                 "dv_rows": int((old_dv or {}).get("rows") or 0),
-                "version": committed[-1],
+                "version": cur_v,
             }
         txns[app] = n
     entries = _manifest_entries(fs, root, meta)
@@ -5181,7 +5411,7 @@ def delete_keys_dv(
         matched = hits.count()
         files_touched = hits.select("file").distinct().count()
     return _commit_dv_state(
-        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        spark, fs, root, meta, cur_v, fmt, txns, old_dv, prev, live,
         hits, matched, files_touched, txn_id,
     )
 
@@ -5237,9 +5467,8 @@ def update_where_dv(
     ``{"updated_rows", "files_touched", "new_files", "dv_rows",
     "version"}``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     if fmt != "parquet":
@@ -5288,7 +5517,7 @@ def update_where_dv(
                 "files_touched": 0,
                 "new_files": 0,
                 "dv_rows": int((old_dv or {}).get("rows") or 0),
-                "version": committed[-1],
+                "version": cur_v,
             }
         txns[app] = n
     entries = _manifest_entries(fs, root, meta)
@@ -5355,7 +5584,7 @@ def update_where_dv(
                     spark, updated, root, fmt, stats_cols
                 )
     out = _commit_dv_state(
-        spark, fs, root, meta, committed, fmt, txns, old_dv, prev, live,
+        spark, fs, root, meta, cur_v, fmt, txns, old_dv, prev, live,
         hits, matched_n, files_touched, txn_id,
         new_entries=new_entries, operation="UPDATE_DV",
     )
@@ -5382,9 +5611,8 @@ def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
     Returns ``{"files_rewritten", "purged_files", "carried_files",
     "version"}``."""
     fs = _HadoopFS(spark, root)
-    committed, _ = _list_manifests(fs, root)
-    if not committed:
-        raise FileNotFoundError(f"no committed manifest under {root}")
+    # ONE pointer-backed resolve (r20), no full listing; raises
+    # FileNotFoundError itself when nothing is committed
     cur_v, meta = _resolve_manifest(fs, root, None)
     fmt = meta.get("fmt", "parquet")
     entries = _manifest_entries(fs, root, meta)
@@ -5394,7 +5622,7 @@ def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
             "files_rewritten": 0,
             "purged_files": 0,
             "carried_files": len(entries),
-            "version": committed[-1],
+            "version": cur_v,
         }
     live = {e["name"] for e in entries}
     dvdf = spark.read.parquet(f"{_stats_dir(root)}/{dv['sidecar']}")
@@ -5412,7 +5640,7 @@ def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
         reused, loose = _plan_segment_reuse(fs, root, meta, set())
         v = _commit(
             spark, root, loose, fmt,
-            expected_prev=committed[-1],
+            expected_prev=cur_v,
             txns=txns,
             schema_json=meta.get("schema"),
             stats_cols=stats_cols,
@@ -5441,7 +5669,7 @@ def purge_deletion_vectors(spark: SparkSession, root: str) -> dict[str, int]:
         root,
         loose_carried + new_entries,
         fmt,
-        expected_prev=committed[-1],
+        expected_prev=cur_v,
         txns=txns,
         schema_json=meta.get("schema"),
         stats_cols=stats_cols,

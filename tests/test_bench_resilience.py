@@ -109,10 +109,17 @@ def test_transient_mover_reruns_once_and_self_corrects(
     artifact = json.loads((tmp_path / "BENCH_FULL_r99.json").read_text())
     assert set(artifact["queries_rerun"]) == {"slowish"}
     rr = artifact["queries_rerun"]["slowish"]
-    assert rr["sweep"] >= 1.2 and rr["rerun"] < rr["sweep"]
-    assert artifact["queries"]["slowish"] == rr["rerun"]
+    # r20: movers re-run TWICE; the headline takes the MEDIAN of
+    # {sweep, rerun, rerun2} so one rerun landing inside the same load
+    # transient cannot leave the fiction in the record
+    assert rr["sweep"] >= 1.2
+    assert rr["rerun"] < rr["sweep"] and rr["rerun2"] < rr["sweep"]
+    assert artifact["queries"]["slowish"] == sorted(
+        [rr["sweep"], rr["rerun"], rr["rerun2"]]
+    )[1]
     assert len(artifact["load_avg_start"]) == 3
     assert len(artifact["load_avg_end"]) == 3
+    assert artifact["load_suspect"] in (True, False)
 
 
 def test_phantom_prior_entry_cannot_mask_a_mover(

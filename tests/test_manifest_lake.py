@@ -977,12 +977,13 @@ def test_commit_same_version_race_is_create_exclusive(spark, tmp_path):
     root = str(tmp_path / "t")
     publish_files(spark, _ts_df(spark, 1, 3), root)          # v1
     fs = _HadoopFS(spark, root)
-    real_list = ml._list_manifests
 
-    def stale_list(fs_, root_):
-        committed, known = real_list(fs_, root_)
-        # both writers listed BEFORE either wrote: hide versions > 1
-        return [v for v in committed if v <= 1], [v for v in known if v <= 1]
+    def stale_latest(fs_, root_):
+        # both writers observed the table BEFORE either wrote: v1 is
+        # the latest committed and highest known version they saw
+        # (r20: the commit path reads state via _latest_committed, so
+        # that is where a racer's stale view lives now)
+        return 1, 1
 
     # writer A lands v2 for real
     winner_body = '{"fmt":"parquet","files":[],"schema":null}'
@@ -993,13 +994,13 @@ def test_commit_same_version_race_is_create_exclusive(spark, tmp_path):
     # writer B still believes v1 is latest -> targets v2 -> must lose
     import pytest as _pytest
 
-    orig = ml._list_manifests
-    ml._list_manifests = stale_list
+    orig = ml._latest_committed
+    ml._latest_committed = stale_latest
     try:
         with _pytest.raises(ml.ManifestConflictError, match="commit race"):
             ml._commit(spark, root, [], "parquet", expected_prev=1)
     finally:
-        ml._list_manifests = orig
+        ml._latest_committed = orig
     # the winner's manifest body survived untouched
     assert fs.read_text(f"{_mf_dir(root)}/v00000002.json") == winner_body
 
@@ -1154,21 +1155,22 @@ def test_append_race_loser_retries_cleanly(spark, tmp_path):
 
     root = str(tmp_path / "t")
     publish_files(spark, _ts_df(spark, 1, 2), root)          # v1, 10 rows
-    real_list = ml._list_manifests
+    # r20: reads/commits derive state via _latest_committed (pointer
+    # fast path) — a racer's stale view lives there now
+    real_latest = ml._latest_committed
 
-    def stale_list(fs_, root_):
-        committed, known = real_list(fs_, root_)
-        return [v for v in committed if v <= 1], [v for v in known if v <= 1]
+    def stale_latest(fs_, root_):
+        return 1, 1
 
     # writer A lands v2
     append_files(spark, _ts_df(spark, 2, 3), root)
     # writer B read v1 before A committed -> conflict
-    ml._list_manifests = stale_list
+    ml._latest_committed = stale_latest
     try:
         with pytest.raises(ml.ManifestConflictError):
             append_files(spark, _ts_df(spark, 3, 4), root)
     finally:
-        ml._list_manifests = real_list
+        ml._latest_committed = real_latest
     # retry against the new state succeeds; all three days present once
     append_files(spark, _ts_df(spark, 3, 4), root)
     got = read_manifest(spark, root)
@@ -2919,15 +2921,85 @@ def test_footer_stats_match_scan_stats(spark, tmp_path):
     smin, smax = ss["stats"]["x"]
     assert smin == 1.5 and math.isnan(smax)
 
-    # decimal stats col: pyarrow can't extract footer stats — the
-    # publish must still succeed via the scan fallback
-    root_d = str(tmp_path / "dec")
+    # decimal stats cols (r20): pyarrow ≥16 decodes decimal footer
+    # stats scale-exactly for every physical encoding Spark writes —
+    # int32-backed (precision ≤9), int64-backed (≤18) and
+    # FIXED_LEN_BYTE_ARRAY — so the footer path now engages and must
+    # render value-identically to the scan aggregate (incl. nulls)
     ddf = spark.createDataFrame(
-        [(1, "12.34"), (2, "99.99")], "k long, v string"
-    ).selectExpr("k", "CAST(v AS DECIMAL(10,2)) AS v").repartition(1)
-    ML.publish_files(spark, ddf, root_d, stats_cols=["v"])
-    (std,) = one(root_d),
-    assert std["stats"]["v"] == ["12.34", "99.99"]
+        [(1, "12.34", "12345678901.123456", "-0.5", "0.00000001"),
+         (2, "-99.99", None, "7.25", "0.00000002")],
+        "k long, v string, w string, x string, y string",
+    ).selectExpr(
+        "k",
+        "CAST(v AS DECIMAL(9,2)) AS v",      # int32-backed
+        "CAST(w AS DECIMAL(18,6)) AS w",     # int64-backed
+        "CAST(x AS DECIMAL(38,10)) AS x",    # FLBA-backed
+        "CAST(y AS DECIMAL(9,8)) AS y",      # sci-notation rendering
+    ).repartition(1)
+    dcols = ["v", "w", "x", "y"]
+    calls["n"] = 0
+    root_df_ = str(tmp_path / "dec_f")
+    ML._write_stats_sidecar_footers = spy
+    try:
+        ML.publish_files(spark, ddf, root_df_, stats_cols=dcols)
+        ML._write_stats_sidecar_footers = lambda *a, **kw: None
+        root_ds = str(tmp_path / "dec_s")
+        ML.publish_files(spark, ddf, root_ds, stats_cols=dcols)
+    finally:
+        ML._write_stats_sidecar_footers = orig
+    assert calls["n"] == 1  # the footer path engaged for decimals
+    sdf_, sds = one(root_df_), one(root_ds)
+    assert sdf_["stats"] == sds["stats"], (sdf_["stats"], sds["stats"])
+    assert sdf_["nulls"] == sds["nulls"] == {
+        "v": 0, "w": 1, "x": 0, "y": 0,
+    }
+    assert sdf_["stats"]["v"] == ["-99.99", "12.34"]
+    assert sdf_["stats"]["x"] == ["-0.5000000000", "7.2500000000"]
+
+
+def test_footer_stats_ignore_shadowing_nested_leaf(spark, tmp_path):
+    """r19 advice (high): the footer harvest must resolve stats columns
+    by full DOTTED path, not parquet leaf name — a struct field whose
+    leaf name equals a top-level stats column and sorts EARLIER in the
+    parquet schema (struct declared before the flat column) would
+    otherwise supply the nested leaf's min/max/null_count as the
+    top-level column's bounds, and invalid bounds make pruned reads
+    silently skip files that contain matching rows."""
+    from pyspark.sql import Row
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    # struct s.k (999/1000) precedes flat k (1/2) in parquet leaf order
+    df = spark.createDataFrame(
+        [Row(s=Row(k=999), k=1), Row(s=Row(k=1000), k=2)],
+        "s struct<k: bigint>, k bigint",
+    ).repartition(1)
+    calls = {"n": 0}
+    orig = ML._write_stats_sidecar_footers
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        if r is not None:
+            calls["n"] += 1
+        return r
+
+    root = str(tmp_path / "t")
+    ML._write_stats_sidecar_footers = spy
+    try:
+        ML.publish_files(spark, df, root, stats_cols=["k"])
+    finally:
+        ML._write_stats_sidecar_footers = orig
+    # the other nested column must NOT disqualify the footer path (the
+    # eligibility gate checks stats_cols dtypes only) ...
+    assert calls["n"] == 1
+    fs = _HadoopFS(spark, root)
+    _, meta = ML._resolve_manifest(fs, root)
+    (st,) = ML._load_stats(spark, root, meta["files"]).values()
+    # ... and the harvested bounds are the FLAT column's, not s.k's
+    assert st["stats"]["k"] == [1.0, 2.0]
+    assert st["nulls"]["k"] == 0
 
 
 def test_string_stats_truncate_with_valid_bounds(spark, tmp_path):
@@ -2977,3 +3049,159 @@ def test_string_stats_truncate_with_valid_bounds(spark, tmp_path):
     vmin2, vmax2 = st2["stats"]["body"]
     assert vmin2 == "é" * 32
     assert vmax2 is None
+
+
+# --------------------------------------------------------------------------
+# r20: latest-version pointer (Delta `_last_checkpoint` shape)
+# --------------------------------------------------------------------------
+
+
+def _count_fs_listings(monkeypatch):
+    """Patch _HadoopFS.child_names to count directory listings."""
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    calls = {"n": 0}
+    orig = _HadoopFS.child_names
+
+    def counting(self, p):
+        calls["n"] += 1
+        return orig(self, p)
+
+    monkeypatch.setattr(_HadoopFS, "child_names", counting)
+    return calls
+
+
+def test_latest_pointer_resolve_without_listing(spark, tmp_path, monkeypatch):
+    """After any commit, resolving the LATEST version must not pay a
+    directory listing — the advisory pointer plus O(1) existence probes
+    answer it (r20: O(retained versions) LISTs per read removed)."""
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    ML.publish_files(spark, df, root)
+    ML.append_files(spark, df.withColumn("v", F.col("v") + 1), root)
+
+    fs = _HadoopFS(spark, root)
+    calls = _count_fs_listings(monkeypatch)
+    v, meta = ML._resolve_manifest(fs, root, None)
+    assert v == 2 and meta.get("files")
+    assert calls["n"] == 0, "latest resolve paid a directory listing"
+    # time travel to a specific committed version: existence probes only
+    v1, _ = ML._resolve_manifest(fs, root, 1)
+    assert v1 == 1
+    assert calls["n"] == 0
+
+
+def test_latest_pointer_stale_and_corrupt_recovery(spark, tmp_path):
+    """A stale pointer (crash between marker and pointer write) must be
+    recovered by the forward probe; a corrupt/missing pointer must fall
+    back to the full listing. Either way the resolved version equals
+    the listing's truth."""
+    import json as _j
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    df = spark.range(5).withColumn("v", F.col("id"))
+    ML.publish_files(spark, df, root)
+    ML.append_files(spark, df, root)
+    ML.append_files(spark, df, root)
+    fs = _HadoopFS(spark, root)
+    ptr = f"{ML._mf_dir(root)}/{ML._LATEST_PTR}"
+
+    # stale: pretend the last two commits never updated the pointer
+    fs.write_text(ptr, _j.dumps({"committed": 1, "known": 1}))
+    assert ML._latest_committed(fs, root) == (3, 3)
+    # corrupt: fall back to the listing
+    fs.write_text(ptr, "{not json")
+    assert ML._latest_committed(fs, root) == (3, 3)
+    # missing: fall back to the listing
+    fs.delete(ptr)
+    assert ML._latest_committed(fs, root) == (3, 3)
+    # next commit restores the pointer
+    ML.append_files(spark, df, root)
+    assert _j.loads(fs.read_text(ptr)) == {"committed": 4, "known": 4}
+
+
+def test_latest_pointer_wap_and_promote(spark, tmp_path):
+    """A marker-less WAP staging bumps only the pointer's KNOWN mark
+    (readers keep resolving the old committed version with no listing);
+    promotion moves the COMMITTED mark. A staging abandoned by a failed
+    audit leaves the pointer usable."""
+    import json as _j
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    df = spark.range(4).withColumn("v", F.col("id"))
+    ML.publish_files(spark, df, root)
+    fs = _HadoopFS(spark, root)
+    ptr = f"{ML._mf_dir(root)}/{ML._LATEST_PTR}"
+
+    v2 = ML.publish_files_wap(spark, df, root, audit=lambda c: True)
+    assert v2 == 2
+    assert _j.loads(fs.read_text(ptr)) == {"committed": 2, "known": 2}
+
+    try:
+        ML.publish_files_wap(spark, df, root, audit=lambda c: False)
+        raise AssertionError("failing audit must raise")
+    except ML.AuditFailedError:
+        pass
+    # staged v3 was abandoned (JSON deleted); pointer still records it
+    # as known — the probe tolerates the gap because nothing newer exists
+    assert _j.loads(fs.read_text(ptr)) == {"committed": 2, "known": 3}
+    assert ML._latest_committed(fs, root) == (2, 3)
+    v, _ = ML._resolve_manifest(fs, root, None)
+    assert v == 2
+    # the next real commit allocates ABOVE the abandoned slot
+    ML.append_files(spark, df, root)
+    assert _j.loads(fs.read_text(ptr)) == {"committed": 4, "known": 4}
+
+
+def test_latest_pointer_vacuum_and_slot_reuse(spark, tmp_path):
+    """vacuum refreshes the pointer BEFORE deleting manifests, and a
+    vacuumed uncommitted slot whose number is later reused by a real
+    commit is still seen by pointer consumers (marker re-scan across
+    the pointer's (committed, known] span)."""
+    import json as _j
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks import manifest_lake as ML
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    root = str(tmp_path / "t")
+    df = spark.range(6).withColumn("v", F.col("id"))
+    ML.publish_files(spark, df, root)                       # v1
+    ML.append_files(spark, df, root)                        # v2
+    ML.append_files(spark, df, root)                        # v3
+    fs = _HadoopFS(spark, root)
+    ptr = f"{ML._mf_dir(root)}/{ML._LATEST_PTR}"
+
+    # abandon a staging at v4 (JSON, no marker), then vacuum it away
+    try:
+        ML.publish_files_wap(spark, df, root, audit=lambda c: 1 / 0)
+    except ML.AuditFailedError:
+        pass
+    # simulate the crash-before-cleanup shape: recreate the staged JSON
+    fs.write_text(f"{ML._mf_dir(root)}/{ML._mf_name(4)}", "{}")
+    ML.vacuum_manifest(spark, root, keep_versions=2, grace_seconds=0)
+    assert _j.loads(fs.read_text(ptr)) == {"committed": 3, "known": 4}
+    assert not fs.exists(f"{ML._mf_dir(root)}/{ML._mf_name(4)}")
+
+    # allocator without a pointer reuses slot 4; pointer consumers must
+    # still see its commit (marker re-scan over (committed, known])
+    fs.delete(ptr)
+    ML.append_files(spark, df, root)                        # v4 (reused)
+    fs.write_text(ptr, _j.dumps({"committed": 3, "known": 4}))
+    assert ML._latest_committed(fs, root) == (4, 4)

@@ -274,3 +274,75 @@ def test_read_jsonl_docs_quarantines_poison_lines(spark, tmp_path):
     assert all(r["doc_id"] is not None for r in clean.collect())
     # conservation: every input line is in exactly one frame
     assert clean.count() + quarantined.count() == 6
+
+
+def test_hadoopfs_rename_no_replace(spark, tmp_path):
+    """r19 advice: the local rename fast path must NEVER silently
+    replace an existing destination — Hadoop's rename reports that case
+    as failure and the versioned-lake swap paths rely on the raised
+    IOError as a race guard. The r20 fast path uses an atomic
+    link+unlink for regular files, so a dst appearing between any
+    check and the move loses the window entirely; directories keep the
+    JVM call and its exact semantics."""
+    import os
+
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    fs = _HadoopFS(spark, str(tmp_path))
+    src = tmp_path / "a.txt"
+    dst = tmp_path / "b.txt"
+    src.write_text("payload")
+    fs.rename(str(src), str(dst))
+    assert not src.exists() and dst.read_text() == "payload"
+
+    # dst exists -> the move must FAIL loudly, never clobber
+    src2 = tmp_path / "c.txt"
+    src2.write_text("new")
+    dst.write_text("precious")
+    try:
+        fs.rename(str(src2), str(dst))
+        raise AssertionError("rename onto an existing file must raise")
+    except IOError:
+        pass
+    assert dst.read_text() == "precious" and src2.exists()
+
+    # directory move (JVM path) still works when dst is absent
+    d1 = tmp_path / "dir1"
+    d1.mkdir()
+    (d1 / "x").write_text("1")
+    d2 = tmp_path / "dir2"
+    fs.rename(str(d1), str(d2))
+    assert not d1.exists() and (d2 / "x").read_text() == "1"
+
+
+def test_hadoopfs_rename_many_pooled(spark, tmp_path):
+    """r20: staging moves issue their per-file renames through
+    ``rename_many`` — local stays the inline fast path; a non-local FS
+    fans the JVM round-trips out over a driver thread pool (py4j gives
+    each thread its own connection). Semantics per pair are unchanged:
+    all succeed, or the first failure raises after the pool drains."""
+    from stock_market_data_pipeline_spark.sinks.lake import _HadoopFS
+
+    fs = _HadoopFS(spark, str(tmp_path))
+    pairs = []
+    for i in range(6):
+        s = tmp_path / f"s{i}.txt"
+        s.write_text(str(i))
+        pairs.append((str(s), str(tmp_path / f"d{i}.txt")))
+    # exercise the pooled branch (the JVM path works on local FS too)
+    fs._is_local = False
+    fs.rename_many(pairs)
+    for i in range(6):
+        assert not (tmp_path / f"s{i}.txt").exists()
+        assert (tmp_path / f"d{i}.txt").read_text() == str(i)
+
+    # a missing source must surface loudly (the JVM path raises or
+    # returns False -> IOError, depending on the FS), never pass silent
+    bad = [(str(tmp_path / "nope.txt"), str(tmp_path / "x.txt"))]
+    bad += [(str(tmp_path / f"d{i}.txt"), str(tmp_path / f"e{i}.txt"))
+            for i in range(6)]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        fs.rename_many(bad)
+    assert not (tmp_path / "x.txt").exists()
