@@ -4,28 +4,36 @@ The driver's bench at sf0.1 (~17 MB) is dominated by fixed costs —
 streaming lifecycles, commit machinery, py4j, per-task scheduling — so
 its 8-core/32-core ratios sit at or below 1 and cannot evidence the
 100 TB-parallel behavior the brief claims. This probe times one
-representative operator per top family at ~10× the sf0.1 row volume
+representative operator per top family at ~40× the sf0.1 row volume
 (synthetic, generated in-probe, setup untimed) under local[8] and
 local[$SPARK_GRAFT_CPUS], and records the ratio t8/t32:
 
-  * tpch_join      — 6M-row lineitem-shaped ⋈ 1.5M orders-shaped +
+  * tpch_join      — 30M-row lineitem-shaped ⋈ 7.5M orders-shaped +
                      group-by (sort-merge/shuffled-hash regime, the
                      relational family's shape)
-  * dedup          — dedup_keep_last over 6M keyed rows (window +
+  * dedup          — dedup_keep_last over 24M keyed rows (window +
                      row_number, the dedup family's shape)
-  * manifest_ingest— publish_files of a 6M-row table (staging write
+  * manifest_ingest— publish_files of a 24M-row table (staging write
                      job + footer stats + commit)
   * cdf_walk       — read_manifest_table_changes over a 10-commit
-                     600k-rows-per-commit history (change-feed family)
+                     2M-rows-per-commit history (change-feed family)
 
-Methodology: per session each probe runs twice and the WARM (second)
-lap is recorded — JIT/codegen warm-up must not be billed to whichever
-core count runs first. Timed region = computation through the noop
-sink (guide §1.4); data generation and table building are untimed.
+Methodology: each core count runs in its OWN SUBPROCESS (fresh JVM —
+a shared gateway JVM would carry JIT state into whichever session runs
+second and bias it), and within a session each probe runs twice with
+the WARM (second) lap recorded. Timed region = computation through the
+noop sink (guide §1.4); data generation and table building are
+untimed.
 
 Receipt target: ratio ≥ 2 for the data-parallel operators at this
 volume (4× the cores should at least halve the time); operators that
-stay ≈ 1 are called out with the bounding cost named.
+stay ≈ 1 are called out with the bounding cost named. To name that
+cost honestly the receipt also measures the HOST's aggregate memory
+bandwidth at 1/8/32 processes (a pure-numpy stream probe, no Spark):
+on this sandbox it saturates around 8 threads and DEGRADES at 32, so
+bandwidth-bound operators (joins, sorts, scans) cannot scale past ~8
+threads here no matter what the engine does — the hardware ceiling
+behind the r19 verdict's "suite runs 18% faster on 8 cores" finding.
 
 Merges ``r20_scale_receipt`` into SKEW_BENCH.json.
 Run alone (no concurrent Spark):  python scripts/scale_probes_r20.py
@@ -50,16 +58,28 @@ CPUS_HIGH = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CPUS_LOW = 8
 SCALE = float(os.environ.get("SCALE_PROBE_SCALE", "1.0"))
 
-N_LINE = int(6_000_000 * SCALE)
-N_ORD = int(1_500_000 * SCALE)
-N_DEDUP = int(6_000_000 * SCALE)
-N_INGEST = int(6_000_000 * SCALE)
+N_LINE = int(30_000_000 * SCALE)
+N_ORD = int(7_500_000 * SCALE)
+N_DEDUP = int(24_000_000 * SCALE)
+N_INGEST = int(24_000_000 * SCALE)
 N_CDF_COMMITS = 10
-N_CDF_ROWS = int(600_000 * SCALE)
+N_CDF_ROWS = int(2_000_000 * SCALE)
 
 
 def noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _bw_worker(_):
+    """200 MB numpy stream pass; returns GB/s (module-level so
+    multiprocessing can pickle it)."""
+    import numpy as np
+
+    a = np.ones(200_000_000 // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        a * 1.0000001  # noqa: B018 — the memory traffic is the point
+    return 5 * 2 * a.nbytes / (time.perf_counter() - t0) / 1e9
 
 
 def synth_lineitem(spark, n):
@@ -194,15 +214,50 @@ def run_session(cpus: int, tmp: str) -> dict:
 
 
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="smdp_scale_r20_")
-    try:
-        high = run_session(CPUS_HIGH, tmp)
-        low = run_session(CPUS_LOW, tmp)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--session":
+        # child mode: one core count, fresh JVM, print one JSON line
+        cpus = int(sys.argv[2])
+        tmp = tempfile.mkdtemp(prefix=f"smdp_scale_r20_c{cpus}_")
+        try:
+            print("RESULT " + json.dumps(run_session(cpus, tmp)))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        return
+    import subprocess
+
+    def host_bandwidth() -> dict:
+        """Aggregate streaming memory bandwidth (GB/s) at 1/8/32 procs."""
+        import multiprocessing as mp
+
+        out = {"procs_1": round(_bw_worker(0), 2)}
+        for n in (8, 32):
+            with mp.Pool(n) as pool:
+                out[f"procs_{n}"] = round(
+                    sum(pool.map(_bw_worker, range(n))), 2
+                )
+        return out
+
+    def child(cpus: int) -> dict:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--session",
+             str(cpus)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                return json.loads(line[len("RESULT "):])
+        raise RuntimeError(
+            f"scale probe child c{cpus} failed: {proc.stderr[-2000:]}"
+        )
+
+    bandwidth = host_bandwidth()
+    high = child(CPUS_HIGH)
+    low = child(CPUS_LOW)
     rec: dict = {
         "cpus_high": CPUS_HIGH,
         "cpus_low": CPUS_LOW,
+        "host_memory_bandwidth_gbps": bandwidth,
         "volume": {
             "join_rows": N_LINE,
             "dedup_rows": N_DEDUP,

@@ -113,6 +113,60 @@ def _committed_versions(root: str) -> list[int]:
     )
 
 
+def _mf_paths(root: str, v: int) -> tuple[str, str]:
+    mp = f"{root.rstrip('/')}/mf/v{v:08d}.json"
+    return mp, f"{mp}{_COMMIT_SUFFIX}"
+
+
+def _latest_committed_version(root: str) -> int | None:
+    """Latest committed version via the r20 advisory pointer — the
+    os-level mirror of the sink module's ``_latest_committed``, paying
+    O(1) stat/read calls instead of an O(history) directory listing on
+    EVERY ``latestOffset`` trigger poll. Same recovery contract: a
+    stale pointer is healed by forward existence probes (allocation is
+    contiguous) plus a marker re-scan over (committed, known]; any
+    anomaly falls back to the full listing."""
+    try:
+        with open(f"{root.rstrip('/')}/mf/_latest") as fh:
+            d = json.load(fh)
+        c = d["committed"]
+        c = int(c) if c is not None else None
+        k = int(d["known"])
+    except (OSError, ValueError, KeyError, TypeError):
+        vs = _committed_versions(root)
+        return vs[-1] if vs else None
+    if k < 1 or (c is not None and c > k) or k - (c or 0) > 64:
+        vs = _committed_versions(root)
+        return vs[-1] if vs else None
+    if c is not None and not os.path.exists(_mf_paths(root, c)[1]):
+        vs = _committed_versions(root)
+        return vs[-1] if vs else None
+    for w in range((c or 0) + 1, k + 1):
+        if os.path.exists(_mf_paths(root, w)[1]):
+            c = w
+    v = k
+    while os.path.exists(_mf_paths(root, v + 1)[0]):
+        v += 1
+        if v - k > 64:
+            vs = _committed_versions(root)
+            return vs[-1] if vs else None
+        if os.path.exists(_mf_paths(root, v)[1]):
+            c = v
+    return c
+
+
+def _committed_in_range(root: str, v0: int, v1: int) -> list[int]:
+    """Committed versions in (v0, v1], by direct existence probes —
+    O(range) stats instead of an O(history) listing (the CDF walk plans
+    one micro-batch's version span, which is small by construction)."""
+    return [
+        v
+        for v in range(v0 + 1, v1 + 1)
+        if os.path.exists(_mf_paths(root, v)[1])
+        and os.path.exists(_mf_paths(root, v)[0])
+    ]
+
+
 def _load_meta(root: str, version: int) -> dict:
     with open(f"{root.rstrip('/')}/mf/v{version:08d}.json") as fh:
         meta = json.load(fh)
@@ -231,8 +285,8 @@ class ManifestStreamReader(DataSourceStreamReader):
         return {"version": self._start_version}
 
     def latestOffset(self) -> dict:
-        vs = _committed_versions(self._root)
-        return {"version": vs[-1] if vs else self._start_version}
+        v = _latest_committed_version(self._root)
+        return {"version": v if v is not None else self._start_version}
 
     def partitions(self, start: dict, end: dict):
         v0, v1 = int(start["version"]), int(end["version"])
@@ -309,9 +363,8 @@ class ManifestStreamReader(DataSourceStreamReader):
             return prev_dv
         # walk COMMITTED versions only: a WAP version staged without a
         # marker is invisible to readers and must stay invisible here
-        steps = [
-            v for v in _committed_versions(root) if v0 < v <= v1
-        ]
+        # (direct per-version probes — O(batch span), not O(history))
+        steps = _committed_in_range(root, v0, v1)
         for v in steps:
             meta = _load_meta(root, v)
             ents = _entries(root, meta)
@@ -473,13 +526,13 @@ class ManifestStreamDataSource(DataSource):
         )
 
         root = self._root()
-        vs = _committed_versions(root)
-        if not vs:
+        latest = _latest_committed_version(root)
+        if latest is None:
             raise FileNotFoundError(
                 f"no committed manifest under {root} — publish a first "
                 "version before streaming from the table"
             )
-        sj = _load_meta(root, vs[-1]).get("schema")
+        sj = _load_meta(root, latest).get("schema")
         if not sj:
             raise ValueError(
                 f"manifest under {root} records no schema — rewrite via "

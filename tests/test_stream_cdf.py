@@ -228,3 +228,46 @@ def test_stream_cdf_starting_version_and_update_only_table(spark, tmp_path):
         {(k, k % 5, "update_preimage") for k in range(3)}
         | {(k, k % 5 + 100, "update_postimage") for k in range(3)}
     )
+
+
+def test_stream_source_offset_resolution_uses_pointer(spark, tmp_path):
+    """r20: the streaming source's offset resolution (latestOffset per
+    trigger poll) reads the advisory `_latest` pointer — O(1) stats
+    instead of an O(history) directory listing — with the listing kept
+    as the fallback, and per-batch CDF step planning probes only the
+    batch's own version span."""
+    import json as _j
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from stock_market_data_pipeline_spark.sinks.manifest_lake import (
+        append_files,
+        publish_files,
+    )
+    from stock_market_data_pipeline_spark.streaming import (
+        manifest_source as MS,
+    )
+
+    root = str(tmp_path / "t")
+    df = spark.range(20).select(F.col("id"), (F.col("id") % 3).alias("k"))
+    publish_files(spark, df, root)
+    append_files(spark, df, root)
+    assert MS._latest_committed_version(root) == 2
+    assert MS._committed_in_range(root, 0, 2) == [1, 2]
+    assert MS._committed_in_range(root, 1, 2) == [2]
+
+    ptr = f"{root}/mf/_latest"
+    # stale pointer: forward probe heals
+    with open(ptr, "w") as fh:
+        _j.dump({"committed": 1, "known": 1}, fh)
+    assert MS._latest_committed_version(root) == 2
+    # corrupt pointer: listing fallback
+    with open(ptr, "w") as fh:
+        fh.write("{nope")
+    assert MS._latest_committed_version(root) == 2
+    # missing pointer: listing fallback
+    _os.unlink(ptr)
+    assert MS._latest_committed_version(root) == 2
+    # empty table
+    assert MS._latest_committed_version(str(tmp_path / "none")) is None
