@@ -94,11 +94,45 @@ def _warm_runtime_paths(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _host_bandwidth_probe() -> dict[str, float]:
+    """Aggregate streaming memory bandwidth (GB/s) at 1 and 8 procs —
+    ~4 s of pure numpy BEFORE the Spark session exists. r20 finding:
+    this sandbox's bandwidth cap is TIME-VARYING (measured 5.4 vs
+    3.0 GB/s at 8 procs ninety minutes apart on an idle host), and
+    bandwidth-bound queries track it — it is the mechanism behind the
+    ±20% identical-code sweep variance documented since r18. Recording
+    it makes every sweep self-identify throttle windows the way
+    load_avg_start identifies foreign load."""
+    import multiprocessing as mp
+
+    out = {"procs_1": round(_bw_worker(0), 2)}
+    try:
+        with mp.Pool(8) as pool:
+            out["procs_8"] = round(sum(pool.map(_bw_worker, range(8))), 2)
+    except Exception:  # noqa: BLE001 — a probe failure must not kill bench
+        out["procs_8"] = out["procs_1"]
+    return out
+
+
+def _bw_worker(_):
+    import numpy as np
+
+    a = np.ones(100_000_000 // 8, dtype=np.float64)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        a * 1.0000001  # noqa: B018
+    return 5 * 2 * a.nbytes / (time.perf_counter() - t0) / 1e9
+
+
 def main() -> None:
     # capture BEFORE the session/warm-up: the bench's own warm-up jobs
     # inflate loadavg, and the point of this number is to flag OTHER
     # work on the host (r19 verdict item 5)
     load_start = os.getloadavg()
+    try:
+        host_bw = _host_bandwidth_probe()
+    except Exception:  # noqa: BLE001
+        host_bw = {}
     spark = get_spark(
         app_name="smdp-bench",
         master=f"local[{CPUS}]",
@@ -233,6 +267,12 @@ def main() -> None:
         # loudly self-identifying — r19's official record was taken at
         # loadavg 6.0 and carried ±20% of interference both directions.
         "load_suspect": load_start[0] > 2.0,
+        # r20: this VM's memory-bandwidth cap varies ~2x over time
+        # (5.4 vs 3.0 GB/s at 8 procs, idle host, 90 min apart) and
+        # bandwidth-bound queries track it; < 4 GB/s aggregate marks a
+        # throttled window.
+        "host_bw_gbps": host_bw,
+        "bw_suspect": bool(host_bw) and host_bw.get("procs_8", 9) < 4.0,
         "queries_rerun": queries_rerun,
     }
     if payload["load_suspect"]:
